@@ -1,0 +1,174 @@
+"""Job-framework layer: capability parity with the reference's entire surface.
+
+The reference (AllenNeuralDynamics/aind-data-transformation) is a 111-line
+abstract ETL-job framework; this module re-implements its full behavioral
+surface for a Spark-backed engine (parity map, with reference citations):
+
+* ``get_parser``          <-> reference core.py:15-47  (``-j`` JSON string,
+                              ``-c`` config file; both optional)
+* ``SparkJobSettings``    <-> ``BasicJobSettings`` core.py:50-69 (pydantic
+                              settings, env prefix ``TRANSFORMATION_JOB_``,
+                              ``from_config_file``), plus Spark IO fields
+* ``JobResponse``         <-> core.py:75-81 (closed record, extra="forbid")
+* ``GenericSparkEtl``     <-> ``GenericEtl`` core.py:84-110 (deep-copied
+                              settings, str->Path coercion, abstract
+                              ``run_job() -> JobResponse``); extended to own
+                              or accept a ``SparkSession``
+
+Nothing here is copied from the reference; the behavior contract is
+reproduced from its documented/tested semantics (reference
+tests/test_core.py:19-102).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Generic, Optional, TypeVar, Union
+
+from pydantic import ConfigDict, BaseModel
+from pydantic_settings import BaseSettings, SettingsConfigDict
+
+PathLike = Union[str, Path]
+
+_URI_SCHEMES = ("s3://", "s3a://", "gs://", "hdfs://", "file://", "abfss://")
+
+
+def get_parser() -> argparse.ArgumentParser:
+    """CLI parser for job settings (reference core.py:15-47 parity).
+
+    ``-j/--job-settings`` takes the settings as a JSON string;
+    ``-c/--config-file`` takes a path to a JSON settings file. Both are
+    optional: with neither, settings come from ``TRANSFORMATION_JOB_*``
+    environment variables (pydantic-settings).
+    """
+    parser = argparse.ArgumentParser(description="Run a Spark ETL job")
+    parser.add_argument(
+        "-j",
+        "--job-settings",
+        required=False,
+        type=str,
+        help=(
+            "Job settings as a JSON string, e.g. "
+            '\'{"input_source":"/in","output_directory":"/out"}\''
+        ),
+    )
+    parser.add_argument(
+        "-c",
+        "--config-file",
+        required=False,
+        type=Path,
+        help="Path to a JSON file containing the job settings",
+    )
+    return parser
+
+
+class SparkJobSettings(BaseSettings):
+    """Validated job configuration (reference ``BasicJobSettings``
+    core.py:50-69 parity: same two required fields, same env prefix), plus
+    Spark-specific IO knobs used by the engine's sources/sinks.
+
+    Loadable from (1) constructor kwargs / JSON string, (2) a JSON config
+    file via :meth:`from_config_file`, (3) ``TRANSFORMATION_JOB_*`` env vars.
+    """
+
+    model_config = SettingsConfigDict(env_prefix="TRANSFORMATION_JOB_")
+
+    input_source: PathLike
+    output_directory: PathLike
+
+    # Spark-specific extensions (100-TB layout knobs; SURVEY.md §4).
+    input_format: str = "parquet"
+    output_format: str = "parquet"
+    compression: str = "zstd"
+    partition_by: list[str] = []
+    target_partitions: Optional[int] = None
+
+    @classmethod
+    def from_config_file(cls, config_file_location: PathLike):
+        """Construct settings from a JSON file (reference core.py:57-69
+        parity, without the redundant encode/decode round-trip)."""
+        with open(config_file_location, "r") as f:
+            contents = json.load(f)
+        return cls.model_validate(contents)
+
+    @classmethod
+    def from_parsed_args(cls, args: argparse.Namespace):
+        """Resolve settings from parsed CLI args with the reference's
+        precedence: JSON string, then config file, then environment."""
+        if getattr(args, "job_settings", None):
+            return cls.model_validate_json(args.job_settings)
+        if getattr(args, "config_file", None):
+            return cls.from_config_file(args.config_file)
+        return cls()
+
+
+class JobResponse(BaseModel):
+    """Standard job result envelope (reference core.py:75-81 parity:
+    closed schema, same three fields). ``data`` carries a JSON blob of
+    Spark metrics (rows read/written, wall seconds)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    status_code: int
+    message: Optional[str] = None
+    data: Optional[str] = None
+
+
+_T = TypeVar("_T", bound=SparkJobSettings)
+
+
+def _coerce_path(value: PathLike) -> PathLike:
+    """``str`` -> ``Path`` for local filesystem locations (reference
+    core.py:98-106 parity) while leaving cluster URIs (s3a://, hdfs://, ...)
+    as strings, which Spark readers/writers take verbatim."""
+    if isinstance(value, str) and not value.startswith(_URI_SCHEMES):
+        return Path(value)
+    return value
+
+
+class GenericSparkEtl(ABC, Generic[_T]):
+    """Abstract Spark ETL job (reference ``GenericEtl`` core.py:84-110
+    parity). Holds a deep copy of validated settings with path coercion;
+    a concrete subclass implements :meth:`run_job` as DataFrame
+    transformations and returns a :class:`JobResponse`.
+
+    Unlike the reference (a bare single-process framework), the job holds a
+    ``SparkSession``: pass one in, or the job builds a tuned local session
+    lazily on first use.
+    """
+
+    def __init__(self, job_settings: _T, spark=None):
+        settings = job_settings.model_copy(deep=True)
+        settings.input_source = _coerce_path(settings.input_source)
+        settings.output_directory = _coerce_path(settings.output_directory)
+        self.job_settings: _T = settings
+        self._spark = spark
+
+    @property
+    def spark(self):
+        if self._spark is None:
+            from aind_data_transformation_spark.session import build_session
+
+            self._spark = build_session()
+        return self._spark
+
+    @abstractmethod
+    def run_job(self) -> JobResponse:
+        """Run the ETL job and report the outcome."""
+
+    def timed_response(self, rows_written: int, started_at: float) -> JobResponse:
+        """Convenience: success envelope with metrics in ``data``."""
+        return JobResponse(
+            status_code=200,
+            message="ok",
+            data=json.dumps(
+                {
+                    "rows_written": rows_written,
+                    "seconds": round(time.time() - started_at, 3),
+                }
+            ),
+        )

@@ -1,0 +1,63 @@
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query seconds.
+
+Each query is forced to full execution with a noop-format write (no driver
+collect, no result materialization cost — measures the distributed plan)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aind_data_transformation_spark.queries import registry
+from aind_data_transformation_spark.session import build_session
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries, _ = registry()
+
+    timings: dict[str, float] = {}
+    # warm the JVM + parquet footers once with the flagship query
+    force(queries["agg_group"](spark, sf_dir))
+    for key in sorted(queries):
+        start = time.monotonic()
+        try:
+            force(queries[key](spark, sf_dir))
+            timings[key] = round(time.monotonic() - start, 3)
+        except Exception as exc:  # keep the bench line intact
+            timings[key] = -1.0
+            print(f"# bench error in {key}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Framework-layer tests: capability parity with the reference's test suite
+(reference tests/test_core.py:19-102 — settings from kwargs / CLI JSON
+string / config file / env vars, path coercion, run_job response)."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from unittest.mock import patch
+
+from aind_data_transformation_spark.core import (
+    GenericSparkEtl,
+    JobResponse,
+    SparkJobSettings,
+    get_parser,
+)
+
+RESOURCES = Path(__file__).parent / "resources"
+
+
+class ExampleJobSettings(SparkJobSettings):
+    param: int = 1
+
+
+class ExampleJob(GenericSparkEtl[ExampleJobSettings]):
+    def run_job(self) -> JobResponse:
+        return JobResponse(status_code=200, message=f"param={self.job_settings.param}")
+
+
+def make_settings(**kw) -> ExampleJobSettings:
+    base = {"input_source": "in_dir", "output_directory": "out_dir"}
+    base.update(kw)
+    return ExampleJobSettings(**base)
+
+
+def test_path_coercion_str_to_path():
+    job = ExampleJob(make_settings())
+    assert job.job_settings.input_source == Path("in_dir")
+    assert job.job_settings.output_directory == Path("out_dir")
+
+
+def test_path_coercion_keeps_uris():
+    job = ExampleJob(
+        make_settings(
+            input_source="s3a://bucket/in", output_directory="hdfs://nn/out"
+        )
+    )
+    assert job.job_settings.input_source == "s3a://bucket/in"
+    assert job.job_settings.output_directory == "hdfs://nn/out"
+
+
+def test_settings_deep_copied():
+    settings = make_settings(partition_by=["a"])
+    job = ExampleJob(settings)
+    settings.partition_by.append("b")
+    assert job.job_settings.partition_by == ["a"]
+
+
+def test_cli_json_string_round_trip():
+    settings = make_settings(param=3)
+    args = get_parser().parse_args(["-j", settings.model_dump_json()])
+    loaded = ExampleJobSettings.from_parsed_args(args)
+    assert loaded == settings
+
+
+def test_cli_config_file():
+    args = get_parser().parse_args(["-c", str(RESOURCES / "settings.json")])
+    loaded = ExampleJobSettings.from_parsed_args(args)
+    assert loaded.param == 2
+    assert str(loaded.input_source) == "some_input_dir"
+
+
+def test_from_config_file_directly():
+    loaded = ExampleJobSettings.from_config_file(RESOURCES / "settings.json")
+    expected = json.loads((RESOURCES / "settings.json").read_text())
+    assert loaded.param == expected["param"]
+
+
+def test_env_var_loading():
+    env = {
+        "TRANSFORMATION_JOB_INPUT_SOURCE": "env_in",
+        "TRANSFORMATION_JOB_OUTPUT_DIRECTORY": "env_out",
+        "TRANSFORMATION_JOB_PARAM": "7",
+    }
+    with patch.dict(os.environ, env):
+        loaded = ExampleJobSettings.from_parsed_args(get_parser().parse_args([]))
+    assert loaded.param == 7
+    assert str(loaded.input_source) == "env_in"
+
+
+def test_run_job_response_contract():
+    resp = ExampleJob(make_settings(param=5)).run_job()
+    assert resp == JobResponse(status_code=200, message="param=5", data=None)
+
+
+def test_job_response_forbids_extras():
+    import pytest
+
+    with pytest.raises(Exception):
+        JobResponse(status_code=200, unexpected="x")
