@@ -84,10 +84,166 @@ WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF} 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(distinct)/sum(distinct) per group — Spark expands these into
+    a two-phase aggregate (expand + partial/final), still one logical
+    shuffle on the grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        (F.sum_distinct(cents("l_quantity")).cast("double") / F.lit(100.0)).alias(
+            "sum_distinct_qty"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ count-distinct (rows-only check: sketch estimates are
+    engine-specific by design; the scale win is no exact-distinct shuffle).
+    The relative error vs exact is asserted in tests/test_approx.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via CUBE (supersets ROLLUP); subtotal rows are
+    labeled with coalesce so the driver hash is unambiguous about nulls."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cube = li.cube("l_returnflag", "l_linestatus").agg(
+        (F.sum(cents("l_quantity")).cast("double") / F.lit(100.0)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return cube.select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        "sum_qty",
+        "n_rows",
+    )
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (F.sum(cents("o_totalprice")).cast("double") / F.lit(100.0)).alias(
+        "total_spend"
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(spend, F.count(F.lit(1)).alias("n_orders"))
+        .where((F.col("n_orders") >= 3) & (F.col("total_spend") > 300000.0))
+    )
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list / collect_set per group, sorted for determinism and
+    string-joined so the oracle hash is representation-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.col("l_linenumber").cast("string"))), ","
+        ).alias("line_numbers"),
+        F.array_join(F.sort_array(F.collect_set("l_returnflag")), ",").alias(
+            "flags"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max/arg-min: the order with the highest/lowest price per
+    customer. The ordering key is (cents*1e6 + orderkey) — unique, so
+    ties cannot make the result nondeterministic across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    okey = (cents("o_totalprice") * F.lit(1000000) + F.col("o_orderkey")).alias(
+        "price_key"
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", okey)
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", F.col("price_key")).alias("best_order"),
+            F.min_by("o_orderkey", F.col("price_key")).alias("worst_order"),
+        )
+    )
+
+
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median/p95 per group over integer cents: linear interpolation
+    between integers is bit-identical across engines (verified empirically:
+    Spark percentile() == DuckDB quantile_cont() on cents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_cents = cents("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        (F.expr(
+            "percentile(CAST(round(l_extendedprice*100) AS LONG), 0.5)"
+        ) / F.lit(100.0)).alias("median_price"),
+        (F.expr(
+            "percentile(CAST(round(l_extendedprice*100) AS LONG), 0.95)"
+        ) / F.lit(100.0)).alias("p95_price"),
+        F.count(price_cents).alias("n_rows"),
+    )
+
+
 QUERIES = {
     "agg_group": q_agg_group,
+    "agg_distinct": q_agg_distinct,
+    "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_rollup_cube": q_agg_rollup_cube,
+    "agg_having": q_agg_having,
+    "agg_collect": q_agg_collect,
+    "agg_minmax_by": q_agg_minmax_by,
+    "agg_percentiles": q_agg_percentiles,
 }
 
 ORACLES = {
     "agg_group": _AGG_GROUP_SQL,
+    "agg_distinct": f"""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               CAST(SUM(DISTINCT {_QTY}) AS DOUBLE) / 100.0 AS sum_distinct_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    # agg_approx_distinct: rows-only by design (HLL estimate)
+    "agg_rollup_cube": f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM({_QTY}) AS DOUBLE) / 100.0 AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "agg_having": f"""
+        SELECT o_custkey,
+               CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS total_spend,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        HAVING COUNT(*) >= 3
+           AND CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 > 300000.0
+    """,
+    "agg_collect": """
+        SELECT l_orderkey,
+               array_to_string(list(CAST(l_linenumber AS VARCHAR) ORDER BY CAST(l_linenumber AS VARCHAR)), ',') AS line_numbers,
+               array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "agg_minmax_by": f"""
+        SELECT o_custkey,
+               arg_max(o_orderkey, {sql_cents('o_totalprice')} * 1000000 + o_orderkey) AS best_order,
+               arg_min(o_orderkey, {sql_cents('o_totalprice')} * 1000000 + o_orderkey) AS worst_order
+        FROM orders GROUP BY o_custkey
+    """,
+    "agg_percentiles": f"""
+        SELECT l_returnflag,
+               quantile_cont({_PRICE}, 0.5) / 100.0 AS median_price,
+               quantile_cont({_PRICE}, 0.95) / 100.0 AS p95_price,
+               COUNT(l_extendedprice) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+    """,
 }

@@ -1,0 +1,259 @@
+"""Join operators (SURVEY.md §2 Part B "Joins").
+
+Scale notes baked into each implementation:
+* small dimensions are explicitly ``broadcast()`` (no shuffle of the fact
+  side beyond its own aggregation);
+* the theta/range join keeps the non-equi side tiny and broadcast, so the
+  plan is BroadcastNestedLoopJoin over a handful of band rows — never a
+  cartesian of two big tables;
+* the as-of join is the union + running-last-value trick: ONE shuffle of
+  (events ∪ orders) on user_id, then a linear per-partition window scan —
+  the canonical distributed as-of at 100 TB (no per-row subqueries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer equi-join (shuffle hash / SMJ chosen by AQE)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.where(F.col("o_totalprice") > 300000.0)
+        .join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims chain: customer -> nation -> region."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_join_left_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer joins with null fill: per-nation customer counts FULL OUTER
+    per-nation supplier counts, then nation names joined back LEFT so
+    nations with neither side survive with zero counts."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    c_per_nation = c.groupBy(F.col("c_nationkey").alias("nk_c")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    s_per_nation = s.groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    counts = c_per_nation.join(
+        s_per_nation, F.col("nk_c") == F.col("nk_s"), "full_outer"
+    ).select(
+        F.coalesce("nk_c", "nk_s").alias("nk"), "n_cust", "n_supp"
+    )
+    return n.join(counts, n.n_nationkey == counts.nk, "left").select(
+        "n_name",
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence joins: customers with / without an urgent order. Semi and
+    anti never duplicate or widen the left side — at scale they beat an
+    inner-join + distinct by an order of magnitude."""
+    c = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    has = c.join(
+        urgent, c.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey").withColumn("tag", F.lit("has_urgent"))
+    not_has = c.join(
+        urgent, c.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey").withColumn("tag", F.lit("no_urgent"))
+    return has.unionByName(not_has)
+
+
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join: orders against price bands. The band side is tiny and
+    broadcast -> BroadcastNestedLoopJoin; the alternative (computing the
+    band key arithmetically) would be an equi-join, but the point here is
+    exercising theta-join semantics without a big-big cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = (
+        spark.range(0, 20)
+        .select(
+            F.col("id").alias("band"),
+            (F.col("id") * 50000.0).alias("lo"),
+            ((F.col("id") + 1) * 50000.0).alias("hi"),
+        )
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order of the same user placed
+    at-or-before the event (order times synthesized into the event window:
+    2024-01-01 + (o_orderkey % 30) days, deduped per (user, ts) by max key).
+
+    Implementation is the distributed union-window trick (SURVEY.md §2
+    join_asof): tag both sides, union, single shuffle on user_id, then
+    ``last(value, ignorenulls)`` over (ts, side) rows-unbounded-preceding.
+    Order rows sort before event rows at the same instant => inclusive
+    at-or-before semantics. Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    synth = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_timestamp(
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("o_orderkey") % 30).cast("int"))
+        ).alias("ts"),
+        "o_orderkey",
+    )
+    # deterministic right side: one order per (user, ts)
+    synth = synth.groupBy("user_id", "ts").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    left = e.select(
+        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(1).alias("side"),
+    )
+    right = synth.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey", F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "matched_order", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("side") == 1).select(
+        "event_id", "user_id", "matched_order"
+    )
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small cartesian: every region × every order status."""
+    r = load_table(spark, sf_dir, "region")
+    statuses = (
+        load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    )
+    return r.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem self-join: distinct line pairs within an order."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+            "inner",
+        )
+        .groupBy(F.col("a.l_orderkey").alias("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+QUERIES = {
+    "join_inner_equi": q_join_inner_equi,
+    "join_broadcast": q_join_broadcast,
+    "join_left_right_full": q_join_left_right_full,
+    "join_semi_anti": q_join_semi_anti,
+    "join_theta_range": q_join_theta_range,
+    "join_asof": q_join_asof,
+    "join_cross": q_join_cross,
+    "join_self": q_join_self,
+}
+
+ORACLES = {
+    "join_inner_equi": """
+        SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 300000.0
+    """,
+    "join_broadcast": """
+        SELECT r_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "join_left_right_full": """
+        WITH c_per_nation AS (
+            SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust FROM customer GROUP BY 1
+        ), s_per_nation AS (
+            SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp FROM supplier GROUP BY 1
+        ), counts AS (
+            SELECT coalesce(nk_c, nk_s) AS nk, n_cust, n_supp
+            FROM c_per_nation FULL OUTER JOIN s_per_nation ON nk_c = nk_s
+        )
+        SELECT n_name,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM nation LEFT JOIN counts ON n_nationkey = nk
+    """,
+    "join_semi_anti": """
+        SELECT c_custkey, 'has_urgent' AS tag FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        UNION ALL
+        SELECT c_custkey, 'no_urgent' AS tag FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    "join_theta_range": """
+        SELECT band, COUNT(*) AS n_orders
+        FROM orders
+        JOIN (SELECT range AS band, range * 50000.0 AS lo, (range + 1) * 50000.0 AS hi
+              FROM range(0, 20)) bands
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band
+    """,
+    "join_asof": """
+        WITH synth AS (
+            SELECT o_custkey AS user_id,
+                   CAST(DATE '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY AS TIMESTAMP) AS ts,
+                   MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, s.o_orderkey AS matched_order
+        FROM events e
+        ASOF LEFT JOIN synth s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    "join_cross": """
+        SELECT r_name, o_orderstatus
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    """,
+    "join_self": """
+        SELECT a.l_orderkey AS l_orderkey, COUNT(*) AS n_pairs
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+        GROUP BY a.l_orderkey
+    """,
+}

@@ -1,0 +1,170 @@
+"""Window-function operators (SURVEY.md §2 Part B "Window functions").
+
+Determinism rules used throughout: any ROWS frame or row_number is ordered
+by a *unique* composite key (ties would make results run-dependent and
+unhashable); RANGE frames are allowed ties because the frame includes the
+whole peer group. At scale every window here is one shuffle on its
+partition key followed by a per-partition sort — no driver involvement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.queries.numeric import cents
+
+
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a ties-heavy key (order year) + row_number over
+    a unique tiebroken key."""
+    o = load_table(spark, sf_dir, "orders")
+    o = o.withColumn("order_year", F.year("o_orderdate").cast("bigint"))
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.col("order_year").desc())
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.col("order_year").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_year",
+        F.rank().over(w_ties).cast("bigint").alias("yr_rank"),
+        F.dense_rank().over(w_ties).cast("bigint").alias("yr_dense_rank"),
+        F.row_number().over(w_unique).cast("bigint").alias("rn"),
+    )
+
+
+def q_win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals: ROWS frame over a unique ordering plus a RANGE frame
+    over the (ties-allowed) day number."""
+    o = load_table(spark, sf_dir, "orders")
+    o = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01")).cast("long").alias("day_num"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        (F.sum("price_c").over(w_rows).cast("double") / F.lit(100.0)).alias(
+            "running_spend_rows"
+        ),
+        (F.sum("price_c").over(w_range).cast("double") / F.lit(100.0)).alias(
+            "running_spend_range"
+        ),
+    )
+
+
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Previous/next event value per user over time."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.lag("event_type", 2, "none").over(w).alias("prev2_type"),
+    )
+
+
+def q_win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4), cume_dist, percent_rank over a unique ordering."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: row_number window + filter. At 100 TB
+    prefer this over sort+groupBy-collect: one shuffle, no array blowup."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
+QUERIES = {
+    "win_rank": q_win_rank,
+    "win_running": q_win_running,
+    "win_lag_lead": q_win_lag_lead,
+    "win_ntile_cume": q_win_ntile_cume,
+    "topk_per_group": q_topk_per_group,
+}
+
+ORACLES = {
+    "win_rank": """
+        SELECT o_custkey, o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(rank() OVER w_ties AS BIGINT) AS yr_rank,
+               CAST(dense_rank() OVER w_ties AS BIGINT) AS yr_dense_rank,
+               CAST(row_number() OVER w_unique AS BIGINT) AS rn
+        FROM orders
+        WINDOW w_ties AS (PARTITION BY o_custkey ORDER BY year(o_orderdate) DESC),
+               w_unique AS (PARTITION BY o_custkey
+                            ORDER BY year(o_orderdate) DESC, o_orderkey ASC)
+    """,
+    "win_running": """
+        WITH base AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_num,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, day_num,
+               CAST(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+                   AS running_spend_rows,
+               CAST(SUM(price_c) OVER (PARTITION BY o_custkey ORDER BY day_num
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+                   AS running_spend_range
+        FROM base
+    """,
+    "win_lag_lead": """
+        SELECT event_id, user_id, value,
+               lag(value, 1) OVER w AS prev_value,
+               lead(value, 1) OVER w AS next_value,
+               lag(event_type, 2, 'none') OVER w AS prev2_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "win_ntile_cume": """
+        SELECT c_custkey, c_acctbal,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               cume_dist() OVER w AS cume,
+               percent_rank() OVER w AS pct_rank
+        FROM customer
+        WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    "topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+        FROM orders
+        QUALIFY rn <= 3
+    """,
+}
