@@ -1,0 +1,514 @@
+"""LLM-data-pipeline text operators (BASELINE.json north star: dedup,
+text analysis; SURVEY.md §2 Part B "LLM-data-pipeline operators").
+
+Design rules:
+* every hash/fingerprint uses *portable integer arithmetic* (no engine-
+  specific hash function), so even the algorithmic operators are
+  oracle-checkable — stronger than the rows-only contract SURVEY promised;
+* everything is built-in column functions (split / higher-order lambdas /
+  groupBy) — no Python in any of these paths, so the whole family stays in
+  whole-stage codegen and scales linearly with executors;
+* dedup keeps ``min(doc_id)`` per cluster — a deterministic survivor rule.
+
+Portable token value: ``tokval(t) = length(t)*256 + ascii(first) +
+ascii(last)*7`` — cheap, engine-agnostic, and position-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+# --- shared expression builders (Spark SQL + DuckDB dialects) -------------
+
+_TOKS_SPARK = "split(text, ' ')"
+_TOKS_DUCK = "string_split(text, ' ')"
+
+
+def _tokval(var: str) -> str:
+    """Portable token->int64, same source text in both dialects (BIGINT
+    from the start: Spark runs ANSI mode and int32 would overflow in the
+    minhash multiply)."""
+    return (
+        f"(CAST(length({var}) AS BIGINT) * 256"
+        f" + ascii(substr({var}, 1, 1))"
+        f" + ascii(substr({var}, length({var}), 1)) * 7)"
+    )
+
+
+#: (a, b) coefficients of the 8 minhash permutations h_i(x) = (a*x+b) % p
+_MINHASH_COEFFS = [
+    (1299721, 104729), (15485863, 32452843), (49979687, 67867967),
+    (86028121, 15485867), (22801763, 49979693), (67867979, 86028157),
+    (32452867, 1299743), (104729, 22801787),
+]
+_MINHASH_P = 2147483647
+
+
+def _tokvals_expr(toks: str, dialect: str) -> str:
+    transform = "transform" if dialect == "spark" else "list_transform"
+    return f"{transform}({toks}, t -> {_tokval('t')})"
+
+
+def _shingles_expr(var: str, dialect: str) -> str:
+    """Token-trigram shingle values from a *token-value array column*
+    named ``var``: shingle_i = tv[i]*961 + tv[i+1]*31 + tv[i+2]; docs with
+    fewer than 3 tokens fall back to their raw token values."""
+    if dialect == "spark":
+        # spark sequence(1, n) is inclusive; element_at is 1-based
+        tri = (
+            f"transform(sequence(1, size({var}) - 2),"
+            f" i -> element_at({var}, i) * 961"
+            f" + element_at({var}, i + 1) * 31"
+            f" + element_at({var}, i + 2))"
+        )
+        return f"CASE WHEN size({var}) >= 3 THEN {tri} ELSE {var} END"
+    # duckdb range(1, n) is exclusive; list indexing is 1-based
+    tri = (
+        f"list_transform(range(1, len({var}) - 1),"
+        f" i -> {var}[i] * 961 + {var}[i+1] * 31 + {var}[i+2])"
+    )
+    return f"CASE WHEN len({var}) >= 3 THEN {tri} ELSE {var} END"
+
+
+def _minhash_from_shingles(i: int, var: str, dialect: str) -> str:
+    a, b = _MINHASH_COEFFS[i]
+    transform = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    return (
+        f"{amin}({transform}({var},"
+        f" v -> (CAST({a} AS BIGINT) * v + {b}) % {_MINHASH_P}))"
+    )
+
+
+# --- operators ------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on sha256(text): one hash-shuffle, min-doc_id survivor."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — all higher-order fns, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars"),
+        n_toks.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / n_toks.cast("double")
+        ).alias("type_token_ratio"),
+        F.array_max(F.transform(toks, lambda t: F.length(t)))
+        .cast("bigint")
+        .alias("longest_token"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / n_toks.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def q_lang_filter_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language + quality gate: the standard pretraining-corpus filter
+    shape (lang allowlist, length bounds, token-shape heuristics)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_toks = F.size(toks).cast("bigint")
+    avg_len = (
+        F.length(F.regexp_replace("text", " ", "")).cast("double")
+        / n_toks.cast("double")
+    )
+    return (
+        d.withColumn("n_tokens", n_toks)
+        .withColumn("avg_token_len", avg_len)
+        .where(
+            F.col("lang").isin("en", "de", "fr")
+            & F.col("n_chars").between(50, 5000)
+            & (F.col("n_tokens") >= 10)
+            & F.col("avg_token_len").between(2.0, 10.0)
+        )
+        .select("doc_id", "lang", "n_chars", "n_tokens", "avg_token_len")
+    )
+
+
+_STOPWORDS = {
+    "en": ["the", "a", "fast", "small"],
+    "es": ["data", "table", "row", "column"],
+    "de": ["merge", "join", "sort", "filter"],
+}
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: seed-list overlap scoring with a fixed
+    priority argmax (en >= es >= de). Real corpora would use char n-gram
+    profiles; the mechanics (portable scoring + deterministic argmax) are
+    identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _STOPWORDS.items()
+    }
+    predicted = (
+        F.when(
+            (scores["en"] >= scores["es"]) & (scores["en"] >= scores["de"]),
+            F.lit("en"),
+        )
+        .when(scores["es"] >= scores["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].cast("bigint").alias("score_en"),
+        scores["es"].cast("bigint").alias("score_es"),
+        scores["de"].cast("bigint").alias("score_de"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + lexical
+    diversity + stopword-pollution penalty. Pure row-level arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks).cast("double")
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    the_ratio = (
+        F.size(F.filter(toks, lambda t: t == F.lit("the"))).cast("double") / n
+    )
+    length_sat = F.least(F.lit(1.0), n / F.lit(50.0))
+    return d.select(
+        "doc_id",
+        "lang",
+        (
+            F.lit(0.4) * length_sat
+            + F.lit(0.3) * distinct_ratio
+            + F.lit(0.3) * (F.lit(1.0) - the_ratio)
+        ).alias("quality"),
+    )
+
+
+def q_text_tokens_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex word-ish tokens, and
+    the chars/4 BPE-budget estimate (integer, exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z0-9]+")).cast("bigint").alias(
+            "regex_tokens"
+        ),
+        ((F.col("n_chars") + 3) / 4).cast("bigint").alias("bpe_budget"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted rolling checksum fingerprint:
+    ``sum((pos+1) * tokval(t)) mod 1e9+7`` — order-sensitive like a rolling
+    hash, but associative integer math, so it is exactly reproducible on
+    any engine and parallelizes as a plain aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        "aggregate("
+        f"  zip_with({_TOKS_SPARK}, sequence(1, size({_TOKS_SPARK})),"
+        "            (t, i) -> struct(t, CAST(i AS LONG) AS i)),"
+        "  CAST(0 AS LONG),"
+        f"  (acc, s) -> (acc + s.i * {_tokval('s.t')}) % 1000000007)"
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates.
+
+    8 portable minhash permutations over token values -> 2 bands of 4 ->
+    docs sharing a band key become candidate pairs (doc_a < doc_b).
+    At 100 TB the band-key groupBy is the only shuffle and LSH keeps the
+    pair blowup bounded per bucket; full-corpus pairwise never happens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # Shingle (token trigram) values, materialized once; minhashing
+    # unigrams would be useless here — with a small vocabulary most docs
+    # contain the minimizing token, every signature collides, and the
+    # band join blows up (measured: 4.5M candidate pairs at sf0.1 with
+    # unigrams vs a linear-ish candidate set with trigram shingles).
+    vals = d.select(
+        "doc_id",
+        F.expr(_tokvals_expr(_TOKS_SPARK, "spark")).alias("tok_vals"),
+    ).select(
+        "doc_id",
+        F.expr(_shingles_expr("tok_vals", "spark")).alias("shingle_vals"),
+    )
+    sigs = [
+        F.expr(_minhash_from_shingles(i, "shingle_vals", "spark")).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    with_sig = vals.select("doc_id", *sigs)
+    banded = with_sig.select(
+        "doc_id",
+        F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
+        F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
+    )
+    pairs = None
+    for band in ("band1", "band2"):
+        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("bk"))
+        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("bk"))
+        p = a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b")).select(
+            "doc_a", "doc_b"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash sketch per document + bucket sizes (identical
+    sketches = near-dup bucket). Bit j is the sign of the sum of
+    (+1/-1) contributions of bit j of each token value."""
+    d = load_table(spark, sf_dir, "documents")
+    vals = d.select(
+        "doc_id",
+        F.expr(f"transform({_TOKS_SPARK}, t -> {_tokval('t')})").alias("tok_vals"),
+    )
+    bit_terms = []
+    for j in range(16):
+        s = (
+            "aggregate(tok_vals, CAST(0 AS LONG),"
+            f" (acc, v) -> acc + (2 * ((v >> {j}) % 2) - 1))"
+        )
+        bit_terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << j} ELSE 0 END)")
+    simhash = F.expr("CAST(" + " + ".join(bit_terms) + " AS LONG)")
+    sketches = vals.select("doc_id", simhash.alias("simhash"))
+    buckets = sketches.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return sketches.join(buckets, "simhash").select(
+        "doc_id", "simhash", "bucket_size"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-trigram Jaccard over a bounded candidate window (same
+    lang, doc_id within 4) — the verify step that follows LSH candidate
+    generation in a production dedup pipeline. Window-bounding keeps the
+    join linear; the full cross product never materializes."""
+    d = load_table(spark, sf_dir, "documents")
+    tri = F.expr(
+        f"array_distinct(CASE WHEN size({_TOKS_SPARK}) >= 3 THEN "
+        f"transform(sequence(1, size({_TOKS_SPARK}) - 2),"
+        f" i -> concat_ws(' ', {_TOKS_SPARK}[i-1], {_TOKS_SPARK}[i], {_TOKS_SPARK}[i+1]))"
+        " ELSE array() END)"
+    )
+    base = d.select("doc_id", "lang", tri.alias("trigrams"))
+    # Block-banding turns the range condition into an equi-join: docs live
+    # in blocks of 4 ids; a candidate pair (gap <= 4) is always in the same
+    # or adjacent block, so the left side probes exactly two block keys.
+    # Without this, lang (5 values) is the only equi-key and the join is
+    # quadratic within each language — 182 s at sf0.1 vs ~2 s banded.
+    a = base.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("trigrams").alias("tri_a"),
+        F.explode(
+            F.array(
+                F.expr("doc_id DIV 4"), F.expr("doc_id DIV 4 + 1")
+            )
+        ).alias("probe_block"),
+    )
+    b = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("trigrams").alias("tri_b"),
+        F.expr("doc_id DIV 4").alias("block_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("probe_block") == F.col("block_b"))
+        & (F.col("doc_b") > F.col("doc_a"))
+        & (F.col("doc_b") <= F.col("doc_a") + 4),
+        "inner",
+    )
+    inter = F.size(F.array_intersect("tri_a", "tri_b")).cast("double")
+    union = F.size(F.array_union("tri_a", "tri_b")).cast("double")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        "lang",
+        (inter / union).alias("jaccard"),
+    ).where(F.col("jaccard") > 0.0)
+
+
+# --- oracle SQL -----------------------------------------------------------
+
+_TV_DUCK = _tokval("t")
+
+_SIMHASH_BITS_DUCK = " + ".join(
+    f"(CASE WHEN list_sum(list_transform({_TOKS_DUCK},"
+    f" t -> (2 * (({_TV_DUCK} >> {j}) % 2) - 1))) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_filter_quality": q_lang_filter_quality,
+    "text_langid": q_text_langid,
+    "text_quality_score": q_text_quality_score,
+    "text_tokens_bpeish": q_text_tokens_bpeish,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_fuzzy_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+}
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT sha256(text) AS text_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "text_stats": f"""
+        SELECT doc_id, lang, n_chars,
+               CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({_TOKS_DUCK})) AS BIGINT) AS n_distinct_tokens,
+               CAST(len(list_distinct({_TOKS_DUCK})) AS DOUBLE)
+                   / CAST(len({_TOKS_DUCK}) AS DOUBLE) AS type_token_ratio,
+               CAST(list_max(list_transform({_TOKS_DUCK}, t -> length(t))) AS BIGINT)
+                   AS longest_token,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(len({_TOKS_DUCK}) AS DOUBLE) AS avg_token_len
+        FROM documents
+    """,
+    "lang_filter_quality": f"""
+        SELECT doc_id, lang, n_chars,
+               CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(len({_TOKS_DUCK}) AS DOUBLE) AS avg_token_len
+        FROM documents
+        WHERE lang IN ('en', 'de', 'fr')
+          AND n_chars BETWEEN 50 AND 5000
+          AND len({_TOKS_DUCK}) >= 10
+          AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / CAST(len({_TOKS_DUCK}) AS DOUBLE)) BETWEEN 2.0 AND 10.0
+    """,
+    "text_langid": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   CAST(len(list_intersect({_TOKS_DUCK}, ['the','a','fast','small'])) AS BIGINT) AS score_en,
+                   CAST(len(list_intersect({_TOKS_DUCK}, ['data','table','row','column'])) AS BIGINT) AS score_es,
+                   CAST(len(list_intersect({_TOKS_DUCK}, ['merge','join','sort','filter'])) AS BIGINT) AS score_de
+            FROM documents
+        )
+        SELECT doc_id, score_en, score_es, score_de,
+               CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                    WHEN score_es >= score_de THEN 'es'
+                    ELSE 'de' END AS predicted_lang
+        FROM scored
+    """,
+    "text_quality_score": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len({_TOKS_DUCK}) AS DOUBLE) AS n,
+                   CAST(len(list_distinct({_TOKS_DUCK})) AS DOUBLE) AS nd,
+                   CAST(len(list_filter({_TOKS_DUCK}, t -> t = 'the')) AS DOUBLE) AS nthe
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               0.4 * least(1.0, n / 50.0) + 0.3 * (nd / n) + 0.3 * (1.0 - nthe / n)
+                   AS quality
+        FROM t
+    """,
+    "text_tokens_bpeish": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS_DUCK}) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS regex_tokens,
+               (n_chars + 3) // 4 AS bpe_budget
+        FROM documents
+    """,
+    "doc_fingerprint": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest({_TOKS_DUCK}) AS t,
+                   CAST(generate_subscripts({_TOKS_DUCK}, 1) AS BIGINT) AS i
+            FROM documents
+        )
+        SELECT doc_id, SUM(i * {_TV_DUCK}) % 1000000007 AS fingerprint
+        FROM toks GROUP BY doc_id
+    """,
+    "dedup_fuzzy_minhash": f"""
+        WITH tv AS (
+            SELECT doc_id,
+                   {_tokvals_expr(_TOKS_DUCK, 'duck')} AS tok_vals
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   {_shingles_expr('tok_vals', 'duck')} AS shingle_vals
+            FROM tv
+        ), sig AS (
+            SELECT doc_id,
+                   {_minhash_from_shingles(0, 'shingle_vals', 'duck')} AS mh0,
+                   {_minhash_from_shingles(1, 'shingle_vals', 'duck')} AS mh1,
+                   {_minhash_from_shingles(2, 'shingle_vals', 'duck')} AS mh2,
+                   {_minhash_from_shingles(3, 'shingle_vals', 'duck')} AS mh3,
+                   {_minhash_from_shingles(4, 'shingle_vals', 'duck')} AS mh4,
+                   {_minhash_from_shingles(5, 'shingle_vals', 'duck')} AS mh5,
+                   {_minhash_from_shingles(6, 'shingle_vals', 'duck')} AS mh6,
+                   {_minhash_from_shingles(7, 'shingle_vals', 'duck')} AS mh7
+            FROM sh
+        ), banded AS (
+            SELECT doc_id,
+                   concat_ws('_', mh0, mh1, mh2, mh3) AS band1,
+                   concat_ws('_', mh4, mh5, mh6, mh7) AS band2
+            FROM sig
+        )
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+        )
+    """,
+    "dedup_simhash": f"""
+        WITH sketches AS (
+            SELECT doc_id, CAST({_SIMHASH_BITS_DUCK} AS BIGINT) AS simhash
+            FROM documents
+        ), buckets AS (
+            SELECT simhash, COUNT(*) AS bucket_size FROM sketches GROUP BY 1
+        )
+        SELECT s.doc_id, s.simhash, b.bucket_size
+        FROM sketches s JOIN buckets b USING (simhash)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH base AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len({_TOKS_DUCK}) >= 3 THEN
+                     list_distinct(list_transform(
+                        range(1, len({_TOKS_DUCK}) - 1),
+                        i -> concat_ws(' ', {_TOKS_DUCK}[i], {_TOKS_DUCK}[i+1], {_TOKS_DUCK}[i+2])))
+                   ELSE [] END AS trigrams
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+               CAST(len(list_intersect(a.trigrams, b.trigrams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.trigrams, b.trigrams))) AS DOUBLE)
+                 AS jaccard
+        FROM base a JOIN base b
+          ON a.lang = b.lang AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 4
+        WHERE CAST(len(list_intersect(a.trigrams, b.trigrams)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.trigrams, b.trigrams))) AS DOUBLE) > 0.0
+    """,
+}

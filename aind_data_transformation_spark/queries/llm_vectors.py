@@ -1,0 +1,287 @@
+"""LLM-data-pipeline vector & multimodal operators (BASELINE.json north
+star: similarity search, multimodal columns).
+
+Similarity search ships in two tiers:
+* ``sim_search_topk`` — brute-force cosine top-k: broadcast the (small)
+  query set, score every corpus vector, per-query top-k window. Exact; at
+  100 TB this is the reranker over a candidate set, not the full corpus.
+* ``ann_ivf_topk`` — IVF-style: deterministic coarse quantization (sign
+  bits of leading components) buckets the corpus; each query probes ONLY
+  its own cell, so the scored set shrinks by the cell count. The cell
+  assignment is a plain column expression -> the "index build" is a free
+  byproduct of the scan and the probe is an equi-join, i.e. one shuffle.
+
+Scores are computed in float64, rounded to 9 decimals, and tie-broken by
+neighbor id so rankings are engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+_N_QUERIES = 5
+_TOP_K = 5
+
+
+def _dbl(col: str):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def q_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ⋈ embeddings carrying the array column through join and
+    aggregation (the multimodal-table access pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(em, d.doc_id == em.vec_id, "inner")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg(F.element_at(_dbl("embedding"), 1)), 6).alias("avg_e0_r6"),
+        F.round(
+            F.avg(F.aggregate(_dbl("embedding"), F.lit(0.0), lambda a, x: a + x)), 6
+        ).alias("avg_vecsum_r6"),
+    )
+
+
+def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: queries (vec_id < N) broadcast
+    against the corpus, row_number window per query."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    corpus = em.select("vec_id", "emb", norm.alias("nrm"))
+    queries = (
+        corpus.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    cos = F.round(
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_r9"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k: cell = sign bits of the first 3
+    components (8 coarse cells); queries probe only their own cell."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    cell = (
+        (F.element_at("emb", 1) > 0).cast("long") * 4
+        + (F.element_at("emb", 2) > 0).cast("long") * 2
+        + (F.element_at("emb", 3) > 0).cast("long")
+    )
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    corpus = em.select("vec_id", "emb", cell.alias("cell"), norm.alias("nrm"))
+    queries = (
+        corpus.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").cast("bigint").alias("cell"),
+            cos.alias("cos_r9"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection over a bounded candidate window
+    (same label, vec_id within 16): pairs above 0.95 cosine."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    base = em.select("vec_id", "label", "emb", norm.alias("nrm"))
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), "label",
+        F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
+        F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+    )
+    joined = a.join(
+        b,
+        (F.col("label") == F.col("label_b"))
+        & (F.col("vec_b") > F.col("vec_a"))
+        & (F.col("vec_b") <= F.col("vec_a") + 16),
+        "inner",
+    )
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b")), 9
+    )
+    return joined.select(
+        "vec_a", "vec_b", "label", cos.alias("cos_r9")
+    ).where(F.col("cos_r9") > 0.95)
+
+
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: text -> binary payload column,
+    then a mapInPandas "decode / feature-extract" stage.
+
+    The decode itself is a deterministic stand-in (image/audio codecs are
+    not in this container — a real deployment drops its decoder into
+    ``decode_batch`` unchanged); the Spark-side contract — binary column,
+    Arrow batch iteration, explicit output schema, partition-parallel
+    execution — is real and oracle-checked.
+    """
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "first_byte": payload.map(lambda b: b[0] if len(b) else -1).astype("int64"),
+                    "fake_feature": payload.map(len).astype("int64") % 7,
+                }
+            )
+
+    return with_payload.mapInPandas(
+        decode_batch, "doc_id long, n_bytes long, first_byte long, fake_feature long"
+    )
+
+
+QUERIES = {
+    "multimodal_join": q_multimodal_join,
+    "sim_search_topk": q_sim_search_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "dedup_embedding": q_dedup_embedding,
+    "multimodal_decode_stub": q_multimodal_decode_stub,
+}
+
+_DOT_DUCK = (
+    "list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+    " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+)
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return _DOT_DUCK.format(a=a, b=b)
+
+
+ORACLES = {
+    "multimodal_join": """
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS sum_chars,
+               round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_e0_r6,
+               round(avg(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+                   AS avg_vecsum_r6
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        GROUP BY lang
+    """,
+    "sim_search_topk": f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding,
+                   sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), queries AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+            FROM corpus WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   round({_dot_duck('c.embedding', 'q.q_emb')} / (c.nrm * q.q_nrm), 9)
+                       AS cos_r9
+            FROM corpus c CROSS JOIN queries q
+            WHERE c.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cos_r9,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_r9 DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {_TOP_K}
+    """,
+    "ann_ivf_topk": f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding,
+                   CAST((embedding[1] > 0) AS BIGINT) * 4
+                   + CAST((embedding[2] > 0) AS BIGINT) * 2
+                   + CAST((embedding[3] > 0) AS BIGINT) AS cell,
+                   sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), queries AS (
+            SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell, nrm AS q_nrm
+            FROM corpus WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, c.cell,
+                   round({_dot_duck('c.embedding', 'q.q_emb')} / (c.nrm * q.q_nrm), 9)
+                       AS cos_r9
+            FROM corpus c JOIN queries q ON c.cell = q.q_cell
+            WHERE c.vec_id != q.query_id
+        )
+        SELECT query_id, neighbor_id, cell, cos_r9,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos_r9 DESC, neighbor_id ASC) AS BIGINT) AS rank
+        FROM scored
+        QUALIFY rank <= {_TOP_K}
+    """,
+    "dedup_embedding": f"""
+        WITH base AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               round({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9)
+                   AS cos_r9
+        FROM base a JOIN base b
+          ON a.label = b.label AND b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 16
+        WHERE round({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) > 0.95
+    """,
+    "multimodal_decode_stub": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+               CAST(octet_length(encode(text)) AS BIGINT) % 7 AS fake_feature
+        FROM documents
+    """,
+}

@@ -1,0 +1,136 @@
+"""Nested-type operators: arrays, maps, JSON (SURVEY.md §2 Part B
+"Scalar functions" fn_array/fn_map/fn_json).
+
+Everything is built-in higher-order functions — JVM-side lambdas
+(ArrayTransform etc.), no Python. Float arrays are promoted to double
+*before* arithmetic on both engines so accumulation is identical; sums over
+a 64-element list fold sequentially in list order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/slice/sort/higher-order transform+filter+aggregate, then
+    posexplode of the first 4 dims (one output row per vec_id x pos)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    stats = em.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.element_at(dbl, 1).alias("e0"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("sum_all"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        F.element_at(F.sort_array(dbl), 1).alias("min_elem"),
+        F.element_at(F.sort_array(dbl, asc=False), 1).alias("max_elem"),
+        F.element_at(F.transform(dbl, lambda x: x * 2.0), 1).alias("doubled0"),
+        F.slice(dbl, 1, 4).alias("head4"),
+    )
+    return stats.select(
+        "vec_id",
+        "n_dims",
+        "e0",
+        "sum_all",
+        "n_pos",
+        "min_elem",
+        "max_elem",
+        "doubled0",
+        F.posexplode("head4").alias("pos", "val"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + map_keys/map_values/element_at/cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("long"),
+        F.lit("uid"), F.col("user_id"),
+    )
+    return e.select(
+        "event_id",
+        m.alias("m"),
+    ).select(
+        "event_id",
+        F.element_at("m", "k").alias("k_val"),
+        F.element_at("m", "uid").alias("uid_val"),
+        F.size("m").cast("bigint").alias("n_keys"),
+        F.array_join(F.map_keys("m"), ",").alias("keys_csv"),
+        F.array_join(F.transform(F.map_values("m"), lambda v: v.cast("string")), ",").alias(
+            "vals_csv"
+        ),
+    )
+
+
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction, schema-full from_json, and to_json round-trip
+    over the events.props JSON column."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k LONG")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_long"),
+        F.to_json(F.struct(F.col("user_id"), parsed.getField("k").alias("k"))).alias(
+            "round_trip"
+        ),
+    )
+
+
+QUERIES = {
+    "fn_array": q_fn_array,
+    "fn_map": q_fn_map,
+    "fn_json": q_fn_json,
+}
+
+ORACLES = {
+    "fn_array": """
+        WITH dbl AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), stats AS (
+            SELECT vec_id,
+                   CAST(len(emb) AS BIGINT) AS n_dims,
+                   emb[1] AS e0,
+                   list_aggregate(emb, 'sum') AS sum_all,
+                   CAST(len(list_filter(emb, x -> x > 0)) AS BIGINT) AS n_pos,
+                   list_sort(emb)[1] AS min_elem,
+                   list_sort(emb, 'DESC')[1] AS max_elem,
+                   list_transform(emb, x -> x * 2.0)[1] AS doubled0,
+                   emb[1:4] AS head4
+            FROM dbl
+        )
+        SELECT vec_id, n_dims, e0, sum_all, n_pos, min_elem, max_elem, doubled0,
+               CAST(generate_subscripts(head4, 1) - 1 AS BIGINT) AS pos,
+               unnest(head4) AS val
+        FROM stats
+    """,
+    "fn_map": """
+        WITH m AS (
+            SELECT event_id,
+                   MAP(['k', 'uid'],
+                       [CAST(json_extract_string(props, '$.k') AS BIGINT), user_id]) AS m
+            FROM events
+        )
+        SELECT event_id,
+               map_extract(m, 'k')[1] AS k_val,
+               map_extract(m, 'uid')[1] AS uid_val,
+               CAST(cardinality(m) AS BIGINT) AS n_keys,
+               array_to_string(map_keys(m), ',') AS keys_csv,
+               array_to_string(list_transform(map_values(m), v -> CAST(v AS VARCHAR)), ',') AS vals_csv
+        FROM m
+    """,
+    "fn_json": """
+        SELECT event_id,
+               json_extract_string(props, '$.k') AS k_str,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+               to_json(struct_pack(
+                   user_id := user_id,
+                   k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS round_trip
+        FROM events
+    """,
+}

@@ -1,0 +1,152 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2 Part B).
+
+UDF policy for 100 TB (and for this engine):
+* built-in functions first — every op here exists only to prove the
+  extension surface;
+* when Python is unavoidable, Arrow-batched pandas UDFs
+  (``@pandas_udf`` / ``applyInPandas``), never row-at-a-time ``F.udf``
+  in a hot path — the one row-at-a-time UDF below is deliberately the
+  simplest possible string op, as the demonstration of the slow tier;
+* grouped custom aggregation uses ``applyInPandas`` with an explicit
+  output schema and a deterministic in-group sort before any float
+  reduction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from aind_data_transformation_spark.io.sources import load_table
+
+#: deterministic 64-dim query vector for the cosine demo: q_i = 0.125
+_QUERY_WEIGHT = 0.125
+_DIMS = 64
+
+
+def q_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: whitespace-collapsing text normalizer.
+    (Kept trivially simple — this tier exists for API parity; the pandas
+    tier below is the one to use in hot paths.)"""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.udf("string")
+    def normalize(text: str) -> str:
+        if text is None:
+            return None
+        return ws.sub(" ", text.strip().lower())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(normalize("text"), 1, 40).alias("norm_prefix"),
+        F.length(normalize("text")).cast("bigint").alias("norm_len"),
+    )
+
+
+def q_udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow) pandas UDF: cosine similarity of each embedding
+    against a constant query vector, computed in float64 and rounded to 9
+    decimals (np SIMD vs sequential fold differ in the last ulp)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def cosine_to_query(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        q = np.full(mat.shape[1], _QUERY_WEIGHT)
+        dots = mat @ q
+        norms = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+        return pd.Series(np.round(dots / norms, 9))
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select("vec_id", cosine_to_query("embedding").alias("cos_sim_r9"))
+
+
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation via applyInPandas: per-label embedding
+    centroid, exploded to (label, dim, centroid). Rows are sorted by
+    vec_id inside each group before the float reduction, and the result is
+    rounded to 6 decimals, so the value is order-independent."""
+    import numpy as np
+
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mean = np.round(mat.mean(axis=0), 6)
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "dim": np.arange(mat.shape[1], dtype=np.int64),
+                "centroid": mean,
+            }
+        )
+
+    return em.groupBy("label").applyInPandas(
+        centroid, "label int, dim long, centroid double"
+    )
+
+
+def q_udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-to-many table function: tokenize documents (whitespace
+    split with position). Expressed as posexplode(split(...)) — JVM-side,
+    no Python — which is the UDTF fast path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "token"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+_Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
+
+QUERIES = {
+    "udf_python": q_udf_python,
+    "udf_pandas": q_udf_pandas,
+    "udaf_grouped": q_udaf_grouped,
+    "udtf_flatten": q_udtf_flatten,
+}
+
+ORACLES = {
+    "udf_python": r"""
+        SELECT doc_id,
+               substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,
+               CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+        FROM documents
+    """,
+    "udf_pandas": f"""
+        WITH q AS (SELECT CAST({_Q_LIT} AS DOUBLE[]) AS qv)
+        SELECT vec_id,
+               round(
+                 list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+                 / (sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                          list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                    * sqrt(list_dot_product(qv, qv))),
+                 9) AS cos_sim_r9
+        FROM embeddings, q
+    """,
+    "udaf_grouped": """
+        WITH exploded AS (
+            SELECT label,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1 AS dim,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
+        )
+        SELECT CAST(label AS INTEGER) AS label,
+               dim,
+               round(avg(val), 6) AS centroid
+        FROM exploded
+        GROUP BY label, dim
+    """,
+    "udtf_flatten": """
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS BIGINT) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    """,
+}
