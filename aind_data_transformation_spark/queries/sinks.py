@@ -1,0 +1,152 @@
+"""Sink / format-conversion operators (SURVEY.md §2 "Sources / sinks").
+
+This is the engine's descendant of the reference's actual job domain —
+"compression and format conversion" (reference README.md:12, core.py:108's
+``run_job`` slot): write partitioned+compressed parquet, control file
+layout, and round-trip between formats losslessly.
+
+Each operator here *performs a real write* to a scratch directory, re-reads
+what it wrote, and returns a DataFrame derived from the re-read — so the
+oracle check validates end-to-end write→read fidelity, not just the plan.
+Scratch lives under /tmp (mode=overwrite; rerun-safe), keyed by scale
+factor so concurrent sf runs don't collide.
+
+100-TB notes: ``partitionBy`` on a low-cardinality column gives partition
+pruning on read; ``repartition(n)`` before write controls file count/size
+(the #1 small-files defense); zstd is the right codec for cold analytic
+data. CSV/JSON round-trips pin an explicit schema — schema inference is a
+full extra pass and is never acceptable at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from aind_data_transformation_spark.io.sources import load_table, read_csv, read_json
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_sinks", tag, name)
+
+
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned zstd parquet: write lineitem partitioned by
+    l_returnflag, re-read, and prove partition pruning + fidelity by
+    aggregating per partition from the re-read copy."""
+    out = _scratch(sf_dir, "lineitem_by_flag")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        li.write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .option("compression", "zstd")
+        .parquet(out)
+    )
+    reread = spark.read.parquet(out)
+    return reread.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_sink_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-count control: repartition orders into exactly 8 hash buckets
+    on o_custkey before writing (co-locates each customer's orders in one
+    file — the layout a downstream per-customer job wants). The oracle
+    checks total fidelity; tests/test_sinks.py asserts the file count."""
+    out = _scratch(sf_dir, "orders_repart")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(8, "o_custkey").write.mode("overwrite").parquet(out)
+    reread = spark.read.parquet(out)
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+_NATION_SCHEMA = T.StructType(
+    [
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ]
+)
+
+
+def q_sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format conversion parquet→CSV→DataFrame, returning the full re-read
+    table: the oracle compares it against the original, proving the
+    round-trip is lossless (quoting, header, explicit schema on read)."""
+    out = _scratch(sf_dir, "nation_csv")
+    n = load_table(spark, sf_dir, "nation")
+    n.write.mode("overwrite").option("header", "true").csv(out)
+    return read_csv(spark, out, _NATION_SCHEMA)
+
+
+def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format conversion parquet→JSON-lines→DataFrame over a table with
+    money doubles and timestamps. JSON serializes doubles shortest-
+    roundtrip, so the aggregate checksum (count + exact cents total +
+    timestamp bounds) must survive unchanged; the oracle computes the same
+    checksum from the original table."""
+    out = _scratch(sf_dir, "orders_json")
+    o = load_table(spark, sf_dir, "orders")
+    o.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_orderdate", T.TimestampNTZType()),
+        ]
+    )
+    reread = read_json(spark, out, schema)
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )
+
+
+QUERIES = {
+    "sink_parquet_partitioned": q_sink_parquet_partitioned,
+    "sink_repartition": q_sink_repartition,
+    "sink_csv_roundtrip": q_sink_csv_roundtrip,
+    "sink_json_roundtrip": q_sink_json_roundtrip,
+}
+
+ORACLES = {
+    "sink_parquet_partitioned": """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "sink_repartition": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders
+    """,
+    "sink_csv_roundtrip": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "sink_json_roundtrip": """
+        SELECT COUNT(*) AS n_rows,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+               MIN(o_orderdate) AS first_date,
+               MAX(o_orderdate) AS last_date
+        FROM orders
+    """,
+}

@@ -1,0 +1,236 @@
+"""Batch twins of the streaming operators (SURVEY.md §2 "Streaming-only").
+
+Per the batch-first rule (SURVEY.md §2 footer): every streaming construct is
+implemented here as an oracle-checkable batch expression over the ``events``
+table, and ``aind_data_transformation_spark/streaming/jobs.py`` wraps the
+*same expressions* in ``readStream``/``writeStream`` with watermarks —
+Spark's unified API makes the twin nearly verbatim, and the equivalence is
+asserted in tests/test_streaming.py.
+
+Determinism notes:
+* ``events.ts`` arrives as µs timestamps (ns floor-divided by 1000 in
+  ``load_table``), matching DuckDB's ns→µs view truncation.
+* ``sum(value)`` uses the integer-cents scheme (numeric.py) — exact,
+  associative, order-independent — so window sums hash-match the oracle.
+* Tumbling/sliding windows are epoch-aligned in both engines (Spark
+  ``F.window`` default origin = epoch; DuckDB ``time_bucket`` origin
+  2000-01-01, which is 10-minute-aligned with epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.queries.numeric import money_sum, sql_money_sum
+
+#: Session gap / watermark delay shared with streaming/jobs.py.
+SESSION_GAP = "30 minutes"
+WATERMARK_DELAY = "1 hour"
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-10-minute tumbling-window counts by event_type.
+
+    Streaming form: ``withWatermark("ts", ...)`` + same groupBy — see
+    streaming/jobs.py:tumbling_counts. One shuffle on (window, event_type);
+    at 100 TB the watermark bounds state to ~1h of open windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in
+    exactly two windows (Spark expands via Expand, not a self-join)."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-minute inactivity gap, via Spark's
+    native ``session_window`` (works identically in batch). Oracle is the
+    classic gaps-and-islands rewrite. Session end = last event + gap; a new
+    session starts when the gap to the previous event is >= 30 min
+    (session windows are half-open [start, end))."""
+    e = load_table(spark, sf_dir, "events")
+    sw = F.session_window("ts", SESSION_GAP)
+    return (
+        e.groupBy(sw, "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup on event_id: keep the earliest (ts, then
+    lowest-value) row per key. Streaming form is
+    ``dropDuplicatesWithinWatermark(["event_id"])`` (streaming/jobs.py);
+    the batch twin makes the survivor rule explicit so it is
+    oracle-checkable (streaming dedup keeps an arbitrary first-seen row)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_id").orderBy("ts", "value")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark cutoff as a batch expression: drop events older than
+    ``max(ts) - 1 hour`` — exactly the rows an append-mode stream with a
+    1-hour watermark would drop if they arrived last. The max is a scalar
+    broadcast (single-row cross join), not a per-row shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = e.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {WATERMARK_DELAY}")).alias("cutoff")
+    )
+    return (
+        e.crossJoin(F.broadcast(cutoff))
+        .where(F.col("ts") >= F.col("cutoff"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user state (cumulative event count + value sum in event-
+    time order) — the batch twin of an ``applyInPandasWithState`` stream
+    (streaming/jobs.py:stateful_running_totals). Tie-broken by event_id so
+    the frame is total-ordered and cross-engine deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_so_far"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("value_so_far"),
+    )
+
+
+QUERIES = {
+    "stream_tumbling": q_stream_tumbling,
+    "stream_sliding": q_stream_sliding,
+    "stream_session": q_stream_session,
+    "stream_dedup": q_stream_dedup,
+    "stream_late_data": q_stream_late_data,
+    "stream_stateful": q_stream_stateful,
+}
+
+ORACLES = {
+    "stream_tumbling": f"""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_money_sum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "stream_sliding": """
+        WITH expanded AS (
+            SELECT event_type,
+                   unnest([time_bucket(INTERVAL '5 minutes', ts),
+                           time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes']
+                   ) AS win_start
+            FROM events
+        )
+        SELECT win_start,
+               win_start + INTERVAL '10 minutes' AS win_end,
+               event_type,
+               COUNT(*) AS n_events
+        FROM expanded
+        GROUP BY 1, 2, 3
+    """,
+    "stream_session": f"""
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), islands AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sess_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS sess_start,
+               MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+               COUNT(*) AS n_events,
+               {sql_money_sum('value')} AS sum_value
+        FROM islands
+        GROUP BY user_id, sess_id
+    """,
+    "stream_dedup": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_id ORDER BY ts, value
+            ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+    "stream_late_data": """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events
+        WHERE ts >= (SELECT MAX(ts) - INTERVAL '1 hour' FROM events)
+    """,
+    "stream_stateful": """
+        SELECT user_id, event_id, ts,
+               COUNT(*) OVER w AS n_events_so_far,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w AS DOUBLE) / 100.0
+                   AS value_so_far
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """,
+}

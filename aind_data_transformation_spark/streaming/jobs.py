@@ -1,0 +1,211 @@
+"""Structured Streaming jobs over the ``events`` table.
+
+Streaming counterparts of the batch twins in
+``queries/streaming_batch.py`` (batch-first rule, SURVEY.md §2): the
+transformation expressions are identical; only the source
+(``readStream`` + watermark) and sink differ. tests/test_streaming.py
+runs each job with ``Trigger.AvailableNow`` into a memory sink and asserts
+the result equals the batch twin — the strongest check available for
+streaming (the DuckDB oracle can't see a stream).
+
+Scale notes (100 TB / unbounded):
+* every aggregation is keyed by (window, key) with a watermark, so state
+  size is bounded by (windows open within the watermark) × key cardinality;
+* ``dropDuplicatesWithinWatermark`` state is bounded the same way — a plain
+  ``dropDuplicates`` on a stream would grow state forever;
+* the stateful job uses ``applyInPandasWithState`` with per-group state of
+  two longs — constant per key, Arrow-batched transfer;
+* sinks go through ``foreachBatch`` in production (parquet append +
+  exactly-once via checkpoint); the memory sink here is test-only.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from aind_data_transformation_spark.queries.streaming_batch import (
+    SESSION_GAP,
+    WATERMARK_DELAY,
+)
+from aind_data_transformation_spark.session import apply_runtime_confs
+
+#: events.parquet physical schema with spark.sql.legacy.parquet.nanosAsLong:
+#: the ns timestamp arrives as a raw long (converted to µs in with_event_time).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (same ns→µs ts
+    normalization as the batch ``load_table``)."""
+    apply_runtime_confs(spark)
+    # the file stream source wants a directory; glob-filter to the one table
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_stream_tumbling (identical expression +
+    watermark)."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_stream_sliding."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def session_rollup(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_stream_session (native session_window +
+    watermark; Spark merges/extends open sessions in state)."""
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("sess_start"),
+            F.col("session_window.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_stream_dedup: stateful dedup on event_id with
+    watermark-bounded state."""
+    return events.withWatermark("ts", WATERMARK_DELAY).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_cents", T.LongType()),
+    ]
+)
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + exact value
+    total via ``applyInPandasWithState``. State is two longs per user
+    (integer cents — associative, so incremental batches are exact)."""
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(df: DataFrame, *, mode: str) -> list:
+    """Drain a stream built on a bounded source with AvailableNow into a
+    memory sink; returns the collected rows. Test/dev helper — production
+    sinks use ``write_stream_parquet``."""
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="spark_graft_ckpt_"), name)
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def write_stream_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str, *, mode: str = "append"):
+    """Production sink shape: exactly-once parquet append driven by the
+    checkpoint; returns the started StreamingQuery."""
+    return (
+        df.writeStream.format("parquet")
+        .outputMode(mode)
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,103 @@
+"""Structured Streaming jobs vs their batch twins (SURVEY.md §5.2.3).
+
+Each stream is drained with Trigger.AvailableNow into a memory sink and the
+result is compared row-for-row against the batch twin from
+queries/streaming_batch.py — the streaming analog of the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TEST_SF_DIR, canon_frame
+
+from aind_data_transformation_spark.queries import streaming_batch as sb
+from aind_data_transformation_spark.streaming import jobs
+
+
+def _stream_vs_batch(spark, stream_fn, batch_fn, mode):
+    events = jobs.read_events_stream(spark, TEST_SF_DIR)
+    rows = jobs.run_available_now(stream_fn(events), mode=mode)
+    got = canon_frame(_rows_to_pdf(rows))
+    want = canon_frame(batch_fn(spark, TEST_SF_DIR).toPandas())
+    assert got == want
+
+
+def _rows_to_pdf(rows):
+    import pandas as pd
+
+    return pd.DataFrame([r.asDict() for r in rows])
+
+
+def test_stream_tumbling_matches_batch(spark):
+    _stream_vs_batch(spark, jobs.tumbling_counts, sb.q_stream_tumbling, "complete")
+
+
+def test_stream_sliding_matches_batch(spark):
+    _stream_vs_batch(spark, jobs.sliding_counts, sb.q_stream_sliding, "complete")
+
+
+def test_stream_session_matches_batch(spark):
+    _stream_vs_batch(spark, jobs.session_rollup, sb.q_stream_session, "complete")
+
+
+def test_stream_dedup_keeps_unique_event_ids(spark):
+    events = jobs.read_events_stream(spark, TEST_SF_DIR)
+    rows = jobs.run_available_now(jobs.dedup_events(events), mode="append")
+    batch = sb.q_stream_dedup(spark, TEST_SF_DIR)
+    ids = sorted(r["event_id"] for r in rows)
+    want_ids = sorted(r["event_id"] for r in batch.select("event_id").collect())
+    assert ids == want_ids
+
+
+def test_stateful_user_totals_matches_batch_final_state(spark):
+    """applyInPandasWithState final per-user totals == last row of the
+    batch running-total window per user."""
+    events = jobs.read_events_stream(spark, TEST_SF_DIR)
+    rows = jobs.run_available_now(jobs.stateful_user_totals(events), mode="update")
+    # update mode emits one row per user per micro-batch; keep the last
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = sb.q_stream_stateful(spark, TEST_SF_DIR).toPandas()
+    last = (
+        batch.sort_values(["user_id", "n_events_so_far"])
+        .groupby("user_id")
+        .tail(1)
+    )
+    want = {
+        int(r.user_id): (int(r.n_events_so_far), float(r.value_so_far))
+        for r in last.itertuples()
+    }
+    assert final == want
+
+
+def test_stream_incremental_two_batches(spark, tmp_path):
+    """Same totals when the source arrives as multiple files/micro-batches:
+    split events into 2 parquet files, maxFilesPerTrigger=1, and check the
+    stateful operator's final state is unchanged — incremental == batch."""
+    src = str(tmp_path / "events_split")
+    e = (
+        spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        .repartitionByRange(2, "event_id")
+    )
+    e.write.mode("overwrite").parquet(src)
+    events = (
+        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    rows = jobs.run_available_now(jobs.stateful_user_totals(events), mode="update")
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = sb.q_stream_stateful(spark, TEST_SF_DIR).toPandas()
+    last = (
+        batch.sort_values(["user_id", "n_events_so_far"]).groupby("user_id").tail(1)
+    )
+    want = {
+        int(r.user_id): (int(r.n_events_so_far), float(r.value_so_far))
+        for r in last.itertuples()
+    }
+    assert final == want
