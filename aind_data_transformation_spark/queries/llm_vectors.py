@@ -127,7 +127,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection over a bounded candidate window
-    (same label, vec_id within 16): pairs above 0.95 cosine."""
+    (same label, vec_id within 16): pairs above 0.95 cosine.
+
+    Block-banding (vec_id DIV 16; the left side probes its own and the
+    next block) turns the range condition into an equi-join on
+    (label, block) — without it the only equi-key is the low-cardinality
+    label and the join is quadratic within each label."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("emb")
     )
@@ -136,14 +141,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = base.select(
         F.col("vec_id").alias("vec_a"), "label",
         F.col("emb").alias("emb_a"), F.col("nrm").alias("nrm_a"),
+        F.explode(
+            F.array(F.expr("vec_id DIV 16"), F.expr("vec_id DIV 16 + 1"))
+        ).alias("probe_block"),
     )
     b = base.select(
         F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"),
         F.col("emb").alias("emb_b"), F.col("nrm").alias("nrm_b"),
+        F.expr("vec_id DIV 16").alias("block_b"),
     )
     joined = a.join(
         b,
         (F.col("label") == F.col("label_b"))
+        & (F.col("probe_block") == F.col("block_b"))
         & (F.col("vec_b") > F.col("vec_a"))
         & (F.col("vec_b") <= F.col("vec_a") + 16),
         "inner",

@@ -1,0 +1,120 @@
+"""Physical-plan assertions (SURVEY.md §4): the scale properties the
+row-value oracle cannot see — predicate pushdown, column pruning, broadcast
+strategy, partial aggregation, and the absence of cartesian products.
+
+These lock in the 100-TB design: a regression that silently turns a
+broadcast join into a cartesian, or drops a parquet filter pushdown, fails
+here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from tests.conftest import TEST_SF_DIR
+
+from aind_data_transformation_spark.queries import registry
+
+_QUERIES, _ = registry()
+
+
+def plan_of(spark, key: str) -> str:
+    df = _QUERIES[key](spark, TEST_SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_flagship_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "agg_group")
+    # ship-date predicate reaches the parquet scan
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    # column pruning: untouched wide columns never leave the scan
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_flagship_partial_aggregation_and_codegen(spark):
+    plan = plan_of(spark, "agg_group")
+    # partial (map-side) + final hash aggregate => exactly one shuffle of
+    # pre-aggregated data, the scalable shape for high-cardinality groupBy
+    assert plan.count("HashAggregate") >= 2
+    # codegen explain can't see through AdaptiveSparkPlan; toggle AQE off
+    # for the compile check only
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _QUERIES["agg_group"](spark, TEST_SF_DIR)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in buf.getvalue()
+    assert "Found 0" not in buf.getvalue()
+
+
+def test_broadcast_join_uses_broadcast_hash(spark):
+    plan = plan_of(spark, "join_broadcast")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_theta_range_join_broadcasts_the_band_side(spark):
+    plan = plan_of(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["dedup_ngram_jaccard", "dedup_embedding", "dedup_fuzzy_minhash", "join_self"],
+)
+def test_banded_candidate_joins_are_equi_joins(spark, key):
+    """The block-banding rewrites must produce hash/merge equi-joins —
+    never a nested-loop or cartesian over the corpus."""
+    plan = plan_of(spark, key)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_pass_window(spark):
+    """The union-window as-of: no join node at all — one hash partitioning
+    on user_id feeding a linear window scan."""
+    plan = plan_of(spark, "join_asof")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_semi_anti_joins_stay_semi_anti(spark):
+    plan = plan_of(spark, "join_semi_anti")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_sim_search_broadcasts_queries(spark):
+    """Brute-force top-k must broadcast the query set; a shuffle of the
+    corpus against 5 query rows would be absurd at scale."""
+    plan = plan_of(spark, "sim_search_topk")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scan_projection_prunes_columns(spark):
+    plan = plan_of(spark, "scan_parquet")
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    # lineitem has 16 columns; the scan must read only what's used
+    assert "l_comment" not in read_schema
+
+
+def test_topk_per_group_no_global_sort(spark):
+    """Per-group top-k = window + filter; a global Sort of the whole fact
+    table would not scale."""
+    plan = plan_of(spark, "topk_per_group")
+    assert "TakeOrderedAndProject" not in plan  # not a global-limit plan
+    assert "Window" in plan
