@@ -27,6 +27,8 @@ _CATEGORY_MODULES = (
     "llm_vectors",
     "sinks",
     "streaming_batch",
+    "tpch",
+    "analytics",
 )
 
 

@@ -1,0 +1,277 @@
+"""Analytics extensions: statistical aggregates, pivot/unpivot, hash-based
+deterministic sampling, the SQL interface (scalar subqueries, grouping
+sets), cryptographic hash functions, and integer-exact histograms.
+
+Cross-engine exactness strategy for the statistical moments: accumulate
+exact integer/decimal sums (order-independent), then derive variance /
+correlation with the SAME final double arithmetic on both engines —
+built-in ``stddev``/``corr`` stream doubles in engine-specific order and
+can never hash-match. Decimal(38,0) accumulators keep the squared sums
+exact far past int64 (DuckDB SUM(BIGINT) widens to HUGEINT on its own).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.queries.numeric import cents, sql_cents
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-flag variance / stddev / covariance / correlation of
+    (l_quantity, l_discount) from exact integer moments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = cents("l_quantity")
+    y = cents("l_discount")
+    d38 = "decimal(38,0)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(d38)).cast("double").alias("sx"),
+        F.sum(y.cast(d38)).cast("double").alias("sy"),
+        F.sum((x * x).cast(d38)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(d38)).cast("double").alias("syy"),
+        F.sum((x * y).cast(d38)).cast("double").alias("sxy"),
+    )
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - F.lit(1.0)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (var_x / F.lit(1.0e4)).alias("var_qty"),
+        F.sqrt(var_x / F.lit(1.0e4)).alias("stddev_qty"),
+        (cov / F.lit(1.0e4)).alias("covar_qty_disc"),
+        (cov / F.sqrt(var_x * var_y)).alias("corr_qty_disc"),
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns (count + exact quantity sum per
+    cell). Explicit value list => no extra distinct-values job."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(cents("l_quantity")).cast("double") / F.lit(100.0)).alias("qty"),
+        )
+        .select(
+            "l_returnflag",
+            F.coalesce("F_cnt", F.lit(0)).alias("f_cnt"),
+            F.coalesce("F_qty", F.lit(0.0)).alias("f_qty"),
+            F.coalesce("O_cnt", F.lit(0)).alias("o_cnt"),
+            F.coalesce("O_qty", F.lit(0.0)).alias("o_qty"),
+        )
+    )
+
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide per-flag metrics into (flag, metric, value)
+    long form — the inverse format conversion of pivot."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+        (F.sum(cents("l_quantity")).cast("double") / F.lit(100.0)).alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")).cast("double") / F.lit(100.0)).alias(
+            "sum_price"
+        ),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["n_rows", "sum_qty", "sum_price"],
+        "metric",
+        "value",
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample via Knuth multiplicative hashing on the
+    key — reproducible across engines, runs, and partitionings (unlike
+    ``df.sample``), and exactly the technique for consistent sampling of
+    a 100-TB fact table without materializing a sample copy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.expr(
+        "pmod((l_orderkey * 2654435761 + l_linenumber * 40503), 4294967296)"
+    )
+    return (
+        li.where(bucket < F.lit(429496730))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (temp view + spark.sql) with a scalar subquery:
+    orders above the global average price. Catalyst plans the subquery as
+    an independent scalar stage reused by the filter."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_v")
+    avg_expr = (
+        f"CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 / COUNT(*)"
+    )
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_v
+        WHERE o_totalprice > (SELECT {avg_expr} FROM orders_v)
+        """
+    )
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id labels — finer control than
+    rollup/cube (only the three listed sets are computed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                   AS grouping_id,
+               CAST(SUM({sql_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests for content-addressing (dedup keys, cache
+    keys, shard routing): md5 + sha256 hex, plus a routing shard derived
+    from the digest — all standard, engine-portable functions."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10)
+        .cast("bigint")
+        .alias("shard_16bit"),
+    )
+
+
+def q_hist_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price histogram with integer-exact bucketing (cents DIV bucket
+    width — no double-division boundary drift)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (cents("o_totalprice") / F.lit(5000000)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min(cents("o_totalprice")).cast("double") / F.lit(100.0)).alias(
+                "min_price"
+            ),
+            (F.max(cents("o_totalprice")).cast("double") / F.lit(100.0)).alias(
+                "max_price"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "stats_moments": q_stats_moments,
+    "agg_pivot": q_agg_pivot,
+    "unpivot_metrics": q_unpivot_metrics,
+    "sample_hash": q_sample_hash,
+    "sql_scalar_subquery": q_sql_scalar_subquery,
+    "sql_grouping_sets": q_sql_grouping_sets,
+    "fn_hash": q_fn_hash,
+    "hist_buckets": q_hist_buckets,
+}
+
+_X = sql_cents("l_quantity")
+_Y = sql_cents("l_discount")
+
+ORACLES = {
+    "stats_moments": f"""
+        WITH m AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST({_X} AS HUGEINT)) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST({_Y} AS HUGEINT)) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST({_X} * {_X} AS HUGEINT)) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST({_Y} * {_Y} AS HUGEINT)) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST({_X} * {_Y} AS HUGEINT)) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               CAST(n AS BIGINT) AS n_rows,
+               ((sxx - sx * sx / n) / (n - 1.0)) / 1e4 AS var_qty,
+               sqrt(((sxx - sx * sx / n) / (n - 1.0)) / 1e4) AS stddev_qty,
+               ((sxy - sx * sy / n) / (n - 1.0)) / 1e4 AS covar_qty_disc,
+               ((sxy - sx * sy / n) / (n - 1.0))
+                   / sqrt(((sxx - sx * sx / n) / (n - 1.0))
+                          * ((syy - sy * sy / n) / (n - 1.0))) AS corr_qty_disc
+        FROM m
+    """,
+    "agg_pivot": f"""
+        SELECT l_returnflag,
+               COUNT(*) FILTER (l_linestatus = 'F') AS f_cnt,
+               coalesce(CAST(SUM({_X}) FILTER (l_linestatus = 'F') AS DOUBLE) / 100.0, 0.0) AS f_qty,
+               COUNT(*) FILTER (l_linestatus = 'O') AS o_cnt,
+               coalesce(CAST(SUM({_X}) FILTER (l_linestatus = 'O') AS DOUBLE) / 100.0, 0.0) AS o_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "unpivot_metrics": f"""
+        WITH wide AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n_rows,
+                   CAST(SUM({_X}) AS DOUBLE) / 100.0 AS sum_qty,
+                   CAST(SUM({sql_cents('l_extendedprice')}) AS DOUBLE) / 100.0 AS sum_price
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'n_rows' AS metric, n_rows AS value FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_qty', sum_qty FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    """,
+    "sample_hash": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+              < 429496730
+    """,
+    "sql_scalar_subquery": f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT CAST(SUM({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 / COUNT(*)
+            FROM orders
+        )
+    """,
+    "sql_grouping_sets": f"""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+                   AS grouping_id,
+               CAST(SUM({_X}) AS DOUBLE) / 100.0 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "fn_hash": """
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               sha256(text) AS sha256_hex,
+               CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) AS BIGINT)
+                   AS shard_16bit
+        FROM documents
+    """,
+    "hist_buckets": f"""
+        SELECT CAST({sql_cents('o_totalprice')} // 5000000 AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               CAST(MIN({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS min_price,
+               CAST(MAX({sql_cents('o_totalprice')}) AS DOUBLE) / 100.0 AS max_price
+        FROM orders
+        GROUP BY 1
+    """,
+}
