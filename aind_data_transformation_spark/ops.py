@@ -1,0 +1,101 @@
+"""Reusable composite operators: the library pieces Spark lacks natively,
+built as compositions of DataFrame primitives (SURVEY.md §4: nothing here
+needs a custom Catalyst rule — these are algorithmic, not planner-level).
+
+Every operator is a pure DataFrame -> DataFrame function, independent of
+the driver tables, so jobs and queries compose them; the ``queries/``
+modules are thin bindings of these onto the test tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Backward (at-or-before) as-of join, inclusive: for each left row,
+    attach the ``value_cols`` of the latest right row with the same key
+    and ``right.ts <= left.ts``.
+
+    Distributed shape (the reason this beats per-row subqueries at 100 TB):
+    tag both sides, union, ONE shuffle on the key, then a linear
+    ``last(value, ignorenulls)`` window scan per partition. Right rows sort
+    before left rows at the same instant, giving inclusive semantics.
+
+    Preconditions: ``right`` has at most one row per (key, ts) — dedupe
+    first (e.g. ``groupBy(key, ts).agg(max_by(...))``) or the match among
+    equal-ts right rows is unspecified; ``value_cols`` must not collide
+    with left column names.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {overlap}")
+    l_tagged = left
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn("__side", F.lit(1))
+    r_tagged = right.select(
+        *keys, ts, *value_cols
+    ).withColumn("__side", F.lit(0))
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return merged.where(F.col("__side") == 1).drop("__side")
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via row_number — never a global sort; the only
+    shuffle is the hash partitioning on the group key."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .where(F.col(rank_col) <= k)
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key under an explicit
+    total order (unlike ``dropDuplicates``, which keeps an arbitrary one).
+    One shuffle on the key columns."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
+    """Deterministic consistent sample: keep rows whose Knuth
+    multiplicative hash of ``key_expr`` falls below ``fraction`` of the
+    32-bit space. Reproducible across runs/engines/partitionings, unlike
+    ``df.sample``; the standard way to carve stable subsets of a 100-TB
+    table (and its complement) without materializing them."""
+    threshold = int(fraction * 4294967296)
+    return df.where(
+        F.expr(f"pmod(({key_expr}) * 2654435761, 4294967296)") < F.lit(threshold)
+    )

@@ -131,27 +131,17 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # deterministic right side: one order per (user, ts)
     synth = synth.groupBy("user_id", "ts").agg(
-        F.max("o_orderkey").alias("o_orderkey")
+        F.max("o_orderkey").alias("matched_order")
     )
-    left = e.select(
-        "user_id", "ts", "event_id", F.lit(None).cast("long").alias("o_orderkey"),
-        F.lit(1).alias("side"),
-    )
-    right = synth.select(
-        "user_id", "ts", F.lit(None).cast("long").alias("event_id"),
-        "o_orderkey", F.lit(0).alias("side"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = left.unionByName(right).withColumn(
-        "matched_order", F.last("o_orderkey", ignorenulls=True).over(w)
-    )
-    return merged.where(F.col("side") == 1).select(
-        "event_id", "user_id", "matched_order"
-    )
+    from aind_data_transformation_spark.ops import asof_join
+
+    return asof_join(
+        e.select("user_id", "ts", "event_id"),
+        synth,
+        on="user_id",
+        ts="ts",
+        value_cols=["matched_order"],
+    ).select("event_id", "user_id", "matched_order")
 
 
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,115 @@
+"""End-to-end concrete jobs through the framework surface: settings ->
+GenericSparkEtl subclass -> run_job() -> JobResponse with metrics —
+the exact usage pattern a reference user brings over."""
+
+from __future__ import annotations
+
+import json
+
+import duckdb
+
+from tests.conftest import TEST_SF_DIR
+
+from aind_data_transformation_spark.jobs import (
+    CorpusCleanJob,
+    CorpusCleanJobSettings,
+    FormatConversionJob,
+    FormatConversionJobSettings,
+)
+
+
+def test_format_conversion_parquet_to_json_roundtrip(spark, tmp_path):
+    out = tmp_path / "nation_json"
+    job = FormatConversionJob(
+        FormatConversionJobSettings(
+            input_source=f"{TEST_SF_DIR}/nation.parquet",
+            output_directory=str(out),
+            output_format="json",
+            compression="gzip",
+        ),
+        spark=spark,
+    )
+    resp = job.run_job()
+    assert resp.status_code == 200
+    metrics = json.loads(resp.data)
+    reread = spark.read.json(str(out))
+    assert reread.count() == metrics["rows_written"] > 0
+    assert set(reread.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_format_conversion_partitioned_parquet(spark, tmp_path):
+    out = tmp_path / "orders_by_status"
+    job = FormatConversionJob(
+        FormatConversionJobSettings(
+            input_source=f"{TEST_SF_DIR}/orders.parquet",
+            output_directory=str(out),
+            partition_by=["o_orderstatus"],
+            target_partitions=4,
+        ),
+        spark=spark,
+    )
+    resp = job.run_job()
+    assert resp.status_code == 200
+    dirs = {p.name for p in out.iterdir() if p.name.startswith("o_orderstatus=")}
+    assert dirs == {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+
+
+def test_format_conversion_rejects_unknown_format(spark, tmp_path):
+    job = FormatConversionJob(
+        FormatConversionJobSettings(
+            input_source=f"{TEST_SF_DIR}/nation.parquet",
+            output_directory=str(tmp_path / "x"),
+            output_format="avro",
+        ),
+        spark=spark,
+    )
+    assert job.run_job().status_code == 400
+
+
+def test_corpus_clean_job_matches_oracle(spark, tmp_path):
+    out = tmp_path / "clean_docs"
+    job = CorpusCleanJob(
+        CorpusCleanJobSettings(
+            input_source=f"{TEST_SF_DIR}/documents.parquet",
+            output_directory=str(out),
+        ),
+        spark=spark,
+    )
+    resp = job.run_job()
+    assert resp.status_code == 200
+    metrics = json.loads(resp.data)
+    assert metrics["rows_in"] > metrics["rows_out"] > 0
+
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH gated AS (
+            SELECT * FROM read_parquet('{TEST_SF_DIR}/documents.parquet')
+            WHERE lang IN ('en','de','fr')
+              AND n_chars BETWEEN 50 AND 5000
+              AND len(string_split(text, ' ')) >= 10
+        )
+        SELECT COUNT(*) FROM gated
+        WHERE doc_id = (SELECT MIN(doc_id) FROM gated g2 WHERE g2.text = gated.text)
+        """
+    ).fetchone()[0]
+    assert metrics["rows_out"] == want
+    got_ids = {
+        r.doc_id for r in spark.read.parquet(str(out)).select("doc_id").collect()
+    }
+    want_ids = {
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH gated AS (
+                SELECT * FROM read_parquet('{TEST_SF_DIR}/documents.parquet')
+                WHERE lang IN ('en','de','fr')
+                  AND n_chars BETWEEN 50 AND 5000
+                  AND len(string_split(text, ' ')) >= 10
+            )
+            SELECT doc_id FROM gated
+            WHERE doc_id = (SELECT MIN(doc_id) FROM gated g2 WHERE g2.text = gated.text)
+            """
+        ).fetchall()
+    }
+    assert got_ids == want_ids

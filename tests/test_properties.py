@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the algorithmic library operators
+in ``ops.py`` — randomized inputs vs brute-force reference semantics,
+covering the edge shapes the fixed test tables never hit (empty groups,
+ties at the boundary, keys on one side only)."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F, types as T
+
+from aind_data_transformation_spark.ops import (
+    asof_join,
+    dedup_keep_first,
+    hash_sample,
+    topk_per_group,
+)
+
+_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_key = st.integers(min_value=0, max_value=3)
+_ts = st.integers(min_value=0, max_value=20)
+
+_LEFT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+_RIGHT_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("val", T.LongType()),
+    ]
+)
+
+
+@_SLOW
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=0, max_size=15),
+    right=st.lists(st.tuples(_key, _ts, st.integers(0, 99)), min_size=0, max_size=15),
+)
+def test_asof_join_matches_brute_force(spark, left, right):
+    # precondition: right unique per (k, ts) — keep max val like prod code
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), -1))
+    right_rows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    left_rows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+
+    ldf = spark.createDataFrame(left_rows, _LEFT_SCHEMA)
+    rdf = spark.createDataFrame(right_rows, _RIGHT_SCHEMA)
+    got = {
+        r.event_id: r.val
+        for r in asof_join(ldf, rdf, on="k", ts="ts", value_cols=["val"]).collect()
+    }
+
+    want = {}
+    for k, ts, eid in left_rows:
+        candidates = [(rts, v) for (rk, rts), v in rmap.items() if rk == k and rts <= ts]
+        want[eid] = max(candidates)[1] if candidates else None
+    assert got == want
+
+
+@_SLOW
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(0, 9), st.integers(0, 999)),
+        min_size=0,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_topk_per_group_matches_brute_force(spark, rows, k):
+    rows = [(g, val, uid) for uid, (g, val, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "g long, val long, uid long")
+    got = sorted(
+        (r.g, r.val, r.uid, r.rank)
+        for r in topk_per_group(
+            df, ["g"], [F.col("val").desc(), F.col("uid").asc()], k
+        ).collect()
+    )
+    want = []
+    for g in {r[0] for r in rows}:
+        grp = sorted(
+            [r for r in rows if r[0] == g], key=lambda r: (-r[1], r[2])
+        )
+        want.extend((g, val, uid, i + 1) for i, (g, val, uid) in enumerate(grp[:k]))
+    assert got == sorted(want)
+
+
+@_SLOW
+@given(
+    rows=st.lists(
+        st.tuples(_key, st.integers(0, 5), st.integers(0, 99)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_dedup_keep_first_is_deterministic_min(spark, rows):
+    rows = [(k, o, uid) for uid, (k, o, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k long, o long, uid long")
+    got = sorted(
+        (r.k, r.o, r.uid)
+        for r in dedup_keep_first(df, ["k"], [F.col("o").asc(), F.col("uid").asc()]).collect()
+    )
+    want = sorted(
+        min((r for r in rows if r[0] == k), key=lambda r: (r[1], r[2]))
+        for k in {r[0] for r in rows}
+    )
+    assert got == want
+
+
+@_SLOW
+@given(
+    money=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9).map(lambda c: c / 100.0),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cents_sum_is_exact(spark, money):
+    """Integer-cents aggregation equals exact Decimal arithmetic for any
+    2-decimal inputs, regardless of partitioning/order."""
+    from aind_data_transformation_spark.queries.numeric import money_sum
+
+    df = spark.createDataFrame([(x,) for x in money], "v double").repartition(4)
+    got = df.agg(money_sum("v").alias("s")).collect()[0].s
+    want = float(sum(Decimal(str(x)) for x in money))
+    assert got == pytest.approx(want, abs=0)
+
+
+def test_hash_sample_consistent_and_partition_independent(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    b = {r.k for r in hash_sample(df.repartition(13), "k", 0.2).collect()}
+    assert a == b
+    assert 0.15 < len(a) / 5000 < 0.25
+    # nested property: sample(0.1) ⊂ sample(0.2) — consistent thresholds
+    c = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    assert c <= a
