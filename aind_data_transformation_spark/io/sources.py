@@ -55,6 +55,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_tables(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every driver table as a temp view (``name + suffix``) so
+    pipelines can run against the pure SQL surface (``spark.sql``) with the
+    same normalized schemas as :func:`load_table`."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
+
+
 def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     """CSV ingestion with an explicit StructType (schema inference is a
     full extra pass over the data — never acceptable at 100 TB)."""

@@ -89,6 +89,38 @@ def dedup_keep_first(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    *,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot left key over ``salt``
+    shuffle partitions by salting the left side deterministically and
+    replicating the right side ``salt`` times.
+
+    Use when one join key carries a disproportionate share of the left
+    (fact) rows and AQE's skew splitting isn't available or sufficient —
+    a single 500-GB key otherwise lands on one task. Right-side rows are
+    duplicated ``salt``× , so keep ``right`` the smaller side. Inner and
+    left joins only (the salt preserves their semantics row-for-row).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left'")
+    keys = [on] if isinstance(on, str) else list(on)
+    l_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    joined = l_salted.join(r_salted, [*keys, "__salt"], how)
+    return joined.drop("__salt")
+
+
 def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
     """Deterministic consistent sample: keep rows whose Knuth
     multiplicative hash of ``key_expr`` falls below ``fraction`` of the

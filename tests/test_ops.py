@@ -1,0 +1,78 @@
+"""Unit tests for the library operators not already covered by the
+property suite: salted joins (skew defense) and the SQL catalog surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import TEST_SF_DIR
+
+from aind_data_transformation_spark.io.sources import register_tables
+from aind_data_transformation_spark.ops import salted_join
+
+
+def _skewed(spark):
+    # 10k rows on one hot key + a long tail
+    hot = spark.range(0, 10000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") + 100000).alias("payload")
+    )
+    return hot.unionByName(tail)
+
+
+def _dim(spark):
+    return spark.range(0, 50).select(
+        F.col("id").alias("k"), F.concat(F.lit("name_"), F.col("id")).alias("name")
+    )
+
+
+def test_salted_join_matches_plain_inner(spark):
+    left, right = _skewed(spark), _dim(spark)
+    got = salted_join(left, right, "k", salt=8).groupBy("k").count()
+    want = left.join(right, "k").groupBy("k").count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_salted_join_matches_plain_left(spark):
+    left = _skewed(spark)
+    right = _dim(spark).where(F.col("k") < 10)  # some left keys unmatched
+    got = salted_join(left, right, "k", salt=4, how="left")
+    want = left.join(right, "k", "left")
+    assert sorted(
+        (r.k, r.payload, r.name) for r in got.collect()
+    ) == sorted((r.k, r.payload, r.name) for r in want.collect())
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key must occupy multiple shuffle partitions after salting."""
+    left, right = _skewed(spark), _dim(spark)
+    parts = (
+        salted_join(left, right, "k", salt=8)
+        .where(F.col("k") == 7)
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts > 1
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    with pytest.raises(ValueError):
+        salted_join(_skewed(spark), _dim(spark), "k", how="full")
+
+
+def test_register_tables_sql_surface(spark):
+    register_tables(spark, TEST_SF_DIR, suffix="_sql")
+    row = spark.sql(
+        """
+        SELECT COUNT(*) AS n
+        FROM lineitem_sql li JOIN orders_sql o ON li.l_orderkey = o.o_orderkey
+        """
+    ).collect()[0]
+    assert row.n > 0
+    # events view exposes normalized µs timestamps, not raw ns longs
+    assert dict(spark.table("events_sql").dtypes)["ts"] == "timestamp"
