@@ -88,6 +88,49 @@ class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
         )
 
 
+class CompactionJobSettings(SparkJobSettings):
+    target_file_bytes: int = 128 * 1024 * 1024
+
+
+class CompactionJob(GenericSparkEtl[CompactionJobSettings]):
+    """Small-files compaction: rewrite a parquet directory into files of
+    ~``target_file_bytes`` each. The #1 recurring maintenance job on any
+    large lake — streaming sinks and over-parallel writers leave thousands
+    of tiny files that wreck scan planning (one task per file) and listing.
+
+    File count is sized from the actual on-disk bytes; the rewrite is a
+    single scan->repartition->write plan (one shuffle, no driver data)."""
+
+    def run_job(self) -> JobResponse:
+        started = time.time()
+        s = self.job_settings
+        src = str(s.input_source)
+        df = self.spark.read.parquet(src)
+        # on-disk size via the Hadoop FS API (works for any scheme)
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        path = jvm.org.apache.hadoop.fs.Path(src)
+        fs = path.getFileSystem(jsc.hadoopConfiguration())
+        total_bytes = fs.getContentSummary(path).getLength()
+        n_files = max(1, -(-total_bytes // s.target_file_bytes))  # ceil
+        n_rows = df.count()
+        df.repartition(int(n_files)).write.mode("overwrite").option(
+            "compression", s.compression
+        ).parquet(str(s.output_directory))
+        return JobResponse(
+            status_code=200,
+            message="ok",
+            data=json.dumps(
+                {
+                    "rows_written": n_rows,
+                    "input_bytes": int(total_bytes),
+                    "output_files": int(n_files),
+                    "seconds": round(time.time() - started, 3),
+                }
+            ),
+        )
+
+
 class CorpusCleanJobSettings(SparkJobSettings):
     langs: list[str] = ["en", "de", "fr"]
     min_chars: int = 50

@@ -173,19 +173,51 @@ def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact median/p95 per group over integer cents: linear interpolation
-    between integers is bit-identical across engines (verified empirically:
-    Spark percentile() == DuckDB quantile_cont() on cents)."""
+    """Exact median/p95 per group via distribution aggregation, the
+    100-TB-scalable shape: groupBy (group, value) counts (massively
+    parallel, map-side combinable), cumulative window over the per-group
+    value distribution, then quantile_cont interpolation
+    ``lo + frac * (hi - lo)`` on integer cents — bit-identical to DuckDB's
+    quantile_cont. Unlike ``percentile()`` (which materializes a per-group
+    value->count map in one aggregation buffer), state here is spread over
+    the cluster and no single task ever holds a whole group."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
-    price_cents = cents("l_extendedprice")
-    return li.groupBy("l_returnflag").agg(
-        (F.expr(
-            "percentile(CAST(round(l_extendedprice*100) AS LONG), 0.5)"
-        ) / F.lit(100.0)).alias("median_price"),
-        (F.expr(
-            "percentile(CAST(round(l_extendedprice*100) AS LONG), 0.95)"
-        ) / F.lit(100.0)).alias("p95_price"),
-        F.count(price_cents).alias("n_rows"),
+    counts = li.groupBy(
+        "l_returnflag", cents("l_extendedprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    dist = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+
+    def quantile(p: float):
+        # zero-indexed continuous rank: t = p*(n-1); interpolate between
+        # the values holding ranks floor(t) and floor(t)+1
+        t = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo_rank = F.floor(t)
+        frac = t - lo_rank.cast("double")
+        v_lo = F.min(F.when(F.col("cum") > lo_rank, F.col("v")))
+        v_hi = F.min(F.when(F.col("cum") > lo_rank + 1, F.col("v")))
+        # top rank: v_hi is null when lo_rank is the max index => frac==0
+        return (
+            v_lo.cast("double")
+            + F.max(frac) * (F.coalesce(v_hi, v_lo).cast("double") - v_lo.cast("double"))
+        ) / F.lit(100.0)
+
+    return dist.groupBy("l_returnflag").agg(
+        quantile(0.5).alias("median_price"),
+        quantile(0.95).alias("p95_price"),
+        F.max("n").alias("n_rows"),
     )
 
 

@@ -113,3 +113,31 @@ def test_corpus_clean_job_matches_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert got_ids == want_ids
+
+
+def test_compaction_job_reduces_file_count(spark, tmp_path):
+    from aind_data_transformation_spark.jobs import (
+        CompactionJob,
+        CompactionJobSettings,
+    )
+
+    # simulate a streaming sink's small-files mess: 64 tiny files
+    src = tmp_path / "fragmented"
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+    orders.repartition(64).write.parquet(str(src))
+    assert len(list(src.glob("part-*.parquet"))) == 64
+
+    out = tmp_path / "compacted"
+    resp = CompactionJob(
+        CompactionJobSettings(
+            input_source=str(src),
+            output_directory=str(out),
+            target_file_bytes=1024 * 1024,
+        ),
+        spark=spark,
+    ).run_job()
+    assert resp.status_code == 200
+    metrics = json.loads(resp.data)
+    n_files = len(list(out.glob("part-*.parquet")))
+    assert n_files == metrics["output_files"] < 64
+    assert spark.read.parquet(str(out)).count() == metrics["rows_written"] == orders.count()
