@@ -89,6 +89,25 @@ def dedup_keep_first(
     )
 
 
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Snapshot upsert (CDC merge semantics without a table format):
+    rows from ``updates`` replace base rows with the same key; new keys
+    are inserted; untouched base rows pass through.
+
+    Shape: one left-anti shuffle of base against the update keys + a
+    union — no window, no full-outer coalesce of every column. With both
+    sides bucketed on the key (see tests/test_bucketing.py) even that
+    shuffle disappears. Schemas must match by name.
+    """
+    keys = list(key_cols)
+    if set(base.columns) != set(updates.columns):
+        raise ValueError("merge_upsert requires identical column sets")
+    untouched = base.join(updates.select(*keys), keys, "left_anti")
+    return untouched.unionByName(updates)
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

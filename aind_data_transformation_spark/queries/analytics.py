@@ -177,7 +177,56 @@ def q_hist_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot merge (ops.merge_upsert): a synthetic change set
+    (every o_orderkey % 3 == 0, price bumped by $5.00 in exact cents) is
+    upserted into a base snapshot missing every 7th key — updates replace,
+    new keys insert, untouched rows pass through."""
+    from aind_data_transformation_spark.ops import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (cents("o_totalprice").cast("double") / F.lit(100.0)).alias("price"),
+    )
+    base = o.where(F.col("o_orderkey") % 7 != 0)
+    updates = o.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "price", ((cents("price") + 500).cast("double") / F.lit(100.0))
+    )
+    return merge_upsert(base, updates, ["o_orderkey"])
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling operator: per-column null count and exact distinct
+    count in ONE aggregation pass (count-distinct expansion handles the
+    multi-column distinct), emitted long-form via posexplode. At 100 TB
+    swap countDistinct for approx_count_distinct — same plan shape."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"dist_{c}"))
+    one = o.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(
+        "n_rows", F.explode(entries).alias("e")
+    ).select("n_rows", "e.column_name", "e.n_null", "e.n_distinct")
+
+
 QUERIES = {
+    "merge_upsert": q_merge_upsert,
+    "profile_table": q_profile_table,
     "stats_moments": q_stats_moments,
     "agg_pivot": q_agg_pivot,
     "unpivot_metrics": q_unpivot_metrics,
@@ -192,6 +241,45 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "merge_upsert": f"""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST({sql_cents('o_totalprice')} AS DOUBLE) / 100.0 AS price
+            FROM orders
+        ), base AS (
+            SELECT * FROM o WHERE o_orderkey % 7 != 0
+        ), upd AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST({sql_cents('price')} + 500 AS DOUBLE) / 100.0 AS price
+            FROM o WHERE o_orderkey % 3 = 0
+        )
+        SELECT * FROM upd
+        UNION ALL
+        SELECT * FROM base
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+    "profile_table": """
+        WITH agg AS (
+            SELECT COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(o_orderkey) AS null_o_orderkey,
+                   COUNT(DISTINCT o_orderkey) AS dist_o_orderkey,
+                   COUNT(*) - COUNT(o_custkey) AS null_o_custkey,
+                   COUNT(DISTINCT o_custkey) AS dist_o_custkey,
+                   COUNT(*) - COUNT(o_orderstatus) AS null_o_orderstatus,
+                   COUNT(DISTINCT o_orderstatus) AS dist_o_orderstatus,
+                   COUNT(*) - COUNT(o_orderpriority) AS null_o_orderpriority,
+                   COUNT(DISTINCT o_orderpriority) AS dist_o_orderpriority
+            FROM orders
+        )
+        SELECT n_rows, 'o_orderkey' AS column_name,
+               null_o_orderkey AS n_null, dist_o_orderkey AS n_distinct FROM agg
+        UNION ALL
+        SELECT n_rows, 'o_custkey', null_o_custkey, dist_o_custkey FROM agg
+        UNION ALL
+        SELECT n_rows, 'o_orderstatus', null_o_orderstatus, dist_o_orderstatus FROM agg
+        UNION ALL
+        SELECT n_rows, 'o_orderpriority', null_o_orderpriority, dist_o_orderpriority FROM agg
+    """,
     "stats_moments": f"""
         WITH m AS (
             SELECT l_returnflag,

@@ -19,67 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-
-# --- shared expression builders (Spark SQL + DuckDB dialects) -------------
-
-_TOKS_SPARK = "split(text, ' ')"
-_TOKS_DUCK = "string_split(text, ' ')"
-
-
-def _tokval(var: str) -> str:
-    """Portable token->int64, same source text in both dialects (BIGINT
-    from the start: Spark runs ANSI mode and int32 would overflow in the
-    minhash multiply)."""
-    return (
-        f"(CAST(length({var}) AS BIGINT) * 256"
-        f" + ascii(substr({var}, 1, 1))"
-        f" + ascii(substr({var}, length({var}), 1)) * 7)"
-    )
-
-
-#: (a, b) coefficients of the 8 minhash permutations h_i(x) = (a*x+b) % p
-_MINHASH_COEFFS = [
-    (1299721, 104729), (15485863, 32452843), (49979687, 67867967),
-    (86028121, 15485867), (22801763, 49979693), (67867979, 86028157),
-    (32452867, 1299743), (104729, 22801787),
-]
-_MINHASH_P = 2147483647
-
-
-def _tokvals_expr(toks: str, dialect: str) -> str:
-    transform = "transform" if dialect == "spark" else "list_transform"
-    return f"{transform}({toks}, t -> {_tokval('t')})"
-
-
-def _shingles_expr(var: str, dialect: str) -> str:
-    """Token-trigram shingle values from a *token-value array column*
-    named ``var``: shingle_i = tv[i]*961 + tv[i+1]*31 + tv[i+2]; docs with
-    fewer than 3 tokens fall back to their raw token values."""
-    if dialect == "spark":
-        # spark sequence(1, n) is inclusive; element_at is 1-based
-        tri = (
-            f"transform(sequence(1, size({var}) - 2),"
-            f" i -> element_at({var}, i) * 961"
-            f" + element_at({var}, i + 1) * 31"
-            f" + element_at({var}, i + 2))"
-        )
-        return f"CASE WHEN size({var}) >= 3 THEN {tri} ELSE {var} END"
-    # duckdb range(1, n) is exclusive; list indexing is 1-based
-    tri = (
-        f"list_transform(range(1, len({var}) - 1),"
-        f" i -> {var}[i] * 961 + {var}[i+1] * 31 + {var}[i+2])"
-    )
-    return f"CASE WHEN len({var}) >= 3 THEN {tri} ELSE {var} END"
-
-
-def _minhash_from_shingles(i: int, var: str, dialect: str) -> str:
-    a, b = _MINHASH_COEFFS[i]
-    transform = "transform" if dialect == "spark" else "list_transform"
-    amin = "array_min" if dialect == "spark" else "list_min"
-    return (
-        f"{amin}({transform}({var},"
-        f" v -> (CAST({a} AS BIGINT) * v + {b}) % {_MINHASH_P}))"
-    )
+from aind_data_transformation_spark.texthash import (
+    TOKS_DUCK as _TOKS_DUCK,
+    TOKS_SPARK as _TOKS_SPARK,
+    lsh_candidate_pairs,
+    minhash_from_shingles as _minhash_from_shingles,
+    minhash_signatures,
+    shingles_expr as _shingles_expr,
+    tokval as _tokval,
+    tokvals_expr as _tokvals_expr,
+    trigram_set_expr,
+    verified_near_dups,
+)
 
 
 # --- operators ------------------------------------------------------------
@@ -241,37 +192,28 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair blowup bounded per bucket; full-corpus pairwise never happens.
     """
     d = load_table(spark, sf_dir, "documents")
-    # Shingle (token trigram) values, materialized once; minhashing
-    # unigrams would be useless here — with a small vocabulary most docs
+    # Trigram shingles, not unigrams: with a small vocabulary most docs
     # contain the minimizing token, every signature collides, and the
     # band join blows up (measured: 4.5M candidate pairs at sf0.1 with
     # unigrams vs a linear-ish candidate set with trigram shingles).
-    vals = d.select(
-        "doc_id",
-        F.expr(_tokvals_expr(_TOKS_SPARK, "spark")).alias("tok_vals"),
-    ).select(
-        "doc_id",
-        F.expr(_shingles_expr("tok_vals", "spark")).alias("shingle_vals"),
+    pairs = lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id")
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    sigs = [
-        F.expr(_minhash_from_shingles(i, "shingle_vals", "spark")).alias(f"mh{i}")
-        for i in range(8)
-    ]
-    with_sig = vals.select("doc_id", *sigs)
-    banded = with_sig.select(
-        "doc_id",
-        F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
-        F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
+
+
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete production near-dup pipeline (texthash.
+    verified_near_dups): LSH candidate generation followed by exact
+    trigram-Jaccard verification at threshold 0.7 — candidates that LSH
+    surfaces but true similarity rejects are dropped. The expensive exact
+    compare runs only on the LSH-bounded candidate set."""
+    d = load_table(spark, sf_dir, "documents")
+    return verified_near_dups(d, "doc_id", "text", threshold=0.7).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
     )
-    pairs = None
-    for band in ("band1", "band2"):
-        a = banded.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("bk"))
-        b = banded.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("bk"))
-        p = a.join(b, "bk").where(F.col("doc_a") < F.col("doc_b")).select(
-            "doc_a", "doc_b"
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +316,7 @@ QUERIES = {
     "text_tokens_bpeish": q_text_tokens_bpeish,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_fuzzy_minhash": q_dedup_minhash,
+    "dedup_minhash_verified": q_dedup_minhash_verified,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
 }
@@ -486,6 +429,55 @@ ORACLES = {
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
         )
+    """,
+    "dedup_minhash_verified": f"""
+        WITH tv AS (
+            SELECT doc_id,
+                   {_tokvals_expr(_TOKS_DUCK, 'duck')} AS tok_vals
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   {_shingles_expr('tok_vals', 'duck')} AS shingle_vals
+            FROM tv
+        ), sig AS (
+            SELECT doc_id,
+                   {_minhash_from_shingles(0, 'shingle_vals', 'duck')} AS mh0,
+                   {_minhash_from_shingles(1, 'shingle_vals', 'duck')} AS mh1,
+                   {_minhash_from_shingles(2, 'shingle_vals', 'duck')} AS mh2,
+                   {_minhash_from_shingles(3, 'shingle_vals', 'duck')} AS mh3,
+                   {_minhash_from_shingles(4, 'shingle_vals', 'duck')} AS mh4,
+                   {_minhash_from_shingles(5, 'shingle_vals', 'duck')} AS mh5,
+                   {_minhash_from_shingles(6, 'shingle_vals', 'duck')} AS mh6,
+                   {_minhash_from_shingles(7, 'shingle_vals', 'duck')} AS mh7
+            FROM sh
+        ), banded AS (
+            SELECT doc_id,
+                   concat_ws('_', mh0, mh1, mh2, mh3) AS band1,
+                   concat_ws('_', mh4, mh5, mh6, mh7) AS band2
+            FROM sig
+        ), cands AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+            )
+        ), tris AS (
+            SELECT doc_id, {trigram_set_expr(_TOKS_DUCK, 'duck')} AS tri
+            FROM documents
+        )
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
+                 AS jaccard
+        FROM cands
+        JOIN tris ta ON ta.doc_id = doc_a
+        JOIN tris tb ON tb.doc_id = doc_b
+        WHERE len(list_distinct(list_concat(ta.tri, tb.tri))) > 0
+          AND CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
+              >= 0.7
     """,
     "dedup_simhash": f"""
         WITH sketches AS (

@@ -1,0 +1,159 @@
+"""Portable text-hashing primitives + near-duplicate detection operators.
+
+The expression builders emit BOTH Spark SQL and DuckDB dialects from one
+definition, so every operator built on them stays oracle-checkable (the
+engine's standard is exact cross-engine reproducibility, not rows-only
+spot checks — see queries/llm_text.py).
+
+Hash design (all portable 64-bit integer arithmetic, no engine-specific
+hash functions):
+* token value   tokval(t) = len(t)*256 + ascii(first) + ascii(last)*7
+* shingle value s_i = tv[i]*961 + tv[i+1]*31 + tv[i+2]   (token trigrams)
+* minhash_i     min over shingles of (a_i * s + b_i) mod p,  p = 2^31-1
+
+The DataFrame-level operators compose these into the production near-dup
+pipeline: signatures -> LSH band buckets -> candidate pairs -> exact
+verification. At 100 TB the band-key equi-join is the only shuffle and
+bounds the pair blowup per bucket; the full cross product never exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKS_SPARK = "split(text, ' ')"
+TOKS_DUCK = "string_split(text, ' ')"
+
+#: (a, b) coefficients of the 8 minhash permutations h_i(x) = (a*x+b) % p
+MINHASH_COEFFS = [
+    (1299721, 104729), (15485863, 32452843), (49979687, 67867967),
+    (86028121, 15485867), (22801763, 49979693), (67867979, 86028157),
+    (32452867, 1299743), (104729, 22801787),
+]
+MINHASH_P = 2147483647
+
+
+def tokval(var: str) -> str:
+    """Portable token->int64 (BIGINT from the start: Spark runs ANSI mode
+    and int32 would overflow in the minhash multiply)."""
+    return (
+        f"(CAST(length({var}) AS BIGINT) * 256"
+        f" + ascii(substr({var}, 1, 1))"
+        f" + ascii(substr({var}, length({var}), 1)) * 7)"
+    )
+
+
+def tokvals_expr(toks: str, dialect: str) -> str:
+    transform = "transform" if dialect == "spark" else "list_transform"
+    return f"{transform}({toks}, t -> {tokval('t')})"
+
+
+def shingles_expr(var: str, dialect: str) -> str:
+    """Token-trigram shingle values from a token-value array column named
+    ``var``; docs with fewer than 3 tokens fall back to raw token values."""
+    if dialect == "spark":
+        # spark sequence(1, n) is inclusive; element_at is 1-based
+        tri = (
+            f"transform(sequence(1, size({var}) - 2),"
+            f" i -> element_at({var}, i) * 961"
+            f" + element_at({var}, i + 1) * 31"
+            f" + element_at({var}, i + 2))"
+        )
+        return f"CASE WHEN size({var}) >= 3 THEN {tri} ELSE {var} END"
+    # duckdb range(1, n) is exclusive; list indexing is 1-based
+    tri = (
+        f"list_transform(range(1, len({var}) - 1),"
+        f" i -> {var}[i] * 961 + {var}[i+1] * 31 + {var}[i+2])"
+    )
+    return f"CASE WHEN len({var}) >= 3 THEN {tri} ELSE {var} END"
+
+
+def minhash_from_shingles(i: int, var: str, dialect: str) -> str:
+    a, b = MINHASH_COEFFS[i]
+    transform = "transform" if dialect == "spark" else "list_transform"
+    amin = "array_min" if dialect == "spark" else "list_min"
+    return (
+        f"{amin}({transform}({var},"
+        f" v -> (CAST({a} AS BIGINT) * v + {b}) % {MINHASH_P}))"
+    )
+
+
+def trigram_set_expr(toks: str, dialect: str) -> str:
+    """Distinct token-trigram strings (for exact Jaccard verification)."""
+    if dialect == "spark":
+        return (
+            f"array_distinct(CASE WHEN size({toks}) >= 3 THEN "
+            f"transform(sequence(1, size({toks}) - 2),"
+            f" i -> concat_ws(' ', {toks}[i-1], {toks}[i], {toks}[i+1]))"
+            " ELSE array() END)"
+        )
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - 1),"
+        f" i -> concat_ws(' ', {toks}[i], {toks}[i+1], {toks}[i+2])))"
+        " ELSE [] END"
+    )
+
+
+# --- DataFrame-level operators --------------------------------------------
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """8 minhash values over token-trigram shingles of ``text_col``.
+    Pure column expressions — no shuffle, stays in codegen."""
+    toks = f"split({text_col}, ' ')"
+    vals = df.select(
+        id_col, F.expr(tokvals_expr(toks, "spark")).alias("__tv")
+    ).select(id_col, F.expr(shingles_expr("__tv", "spark")).alias("__sh"))
+    sigs = [
+        F.expr(minhash_from_shingles(i, "__sh", "spark")).alias(f"mh{i}")
+        for i in range(8)
+    ]
+    return vals.select(id_col, *sigs)
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
+    """Band the 8-value signature into 2 bands of 4; docs sharing a band
+    key become candidate pairs (id_a < id_b). One equi-join shuffle per
+    band, bounded by bucket sizes."""
+    banded = sig_df.select(
+        id_col,
+        F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
+        F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
+    )
+    pairs = None
+    for band in ("band1", "band2"):
+        a = banded.select(F.col(id_col).alias("id_a"), F.col(band).alias("bk"))
+        b = banded.select(F.col(id_col).alias("id_b"), F.col(band).alias("bk"))
+        p = (
+            a.join(b, "bk")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def verified_near_dups(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+) -> DataFrame:
+    """The full production near-dup pipeline: LSH candidates -> exact
+    trigram-Jaccard verification -> pairs >= threshold.
+
+    Columns: id_a, id_b, jaccard. The verify join brings the trigram sets
+    to the (small) candidate set, not the other way around."""
+    toks = f"split({text_col}, ' ')"
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
+    tris = df.select(
+        F.col(id_col), F.expr(trigram_set_expr(toks, "spark")).alias("__tri")
+    )
+    a = tris.select(F.col(id_col).alias("id_a"), F.col("__tri").alias("tri_a"))
+    b = tris.select(F.col(id_col).alias("id_b"), F.col("__tri").alias("tri_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("tri_a", "tri_b")).cast("double")
+    union = F.size(F.array_union("tri_a", "tri_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
