@@ -140,6 +140,107 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iters: int = 25
+) -> DataFrame:
+    """Connected components by min-label propagation: returns
+    ``(node, component)`` where ``component`` is the smallest node id in
+    the node's component. Input is an undirected edge list (one direction
+    per pair is enough).
+
+    Distributed shape: each round is one equi-join shuffle (neighbor
+    labels) + one groupBy; a round propagates the minimum one hop, so
+    rounds = graph diameter. For near-dup clusters (the intended use:
+    resolve pairwise duplicate edges into canonical groups) diameters are
+    tiny, so this converges in 2-4 rounds even at 100 TB. Lineage is
+    truncated per round with ``localCheckpoint`` — without it the plan
+    doubles every iteration. Convergence is detected with a cheap
+    ``limit(1).count`` probe of changed labels.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("node").alias("b"), "label"), "b"
+            )
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(
+            nbr_min.select(F.col("a").alias("node"), "nbr_min"), "node", "left"
+        ).select(
+            "node",
+            "label",
+            F.least("label", F.coalesce("nbr_min", "label")).alias("new_label"),
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.where(F.col("new_label") < F.col("label")).limit(1)
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if changed.count() == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    coarse: int = 4096,
+) -> DataFrame:
+    """Sequence packing (the concat-and-chunk layout LLM training data
+    uses): rows are laid out in ``order_col`` order and cut into
+    fixed-``budget`` bins by exclusive running total of ``size_col``.
+    Adds ``cum_before`` (tokens before this row), ``seq_id`` (bin) and
+    ``seq_offset`` (position within the bin).
+
+    A naive global running total is a ``Window.orderBy`` with no
+    partitioning — every row through ONE task. This uses the scalable
+    two-phase cumsum instead: rows are windowed inside coarse
+    ``order_col div coarse`` groups (parallel, one shuffle), group totals
+    form a table ~1/coarse the size whose own running total is cheap, and
+    the per-group offsets broadcast-join back. All arithmetic stays in
+    64-bit integers (``div``, never double division).
+    """
+    grouped = df.withColumn("__g", F.expr(f"{order_col} div {coarse}"))
+    w_in = (
+        Window.partitionBy("__g")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = grouped.withColumn(
+        "__local_before",
+        F.coalesce(F.sum(size_col).over(w_in), F.lit(0)).cast("long"),
+    )
+    w_g = Window.orderBy("__g").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        grouped.groupBy("__g")
+        .agg(F.sum(size_col).alias("__gtot"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__gtot").over(w_g), F.lit(0)).cast("long")
+        )
+        .select("__g", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__g")
+        .withColumn("cum_before", F.col("__local_before") + F.col("__offset"))
+        .withColumn("seq_id", F.expr(f"cum_before div {budget}"))
+        .withColumn("seq_offset", F.col("cum_before") % F.lit(budget))
+        .drop("__g", "__local_before", "__offset")
+    )
+
+
 def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
     """Deterministic consistent sample: keep rows whose Knuth
     multiplicative hash of ``key_expr`` falls below ``fraction`` of the

@@ -29,6 +29,7 @@ _CATEGORY_MODULES = (
     "streaming_batch",
     "tpch",
     "analytics",
+    "corpus",
 )
 
 

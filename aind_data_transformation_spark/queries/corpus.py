@@ -1,0 +1,163 @@
+"""Corpus-preparation operators: the table-level transformations a
+training-data pipeline runs after per-document scoring/dedup — resolving
+pairwise duplicates into canonical clusters, packing documents into
+fixed-token-budget sequences, carving reproducible stratified samples, and
+re-weighting the language mixture.
+
+Like every other family these are oracle-checked exactly: the Spark side
+composes library operators from ``ops.py``/``texthash.py``; the DuckDB side
+re-expresses the same semantics in ANSI SQL (a recursive CTE stands in for
+the iterative component propagation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import connected_components, pack_sequences
+from aind_data_transformation_spark.texthash import (
+    verified_near_dups,
+    verified_pairs_sql,
+)
+
+#: Knuth multiplicative hash of doc_id over the 32-bit space — the same
+#: deterministic sampler ops.hash_sample uses, portable to DuckDB verbatim.
+_HASH_SPARK = "pmod(doc_id * 2654435761, 4294967296)"
+_HASH_DUCK = "(doc_id * 2654435761) % 4294967296"
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end duplicate resolution: verified near-dup pairs (LSH +
+    exact Jaccard >= 0.7) become an edge list, connected components
+    collapse transitive chains (A~B, B~C => one cluster even if A!~C), and
+    every document maps to the smallest doc_id of its cluster. Docs with
+    no near-dup are their own canonical. This is the step that turns
+    pairwise dedup output into a keep/drop decision."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = verified_near_dups(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        d.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (ops.pack_sequences): documents in doc_id order are
+    cut into 512-token bins by exclusive running token count — the
+    concat-and-chunk layout used to build training batches. The running
+    total uses the scalable two-phase cumsum, never a single-task global
+    window."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", budget=512, coarse=256)
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: 10 documents per language, chosen by the
+    deterministic Knuth hash order (reproducible across runs, engines, and
+    partitionings — unlike df.sample). One shuffle on the stratum key;
+    per-stratum top-k never globally sorts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.expr(_HASH_SPARK), "doc_id")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= 10)
+    )
+
+
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing: downsample over-represented languages
+    with the consistent hash (en keeps 25%, zh 50%, the rest 100%) and
+    carry the inverse-rate weight so downstream aggregation stays
+    unbiased. Pure filter — no shuffle, fully pushed down."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    thr = (
+        F.when(F.col("lang") == "en", F.lit(1073741824))
+        .when(F.col("lang") == "zh", F.lit(2147483648))
+        .otherwise(F.lit(4294967296))
+    )
+    weight = (
+        F.when(F.col("lang") == "en", F.lit(4.0))
+        .when(F.col("lang") == "zh", F.lit(2.0))
+        .otherwise(F.lit(1.0))
+    )
+    return d.where(F.expr(_HASH_SPARK) < thr).withColumn("weight", weight)
+
+
+QUERIES = {
+    "dedup_clusters": q_dedup_clusters,
+    "pack_sequences": q_pack_sequences,
+    "sample_stratified": q_sample_stratified,
+    "corpus_mixture": q_corpus_mixture,
+}
+
+ORACLES = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE pairs AS (
+            {verified_pairs_sql(0.7)}
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ), comp AS (
+            SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY s
+        )
+        SELECT dd.doc_id,
+               COALESCE(LEAST(c.mn, dd.doc_id), dd.doc_id) AS canonical_id
+        FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+            FROM t
+        )
+        SELECT doc_id, n_tokens, cum_before,
+               cum_before // 512 AS seq_id,
+               cum_before % 512 AS seq_offset
+        FROM c
+    """,
+    "sample_stratified": f"""
+        SELECT doc_id, lang, sample_rank FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_HASH_DUCK}, doc_id
+                   ) AS sample_rank
+            FROM documents
+        ) WHERE sample_rank <= 10
+    """,
+    "corpus_mixture": f"""
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 4.0
+                         WHEN 'zh' THEN 2.0
+                         ELSE 1.0 END AS weight
+        FROM documents
+        WHERE {_HASH_DUCK} <
+              CASE lang WHEN 'en' THEN 1073741824
+                        WHEN 'zh' THEN 2147483648
+                        ELSE 4294967296 END
+    """,
+}

@@ -30,6 +30,7 @@ from aind_data_transformation_spark.texthash import (
     tokvals_expr as _tokvals_expr,
     trigram_set_expr,
     verified_near_dups,
+    verified_pairs_sql,
 )
 
 
@@ -430,55 +431,7 @@ ORACLES = {
             FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
         )
     """,
-    "dedup_minhash_verified": f"""
-        WITH tv AS (
-            SELECT doc_id,
-                   {_tokvals_expr(_TOKS_DUCK, 'duck')} AS tok_vals
-            FROM documents
-        ), sh AS (
-            SELECT doc_id,
-                   {_shingles_expr('tok_vals', 'duck')} AS shingle_vals
-            FROM tv
-        ), sig AS (
-            SELECT doc_id,
-                   {_minhash_from_shingles(0, 'shingle_vals', 'duck')} AS mh0,
-                   {_minhash_from_shingles(1, 'shingle_vals', 'duck')} AS mh1,
-                   {_minhash_from_shingles(2, 'shingle_vals', 'duck')} AS mh2,
-                   {_minhash_from_shingles(3, 'shingle_vals', 'duck')} AS mh3,
-                   {_minhash_from_shingles(4, 'shingle_vals', 'duck')} AS mh4,
-                   {_minhash_from_shingles(5, 'shingle_vals', 'duck')} AS mh5,
-                   {_minhash_from_shingles(6, 'shingle_vals', 'duck')} AS mh6,
-                   {_minhash_from_shingles(7, 'shingle_vals', 'duck')} AS mh7
-            FROM sh
-        ), banded AS (
-            SELECT doc_id,
-                   concat_ws('_', mh0, mh1, mh2, mh3) AS band1,
-                   concat_ws('_', mh4, mh5, mh6, mh7) AS band2
-            FROM sig
-        ), cands AS (
-            SELECT DISTINCT doc_a, doc_b FROM (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
-                UNION ALL
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
-            )
-        ), tris AS (
-            SELECT doc_id, {trigram_set_expr(_TOKS_DUCK, 'duck')} AS tri
-            FROM documents
-        )
-        SELECT doc_a, doc_b,
-               CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
-                 AS jaccard
-        FROM cands
-        JOIN tris ta ON ta.doc_id = doc_a
-        JOIN tris tb ON tb.doc_id = doc_b
-        WHERE len(list_distinct(list_concat(ta.tri, tb.tri))) > 0
-          AND CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
-                 / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
-              >= 0.7
-    """,
+    "dedup_minhash_verified": verified_pairs_sql(0.7),
     "dedup_simhash": f"""
         WITH sketches AS (
             SELECT doc_id, CAST({_SIMHASH_BITS_DUCK} AS BIGINT) AS simhash

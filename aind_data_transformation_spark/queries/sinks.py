@@ -119,11 +119,33 @@ def q_sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format conversion parquet→ORC→DataFrame with zlib compression:
+    write customer as ORC, re-read, and return an exact checksum (count,
+    distinct keys, cents total) the oracle computes from the original
+    parquet — proving the columnar-to-columnar conversion is lossless.
+    ORC's native column encodings + predicate pushdown make it the
+    interchange format for Hive-era warehouses; the engine supports it as
+    a first-class sink alongside parquet/CSV/JSON."""
+    out = _scratch(sf_dir, "customer_orc")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("compression", "zlib").orc(out)
+    reread = spark.read.orc(out)
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("c_custkey").alias("n_custs"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+            "acctbal_cents"
+        ),
+    )
+
+
 QUERIES = {
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
     "sink_repartition": q_sink_repartition,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
+    "sink_orc_roundtrip": q_sink_orc_roundtrip,
 }
 
 ORACLES = {
@@ -141,6 +163,12 @@ ORACLES = {
     """,
     "sink_csv_roundtrip": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "sink_orc_roundtrip": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT c_custkey) AS n_custs,
+               SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS acctbal_cents
+        FROM customer
     """,
     "sink_json_roundtrip": """
         SELECT COUNT(*) AS n_rows,

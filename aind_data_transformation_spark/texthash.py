@@ -95,6 +95,59 @@ def trigram_set_expr(toks: str, dialect: str) -> str:
     )
 
 
+def verified_pairs_sql(threshold: float = 0.7) -> str:
+    """DuckDB twin of :func:`verified_near_dups` over the ``documents``
+    table: emits ``(doc_a, doc_b, jaccard)`` for every LSH-candidate pair
+    whose exact trigram Jaccard is >= ``threshold``. Kept here so every
+    oracle that builds on the near-dup pipeline composes the same SQL."""
+    mh = ",\n                   ".join(
+        f"{minhash_from_shingles(i, 'shingle_vals', 'duck')} AS mh{i}"
+        for i in range(8)
+    )
+    return f"""
+        WITH tv AS (
+            SELECT doc_id,
+                   {tokvals_expr(TOKS_DUCK, 'duck')} AS tok_vals
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   {shingles_expr('tok_vals', 'duck')} AS shingle_vals
+            FROM tv
+        ), sig AS (
+            SELECT doc_id,
+                   {mh}
+            FROM sh
+        ), banded AS (
+            SELECT doc_id,
+                   concat_ws('_', mh0, mh1, mh2, mh3) AS band1,
+                   concat_ws('_', mh4, mh5, mh6, mh7) AS band2
+            FROM sig
+        ), cands AS (
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b ON a.band1 = b.band1 AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM banded a JOIN banded b ON a.band2 = b.band2 AND a.doc_id < b.doc_id
+            )
+        ), tris AS (
+            SELECT doc_id, {trigram_set_expr(TOKS_DUCK, 'duck')} AS tri
+            FROM documents
+        )
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
+                 AS jaccard
+        FROM cands
+        JOIN tris ta ON ta.doc_id = doc_a
+        JOIN tris tb ON tb.doc_id = doc_b
+        WHERE len(list_distinct(list_concat(ta.tri, tb.tri))) > 0
+          AND CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
+              >= {threshold}
+    """
+
+
 # --- DataFrame-level operators --------------------------------------------
 
 
