@@ -30,6 +30,7 @@ _CATEGORY_MODULES = (
     "tpch",
     "analytics",
     "corpus",
+    "timeseries",
 )
 
 

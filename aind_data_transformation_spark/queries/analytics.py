@@ -125,6 +125,29 @@ def q_sql_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: customers
+    holding at least one finished ('F') order but none above $200k.
+    Catalyst decorrelates both subqueries into a left-semi and a
+    left-anti hash join — no per-row re-execution anywhere."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer_v c
+        WHERE EXISTS (
+                SELECT 1 FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders_v o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+              )
+        """
+    )
+
+
 def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS with grouping_id labels — finer control than
     rollup/cube (only the three listed sets are computed)."""
@@ -232,6 +255,7 @@ QUERIES = {
     "unpivot_metrics": q_unpivot_metrics,
     "sample_hash": q_sample_hash,
     "sql_scalar_subquery": q_sql_scalar_subquery,
+    "sql_exists_subquery": q_sql_exists_subquery,
     "sql_grouping_sets": q_sql_grouping_sets,
     "fn_hash": q_fn_hash,
     "hist_buckets": q_hist_buckets,
@@ -241,6 +265,18 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "sql_exists_subquery": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+              )
+    """,
     "merge_upsert": f"""
         WITH o AS (
             SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -80,13 +80,52 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, struct-typed aggregation, and field access:
+    pack (acctbal cents, name) into a struct per customer, take the
+    per-nation MIN of the struct (Spark orders structs lexicographically —
+    the classic argmin-without-a-join trick), then unpack the fields.
+    One partial-aggregating shuffle; no window, no self-join."""
+    c = load_table(spark, sf_dir, "customer")
+    packed = c.select(
+        "c_nationkey",
+        F.struct(
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            F.col("c_name").alias("name"),
+        ).alias("s"),
+    )
+    return (
+        packed.groupBy("c_nationkey")
+        .agg(F.min("s").alias("m"))
+        .select(
+            "c_nationkey",
+            F.col("m.bal_cents").alias("min_bal_cents"),
+            F.col("m.name").alias("min_bal_name"),
+        )
+    )
+
+
 QUERIES = {
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
     "fn_json": q_fn_json,
+    "fn_struct": q_fn_struct,
 }
 
 ORACLES = {
+    "fn_struct": """
+        SELECT c_nationkey, bal_cents AS min_bal_cents, name AS min_bal_name
+        FROM (
+            SELECT c_nationkey,
+                   CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+                   c_name AS name,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY CAST(round(c_acctbal*100) AS BIGINT), c_name
+                   ) AS rn
+            FROM customer
+        ) WHERE rn = 1
+    """,
     "fn_array": """
         WITH dbl AS (
             SELECT vec_id,
