@@ -40,8 +40,15 @@ def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregating per partition from the re-read copy."""
     out = _scratch(sf_dir, "lineitem_by_flag")
     li = load_table(spark, sf_dir, "lineitem")
+    # repartition on (partition col, small salt) first: without it every
+    # task writes a file into every partition dir (tasks x values small
+    # files — the classic partitionBy mistake); bare repartition(col)
+    # fixes the file count but serializes each partition's write into one
+    # task. The salt bounds files per dir at 4 while keeping the write
+    # parallel — the same knob that splits giant partitions at 100 TB.
     (
-        li.write.mode("overwrite")
+        li.repartition(8, F.col("l_returnflag"), F.pmod("l_orderkey", F.lit(4)))
+        .write.mode("overwrite")
         .partitionBy("l_returnflag")
         .option("compression", "zstd")
         .parquet(out)

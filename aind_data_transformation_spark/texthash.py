@@ -168,12 +168,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
     """Band the 8-value signature into 2 bands of 4; docs sharing a band
     key become candidate pairs (id_a < id_b). One equi-join shuffle per
-    band, bounded by bucket sizes."""
+    band, bounded by bucket sizes.
+
+    The banded table is materialized once (``localCheckpoint``): it feeds
+    FOUR plan branches (2 bands x 2 self-join sides), and without
+    materialization Spark re-runs the minhash transforms — the expensive
+    part of the whole pipeline — for every branch. The signature table is
+    ~40 bytes/doc, orders of magnitude smaller than the corpus, so
+    persisting it is the right call at 100 TB too (there you'd write it
+    to parquet between stages instead)."""
     banded = sig_df.select(
         id_col,
         F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
         F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
-    )
+    ).localCheckpoint()
     pairs = None
     for band in ("band1", "band2"):
         a = banded.select(F.col(id_col).alias("id_a"), F.col(band).alias("bk"))
@@ -194,11 +202,26 @@ def verified_near_dups(
     trigram-Jaccard verification -> pairs >= threshold.
 
     Columns: id_a, id_b, jaccard. The verify join brings the trigram sets
-    to the (small) candidate set, not the other way around."""
+    to the (small) candidate set, not the other way around: trigram sets
+    are computed only for docs that appear in some candidate pair (a
+    left-semi join placed BEFORE the transform, so the shingling cost
+    scales with the candidate set, not the corpus) and materialized once
+    for the two probe sides."""
     toks = f"split({text_col}, ' ')"
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
-    tris = df.select(
-        F.col(id_col), F.expr(trigram_set_expr(toks, "spark")).alias("__tri")
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col), id_col
+    ).localCheckpoint()
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    tris = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(
+            F.col(id_col), F.expr(trigram_set_expr(toks, "spark")).alias("__tri")
+        )
+        .localCheckpoint()
     )
     a = tris.select(F.col(id_col).alias("id_a"), F.col("__tri").alias("tri_a"))
     b = tris.select(F.col(id_col).alias("id_b"), F.col("__tri").alias("tri_b"))
