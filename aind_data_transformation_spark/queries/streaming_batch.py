@@ -149,7 +149,28 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, batch twin: events join the
+    (small, broadcast) nation table and aggregate per nation name. In the
+    streaming form (streaming/jobs.py:nation_enriched_counts) the static
+    side is re-broadcast per micro-batch — the standard pattern for
+    enriching an unbounded stream with a slowly-changing dim; the join
+    itself is stateless, so no watermark is involved."""
+    e = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        e.withColumn("n_nationkey", F.col("user_id") % 25)
+        .join(F.broadcast(n.select("n_nationkey", "n_name")), "n_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+    )
+
+
 QUERIES = {
+    "stream_static_join": q_stream_static_join,
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
     "stream_session": q_stream_session,
@@ -159,6 +180,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_static_join": f"""
+        SELECT n_name,
+               COUNT(*) AS n_events,
+               {sql_money_sum('value')} AS sum_value
+        FROM events JOIN nation ON n_nationkey = user_id % 25
+        GROUP BY n_name
+    """,
     "stream_tumbling": f"""
         SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
                time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS win_end,

@@ -180,6 +180,26 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def nation_enriched_counts(events: DataFrame, nation: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: enrich the event stream with the
+    nation dim, then aggregate per nation. The static side is planned as
+    a broadcast per micro-batch (re-read each trigger, so a slowly-
+    changing dim is picked up without restarting the query); the join is
+    stateless — watermarks only matter for the downstream aggregation's
+    output mode. Batch twin: queries/streaming_batch.q_stream_static_join."""
+    from aind_data_transformation_spark.queries.numeric import money_sum
+
+    return (
+        events.withColumn("n_nationkey", F.col("user_id") % 25)
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")), "n_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+    )
+
+
 def run_available_now(df: DataFrame, *, mode: str) -> list:
     """Drain a stream built on a bounded source with AvailableNow into a
     memory sink; returns the collected rows. Test/dev helper — production

@@ -118,3 +118,30 @@ def test_topk_per_group_no_global_sort(spark):
     plan = plan_of(spark, "topk_per_group")
     assert "TakeOrderedAndProject" not in plan  # not a global-limit plan
     assert "Window" in plan
+
+
+def test_range_banded_join_is_equi_join(spark):
+    """The hour-bucket banding must make the interval join a hash
+    equi-join — the naive non-equi form plans as a nested loop over all
+    events per user."""
+    plan = plan_of(spark, "join_range_banded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_broadcasts_offsets_no_global_window(spark):
+    """The two-phase cumsum: per-group windows only (every Window node is
+    preceded by a real hash partitioning, never a single-partition global
+    sort of the corpus), and the tiny group-offset table joins back as a
+    broadcast."""
+    plan = plan_of(spark, "pack_sequences")
+    assert "BroadcastHashJoin" in plan
+    # the only SinglePartition exchange allowed is the one feeding the
+    # group-totals window (rows = n/coarse, not n)
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_stream_static_join_broadcasts_dim(spark):
+    plan = plan_of(spark, "stream_static_join")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

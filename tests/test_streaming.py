@@ -41,6 +41,18 @@ def test_stream_session_matches_batch(spark):
     _stream_vs_batch(spark, jobs.session_rollup, sb.q_stream_session, "complete")
 
 
+def test_stream_static_join_matches_batch(spark):
+    from aind_data_transformation_spark.io.sources import load_table
+
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    _stream_vs_batch(
+        spark,
+        lambda ev: jobs.nation_enriched_counts(ev, nation),
+        sb.q_stream_static_join,
+        "complete",
+    )
+
+
 def test_stream_dedup_keeps_unique_event_ids(spark):
     events = jobs.read_events_stream(spark, TEST_SF_DIR)
     rows = jobs.run_available_now(jobs.dedup_events(events), mode="append")
