@@ -12,6 +12,9 @@ LLM-pipeline extension:
 * :class:`CorpusCleanJob` — the 100-TB training-data shape: language/
   quality gate -> exact dedup -> near-dup candidate drop, one declarative
   plan, metrics in ``JobResponse.data``.
+* :class:`NearDupResolveJob` — the fuzzy tier CorpusCleanJob's exact hash
+  can't catch: MinHash-LSH candidates -> exact-Jaccard verification ->
+  connected components -> keep one survivor per duplicate cluster.
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ from aind_data_transformation_spark.core import (
     JobResponse,
     SparkJobSettings,
 )
+from aind_data_transformation_spark.ops import connected_components
+from aind_data_transformation_spark.texthash import verified_near_dups
 
 
 class FormatConversionJobSettings(SparkJobSettings):
@@ -174,6 +179,57 @@ class CorpusCleanJob(GenericSparkEtl[CorpusCleanJobSettings]):
                 {
                     "rows_in": n_in,
                     "rows_out": n_out,
+                    "rows_dropped": n_in - n_out,
+                    "seconds": round(time.time() - started, 3),
+                }
+            ),
+        )
+
+
+class NearDupResolveJobSettings(SparkJobSettings):
+    jaccard_threshold: float = 0.7
+
+
+class NearDupResolveJob(GenericSparkEtl[NearDupResolveJobSettings]):
+    """Fuzzy dedup tier: resolve near-duplicate documents into clusters
+    and keep one survivor per cluster.
+
+    Pipeline (all distributed, no driver data): MinHash-LSH candidate
+    pairs -> exact trigram-Jaccard verification (>= threshold) ->
+    connected components over the duplicate edges -> anti-join the
+    non-survivors out of the corpus. At 100 TB the expensive stages are
+    bounded by the candidate set (LSH buckets), not the corpus: the
+    verify join and the component graph only ever see docs that share a
+    signature band."""
+
+    def run_job(self) -> JobResponse:
+        started = time.time()
+        s = self.job_settings
+        docs = self.spark.read.parquet(str(s.input_source))
+        n_in = docs.count()
+
+        edges = verified_near_dups(
+            docs, "doc_id", "text", threshold=s.jaccard_threshold
+        )
+        comps = connected_components(edges, "id_a", "id_b")
+        # survivor = min doc_id per component == the component label itself
+        losers = comps.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        survivors = docs.join(losers, "doc_id", "left_anti")
+        survivors.write.mode("overwrite").option(
+            "compression", s.compression
+        ).parquet(str(s.output_directory))
+        n_out = self.spark.read.parquet(str(s.output_directory)).count()
+        n_clusters = comps.select("component").distinct().count()
+        return JobResponse(
+            status_code=200,
+            message="ok",
+            data=json.dumps(
+                {
+                    "rows_in": n_in,
+                    "rows_out": n_out,
+                    "near_dup_clusters": n_clusters,
                     "rows_dropped": n_in - n_out,
                     "seconds": round(time.time() - started, 3),
                 }

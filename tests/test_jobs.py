@@ -141,3 +141,56 @@ def test_compaction_job_reduces_file_count(spark, tmp_path):
     n_files = len(list(out.glob("part-*.parquet")))
     assert n_files == metrics["output_files"] < 64
     assert spark.read.parquet(str(out)).count() == metrics["rows_written"] == orders.count()
+
+
+def test_near_dup_resolve_job_collapses_planted_clusters(spark, tmp_path):
+    from aind_data_transformation_spark.jobs import (
+        NearDupResolveJob,
+        NearDupResolveJobSettings,
+    )
+
+    # Plant near-dup clusters: for each of 5 base docs, add two variants
+    # that differ by one appended token (trigram-Jaccard stays >= 0.7 for
+    # long docs), on top of a corpus of distinct docs.
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .where("length(text) > 400")
+        .orderBy("doc_id")
+        .limit(40)
+        .select("doc_id", "text")
+        .cache()
+    )
+    base = docs.limit(5)
+    v1 = base.selectExpr(
+        "doc_id + 1000000 AS doc_id", "concat(text, ' extrawordone') AS text"
+    )
+    v2 = base.selectExpr(
+        "doc_id + 2000000 AS doc_id", "concat(text, ' extrawordtwo') AS text"
+    )
+    src = tmp_path / "planted"
+    docs.unionByName(v1).unionByName(v2).write.parquet(str(src))
+
+    out = tmp_path / "resolved"
+    resp = NearDupResolveJob(
+        NearDupResolveJobSettings(
+            input_source=str(src), output_directory=str(out)
+        ),
+        spark=spark,
+    ).run_job()
+    assert resp.status_code == 200
+    metrics = json.loads(resp.data)
+    assert metrics["rows_in"] == 50
+
+    survivors = {
+        r.doc_id for r in spark.read.parquet(str(out)).select("doc_id").collect()
+    }
+    # No planted variant can survive: each variant's cluster contains its
+    # base doc, whose id is smaller, so the variant is never the cluster
+    # minimum. (Base docs themselves may merge into bigger clusters — the
+    # source corpus has its own planted near-dups — so we don't assert
+    # on them individually.)
+    assert all(doc_id < 1000000 for doc_id in survivors)
+    # at least the 10 planted variants were dropped, bookkeeping consistent
+    assert metrics["rows_dropped"] >= 10
+    assert metrics["rows_out"] + metrics["rows_dropped"] == 50
+    assert len(survivors) == metrics["rows_out"]
