@@ -28,6 +28,7 @@ _CATEGORY_MODULES = (
     "sinks",
     "streaming_batch",
     "tpch",
+    "tpch2",
     "analytics",
     "corpus",
     "timeseries",
