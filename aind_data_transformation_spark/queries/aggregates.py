@@ -8,7 +8,7 @@ grouping keys, no sort — which is the scalable plan at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
 from aind_data_transformation_spark.queries.numeric import (
@@ -221,6 +221,65 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corr/covar built from exact int64 power sums so both engines feed the
+#: identical doubles into the identical closed-form expressions — a bare
+#: ``corr(double, double)`` would drift by partial-aggregation order.
+_CORR_FORMULAS = """
+    CAST(n AS DOUBLE) AS n_rows,
+    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      AS corr_bal_key,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      / CAST(n AS DOUBLE) AS covar_pop_c,
+    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      / CAST(n - 1 AS DOUBLE) AS covar_samp_c
+"""
+
+
+def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance (pop/samp) of account balance vs
+    customer key per market segment. The five power sums are exact int64
+    aggregates (associative, order-free); the closed-form combination is
+    the verbatim same SQL text on both engines, so the doubles are
+    bit-identical. This is also the scalable shape: one partial+final
+    hash agg, no second pass for the means."""
+    c = load_table(spark, sf_dir, "customer")
+    x = cents("c_acctbal")
+    y = F.col("c_custkey")
+    sums = c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    return sums.selectExpr("c_mktsegment", *_CORR_FORMULAS.split(",\n"))
+
+
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent order priority per
+    order status, ties broken by the smaller priority string (a bare
+    ``mode()`` breaks ties arbitrarily in both engines — unhashable)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
 QUERIES = {
     "agg_group": q_agg_group,
     "agg_distinct": q_agg_distinct,
@@ -230,6 +289,8 @@ QUERIES = {
     "agg_collect": q_agg_collect,
     "agg_minmax_by": q_agg_minmax_by,
     "agg_percentiles": q_agg_percentiles,
+    "agg_corr_covar": q_agg_corr_covar,
+    "agg_mode": q_agg_mode,
 }
 
 ORACLES = {
@@ -277,5 +338,29 @@ ORACLES = {
                quantile_cont({_PRICE}, 0.95) / 100.0 AS p95_price,
                COUNT(l_extendedprice) AS n_rows
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg_corr_covar": f"""
+        WITH sums AS (
+            SELECT c_mktsegment,
+                   COUNT(*) AS n,
+                   SUM({sql_cents('c_acctbal')}) AS sx,
+                   SUM(c_custkey) AS sy,
+                   SUM({sql_cents('c_acctbal')} * c_custkey) AS sxy,
+                   SUM({sql_cents('c_acctbal')} * {sql_cents('c_acctbal')}) AS sxx,
+                   SUM(c_custkey * c_custkey) AS syy
+            FROM customer GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, {_CORR_FORMULAS}
+        FROM sums
+    """,
+    "agg_mode": """
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+                   row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        WHERE rn = 1
     """,
 }

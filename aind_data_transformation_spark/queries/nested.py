@@ -105,11 +105,35 @@ def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra + construction: sequence, union/intersect/except,
+    slice, reverse, position, max/min, flatten. Set results are sorted on
+    both sides (Spark preserves first-arg order, DuckDB's list setops
+    don't guarantee any) so the comparison is order-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = F.sequence(F.lit(1), F.col("l_linenumber").cast("int"))
+    b = F.sequence(F.lit(3), F.lit(8))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sort_array(F.array_union(a, b)).alias("u"),
+        F.sort_array(F.array_intersect(a, b)).alias("i"),
+        F.sort_array(F.array_except(b, a)).alias("x"),
+        F.slice(b, 2, 3).alias("sl"),
+        F.reverse(a).alias("rev"),
+        F.array_position(b, 5).cast("bigint").alias("pos5"),
+        F.array_max(a).cast("bigint").alias("amax"),
+        F.array_min(b).cast("bigint").alias("bmin"),
+        F.flatten(F.array(a, b)).alias("flat"),
+    )
+
+
 QUERIES = {
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
     "fn_json": q_fn_json,
     "fn_struct": q_fn_struct,
+    "fn_array_setops": q_fn_array_setops,
 }
 
 ORACLES = {
@@ -171,5 +195,24 @@ ORACLES = {
                    user_id := user_id,
                    k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS round_trip
         FROM events
+    """,
+    "fn_array_setops": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber,
+                   range(1, l_linenumber + 1) AS a,
+                   range(3, 9) AS b
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               list_sort(list_distinct(list_concat(a, b))) AS u,
+               list_sort(list_intersect(a, b)) AS i,
+               list_sort(list_filter(b, x -> NOT list_contains(a, x))) AS x,
+               list_slice(b, 2, 4) AS sl,
+               list_reverse(a) AS rev,
+               CAST(list_position(b, 5) AS BIGINT) AS pos5,
+               CAST(list_max(a) AS BIGINT) AS amax,
+               CAST(list_min(b) AS BIGINT) AS bmin,
+               flatten([a, b]) AS flat
+        FROM base
     """,
 }

@@ -89,11 +89,68 @@ def q_fn_cast_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar family: coalesce / nullif / ifnull / greatest /
+    least / if — all codegen'd null-safe branches, no shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
+        F.nullif(F.round(bal).cast("bigint") % 10, F.lit(0)).alias("lastdig_or_null"),
+        F.expr("ifnull(nullif(c_mktsegment, 'MACHINERY'), '<none>')").alias(
+            "seg_not_machinery"
+        ),
+        F.when(bal > 5000.0, F.lit("rich")).otherwise(F.lit("normal")).alias("tier"),
+    )
+
+
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family over the integer keys: and/or/xor, shifts,
+    popcount."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("l_orderkey & l_partkey").alias("k_and"),
+        F.expr("l_orderkey | l_partkey").alias("k_or"),
+        F.expr("l_orderkey ^ l_partkey").alias("k_xor"),
+        F.shiftleft(F.col("l_linenumber"), 2).cast("bigint").alias("line_shl2"),
+        F.shiftright(F.col("l_orderkey"), 1).cast("bigint").alias("key_shr1"),
+        F.bit_count("l_orderkey").cast("bigint").alias("key_popcount"),
+    )
+
+
+def q_fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family on document text: match, count-all, extract, global
+    replace."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        t.rlike("[0-9]").alias("has_digit"),
+        F.size(F.regexp_extract_all(t, F.lit("[aeiou]{2}"), 0))
+        .cast("bigint")
+        .alias("n_double_vowels"),
+        F.regexp_extract(t, r"^(\S+)", 1).alias("first_word"),
+        F.length(F.regexp_replace(t, r"[aeiou]", "")).cast("bigint").alias(
+            "len_no_vowels"
+        ),
+    )
+
+
 QUERIES = {
     "fn_string": q_fn_string,
     "fn_date": q_fn_date,
     "fn_math": q_fn_math,
     "fn_cast_decimal": q_fn_cast_decimal,
+    "fn_conditional": q_fn_conditional,
+    "fn_bitwise": q_fn_bitwise,
+    "fn_regexp": q_fn_regexp,
 }
 
 ORACLES = {
@@ -149,5 +206,36 @@ ORACLES = {
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_custkey
+    """,
+    "fn_conditional": """
+        SELECT c_custkey,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+               greatest(c_acctbal, 0.0) AS bal_floor0,
+               least(c_acctbal, 1000.0) AS bal_cap1000,
+               nullif(CAST(round(c_acctbal) AS BIGINT) % 10, 0) AS lastdig_or_null,
+               ifnull(nullif(c_mktsegment, 'MACHINERY'), '<none>') AS seg_not_machinery,
+               CASE WHEN c_acctbal > 5000.0 THEN 'rich' ELSE 'normal' END AS tier
+        FROM customer
+    """,
+    "fn_bitwise": """
+        SELECT l_orderkey,
+               l_linenumber,
+               l_orderkey & l_partkey AS k_and,
+               l_orderkey | l_partkey AS k_or,
+               xor(l_orderkey, l_partkey) AS k_xor,
+               CAST(l_linenumber << 2 AS BIGINT) AS line_shl2,
+               CAST(l_orderkey >> 1 AS BIGINT) AS key_shr1,
+               CAST(bit_count(l_orderkey) AS BIGINT) AS key_popcount
+        FROM lineitem
+    """,
+    "fn_regexp": r"""
+        SELECT doc_id,
+               regexp_matches(text, '[0-9]') AS has_digit,
+               CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+                   AS n_double_vowels,
+               regexp_extract(text, '^(\S+)', 1) AS first_word,
+               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+                   AS len_no_vowels
+        FROM documents
     """,
 }

@@ -108,12 +108,40 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day trailing spend per customer: a bounded RANGE frame over a
+    tz-free day index (``datediff`` vs a fixed epoch — never
+    timestamp->unix seconds, which would bend around DST under a hostile
+    session timezone). One shuffle on the partition key; the frame scan is
+    a per-partition sliding pointer, O(n) per partition."""
+    o = load_table(spark, sf_dir, "orders")
+    o = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1990-01-01")).cast("long").alias("day_idx"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    w30 = (
+        Window.partitionBy("o_custkey").orderBy("day_idx").rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_idx",
+        (F.sum("price_c").over(w30).cast("double") / F.lit(100.0)).alias(
+            "spend_trailing_30d"
+        ),
+        F.count(F.lit(1)).over(w30).alias("orders_trailing_30d"),
+    )
+
+
 QUERIES = {
     "win_rank": q_win_rank,
     "win_running": q_win_running,
     "win_lag_lead": q_win_lag_lead,
     "win_ntile_cume": q_win_ntile_cume,
     "topk_per_group": q_topk_per_group,
+    "win_range_interval": q_win_range_interval,
 }
 
 ORACLES = {
@@ -166,5 +194,20 @@ ORACLES = {
                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
         FROM orders
         QUALIFY rn <= 3
+    """,
+    "win_range_interval": """
+        WITH base AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS day_idx,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey, day_idx,
+               CAST(SUM(price_c) OVER w30 AS DOUBLE) / 100.0 AS spend_trailing_30d,
+               COUNT(*) OVER w30 AS orders_trailing_30d
+        FROM base
+        WINDOW w30 AS (PARTITION BY o_custkey ORDER BY day_idx
+                       RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
     """,
 }
