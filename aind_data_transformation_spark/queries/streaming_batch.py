@@ -169,8 +169,49 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin: each click pairs with the
+    same user's purchases within the following 30 minutes. In the
+    streaming form (streaming/jobs.py:click_purchase_join) both sides
+    carry a watermark and the time-range condition bounds join state to
+    ~(watermark + 30 min) of buffered rows per side — without the range
+    predicate a stream-stream join would have to keep every row forever."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("c_uid").alias("user_id"),
+            "click_ts",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
 QUERIES = {
     "stream_static_join": q_stream_static_join,
+    "stream_stream_join": q_stream_stream_join,
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
     "stream_session": q_stream_session,
@@ -180,6 +221,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_stream_join": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id AS user_id,
+               c.ts AS click_ts,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events c
+        JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '30 minutes'
+        WHERE c.event_type = 'click'
+          AND p.event_type = 'purchase'
+    """,
     "stream_static_join": f"""
         SELECT n_name,
                COUNT(*) AS n_events,

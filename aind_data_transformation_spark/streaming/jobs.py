@@ -200,6 +200,44 @@ def nation_enriched_counts(events: DataFrame, nation: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: clicks pair with the same user's
+    purchases in the following 30 minutes. Both inputs are event streams
+    with their own watermark; the time-range condition lets Spark expire
+    buffered state once the other side's watermark passes
+    ``click_ts + 30 min`` — state stays bounded at (watermark delay +
+    interval) per side regardless of stream length. Batch twin:
+    queries/streaming_batch.q_stream_stream_join."""
+    c = clicks.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", WATERMARK_DELAY)
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK_DELAY)
+    return c.join(
+        p,
+        F.expr(
+            """
+            c_uid = p_uid
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 30 minutes
+            """
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_uid").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_available_now(df: DataFrame, *, mode: str) -> list:
     """Drain a stream built on a bounded source with AvailableNow into a
     memory sink; returns the collected rows. Test/dev helper — production
@@ -216,6 +254,56 @@ def run_available_now(df: DataFrame, *, mode: str) -> list:
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+
+
+def upsert_stream_foreach_batch(
+    updates: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: list,
+):
+    """CDC apply: drain a stream of upserts into a parquet snapshot via
+    ``foreachBatch`` + ``ops.merge_upsert``. Each micro-batch rewrites the
+    snapshot with update rows replacing same-key rows (last-writer-wins
+    within a batch is made deterministic by max_by on event time upstream).
+
+    This is the production shape for "stream into a mutable table" without
+    a lakehouse format: foreachBatch gives exactly-once-per-batch batch
+    semantics (checkpoint tracks the applied batch id), and the merge is
+    one anti-join + union per batch. The double-buffer write (tmp dir then
+    swap) keeps readers from seeing a half-written snapshot; a real
+    deployment would swap a metastore pointer instead. Returns the started
+    StreamingQuery.
+    """
+    import shutil
+
+    from aind_data_transformation_spark.ops import merge_upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            return
+        try:
+            base = spark.read.parquet(target_dir)
+        except Exception:
+            base = None
+        merged = (
+            merge_upsert(base, batch_df.select(*base.columns), key_cols)
+            if base is not None
+            else batch_df
+        )
+        tmp = f"{target_dir}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target_dir, ignore_errors=True)
+        shutil.move(tmp, target_dir)
+
+    return (
+        updates.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def write_stream_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str, *, mode: str = "append"):

@@ -113,3 +113,46 @@ def test_stream_incremental_two_batches(spark, tmp_path):
         for r in last.itertuples()
     }
     assert final == want
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Watermarked stream-stream interval join == its batch twin. Two
+    independent file-stream sources over the same events dir (as two
+    different streams would be in production)."""
+    clicks = jobs.read_events_stream(spark, TEST_SF_DIR)
+    purchases = jobs.read_events_stream(spark, TEST_SF_DIR)
+    rows = jobs.run_available_now(
+        jobs.click_purchase_join(clicks, purchases), mode="append"
+    )
+    got = canon_frame(_rows_to_pdf(rows))
+    want = canon_frame(sb.q_stream_stream_join(spark, TEST_SF_DIR).toPandas())
+    assert got == want
+    assert len(rows) > 0
+
+
+def test_upsert_stream_foreach_batch_applies_cdc(spark, tmp_path):
+    """Stream of updates merged into a parquet snapshot via foreachBatch:
+    pre-seeded stale rows (value=-1) are replaced key-by-key; final
+    snapshot equals the deduped batch view of the events table."""
+    import os
+
+    target = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch = sb.q_stream_dedup(spark, TEST_SF_DIR)  # event_id unique
+    # seed the snapshot with stale versions of half the keys
+    batch.where("event_id % 2 = 0").withColumn(
+        "value", F.lit(-1.0)
+    ).write.parquet(target)
+
+    updates = jobs.dedup_events(jobs.read_events_stream(spark, TEST_SF_DIR))
+    q = jobs.upsert_stream_foreach_batch(updates, target, ckpt, ["event_id"])
+    q.awaitTermination()
+
+    got = canon_frame(
+        spark.read.parquet(target)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .toPandas()
+    )
+    want = canon_frame(batch.toPandas())
+    assert got == want  # every stale row replaced, no key lost or duped
