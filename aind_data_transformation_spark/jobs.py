@@ -22,7 +22,7 @@ from __future__ import annotations
 import json
 import time
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from aind_data_transformation_spark.core import (
     GenericSparkEtl,
@@ -55,13 +55,19 @@ class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
             )
         if s.input_format == "json":
             return reader.json(str(s.input_source))
+        if s.input_format == "orc":
+            return reader.orc(str(s.input_source))
         raise ValueError(f"unsupported input_format: {s.input_format}")
 
     def run_job(self) -> JobResponse:
         started = time.time()
         s = self.job_settings
         df = self._read()
-        n_rows = df.count()
+        # row count rides along with the write (df.observe) — a separate
+        # count() would scan the full input a second time, which at 100 TB
+        # doubles the job cost
+        obs = Observation("fmt_conv")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         if s.target_partitions:
             df = df.repartition(s.target_partitions)
         writer = df.write.mode("overwrite").option("compression", s.compression)
@@ -74,6 +80,8 @@ class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
             writer.option("header", "true").csv(out)
         elif s.output_format == "json":
             writer.json(out)
+        elif s.output_format == "orc":
+            writer.orc(out)
         else:
             return JobResponse(
                 status_code=400,
@@ -84,7 +92,7 @@ class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
             message="ok",
             data=json.dumps(
                 {
-                    "rows_written": n_rows,
+                    "rows_written": int(obs.get["n_rows"]),
                     "output_format": s.output_format,
                     "compression": s.compression,
                     "seconds": round(time.time() - started, 3),
@@ -118,7 +126,8 @@ class CompactionJob(GenericSparkEtl[CompactionJobSettings]):
         fs = path.getFileSystem(jsc.hadoopConfiguration())
         total_bytes = fs.getContentSummary(path).getLength()
         n_files = max(1, -(-total_bytes // s.target_file_bytes))  # ceil
-        n_rows = df.count()
+        obs = Observation("compaction")
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         df.repartition(int(n_files)).write.mode("overwrite").option(
             "compression", s.compression
         ).parquet(str(s.output_directory))
@@ -127,7 +136,7 @@ class CompactionJob(GenericSparkEtl[CompactionJobSettings]):
             message="ok",
             data=json.dumps(
                 {
-                    "rows_written": n_rows,
+                    "rows_written": int(obs.get["n_rows"]),
                     "input_bytes": int(total_bytes),
                     "output_files": int(n_files),
                     "seconds": round(time.time() - started, 3),
@@ -154,7 +163,12 @@ class CorpusCleanJob(GenericSparkEtl[CorpusCleanJobSettings]):
         started = time.time()
         s = self.job_settings
         docs = self.spark.read.parquet(str(s.input_source))
-        n_in = docs.count()
+        # both counts ride the single write pass: one observation on the
+        # raw scan, one on the final plan — no extra count() scan of the
+        # input and no re-read of the output
+        obs_in = Observation("corpus_in")
+        obs_out = Observation("corpus_out")
+        docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
 
         toks = F.split("text", " ")
         gated = docs.where(
@@ -167,11 +181,13 @@ class CorpusCleanJob(GenericSparkEtl[CorpusCleanJobSettings]):
             gated.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .drop("rn")
+            .observe(obs_out, F.count(F.lit(1)).alias("n"))
         )
         deduped.write.mode("overwrite").option(
             "compression", s.compression
         ).parquet(str(s.output_directory))
-        n_out = self.spark.read.parquet(str(s.output_directory)).count()
+        n_in = int(obs_in.get["n"])
+        n_out = int(obs_out.get["n"])
         return JobResponse(
             status_code=200,
             message="ok",

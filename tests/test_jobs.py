@@ -194,3 +194,31 @@ def test_near_dup_resolve_job_collapses_planted_clusters(spark, tmp_path):
     assert metrics["rows_dropped"] >= 10
     assert metrics["rows_out"] + metrics["rows_dropped"] == 50
     assert len(survivors) == metrics["rows_out"]
+
+
+def test_format_conversion_orc_roundtrip(spark, tmp_path):
+    """parquet -> orc -> parquet through two job runs preserves rows."""
+    orc_dir, back_dir = tmp_path / "as_orc", tmp_path / "back"
+    r1 = FormatConversionJob(
+        FormatConversionJobSettings(
+            input_source=f"{TEST_SF_DIR}/customer.parquet",
+            output_directory=str(orc_dir),
+            output_format="orc",
+        ),
+        spark=spark,
+    ).run_job()
+    assert r1.status_code == 200
+    r2 = FormatConversionJob(
+        FormatConversionJobSettings(
+            input_source=str(orc_dir),
+            input_format="orc",
+            output_directory=str(back_dir),
+            output_format="parquet",
+        ),
+        spark=spark,
+    ).run_job()
+    assert r2.status_code == 200
+    orig = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
+    back = spark.read.parquet(str(back_dir))
+    assert back.count() == orig.count() == json.loads(r2.data)["rows_written"]
+    assert set(back.columns) == set(orig.columns)

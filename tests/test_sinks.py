@@ -34,3 +34,43 @@ def test_repartition_sink_file_count(spark):
     out = _scratch("orders_repart")
     files = glob.glob(os.path.join(out, "part-*.parquet"))
     assert len(files) == 8
+
+
+def test_binaryfile_source_ingests_media_blobs(spark, tmp_path):
+    """Multimodal ingestion path: opaque media files on disk -> Spark's
+    binaryFile source (path, modificationTime, length, content) ->
+    mapInPandas decode stage. The decode is the deterministic stand-in
+    (no codecs in this container); the source contract — binary content
+    column, per-file rows, partition-parallel decode — is real."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    media = tmp_path / "media"
+    media.mkdir()
+    blobs = {f"doc_{i}.bin": bytes([i]) * (100 + i) for i in range(8)}
+    for name, payload in blobs.items():
+        (media / name).write_bytes(payload)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(media))
+    )
+    assert {"path", "modificationTime", "length", "content"} <= set(files.columns)
+
+    def decode_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "name": pdf["path"].map(lambda p: p.rsplit("/", 1)[-1]),
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "first_byte": pdf["content"].map(lambda b: b[0]).astype("int64"),
+                }
+            )
+
+    decoded = files.select("path", "content").mapInPandas(
+        decode_batch, "name string, n_bytes long, first_byte long"
+    )
+    got = {r["name"]: (r["n_bytes"], r["first_byte"]) for r in decoded.collect()}
+    want = {n: (len(b), b[0]) for n, b in blobs.items()}
+    assert got == want
