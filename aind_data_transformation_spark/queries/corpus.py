@@ -96,7 +96,59 @@ def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(F.expr(_HASH_SPARK) < thr).withColumn("weight", weight)
 
 
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs that share any
+    8-token n-gram with the held-out benchmark set (sources src0/src1) —
+    the standard eval-leakage guard run before pretraining.
+
+    Shape: both sides explode to (gram, doc) pairs; the benchmark side is
+    orders of magnitude smaller, so its distinct gram set broadcasts and
+    the probe is a broadcast left-semi join — no shuffle of the training
+    corpus. Grams are matched as strings (not engine hashes) so the DuckDB
+    twin is exact. At 100 TB you'd hash the grams to 8-byte ints for the
+    broadcast and keep the same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+    grams = (
+        f"transform(sequence(0, size({toks}) - 8),"
+        f" i -> concat_ws(' ', slice({toks}, i + 1, 8)))"
+    )
+    is_bench = F.col("source").isin("src0", "src1")
+    bench_grams = (
+        d.where(is_bench)
+        .where(F.expr(f"size({toks}) >= 8"))
+        .select(F.explode(F.expr(grams)).alias("gram"))
+        .distinct()
+    )
+    train = d.where(~is_bench)
+    train_grams = train.where(F.expr(f"size({toks}) >= 8")).select(
+        "doc_id", "source", F.explode(F.expr(grams)).alias("gram")
+    )
+    contaminated = (
+        train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    return (
+        train.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(
+            contaminated.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_contaminated")
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_decontaminate": q_corpus_decontaminate,
     "dedup_clusters": q_dedup_clusters,
     "pack_sequences": q_pack_sequences,
     "sample_stratified": q_sample_stratified,
@@ -104,6 +156,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_decontaminate": """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ), bench_grams AS (
+            SELECT DISTINCT unnest(list_transform(
+                       range(1, len(t) - 6),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' ')
+                   )) AS gram
+            FROM toks
+            WHERE source IN ('src0', 'src1') AND len(t) >= 8
+        ), train_grams AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(1, len(t) - 6),
+                       i -> array_to_string(list_slice(t, i, i + 7), ' ')
+                   )) AS gram
+            FROM toks
+            WHERE source NOT IN ('src0', 'src1') AND len(t) >= 8
+        ), contaminated AS (
+            SELECT DISTINCT doc_id, source
+            FROM train_grams
+            WHERE gram IN (SELECT gram FROM bench_grams)
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               coalesce(MAX(c.n), 0) AS n_contaminated
+        FROM documents d
+        LEFT JOIN (
+            SELECT source, COUNT(*) AS n FROM contaminated GROUP BY source
+        ) c ON d.source = c.source
+        WHERE d.source NOT IN ('src0', 'src1')
+        GROUP BY d.source
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE pairs AS (
             {verified_pairs_sql(0.7)}

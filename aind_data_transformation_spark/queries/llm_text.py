@@ -308,7 +308,36 @@ _SIMHASH_BITS_DUCK = " + ".join(
     for j in range(16)
 )
 
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and phone-shaped tokens replaced with typed
+    placeholders, with per-doc redaction counts. The corpus is synthetic
+    and clean, so deterministic PII is injected first (same expression on
+    both engines) — the scrubber regexes are the real, reusable part.
+    Pure projection: stays in one codegen stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.expr(
+        "concat('contact user', doc_id, '@example.com ', text,"
+        " ' or call 555-', lpad(cast(doc_id % 10000 as string), 4, '0'))"
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"555-[0-9]{4}"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(email_re), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(phone_re), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
 QUERIES = {
+    "text_pii_scrub": q_text_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "lang_filter_quality": q_lang_filter_quality,
@@ -323,6 +352,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_pii_scrub": r"""
+        WITH dirty AS (
+            SELECT doc_id,
+                   concat('contact user', doc_id, '@example.com ', text,
+                          ' or call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                       AS dt
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(dt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(dt, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(dt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM dirty
+    """,
     "dedup_exact": """
         SELECT sha256(text) AS text_hash,
                MIN(doc_id) AS keep_doc_id,
