@@ -280,7 +280,20 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count and boolean aggregates per order status:
+    count_if, bool_and, bool_or — all map-side-combinable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_if(F.col("o_totalprice") > 100000.0).alias("n_big_orders"),
+        F.bool_and(F.col("o_totalprice") > 0.0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 QUERIES = {
+    "agg_countif_bool": q_agg_countif_bool,
     "agg_group": q_agg_group,
     "agg_distinct": q_agg_distinct,
     "agg_approx_distinct": q_agg_approx_distinct,
@@ -294,6 +307,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_countif_bool": """
+        SELECT o_orderstatus,
+               count_if(o_totalprice > 100000.0) AS n_big_orders,
+               bool_and(o_totalprice > 0.0) AS all_positive,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
     "agg_group": _AGG_GROUP_SQL,
     "agg_distinct": f"""
         SELECT l_returnflag,

@@ -125,6 +125,73 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: 4 deterministic pseudo-random hyperplanes over the 64-dim embedding
+#: space (Knuth multiplicative hash of (plane, dim) -> [-1, 1)). Generated
+#: once here and inlined as literals in BOTH the Spark expression and the
+#: DuckDB oracle, so the two engines hash with the exact same planes.
+_N_PLANES = 4
+_DIM = 64
+_PLANES = [
+    [
+        (((j * _DIM + i) * 2654435761) % 4294967296) / 2147483648.0 - 1.0
+        for i in range(_DIM)
+    ]
+    for j in range(_N_PLANES)
+]
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash) LSH similarity search: the 4 sign bits
+    of the plane projections bucket the corpus into 16 cells; each query
+    scores only its own cell.
+
+    This is the classic cosine-LSH scale path: the bucket id is a pure
+    column expression (index build = free byproduct of the scan), the
+    probe is an equi-join on the bucket key, and recall is tuned by the
+    plane count / multi-probe — none of which changes the plan shape. The
+    projection is rounded to 9 decimals before the sign test so bucket
+    assignment is bit-identical across engines."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    bucket = None
+    for j, plane in enumerate(_PLANES):
+        wj = F.array(*[F.lit(w) for w in plane])
+        bit = (F.round(_dot(F.col("emb"), wj), 9) > 0).cast("long") * (1 << j)
+        bucket = bit if bucket is None else bucket + bit
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    corpus = em.select(
+        "vec_id", "emb", bucket.alias("bucket"), norm.alias("nrm")
+    )
+    queries = corpus.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket").cast("bigint").alias("bucket"),
+            cos.alias("cos_r9"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection over a bounded candidate window
     (same label, vec_id within 16): pairs above 0.95 cosine.
@@ -206,6 +273,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "multimodal_decode_stub": q_multimodal_decode_stub,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 _DOT_DUCK = (
@@ -218,7 +286,44 @@ def _dot_duck(a: str, b: str) -> str:
     return _DOT_DUCK.format(a=a, b=b)
 
 
+def _plane_lit(plane: list) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]"
+
+
+_BUCKET_DUCK = " + ".join(
+    f"(CASE WHEN round(list_dot_product("
+    f"list_transform(embedding, x -> CAST(x AS DOUBLE)), {_plane_lit(p)}), 9) > 0"
+    f" THEN {1 << j} ELSE 0 END)"
+    for j, p in enumerate(_PLANES)
+)
+
+_ANN_LSH_SQL = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding,
+               {_BUCKET_DUCK} AS bucket,
+               sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+               bucket AS q_bucket, nrm AS q_nrm
+        FROM corpus WHERE vec_id < {_N_QUERIES}
+    ), scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(c.bucket AS BIGINT) AS bucket,
+               round({_dot_duck('c.embedding', 'q.q_emb')} / (c.nrm * q.q_nrm), 9)
+                   AS cos_r9
+        FROM corpus c JOIN queries q ON c.bucket = q.q_bucket
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_r9,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos_r9 DESC, neighbor_id ASC) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= {_TOP_K}
+"""
+
 ORACLES = {
+    "ann_lsh_topk": _ANN_LSH_SQL,
     "multimodal_join": """
         SELECT lang,
                COUNT(*) AS n_docs,
