@@ -1,0 +1,99 @@
+"""Custom connector via the Python DataSource API (Spark 4).
+
+The reference's domain is opaque-directory ETL (reference core.py:50-55 —
+``input_source`` is just a path whose payload only the concrete job
+understands). The Python DataSource API is the idiomatic Spark-4 way to
+turn such a proprietary payload into a first-class readable format:
+register once, then ``spark.read.format("name")`` — with real partition
+parallelism, schema projection, and no driver-side materialization.
+
+``RecordDataSource`` here reads a directory of length-prefixed binary
+record files (a stand-in for an instrument's raw dump format): each
+``*.rec`` file holds ``[uint32 len][payload bytes]*``. One input partition
+per file — Spark schedules files across executors exactly like a built-in
+source. A real deployment swaps ``_parse_file`` for the instrument codec.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RECORD_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("record_idx", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def write_record_file(path: str, payloads: list) -> None:
+    """Writer half of the format (for tests / roundtrips)."""
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(struct.pack("<I", len(p)))
+            f.write(p)
+
+
+def _parse_file(path: str):
+    with open(path, "rb") as f:
+        idx = 0
+        while True:
+            head = f.read(4)
+            if len(head) < 4:
+                return
+            (n,) = struct.unpack("<I", head)
+            yield (os.path.basename(path), idx, n, f.read(n))
+            idx += 1
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class RecordReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("record source requires a path option")
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.dir, f)
+            for f in os.listdir(self.dir)
+            if f.endswith(".rec")
+        )
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition):
+        yield from _parse_file(partition.path)
+
+
+class RecordDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "lenprefixed"
+
+    def schema(self):
+        return RECORD_SCHEMA
+
+    def reader(self, schema):
+        return RecordReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format('lenprefixed')``."""
+    spark.dataSource.register(RecordDataSource)

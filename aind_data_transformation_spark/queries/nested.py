@@ -128,7 +128,25 @@ def q_fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VariantType path (Spark 4): ``parse_json`` to an
+    open variant column, typed extraction with ``variant_get``, shredded
+    schema discovery with ``schema_of_variant``. The scale story vs
+    from_json-with-StructType: no fixed schema needed at write time, and
+    the binary variant encoding keeps extraction JVM-side."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        (F.variant_get(v, "$.k", "long") % 10).alias("k_mod10"),
+        F.schema_of_variant(v).alias("v_schema"),
+        F.variant_get(v, "$.missing", "string").alias("missing_field"),
+    )
+
+
 QUERIES = {
+    "fn_variant": q_fn_variant,
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
     "fn_json": q_fn_json,
@@ -194,6 +212,14 @@ ORACLES = {
                to_json(struct_pack(
                    user_id := user_id,
                    k := CAST(json_extract_string(props, '$.k') AS BIGINT))) AS round_trip
+        FROM events
+    """,
+    "fn_variant": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10,
+               'OBJECT<k: BIGINT>' AS v_schema,
+               CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_field
         FROM events
     """,
     "fn_array_setops": """

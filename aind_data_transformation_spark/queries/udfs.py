@@ -103,9 +103,41 @@ def q_udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("pos", F.col("pos").cast("bigint"))
 
 
+def q_udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-based Python UDTF (Spark 3.5+/4 ``@udtf``): per-document
+    token histogram rows — one row per distinct token with its count and
+    the doc's token total. Unlike posexplode this runs arbitrary Python
+    per input row, the genuine UDTF surface; still partition-parallel
+    (each task streams its rows through the UDTF)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="token: string, n: long, doc_total: long")
+    class TokenHist:
+        def eval(self, doc_id, text: str):
+            toks = text.split(" ")
+            total = len(toks)
+            counts: dict = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t in sorted(counts):
+                yield (t, counts[t], total)
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    spark.udtf.register("token_hist", TokenHist)
+    d.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, t.token, t.n, t.doc_total
+        FROM _udtf_docs,
+             LATERAL token_hist(doc_id, text) AS t
+        """
+    )
+
+
 _Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
 
 QUERIES = {
+    "udtf_python_class": q_udtf_python_class,
     "udf_python": q_udf_python,
     "udf_pandas": q_udf_pandas,
     "udaf_grouped": q_udaf_grouped,
@@ -113,6 +145,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udtf_python_class": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   len(string_split(text, ' ')) AS doc_total
+            FROM documents WHERE doc_id < 20
+        )
+        SELECT doc_id, token, COUNT(*) AS n, MAX(doc_total) AS doc_total
+        FROM toks
+        GROUP BY doc_id, token
+    """,
     "udf_python": r"""
         SELECT doc_id,
                substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,

@@ -74,3 +74,34 @@ def test_binaryfile_source_ingests_media_blobs(spark, tmp_path):
     got = {r["name"]: (r["n_bytes"], r["first_byte"]) for r in decoded.collect()}
     want = {n: (len(b), b[0]) for n, b in blobs.items()}
     assert got == want
+
+
+def test_python_datasource_reads_length_prefixed_records(spark, tmp_path):
+    """Custom Python DataSource (Spark 4 API): a proprietary
+    length-prefixed binary record format becomes a first-class
+    spark.read format with one partition per file."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import custom_source
+
+    d = tmp_path / "dump"
+    d.mkdir()
+    want = {}
+    for fi in range(3):
+        payloads = [bytes([fi]) * (5 + i) for i in range(4)]
+        custom_source.write_record_file(str(d / f"part{fi}.rec"), payloads)
+        want[f"part{fi}.rec"] = payloads
+
+    custom_source.register(spark)
+    df = spark.read.format("lenprefixed").option("path", str(d)).load()
+    assert df.rdd.getNumPartitions() == 3  # one per file
+    rows = df.orderBy("file", "record_idx").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["file"], []).append(bytes(r["payload"]))
+        assert r["n_bytes"] == len(r["payload"])
+    assert got == want
+    # projection works like any source
+    assert df.select(F.sum("n_bytes")).first()[0] == sum(
+        len(p) for ps in want.values() for p in ps
+    )
