@@ -267,7 +267,71 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: binary payload -> (w, h) "decode" ->
+    aspect-preserving resize to max side 256, via mapInPandas. The decode
+    derives dimensions deterministically from the payload length (no
+    image codec in this container — a real deployment replaces the two
+    marked lines with PIL/libvips); the Arrow-batched plumbing, integer
+    resize math, and output schema are the real deliverable."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def resize_batch(batches):
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            w = (n % 640 + 32).astype("int64")  # stand-in for decoded width
+            h = (n % 480 + 24).astype("int64")  # stand-in for decoded height
+            side = w.combine(h, max)
+            new_w = (w * 256 // side).astype("int64")
+            new_h = (h * 256 // side).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_w": w,
+                    "orig_h": h,
+                    "new_w": new_w,
+                    "new_h": new_h,
+                }
+            )
+
+    return with_payload.mapInPandas(
+        resize_batch,
+        "doc_id long, orig_w long, orig_h long, new_w long, new_h long",
+    )
+
+
+def q_multimodal_framesample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: binary "video" payload -> every 10th
+    frame as (frame_idx, byte_offset) rows — the one-blob-to-many-frames
+    expansion a video pipeline runs before per-frame featurization. Frame
+    count is derived from payload length (codec stub); the row expansion
+    itself is JVM-side explode, so only the (cheap) frame arithmetic
+    touches Python."""
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = (F.length("text") / F.lit(100)).cast("long")
+    return (
+        d.select("doc_id", n_frames.alias("nf"))
+        .where(F.col("nf") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("nf") - 1, F.lit(10))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("bigint").alias("frame_idx"),
+            (F.col("frame_idx") * 100).cast("bigint").alias("byte_offset"),
+        )
+    )
+
+
 QUERIES = {
+    "multimodal_resize_stub": q_multimodal_resize_stub,
+    "multimodal_framesample_stub": q_multimodal_framesample_stub,
     "multimodal_join": q_multimodal_join,
     "sim_search_topk": q_sim_search_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -324,6 +388,31 @@ _ANN_LSH_SQL = f"""
 
 ORACLES = {
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "multimodal_resize_stub": """
+        WITH dims AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) % 640 + 32 AS w,
+                   octet_length(encode(text)) % 480 + 24 AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS BIGINT) AS orig_w,
+               CAST(h AS BIGINT) AS orig_h,
+               CAST(w * 256 // greatest(w, h) AS BIGINT) AS new_w,
+               CAST(h * 256 // greatest(w, h) AS BIGINT) AS new_h
+        FROM dims
+    """,
+    "multimodal_framesample_stub": """
+        WITH vids AS (
+            SELECT doc_id, length(text) // 100 AS nf
+            FROM documents
+            WHERE length(text) // 100 > 0
+        )
+        SELECT doc_id,
+               CAST(unnest(range(0, nf, 10)) AS BIGINT) AS frame_idx,
+               CAST(unnest(range(0, nf, 10)) * 100 AS BIGINT) AS byte_offset
+        FROM vids
+    """,
     "multimodal_join": """
         SELECT lang,
                COUNT(*) AS n_docs,
