@@ -70,7 +70,12 @@ class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
         df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
         if s.target_partitions:
             df = df.repartition(s.target_partitions)
-        writer = df.write.mode("overwrite").option("compression", s.compression)
+        # columnar codecs (zstd) aren't available for the text sinks in a
+        # stock Hadoop build — degrade to gzip rather than fail the job
+        codec = s.compression
+        if s.output_format in ("csv", "json") and codec in ("zstd", "lz4raw"):
+            codec = "gzip"
+        writer = df.write.mode("overwrite").option("compression", codec)
         if s.partition_by:
             writer = writer.partitionBy(*s.partition_by)
         out = str(s.output_directory)
@@ -94,7 +99,7 @@ class FormatConversionJob(GenericSparkEtl[FormatConversionJobSettings]):
                 {
                     "rows_written": int(obs.get["n_rows"]),
                     "output_format": s.output_format,
-                    "compression": s.compression,
+                    "compression": codec,
                     "seconds": round(time.time() - started, 3),
                 }
             ),

@@ -99,3 +99,59 @@ def test_job_response_forbids_extras():
 
     with pytest.raises(Exception):
         JobResponse(status_code=200, unexpected="x")
+
+
+def test_cli_main_runs_job_from_json_string(spark, tmp_path, capsys):
+    """EP1 end-to-end: job name + -j JSON string -> JobResponse on
+    stdout, exit code 0."""
+    import json as _json
+
+    from aind_data_transformation_spark.__main__ import main
+
+    from tests.conftest import TEST_SF_DIR
+
+    out = tmp_path / "cli_out"
+    code = main(
+        [
+            "format_conversion",
+            "-j",
+            _json.dumps(
+                {
+                    "input_source": f"{TEST_SF_DIR}/region.parquet",
+                    "output_directory": str(out),
+                    "output_format": "json",
+                }
+            ),
+        ],
+        spark=spark,
+    )
+    assert code == 0
+    resp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resp["status_code"] == 200
+    assert _json.loads(resp["data"])["rows_written"] == 5
+
+
+def test_cli_main_env_var_entrypoint(spark, tmp_path, capsys, monkeypatch):
+    """EP3: zero-arg settings from TRANSFORMATION_JOB_* env vars."""
+    import json as _json
+
+    from aind_data_transformation_spark.__main__ import main
+
+    from tests.conftest import TEST_SF_DIR
+
+    out = tmp_path / "cli_env_out"
+    monkeypatch.setenv(
+        "TRANSFORMATION_JOB_INPUT_SOURCE", f"{TEST_SF_DIR}/nation.parquet"
+    )
+    monkeypatch.setenv("TRANSFORMATION_JOB_OUTPUT_DIRECTORY", str(out))
+    code = main(["format_conversion"], spark=spark)
+    assert code == 0
+    resp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resp["status_code"] == 200
+    assert out.exists()
+
+
+def test_cli_main_rejects_unknown_job():
+    from aind_data_transformation_spark.__main__ import main
+
+    assert main(["not_a_job"]) == 2

@@ -202,3 +202,39 @@ def test_fn_scalar_families_stay_in_codegen(spark):
     for key in ("fn_conditional", "fn_bitwise", "fn_regexp"):
         plan = plan_of(spark, key)
         assert "Exchange" not in plan, key
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join handling, demonstrated: one hot key carrying ~90% of
+    the left side is split across tasks at runtime (the executed adaptive
+    plan marks the sort-merge join 'skew=true'). This plus ops.salted_join
+    are the two skew defenses SURVEY.md §4 commits to."""
+    from pyspark.sql import functions as F
+
+    left = spark.range(0, 200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(0, 2_000).select(F.col("id").alias("k"))
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = left.join(right, "k")
+        # 180k rows with hot key 7 + the 200 ids divisible by 10 below 2000
+        assert len(joined.collect()) == 180_200
+        # the SAME query execution (collect finalizes the adaptive plan;
+        # count() would plan a separate query)
+        executed = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in executed
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
