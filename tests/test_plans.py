@@ -238,3 +238,27 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned layout (the sink_parquet_partitioned output shape)
+    prunes at planning time: a filter on the partition column appears in
+    PartitionFilters and non-matching directories are never scanned."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_part")
+    spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet").write.partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "o_orderstatus" in pf
+    # pruning actually reduced the scan: selected files all live under
+    # the matching partition directory
+    files = [r.filePath for r in df.select(F.input_file_name().alias("filePath")).distinct().collect()]
+    assert files and all("o_orderstatus=F" in f for f in files)
