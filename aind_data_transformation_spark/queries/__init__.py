@@ -32,6 +32,10 @@ _CATEGORY_MODULES = (
     "analytics",
     "corpus",
     "timeseries",
+    "behavior",
+    "text_mining",
+    "vector_ops",
+    "extras",
 )
 
 

@@ -1,0 +1,212 @@
+"""Event-behavior analytics over the ``events`` stream table: funnel
+conversion, cohort retention, SCD2 history building, and z-score anomaly
+flagging. These are the product-analytics queries an event warehouse runs
+constantly; each is a pure DataFrame composition with a DuckDB oracle twin.
+
+Scale notes (the shapes that survive 100 TB):
+* every aggregation is keyed by ``user_id`` or ``event_type`` — one shuffle
+  each, partial-aggregated map-side; nothing collects to the driver;
+* the funnel's step tables are per-user aggregates (|users| << |events|),
+  so the step joins shuffle only the reduced side;
+* z-score moments use the integer-cents scheme from ``numeric.py`` so the
+  group statistics are exactly associative (safe under any partitioning)
+  and hash-match the oracle bit-for-bit.
+
+Capability parity note: the reference framework (core.py:84-110) leaves all
+processing to ``run_job`` subclasses; these queries are engine-side concrete
+workloads exercising that slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user counts for a step
+    only if the step's event happened strictly AFTER the user's entry into
+    the previous step (min-timestamp semantics). Returns one row of step
+    counts.
+
+    Three per-user conditional aggregations; each reduces events to one row
+    per user before the next join, so the joins move user-cardinality data,
+    not event-cardinality."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t_view = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        e.where(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n1 = t_view.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = t_click.agg(F.count(F.lit(1)).alias("n_click"))
+    n3 = t_purchase.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return n1.crossJoin(n2).crossJoin(n3)
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    (cohort_day, day_offset <= 7) the number of distinct users active that
+    many days after their first day. Two shuffles total (per-user min, then
+    the cohort/offset count-distinct)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("active_day")
+    ).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("active_day"), F.col("cohort_day")).cast("long"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a slowly-changing-dimension (type 2) history from the event
+    log: per user, each event opens a version valid until the next event
+    (``valid_to`` NULL on the current version). Deterministic ordering by
+    (ts, event_id) so ties are stable. One window shuffle on user_id —
+    exactly the merge a warehouse dimension-build runs incrementally."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers: flag events whose value is more
+    than 2 population standard deviations from the type mean. Group moments
+    accumulate in exact integer cents (order-independent, associative), and
+    the z computation is the same double expression on identical operands
+    in both engines — bit-identical without rounding.
+
+    The moments aggregate produces 5 rows, broadcast back onto the event
+    scan: no second shuffle of the fact side."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    c = F.round(F.col("value") * 100).cast("long")
+    d38 = "decimal(38,0)"
+    moments = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(c.cast(d38)).cast("double").alias("s1"),
+        F.sum((c * c).cast(d38)).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    stats = moments.select(
+        "event_type", mean.alias("mean_c"), F.sqrt(var).alias("std_c")
+    )
+    z = (c.cast("double") - F.col("mean_c")) / F.col("std_c")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .where(F.abs(F.col("zscore")) > 2.0)
+    )
+
+
+QUERIES = {
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
+    "scd2_history": q_scd2_history,
+    "anomaly_zscore": q_anomaly_zscore,
+}
+
+ORACLES = {
+    "funnel_steps": """
+        WITH t_view AS (
+            SELECT user_id, MIN(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), t_click AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM events e JOIN t_view v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ), t_purchase AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM events e JOIN t_click c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(*) FROM t_view) AS n_view,
+               (SELECT COUNT(*) FROM t_click) AS n_click,
+               (SELECT COUNT(*) FROM t_purchase) AS n_purchase
+    """,
+    "retention_cohorts": """
+        WITH first AS (
+            SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
+            FROM events
+        )
+        SELECT f.cohort_day,
+               CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
+                   AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN first f ON a.user_id = f.user_id
+        WHERE date_diff('day', f.cohort_day, a.active_day) <= 7
+        GROUP BY 1, 2
+    """,
+    "scd2_history": """
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER w AS valid_to,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+               (LEAD(ts) OVER w IS NULL) AS is_current
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "anomaly_zscore": """
+        WITH c AS (
+            SELECT event_id, event_type, value,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS mean_c,
+                   sqrt(CAST(SUM(CAST(cents AS HUGEINT) * cents) AS DOUBLE)
+                            / CAST(COUNT(*) AS DOUBLE)
+                        - (CAST(SUM(cents) AS DOUBLE)
+                               / CAST(COUNT(*) AS DOUBLE))
+                          * (CAST(SUM(cents) AS DOUBLE)
+                                 / CAST(COUNT(*) AS DOUBLE))) AS std_c
+            FROM c GROUP BY event_type
+        )
+        SELECT c.event_id, c.event_type, c.value,
+               (CAST(c.cents AS DOUBLE) - s.mean_c) / s.std_c AS zscore
+        FROM c JOIN stats s ON c.event_type = s.event_type
+        WHERE abs((CAST(c.cents AS DOUBLE) - s.mean_c) / s.std_c) > 2.0
+    """,
+}
