@@ -36,6 +36,7 @@ _CATEGORY_MODULES = (
     "text_mining",
     "vector_ops",
     "extras",
+    "modern_sql",
 )
 
 

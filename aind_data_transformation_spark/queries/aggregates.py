@@ -110,6 +110,52 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Datasketches HLL (Spark 3.5+): per-group ``hll_sketch_agg``
+    binary sketches merged with ``hll_union_agg`` — the mergeable-sketch
+    pattern that makes count-distinct re-aggregable across partitions,
+    days, or pre-computed rollup tiles without ever re-touching raw rows
+    (the property ``approx_count_distinct`` alone lacks: its estimate is
+    final, sketches compose). Rows-only check — sketch internals are
+    engine-specific; tests/test_approx.py asserts the estimates land
+    within HLL's error envelope of the exact distinct counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", F.lit(14)).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_flag.groupBy().agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "approx_parts_total"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via re-aggregable bitmaps (Spark 3.5+
+    ``bitmap_*`` family): key -> (bucket, bit position), OR the per-bucket
+    bitmaps with ``bitmap_construct_agg``, then sum popcounts. Unlike HLL
+    this is exact, and unlike ``count_distinct`` the per-bucket bitmaps
+    are mergeable state — the 100 TB pattern for incremental/rollup
+    distinct counts (store bitmaps per partition-tile, OR them at query
+    time). Two hash-agg shuffles, both with map-side partials; dense int
+    keys make the bitmaps compact. Oracle: plain COUNT(DISTINCT)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select(
+            "l_returnflag",
+            F.bitmap_bucket_number("l_partkey").alias("bucket"),
+            F.bitmap_bit_position("l_partkey").alias("pos"),
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_distinct_parts")
+    )
+
+
 def q_agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via CUBE (supersets ROLLUP); subtotal rows are
     labeled with coalesce so the driver hash is unambiguous about nulls."""
@@ -297,6 +343,8 @@ QUERIES = {
     "agg_group": q_agg_group,
     "agg_distinct": q_agg_distinct,
     "agg_approx_distinct": q_agg_approx_distinct,
+    "agg_hll_sketch": q_agg_hll_sketch,
+    "agg_bitmap_distinct": q_agg_bitmap_distinct,
     "agg_rollup_cube": q_agg_rollup_cube,
     "agg_having": q_agg_having,
     "agg_collect": q_agg_collect,
@@ -314,6 +362,11 @@ ORACLES = {
                bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
                COUNT(*) AS n_orders
         FROM orders GROUP BY o_orderstatus
+    """,
+    "agg_bitmap_distinct": """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_distinct_parts
+        FROM lineitem GROUP BY l_returnflag
     """,
     "agg_group": _AGG_GROUP_SQL,
     "agg_distinct": f"""

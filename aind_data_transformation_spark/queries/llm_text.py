@@ -168,6 +168,60 @@ def q_text_tokens_bpeish(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters: per document the most-
+    frequent-word fraction and the duplicate-bigram fraction, plus the
+    resulting keep/drop decision (top word <= 30% of tokens AND < 20%
+    repeated bigrams — the classic "boilerplate / keyword-stuffing" gate).
+
+    Two shapes on purpose: the bigram metric is pure higher-order
+    functions (zero shuffle, codegen'd, embarrassingly parallel — the
+    100 TB shape), while the top-word metric uses the canonical
+    explode -> two-level groupBy, whose map-side partial aggregation
+    absorbs the per-doc repetition before any bytes move. Doubles are
+    single int/int divisions — bit-exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    top = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("n").cast("double") / F.sum("n").cast("double")).alias(
+                "top_word_frac"
+            )
+        )
+    )
+    # sequence(1, 0) would step *down* ([1, 0]) — guard short docs.
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup = base.select(
+        "doc_id",
+        F.when(
+            F.size(bigrams) >= 1,
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / F.size(bigrams).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+    return top.join(dup, "doc_id").select(
+        "doc_id",
+        "top_word_frac",
+        "dup_bigram_frac",
+        (
+            (F.col("top_word_frac") <= 0.3) & (F.col("dup_bigram_frac") < 0.2)
+        ).alias("keep"),
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Position-weighted rolling checksum fingerprint:
     ``sum((pos+1) * tokval(t)) mod 1e9+7`` — order-sensitive like a rolling
@@ -344,6 +398,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_quality_score": q_text_quality_score,
     "text_tokens_bpeish": q_text_tokens_bpeish,
+    "text_repetition": q_text_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_fuzzy_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
@@ -432,6 +487,38 @@ ORACLES = {
                CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS regex_tokens,
                (n_chars + 3) // 4 AS bpe_budget
         FROM documents
+    """,
+    "text_repetition": f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS_DUCK} AS toks FROM documents
+        ), top AS (
+            SELECT doc_id,
+                   CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                       AS top_word_frac
+            FROM (
+                SELECT doc_id, w, COUNT(*) AS n
+                FROM (SELECT doc_id, unnest(toks) AS w FROM base)
+                GROUP BY doc_id, w
+            )
+            GROUP BY doc_id
+        ), dup AS (
+            SELECT doc_id,
+                   CASE WHEN len(bigrams) >= 1 THEN
+                       1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                           / CAST(len(bigrams) AS DOUBLE)
+                   ELSE 0.0 END AS dup_bigram_frac
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(toks) >= 2 THEN
+                           list_transform(range(1, len(toks)),
+                                          i -> toks[i] || ' ' || toks[i+1])
+                       ELSE [] END AS bigrams
+                FROM base
+            )
+        )
+        SELECT top.doc_id, top_word_frac, dup_bigram_frac,
+               (top_word_frac <= 0.3 AND dup_bigram_frac < 0.2) AS keep
+        FROM top JOIN dup USING (doc_id)
     """,
     "doc_fingerprint": f"""
         WITH toks AS (

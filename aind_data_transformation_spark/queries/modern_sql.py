@@ -1,0 +1,276 @@
+"""Modern-SQL surface (Spark 4) plus composite pipelines: recursive CTEs,
+string collations, timestamp construction, distinct-count-over-window
+emulation, OHLC time-series downsampling, and the end-to-end corpus
+preparation pipeline that chains the LLM-data operators into one plan.
+
+Dialect notes are per-query; everything here remains hash-exact against
+DuckDB (integer counts, picked — not summed — doubles, or identical final
+double arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+
+def q_sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): build a day calendar
+    dimension spanning the event stream's date range from a pure integer
+    recursion, then left-join zero-filled per-day event counts — the
+    standard warehouse calendar-dim pattern for engines without a
+    ``sequence()`` table function.
+
+    The recursion is driver-side tiny (one row per day, depth bounded
+    under Spark's default ``cteRecursionLevelLimit`` of 100); the per-day
+    count is one shuffle of pre-aggregated map-side partials. Bounds come
+    from a separate scalar aggregate so the recursive member stays
+    subquery-free (both engines restrict recursive-term subqueries). The
+    day key is CAST to TIMESTAMP on output purely for cross-engine dtype
+    parity (DuckDB DATE surfaces as datetime64)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE series(i) AS (
+            SELECT 0
+            UNION ALL
+            SELECT i + 1 FROM series WHERE i < 90
+        ),
+        bounds AS (
+            SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+                   CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+            FROM events_rc
+        ),
+        days AS (
+            SELECT date_add(b.d0, s.i) AS day
+            FROM series s CROSS JOIN bounds b
+            WHERE date_add(b.d0, s.i) <= b.d1
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events_rc GROUP BY 1
+        )
+        SELECT CAST(d.day AS TIMESTAMP) AS day, COALESCE(dd.n, 0) AS n_events
+        FROM days d LEFT JOIN daily dd ON d.day = dd.day
+        """
+    )
+
+
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4 ``collate``): distinct counts of a
+    mixed-case name column under binary (UTF8_BINARY) vs case-insensitive
+    (UTF8_LCASE) collation. The oracle expresses case-insensitivity as
+    ``lower()`` — same semantics, pre-collation spelling."""
+    c = load_table(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper("c_name")
+        ).otherwise(F.col("c_name")).alias("name_cased")
+    ).unionAll(c.select(F.col("c_name").alias("name_cased")))
+    return mixed.agg(
+        F.count_distinct("name_cased").alias("n_case_sensitive"),
+        F.count_distinct(
+            F.expr("collate(name_cased, 'UTF8_LCASE')")
+        ).alias("n_case_insensitive"),
+    )
+
+
+def q_fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp construction: decompose o_orderdate into (y, m, d), rebuild
+    with ``make_date`` / ``make_timestamp``, and shift with calendar
+    intervals (month arithmetic clamps end-of-month identically in both
+    engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    y, m, d = F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+    rebuilt = F.make_date(y, m, d)
+    # DATE results are CAST to TIMESTAMP on both engines purely for dtype
+    # parity in the hash compare (DuckDB DATE surfaces as datetime64).
+    return o.select(
+        "o_orderkey",
+        rebuilt.cast("timestamp").alias("order_day"),
+        F.expr(
+            "make_timestamp(year(o_orderdate), month(o_orderdate),"
+            " day(o_orderdate), 12, 30, 0)"
+        ).alias("noonish"),
+        F.add_months(rebuilt, 3).cast("timestamp").alias("plus_3_months"),
+        F.date_add(rebuilt, 10).cast("timestamp").alias("plus_10_days"),
+    )
+
+
+def q_win_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a running window — not natively supported as
+    ``COUNT(DISTINCT) OVER`` in either engine, emulated with
+    ``size(collect_set() OVER)``: per user, how many distinct event types
+    seen so far (event-time order, event_id tie-break)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_so_far"),
+    )
+
+
+def q_ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (event_type, hour) the opening / highest /
+    lowest / closing ``value`` — the classic tick-to-bar rollup. Open and
+    close pick the value at the min/max (ts, event_id) key via
+    ``min_by``/``max_by`` over a struct ordering key (DuckDB spells the
+    same thing ``first(... ORDER BY ...)``); picked doubles are exact, no
+    rounding needed. One hash-agg shuffle on the bucket key."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        e.withColumn("bucket", F.date_trunc("hour", "ts"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation pipeline as ONE plan: language
+    allowlist + length bounds -> exact-hash dedup (keep smallest doc_id per
+    identical text) -> per-language corpus stats. Catalyst fuses the
+    filters into the scan (pushed predicates), the dedup is one window
+    shuffle on the text hash, the stats one hash-agg — three stages total
+    regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    filtered = d.where(
+        F.col("lang").isin("en", "fr", "de")
+        & F.col("n_chars").between(100, 20000)
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars_total"),
+    )
+
+
+QUERIES = {
+    "sql_recursive_cte": q_sql_recursive_cte,
+    "fn_collation": q_fn_collation,
+    "fn_datetime_make": q_fn_datetime_make,
+    "win_distinct_count": q_win_distinct_count,
+    "ts_ohlc": q_ts_ohlc,
+    "corpus_prep_pipeline": q_corpus_prep_pipeline,
+}
+
+ORACLES = {
+    "sql_recursive_cte": """
+        WITH RECURSIVE series(i) AS (
+            SELECT 0
+            UNION ALL
+            SELECT i + 1 FROM series WHERE i < 90
+        ),
+        bounds AS (
+            SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+                   CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1
+            FROM events
+        ),
+        days AS (
+            SELECT b.d0 + s.i AS day
+            FROM series s CROSS JOIN bounds b
+            WHERE b.d0 + s.i <= b.d1
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        )
+        SELECT CAST(d.day AS TIMESTAMP) AS day, COALESCE(dd.n, 0) AS n_events
+        FROM days d LEFT JOIN daily dd ON d.day = dd.day
+    """,
+    "fn_collation": """
+        WITH mixed AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                        ELSE c_name END AS name_cased
+            FROM customer
+            UNION ALL
+            SELECT c_name AS name_cased FROM customer
+        )
+        SELECT COUNT(DISTINCT name_cased) AS n_case_sensitive,
+               COUNT(DISTINCT lower(name_cased)) AS n_case_insensitive
+        FROM mixed
+    """,
+    "fn_datetime_make": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   make_date(CAST(year(o_orderdate) AS INT),
+                             CAST(month(o_orderdate) AS INT),
+                             CAST(day(o_orderdate) AS INT)) AS rebuilt,
+                   o_orderdate
+            FROM orders
+        )
+        SELECT o_orderkey,
+               CAST(rebuilt AS TIMESTAMP) AS order_day,
+               make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                              CAST(month(o_orderdate) AS BIGINT),
+                              CAST(day(o_orderdate) AS BIGINT),
+                              12, 30, 0) AS noonish,
+               CAST(rebuilt + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3_months,
+               CAST(rebuilt + 10 AS TIMESTAMP) AS plus_10_days
+        FROM t
+    """,
+    "win_distinct_count": """
+        SELECT user_id, event_id, ts,
+               CAST(len(list_distinct(list(event_type) OVER w)) AS BIGINT)
+                   AS n_types_so_far
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+    """,
+    "ts_ohlc": """
+        SELECT event_type,
+               date_trunc('hour', ts) AS bucket,
+               first(value ORDER BY ts, event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               last(value ORDER BY ts, event_id) AS close,
+               COUNT(*) AS n_ticks
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "corpus_prep_pipeline": """
+        WITH filtered AS (
+            SELECT * FROM documents
+            WHERE lang IN ('en', 'fr', 'de')
+              AND n_chars BETWEEN 100 AND 20000
+        ), deduped AS (
+            SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY sha256(text) ORDER BY doc_id
+                ) AS rn
+                FROM filtered
+            ) WHERE rn = 1
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
+               SUM(n_chars) AS n_chars_total
+        FROM deduped
+        GROUP BY lang
+    """,
+}

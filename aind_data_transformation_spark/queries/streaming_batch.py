@@ -209,7 +209,24 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-user totals — the batch twin of the Spark 4
+    ``transformWithStateInPandas`` stateful processor
+    (streaming/jobs.py:tws_user_totals): the fixpoint that the update-mode
+    stream's last emission per user converges to. Integer-cents sum keeps
+    incremental micro-batch accumulation exact and associative."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.lit(100.0)
+        ).alias("total_value"),
+    )
+
+
 QUERIES = {
+    "stream_tws_totals": q_stream_tws_totals,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
     "stream_tumbling": q_stream_tumbling,
@@ -221,6 +238,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_tws_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
     "stream_stream_join": """
         SELECT c.event_id AS click_id,
                p.event_id AS purchase_id,

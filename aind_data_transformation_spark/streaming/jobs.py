@@ -180,6 +180,71 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def tws_available() -> bool:
+    """True when the transformWithStateInPandas runtime deps (protobuf)
+    exist in this Python environment."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def tws_user_totals(events: DataFrame) -> DataFrame:
+    """Spark 4 arbitrary-state operator (``transformWithStateInPandas``):
+    running per-user event count + exact value total, same semantics as
+    ``stateful_user_totals`` but on the new StatefulProcessor API — typed
+    value state, explicit lifecycle, RocksDB-backed state store (required
+    by this API; also the production choice for large state because it
+    spills to disk and supports changelog checkpointing). Batch twin:
+    queries/streaming_batch.q_stream_tws_totals.
+
+    Environment gate: the TWS protocol serializes state over protobuf;
+    ``google.protobuf`` is not part of this container's baked-in deps, so
+    callers should check :func:`tws_available` first (tests skip when it
+    is False). On a real cluster with protobuf installed this runs as-is."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                tuple(self._totals.get()) if self._totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    pdf["value"].mul(100).round().astype("int64").sum()
+                )
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotals(),
+        outputStructType=_TOTALS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def nation_enriched_counts(events: DataFrame, nation: DataFrame) -> DataFrame:
     """Stream-static broadcast join: enrich the event stream with the
     nation dim, then aggregate per nation. The static side is planned as

@@ -196,6 +196,36 @@ def test_win_range_interval_single_shuffle(spark):
     assert "Window" in plan
 
 
+def test_ohlc_single_aggregation_pass(spark):
+    """min_by/max_by OHLC is one partial+final aggregation pair over one
+    exchange on the bucket key — not four window passes. (The struct
+    ordering key makes the agg buffer non-primitive, so Spark picks
+    SortAggregate over HashAggregate; partial sorts are near-free on
+    time-clustered tick data and only pre-aggregated partials shuffle.)"""
+    plan = plan_of(spark, "ts_ohlc")
+    assert plan.count("+- Exchange") == 1
+    assert plan.count("partial_min_by") == 1 and plan.count("min_by") >= 2
+    assert "Window" not in plan
+
+
+def test_corpus_prep_pipeline_pushes_filters_to_scan(spark):
+    """The fused corpus pipeline: lang/length predicates reach the parquet
+    scan; the whole chain is window-dedup + one final agg, no cartesian."""
+    plan = plan_of(spark, "corpus_prep_pipeline")
+    pushed = plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert "lang" in pushed and "n_chars" in pushed
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bitmap_distinct_two_mergeable_agg_levels(spark):
+    """Exact bitmap distinct: two hash-agg levels (per-bucket OR, then
+    popcount-sum), each with map-side partials; no expensive
+    count-distinct expand."""
+    plan = plan_of(spark, "agg_bitmap_distinct")
+    assert plan.count("HashAggregate") >= 4
+    assert "Expand" not in plan
+
+
 def test_fn_scalar_families_stay_in_codegen(spark):
     """Scalar families (conditional/bitwise/regexp) are pure projections:
     no exchange at all, single codegen'd scan->project."""

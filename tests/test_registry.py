@@ -38,7 +38,7 @@ SURVEY_KEYS = {
 }
 
 #: rows-only by design (no ANSI-SQL-expressible exact oracle)
-NO_ORACLE_OK = {"agg_approx_distinct"}
+NO_ORACLE_OK = {"agg_approx_distinct", "agg_hll_sketch"}
 
 
 def test_survey_inventory_fully_registered():

@@ -84,6 +84,27 @@ def test_stateful_user_totals_matches_batch_final_state(spark):
     assert final == want
 
 
+def test_tws_user_totals_matches_batch_final_state(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API) final
+    per-user totals == the batch groupBy twin. Skipped where protobuf
+    (a TWS runtime dep) is absent — the batch twin stays oracle-checked."""
+    import pytest
+
+    if not jobs.tws_available():
+        pytest.skip("google.protobuf not available: TWS runtime dep")
+    events = jobs.read_events_stream(spark, TEST_SF_DIR)
+    rows = jobs.run_available_now(jobs.tws_user_totals(events), mode="update")
+    final = {}
+    for r in rows:  # update mode: keep the last emission per user
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = sb.q_stream_tws_totals(spark, TEST_SF_DIR).toPandas()
+    want = {
+        int(r.user_id): (int(r.n_events), float(r.total_value))
+        for r in batch.itertuples()
+    }
+    assert final == want
+
+
 def test_stream_incremental_two_batches(spark, tmp_path):
     """Same totals when the source arrives as multiple files/micro-batches:
     split events into 2 parquet files, maxFilesPerTrigger=1, and check the
