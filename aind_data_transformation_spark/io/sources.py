@@ -4,13 +4,15 @@ The driver's synthetic tables (TESTDATA.md / FIXTURES.md) are one parquet
 file per table under an ``sf_dir``. All loads go through :func:`load_table`
 so the two schema quirks are handled in exactly one place:
 
-* ``events.ts`` is parquet INT64 TIMESTAMP(NANOS). Spark's vectorized reader
-  rejects NANOS, so we read it as a raw long (``spark.sql.legacy.parquet.
-  nanosAsLong``) and derive a microsecond ``TimestampType`` via integer
-  division (``ts DIV 1000`` — floor/truncation, which is exactly how the
-  DuckDB oracle's ns->us view conversion behaves). Never divide the raw
-  long by 1000.0: epoch-nanos ~1.7e18 exceeds double's 53-bit mantissa and
-  float division silently corrupts microseconds.
+* ``events.ts`` has shipped as either parquet INT64 TIMESTAMP(NANOS) or
+  TIMESTAMP(MICROS) across driver testdata regenerations; both are
+  normalized to a microsecond ``TimestampType`` by :func:`normalize_event_ts`.
+  For the NANOS form Spark's vectorized reader rejects the type, so we read
+  it as a raw long (``spark.sql.legacy.parquet.nanosAsLong``) and derive µs
+  via integer division (``ts DIV 1000`` — floor/truncation, which is exactly
+  how the DuckDB oracle's ns->us view conversion behaves). Never divide the
+  raw long by 1000.0: epoch-nanos ~1.7e18 exceeds double's 53-bit mantissa
+  and float division silently corrupts microseconds.
 * every other timestamp column is parquet TIMESTAMP(MILLIS, isAdjustedToUTC
   =false) and arrives as ``TimestampNTZType`` — time-zone free, matching
   DuckDB's naive TIMESTAMP.
@@ -51,7 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     apply_runtime_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
+        df = normalize_event_ts(df)
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond UTC ``TimestampType``
+    regardless of how the generator wrote it: INT64 TIMESTAMP(NANOS) parquet
+    arrives as a raw long (via ``nanosAsLong``) and is floor-divided to µs;
+    TIMESTAMP(MICROS) parquet arrives as TIMESTAMP_NTZ and is cast —
+    value-preserving because every engine session pins
+    ``spark.sql.session.timeZone=UTC`` (session.py RUNTIME_CONFS)."""
+    dtype = dict(df.dtypes).get("ts")
+    if dtype in ("bigint", "long"):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -34,10 +34,15 @@ from aind_data_transformation_spark.queries.streaming_batch import (
     SESSION_GAP,
     WATERMARK_DELAY,
 )
+from aind_data_transformation_spark.io.sources import normalize_event_ts
 from aind_data_transformation_spark.session import apply_runtime_confs
 
-#: events.parquet physical schema with spark.sql.legacy.parquet.nanosAsLong:
-#: the ns timestamp arrives as a raw long (converted to µs in with_event_time).
+#: events physical schema for synthetic INT64 TIMESTAMP(NANOS) fixtures
+#: (tests/test_watermark.py writes these): with
+#: spark.sql.legacy.parquet.nanosAsLong the ns timestamp arrives as a raw
+#: long and is floor-divided to µs by ``normalize_event_ts``. The real
+#: testdata tables may instead be TIMESTAMP(MICROS) — ``read_events_stream``
+#: infers the actual footer schema rather than assuming this one.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -56,15 +61,18 @@ def read_events_stream(
     """File-source stream over the events parquet (same ns→µs ts
     normalization as the batch ``load_table``)."""
     apply_runtime_confs(spark)
+    # streams need an explicit schema; take it from the parquet footer (a
+    # metadata-only batch read) so ns-as-long and µs-native files both work
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source wants a directory; glob-filter to the one table
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(df)
 
 
 def tumbling_counts(events: DataFrame) -> DataFrame:

@@ -115,11 +115,10 @@ def test_stream_incremental_two_batches(spark, tmp_path):
         .repartitionByRange(2, "event_id")
     )
     e.write.mode("overwrite").parquet(src)
-    events = (
-        spark.readStream.schema(jobs.EVENTS_RAW_SCHEMA)
+    events = jobs.normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
     rows = jobs.run_available_now(jobs.stateful_user_totals(events), mode="update")
     final = {}
