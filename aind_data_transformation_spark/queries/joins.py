@@ -169,8 +169,77 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: the manual form of runtime row-level
+    filtering. The build side (customers in the BUILDING segment) is
+    hashed k=3 times into an m=2^16-bit Bloom bitmap stored as 1024
+    64-bit words ((word_idx, word) rows via bit_or aggregation); the word
+    table broadcasts, and the fact side (orders) probes it with three
+    broadcast hash joins + bit tests — no shuffle of the fact, no explode,
+    rows whose word row is absent are correctly dropped (absent word ==
+    no bits set). Bloom false positives survive the probe but are removed
+    by the exact join that follows, so the final result is bit-identical
+    to the plain join — exactly what the oracle asserts.
+
+    At 100 TB: the bitmap is 8 KiB regardless of fact size; the probe
+    culls non-matching fact rows *before* the join shuffle, which is the
+    entire point — shuffle volume scales with the semi-join selectivity,
+    not the fact cardinality."""
+    m_bits = 1 << 16
+    seeds = (1, 2, 3)
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    positions = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("c_custkey", F.lit(s)), F.lit(m_bits))
+                    for s in seeds
+                ]
+            )
+        ).alias("pos")
+    )
+    words = positions.groupBy(F.expr("pos DIV 64").alias("word_idx")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias("word")
+    )
+    fact = load_table(spark, sf_dir, "orders")
+    probed = fact.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        *[
+            F.pmod(F.xxhash64("o_custkey", F.lit(s)), F.lit(m_bits)).alias(
+                f"p{s}"
+            )
+            for s in seeds
+        ],
+    )
+    for s in seeds:
+        w = words.select(
+            F.col("word_idx").alias(f"i{s}"), F.col("word").alias(f"w{s}")
+        )
+        probed = probed.join(
+            F.broadcast(w), F.expr(f"p{s} DIV 64") == F.col(f"i{s}"), "inner"
+        ).where(F.expr(f"shiftright(w{s}, CAST(p{s} % 64 AS INT)) & 1 = 1"))
+    return (
+        probed.join(F.broadcast(dim), probed.o_custkey == dim.c_custkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "join_inner_equi": q_join_inner_equi,
+    "join_bloom_prune": q_join_bloom_prune,
     "join_broadcast": q_join_broadcast,
     "join_left_right_full": q_join_left_right_full,
     "join_semi_anti": q_join_semi_anti,
@@ -181,6 +250,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_bloom_prune": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderstatus
+    """,
     "join_inner_equi": """
         SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
         FROM orders JOIN customer ON o_custkey = c_custkey

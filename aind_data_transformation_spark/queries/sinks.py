@@ -147,8 +147,84 @@ def q_sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zval_terms(x: str, y: str, dialect: str) -> str:
+    """Unrolled 8+8-bit Morton (Z-order) interleave of integer expressions
+    ``x`` and ``y`` — bit i of x lands at position 2i, bit i of y at
+    2i+1. Generated per dialect (Spark uses shiftleft/shiftright
+    functions, DuckDB the << / >> operators) from the same loop so the
+    two engines compute the identical z-value."""
+    terms = []
+    for i in range(8):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright({x}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({y}, {i}) & 1, {2 * i + 1})")
+        else:
+            terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+            terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustered layout: scale l_partkey and
+    l_shipdate each to an 8-bit grid coordinate (min/max bounds computed
+    from the data itself, never hardcoded), interleave the bits into a
+    16-bit z-value, and bucket rows by its top 4 bits. Writing
+    partitioned by z-bucket bounds BOTH dimensions inside every bucket
+    (top 2 bits of each coordinate are fixed), so parquet min/max
+    row-group stats can skip files for selective filters on *either*
+    column — the thing a single-column sort order can't give you. The
+    query writes the layout, re-reads it, and returns per-bucket row
+    counts + coordinate spans; tests/test_sinks.py asserts the spans
+    are actually narrow (<= 64 of 256).
+
+    At 100 TB this is the table-maintenance job behind every
+    OPTIMIZE ... ZORDER BY: one range shuffle on zval, then pure
+    columnar writes."""
+    out = _scratch(sf_dir, "lineitem_zorder")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_shipdate").alias("dmin"),
+        F.max("l_shipdate").alias("dmax"),
+    )
+    gx = "CAST(((l_partkey - pmin) * 255) DIV (pmax - pmin) AS INT)"
+    gy = (
+        "CAST((datediff(l_shipdate, dmin) * 255)"
+        " DIV datediff(dmax, dmin) AS INT)"
+    )
+    coords = li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_shipdate",
+        F.expr(gx).alias("zx"),
+        F.expr(gy).alias("zy"),
+    )
+    zval = _zval_terms("zx", "zy", "spark")
+    clustered = coords.withColumn(
+        "zbucket", F.expr(f"CAST(shiftright({zval}, 12) AS INT)")
+    )
+    (
+        clustered.repartition(16, "zbucket")
+        .sortWithinPartitions("zbucket")
+        .write.mode("overwrite")
+        .partitionBy("zbucket")
+        .parquet(out)
+    )
+    reread = spark.read.parquet(out)
+    return reread.groupBy(F.col("zbucket").cast("int").alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zx").alias("zx_min"),
+        F.max("zx").alias("zx_max"),
+        F.min("zy").alias("zy_min"),
+        F.max("zy").alias("zy_max"),
+    )
+
+
 QUERIES = {
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
+    "sink_zorder_layout": q_sink_zorder_layout,
     "sink_repartition": q_sink_repartition,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
@@ -156,6 +232,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_zorder_layout": f"""
+        WITH bounds AS (
+            SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                   MIN(l_shipdate) AS dmin, MAX(l_shipdate) AS dmax
+            FROM lineitem
+        ), coords AS (
+            SELECT ((l_partkey - pmin) * 255) // (pmax - pmin) AS zx,
+                   (date_diff('day', dmin, l_shipdate) * 255)
+                       // date_diff('day', dmin, dmax) AS zy
+            FROM lineitem, bounds
+        )
+        SELECT (({_zval_terms("zx", "zy", "duck")}) >> 12) AS zbucket,
+               COUNT(*) AS n_rows,
+               MIN(zx) AS zx_min, MAX(zx) AS zx_max,
+               MIN(zy) AS zy_min, MAX(zy) AS zy_max
+        FROM coords
+        GROUP BY 1
+    """,
     "sink_parquet_partitioned": """
         SELECT l_returnflag,
                COUNT(*) AS n_rows,

@@ -93,12 +93,109 @@ def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across silent days — the numeric upgrade of
+    :func:`q_ts_gapfill`'s forward fill. Same per-user day grid (so the
+    first and last grid rows are always observed), then each gap row
+    takes prev + (next - prev) * elapsed/gap_len from the nearest
+    observed days on either side (ignore-nulls running last/first over
+    the same user partitioning — two linear window scans, no self-join,
+    no per-row subqueries). All inputs are exact integers (cents, day
+    counts) cast to double, and the formula is the same +,-,*,/ tree in
+    both engines, so IEEE-754 makes the result bit-identical to the
+    DuckDB oracle."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("day_cents"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias(
+            "day"
+        ),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_cents").isNotNull(), F.col("day"))
+    joined = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("prev_cents", F.last("day_cents", ignorenulls=True).over(w_back))
+        .withColumn("prev_day", F.last(obs_day, ignorenulls=True).over(w_back))
+        .withColumn("next_cents", F.first("day_cents", ignorenulls=True).over(w_fwd))
+        .withColumn("next_day", F.first(obs_day, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.when(
+        F.col("day_cents").isNotNull(), F.col("day_cents").cast("double")
+    ).otherwise(
+        F.col("prev_cents").cast("double")
+        + (F.col("next_cents") - F.col("prev_cents")).cast("double")
+        * (
+            F.datediff("day", "prev_day").cast("double")
+            / F.datediff("next_day", "prev_day").cast("double")
+        )
+    )
+    return joined.select(
+        "user_id", "day", "day_cents", interp.alias("interp_cents")
+    )
+
+
 QUERIES = {
     "ts_gapfill": q_ts_gapfill,
+    "ts_interpolate": q_ts_interpolate,
     "join_range_banded": q_join_range_banded,
 }
 
 ORACLES = {
+    "ts_interpolate": """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   SUM(CAST(round(value*100) AS BIGINT)) AS day_cents
+            FROM events GROUP BY user_id, date_trunc('day', ts)
+        ), span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY user_id
+        ), grid AS (
+            SELECT user_id,
+                   unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM span
+        ), ctx AS (
+            SELECT g.user_id, g.day, d.day_cents,
+                   LAST_VALUE(d.day_cents IGNORE NULLS) OVER w_back AS prev_cents,
+                   LAST_VALUE(CASE WHEN d.day_cents IS NOT NULL THEN g.day END
+                              IGNORE NULLS) OVER w_back AS prev_day,
+                   FIRST_VALUE(d.day_cents IGNORE NULLS) OVER w_fwd AS next_cents,
+                   FIRST_VALUE(CASE WHEN d.day_cents IS NOT NULL THEN g.day END
+                               IGNORE NULLS) OVER w_fwd AS next_day
+            FROM grid g
+            LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+            WINDOW w_back AS (
+                PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ), w_fwd AS (
+                PARTITION BY g.user_id ORDER BY g.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+            )
+        )
+        SELECT user_id, day, day_cents,
+               CASE WHEN day_cents IS NOT NULL THEN CAST(day_cents AS DOUBLE)
+                    ELSE CAST(prev_cents AS DOUBLE)
+                         + CAST(next_cents - prev_cents AS DOUBLE)
+                           * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                              / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+               END AS interp_cents
+        FROM ctx
+    """,
     "ts_gapfill": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,

@@ -64,6 +64,17 @@ def test_broadcast_join_uses_broadcast_hash(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_bloom_prune_probes_are_broadcast_no_fact_shuffle(spark):
+    """The Bloom probe must be three broadcast hash joins + the exact
+    join's broadcast — the fact side is never sort-merge-joined or
+    cartesian-multiplied, so the only fact shuffle in the whole plan is
+    the final groupBy's."""
+    plan = plan_of(spark, "join_bloom_prune")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_theta_range_join_broadcasts_the_band_side(spark):
     plan = plan_of(spark, "join_theta_range")
     assert "BroadcastNestedLoopJoin" in plan

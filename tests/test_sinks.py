@@ -36,6 +36,23 @@ def test_repartition_sink_file_count(spark):
     assert len(files) == 8
 
 
+def test_zorder_layout_bounds_both_dimensions(spark):
+    """The point of the Z-order layout: every z-bucket confines BOTH grid
+    coordinates to a narrow span (top 2 bits of each are fixed by the
+    bucket id), which is what lets parquet min/max stats skip files for
+    filters on either column. A single-column sort would give a narrow
+    span on one dimension and the full 0..255 on the other."""
+    rows = sinks.q_sink_zorder_layout(spark, TEST_SF_DIR).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r.zx_max - r.zx_min <= 64, f"zx span too wide in {r}"
+        assert r.zy_max - r.zy_min <= 64, f"zy span too wide in {r}"
+    # the layout really is hive-partitioned by bucket on disk
+    out = _scratch("lineitem_zorder")
+    part_dirs = [d for d in os.listdir(out) if d.startswith("zbucket=")]
+    assert len(part_dirs) == 16
+
+
 def test_binaryfile_source_ingests_media_blobs(spark, tmp_path):
     """Multimodal ingestion path: opaque media files on disk -> Spark's
     binaryFile source (path, modificationTime, length, content) ->
