@@ -19,7 +19,12 @@ from __future__ import annotations
 import os
 import struct
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -82,6 +87,45 @@ class RecordReader(DataSourceReader):
         yield from _parse_file(partition.path)
 
 
+class RecordStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector: the instrument keeps appending
+    ``*.rec`` files to the directory; each micro-batch consumes the files
+    that arrived since the last committed offset. The offset is simply the
+    count of files consumed in sorted-name order (instrument dumps are
+    sequence-numbered), which makes replay (``readBetweenOffsets``)
+    exactly reproducible after a crash — the Structured Streaming
+    exactly-once contract.
+
+    A Simple reader runs on the driver — right for a control-plane-sized
+    trickle of files; a heavy stream would implement the partition-based
+    ``DataSourceStreamReader`` instead, with one partition per new file
+    exactly like the batch reader."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("record stream source requires a path option")
+
+    def _files(self):
+        return sorted(
+            f for f in os.listdir(self.dir) if f.endswith(".rec")
+        )
+
+    def initialOffset(self):
+        return {"n": 0}
+
+    def read(self, start):
+        files = self._files()
+        rows = []
+        for fname in files[start["n"]:]:
+            rows.extend(_parse_file(os.path.join(self.dir, fname)))
+        return iter(rows), {"n": len(files)}
+
+    def readBetweenOffsets(self, start, end):
+        for fname in self._files()[start["n"]:end["n"]]:
+            yield from _parse_file(os.path.join(self.dir, fname))
+
+
 class RecordDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -92,6 +136,9 @@ class RecordDataSource(DataSource):
 
     def reader(self, schema):
         return RecordReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return RecordStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -37,6 +37,7 @@ _CATEGORY_MODULES = (
     "vector_ops",
     "extras",
     "modern_sql",
+    "graph",
 )
 
 

@@ -167,8 +167,54 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_params_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4): named parameter markers for values and
+    the ``IDENTIFIER()`` clause for the table name — the injection-safe way
+    to template queries (string-interpolating identifiers into SQL is how
+    ETL frameworks get owned). The oracle is the same query with the
+    parameters inlined."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(spark, sf_dir, suffix="_prm")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :min_total
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders_prm", "min_total": 100000.0},
+    )
+
+
+def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar functions (Spark 4 ``from_xml``): serialize order fields
+    into an XML fragment, parse them back with an explicit struct schema,
+    and return the extracted values. Double → string → double round-trips
+    exactly (shortest-repr serialization), so the oracle is just the
+    original columns. XML shows up in instrument metadata constantly;
+    the scale rule is the same as JSON: parse once with an explicit
+    schema, never regex-scrape per field."""
+    o = load_table(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<order><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><total>"),
+        F.col("o_totalprice").cast("string"),
+        F.lit("</total></order>"),
+    )
+    parsed = F.from_xml(xml, "STRUCT<status: STRING, total: DOUBLE>")
+    return o.select(
+        "o_orderkey",
+        parsed.getField("status").alias("status"),
+        parsed.getField("total").alias("total"),
+    )
+
+
 QUERIES = {
     "sql_recursive_cte": q_sql_recursive_cte,
+    "sql_params_identifier": q_sql_params_identifier,
+    "fn_xml": q_fn_xml,
     "fn_collation": q_fn_collation,
     "fn_datetime_make": q_fn_datetime_make,
     "win_distinct_count": q_win_distinct_count,
@@ -177,6 +223,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_params_identifier": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_totalprice > 100000.0
+        GROUP BY o_orderpriority
+    """,
+    "fn_xml": """
+        SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total
+        FROM orders
+    """,
     "sql_recursive_cte": """
         WITH RECURSIVE series(i) AS (
             SELECT 0

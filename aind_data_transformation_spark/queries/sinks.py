@@ -222,9 +222,104 @@ def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet file generations with
+    different column sets (gen1 carries o_totalprice, gen2 added
+    o_orderstatus) unify under ``mergeSchema`` — missing columns become
+    nulls, by name, never by position. The returned per-column non-null
+    counts prove the union-by-name semantics end-to-end.
+
+    100-TB note: mergeSchema reads every file footer at planning time —
+    fine for a handful of generations, wrong as a steady state; compact
+    old generations forward or keep the authoritative schema in a
+    catalog. Never rely on positional union across file generations."""
+    out = _scratch(sf_dir, "orders_evolving")
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.where(F.expr("o_orderkey % 2 = 0"))
+        .select("o_orderkey", "o_totalprice")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out}/gen=1")
+    )
+    (
+        o.where(F.expr("o_orderkey % 2 = 1"))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{out}/gen=2")
+    )
+    reread = spark.read.option("mergeSchema", "true").parquet(out)
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_price"),
+        F.count("o_orderstatus").alias("n_status"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+def q_scan_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input quarantine: a CSV whose rows are mostly valid
+    nation records plus 3 injected garbage lines, read in PERMISSIVE mode
+    with a ``_corrupt_record`` column. Good rows flow on; bad rows are
+    counted (and in production, sunk to a quarantine table) — the job
+    never dies on row 3 of file 80,000. The driver-facing result is
+    (n_good, n_bad, max key over good rows).
+
+    100-TB note: PERMISSIVE + quarantine is the only ingest mode that
+    scales operationally; FAILFAST turns one bad row in one file into a
+    dead pipeline."""
+    out = _scratch(sf_dir, "nation_dirty")
+    n = load_table(spark, sf_dir, "nation")
+    lines = n.select(
+        F.concat_ws(
+            ",",
+            F.col("n_nationkey"),
+            F.col("n_name"),
+            F.col("n_regionkey"),
+        ).alias("value")
+    )
+    # each injected line must be genuinely malformed under PERMISSIVE
+    # semantics (type-parse failure or extra tokens) — a merely-short row
+    # is filled with nulls, not quarantined
+    bad = spark.createDataFrame(
+        [("not-a-key,BROKENLAND,9",), ("12,BADREGION,xx",), (",,,,,",)],
+        ["value"],
+    )
+    lines.unionByName(bad).coalesce(1).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    reread = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # cache before splitting: Spark forbids a CSV plan whose required
+    # schema is only the corrupt column; caching the full frame first is
+    # the documented workaround
+    reread = reread.cache()
+    good = reread.where(F.col("_corrupt_record").isNull())
+    badr = reread.where(F.col("_corrupt_record").isNotNull())
+    return good.agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.max("n_nationkey").alias("max_key"),
+    ).crossJoin(badr.agg(F.count(F.lit(1)).alias("n_bad")))
+
+
 QUERIES = {
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
     "sink_zorder_layout": q_sink_zorder_layout,
+    "scan_schema_evolution": q_scan_schema_evolution,
+    "scan_bad_records": q_scan_bad_records,
     "sink_repartition": q_sink_repartition,
     "sink_csv_roundtrip": q_sink_csv_roundtrip,
     "sink_json_roundtrip": q_sink_json_roundtrip,
@@ -249,6 +344,24 @@ ORACLES = {
                MIN(zy) AS zy_min, MAX(zy) AS zy_max
         FROM coords
         GROUP BY 1
+    """,
+    "scan_schema_evolution": """
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_totalprice) AS n_price,
+               COUNT(o_orderstatus) AS n_status,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+    """,
+    "scan_bad_records": """
+        SELECT (SELECT COUNT(*) FROM nation) AS n_good,
+               (SELECT MAX(n_nationkey) FROM nation) AS max_key,
+               3 AS n_bad
     """,
     "sink_parquet_partitioned": """
         SELECT l_returnflag,

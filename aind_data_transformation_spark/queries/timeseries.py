@@ -150,13 +150,66 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: events roll up to
+    minutely partials, hourly from the minutely layer, daily from the
+    hourly layer — each layer computed ONLY from the one below, never
+    from raw events. This works because the aggregates are mergeable
+    (sum/count/min/max compose associatively), which is exactly what a
+    materialized rollup hierarchy exploits at 100 TB: the daily job reads
+    the hourly table (~5 orders of magnitude smaller than raw), and
+    backfills touch one layer. The oracle computes daily straight from
+    raw events — the cascade must be indistinguishable, proving the
+    merge algebra is lossless."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    minutely = e.groupBy(
+        F.date_trunc("minute", "ts").alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+        F.min(cents).alias("min_c"),
+        F.max(cents).alias("max_c"),
+    )
+    hourly = minutely.groupBy(
+        F.date_trunc("hour", "m").alias("h"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.min("min_c").alias("min_c"),
+        F.max("max_c").alias("max_c"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("total_cents"),
+            F.min("min_c").alias("min_cents"),
+            F.max("max_c").alias("max_cents"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+    )
+
+
 QUERIES = {
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
+    "ts_rollup_cascade": q_ts_rollup_cascade,
     "join_range_banded": q_join_range_banded,
 }
 
 ORACLES = {
+    "ts_rollup_cascade": """
+        SELECT date_trunc('day', ts) AS day,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value*100) AS BIGINT)) AS total_cents,
+               MIN(CAST(round(value*100) AS BIGINT)) AS min_cents,
+               MAX(CAST(round(value*100) AS BIGINT)) AS max_cents,
+               COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
+        FROM events
+        GROUP BY date_trunc('day', ts), event_type
+    """,
     "ts_interpolate": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,

@@ -122,3 +122,44 @@ def test_python_datasource_reads_length_prefixed_records(spark, tmp_path):
     assert df.select(F.sum("n_bytes")).first()[0] == sum(
         len(p) for ps in want.values() for p in ps
     )
+
+
+def test_python_datasource_streams_new_record_files(spark, tmp_path):
+    """Streaming half of the custom connector: files arriving in the
+    watched directory come through as micro-batches with exactly-once
+    file-count offsets; every payload from every file is delivered once."""
+    import uuid
+
+    from aind_data_transformation_spark.io import custom_source
+
+    d = tmp_path / "dump_stream"
+    d.mkdir()
+    want_rows = 0
+    for fi in range(3):
+        payloads = [bytes([fi]) * (3 + i) for i in range(5)]
+        custom_source.write_record_file(str(d / f"seq{fi}.rec"), payloads)
+        want_rows += len(payloads)
+
+    custom_source.register(spark)
+    stream = (
+        spark.readStream.format("lenprefixed").option("path", str(d)).load()
+    )
+    name = f"recstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_rec"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(f"SELECT file, record_idx, n_bytes, payload FROM {name}").collect()
+    assert len(got) == want_rows
+    by_file = {}
+    for r in got:
+        by_file.setdefault(r["file"], []).append((r["record_idx"], bytes(r["payload"])))
+    assert set(by_file) == {"seq0.rec", "seq1.rec", "seq2.rec"}
+    for fi in range(3):
+        recs = sorted(by_file[f"seq{fi}.rec"])
+        assert recs == [(i, bytes([fi]) * (3 + i)) for i in range(5)]
