@@ -59,14 +59,16 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash aggregation; the global top-20 is a TakeOrdered (no full
     sort)."""
     d = load_table(spark, sf_dir, "documents")
+    # materialize the token array once: referencing the split expression
+    # inside transform/element_at/size would re-tokenize per reference
+    toks = d.select(F.expr(_TOKENS).alias("toks")).where(F.size("toks") >= 2)
     grams = (
-        f"transform(sequence(1, size({_TOKENS}) - 1),"
-        f" i -> concat_ws(' ', element_at({_TOKENS}, i),"
-        f" element_at({_TOKENS}, i + 1)))"
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> concat_ws(' ', element_at(toks, i),"
+        " element_at(toks, i + 1)))"
     )
     return (
-        d.where(F.expr(f"size({_TOKENS}) >= 2"))
-        .select(F.explode(F.expr(grams)).alias("gram"))
+        toks.select(F.explode(F.expr(grams)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram").asc())
