@@ -108,21 +108,26 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is exact. At 100 TB you'd hash the grams to 8-byte ints for the
     broadcast and keep the same plan."""
     d = load_table(spark, sf_dir, "documents")
-    toks = "split(text, ' ')"
+    # tokenize once per row — the gram builder references the array 3×
     grams = (
-        f"transform(sequence(0, size({toks}) - 8),"
-        f" i -> concat_ws(' ', slice({toks}, i + 1, 8)))"
+        "transform(sequence(0, size(__toks) - 8),"
+        " i -> concat_ws(' ', slice(__toks, i + 1, 8)))"
     )
     is_bench = F.col("source").isin("src0", "src1")
     bench_grams = (
         d.where(is_bench)
-        .where(F.expr(f"size({toks}) >= 8"))
+        .select(F.expr("split(text, ' ')").alias("__toks"))
+        .where(F.expr("size(__toks) >= 8"))
         .select(F.explode(F.expr(grams)).alias("gram"))
         .distinct()
     )
     train = d.where(~is_bench)
-    train_grams = train.where(F.expr(f"size({toks}) >= 8")).select(
-        "doc_id", "source", F.explode(F.expr(grams)).alias("gram")
+    train_grams = (
+        train.select(
+            "doc_id", "source", F.expr("split(text, ' ')").alias("__toks")
+        )
+        .where(F.expr("size(__toks) >= 8"))
+        .select("doc_id", "source", F.explode(F.expr(grams)).alias("gram"))
     )
     contaminated = (
         train_grams.join(F.broadcast(bench_grams), "gram", "left_semi")

@@ -207,7 +207,6 @@ def verified_near_dups(
     left-semi join placed BEFORE the transform, so the shingling cost
     scales with the candidate set, not the corpus) and materialized once
     for the two probe sides."""
-    toks = f"split({text_col}, ' ')"
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col), id_col
     ).localCheckpoint()
@@ -218,8 +217,11 @@ def verified_near_dups(
     )
     tris = (
         df.join(cand_ids, id_col, "left_semi")
+        # tokenize once: trigram_set_expr references its array 5 times
+        .select(F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("__toks"))
         .select(
-            F.col(id_col), F.expr(trigram_set_expr(toks, "spark")).alias("__tri")
+            F.col(id_col),
+            F.expr(trigram_set_expr("__toks", "spark")).alias("__tri"),
         )
         .localCheckpoint()
     )
