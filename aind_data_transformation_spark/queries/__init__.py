@@ -38,6 +38,7 @@ _CATEGORY_MODULES = (
     "extras",
     "modern_sql",
     "graph",
+    "incremental",
 )
 
 

@@ -1,0 +1,189 @@
+"""Incremental-maintenance operators: materialized-view refresh from a
+delta (no base-fact rescan) and snapshot diffing (CDC extraction between
+two table versions).
+
+Both are exact-oracle: the MV refresh must be indistinguishable from a
+full recompute (that IS the correctness definition of incremental view
+maintenance), and the snapshot diff's change classification is plain
+relational algebra. The deltas/versions are carved deterministically out
+of ``orders`` so both engines see identical inputs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+#: the "already materialized" period boundary — everything before it is
+#: the base, everything at/after is the newly-arrived delta
+SPLIT_DATE = "1997-01-01"
+
+_CENTS = "CAST(round(o_totalprice*100) AS BIGINT)"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    return os.path.join(tempfile.gettempdir(), "spark_graft_incr", tag, name)
+
+
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly-by-priority
+    order rollup is materialized for the pre-SPLIT_DATE period (written to
+    parquet and RE-READ — the base facts are provably not rescanned), then
+    refreshed with only the delta period's partials merged in via a
+    full-outer join + coalesced sums. Works because sum/count are
+    self-mergeable; the oracle recomputes the rollup from all facts and
+    must match exactly.
+
+    At 100 TB this is the nightly pattern: the refresh cost is
+    O(delta + |MV|), independent of base-fact volume; min/max would need
+    delete-aware handling (they're not subtractable), which is why this
+    MV carries only additive aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    # TIMESTAMP on both sides (Spark date_trunc; oracle CASTs) — the
+    # repo's standard cross-engine dtype for truncated dates
+    month = F.date_trunc("month", "o_orderdate").alias("month")
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy(month, "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr(_CENTS)).alias("total_cents"),
+        )
+
+    mv_path = _scratch(sf_dir, "orders_mv")
+    rollup(o.where(F.col("o_orderdate") < SPLIT_DATE)).write.mode(
+        "overwrite"
+    ).parquet(mv_path)
+    base_mv = spark.read.parquet(mv_path)
+    delta_mv = rollup(o.where(F.col("o_orderdate") >= SPLIT_DATE))
+    b = base_mv.select(
+        "month",
+        "o_orderpriority",
+        F.col("n_orders").alias("n_b"),
+        F.col("total_cents").alias("c_b"),
+    )
+    d = delta_mv.select(
+        "month",
+        "o_orderpriority",
+        F.col("n_orders").alias("n_d"),
+        F.col("total_cents").alias("c_d"),
+    )
+    return b.join(d, ["month", "o_orderpriority"], "full").select(
+        "month",
+        "o_orderpriority",
+        (F.coalesce("n_b", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias(
+            "n_orders"
+        ),
+        (F.coalesce("c_b", F.lit(0)) + F.coalesce("c_d", F.lit(0))).alias(
+            "total_cents"
+        ),
+    )
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC extraction without a change log): classify every
+    key across two table versions as insert / delete / update by
+    full-outer-joining the snapshots on the key and comparing payloads
+    null-safely. Version 2 is a deterministic mutation of orders: keys
+    divisible by 13 deleted, prices of keys divisible by 7 bumped one
+    dollar, mirrored negative keys inserted for keys divisible by 11.
+
+    One shuffle on the key; at 100 TB both snapshots are bucketed on the
+    key so the diff is a zero-shuffle sort-merge. Payload comparison uses
+    null-safe equality so NULL payloads never classify as phantom
+    updates."""
+    v1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v2 = (
+        v1.where(F.expr("o_orderkey % 13 != 0"))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.expr("o_orderkey % 7 = 0"), F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            v1.where(F.expr("o_orderkey % 11 = 0")).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    a = v1.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    b = v2.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("s2"),
+        F.col("o_totalprice").alias("p2"),
+    )
+    j = a.join(b, "k", "full")
+    op = (
+        F.when(F.col("s1").isNull() & F.col("p1").isNull(), F.lit("insert"))
+        .when(F.col("s2").isNull() & F.col("p2").isNull(), F.lit("delete"))
+        .when(
+            ~(F.col("s1").eqNullSafe(F.col("s2")))
+            | ~(F.col("p1").eqNullSafe(F.col("p2"))),
+            F.lit("update"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("op", op)
+        .where(F.col("op") != "unchanged")
+        .select(F.col("k").alias("o_orderkey"), "op")
+    )
+
+
+QUERIES = {
+    "mv_incremental_refresh": q_mv_incremental_refresh,
+    "cdc_snapshot_diff": q_cdc_snapshot_diff,
+}
+
+ORACLES = {
+    "mv_incremental_refresh": """
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+               o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders
+        GROUP BY date_trunc('month', o_orderdate), o_orderpriority
+    """,
+    "cdc_snapshot_diff": """
+        WITH v1 AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ), v2 AS (
+            SELECT o_orderkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                        ELSE o_totalprice END AS o_totalprice
+            FROM v1 WHERE o_orderkey % 13 != 0
+            UNION ALL
+            SELECT -o_orderkey, o_orderstatus, o_totalprice
+            FROM v1 WHERE o_orderkey % 11 = 0
+        ), j AS (
+            SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   a.o_orderstatus AS s1, a.o_totalprice AS p1,
+                   b.o_orderstatus AS s2, b.o_totalprice AS p2
+            FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
+        )
+        SELECT o_orderkey,
+               CASE WHEN s1 IS NULL AND p1 IS NULL THEN 'insert'
+                    WHEN s2 IS NULL AND p2 IS NULL THEN 'delete'
+                    ELSE 'update' END AS op
+        FROM j
+        WHERE (s1 IS NULL AND p1 IS NULL)
+           OR (s2 IS NULL AND p2 IS NULL)
+           OR (s1 IS DISTINCT FROM s2 OR p1 IS DISTINCT FROM p2)
+    """,
+}
