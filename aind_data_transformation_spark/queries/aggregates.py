@@ -357,7 +357,7 @@ QUERIES = {
 ORACLES = {
     "agg_countif_bool": """
         SELECT o_orderstatus,
-               count_if(o_totalprice > 100000.0) AS n_big_orders,
+               CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big_orders,
                bool_and(o_totalprice > 0.0) AS all_positive,
                bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
                COUNT(*) AS n_orders

@@ -170,7 +170,7 @@ ORACLES = {
             SELECT DISTINCT user_id, date_trunc('day', ts) AS active_day
             FROM events
         )
-        SELECT f.cohort_day,
+        SELECT CAST(f.cohort_day AS TIMESTAMP) AS cohort_day,
                CAST(date_diff('day', f.cohort_day, a.active_day) AS BIGINT)
                    AS day_offset,
                COUNT(DISTINCT a.user_id) AS n_users

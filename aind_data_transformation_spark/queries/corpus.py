@@ -220,9 +220,9 @@ ORACLES = {
             FROM documents
         ), c AS (
             SELECT doc_id, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS cum_before
+                       0) AS BIGINT) AS cum_before
             FROM t
         )
         SELECT doc_id, n_tokens, cum_before,

@@ -181,7 +181,7 @@ ORACLES = {
         )
         SELECT event_id, ts_ny,
                CAST(hour(ts_ny) AS BIGINT) AS hour_ny,
-               date_trunc('day', ts_ny) AS day_ny
+               CAST(date_trunc('day', ts_ny) AS TIMESTAMP) AS day_ny
         FROM t
     """,
     "win_value_fns": """

@@ -118,7 +118,11 @@ def _pagerank_oracle() -> str:
             GROUP BY e.dst
         )"""
         )
-    return head + "".join(rounds) + f"\n        SELECT node, rank FROM r{ROUNDS}"
+    return (
+        head
+        + "".join(rounds)
+        + f"\n        SELECT node, CAST(rank AS BIGINT) AS rank FROM r{ROUNDS}"
+    )
 
 
 QUERIES = {

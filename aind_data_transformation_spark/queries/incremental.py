@@ -156,7 +156,8 @@ ORACLES = {
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                o_orderpriority,
                COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
         FROM orders
         GROUP BY date_trunc('month', o_orderdate), o_orderpriority
     """,

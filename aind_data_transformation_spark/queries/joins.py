@@ -253,7 +253,8 @@ ORACLES = {
     "join_bloom_prune": """
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,
-               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'

@@ -527,7 +527,8 @@ ORACLES = {
                    CAST(generate_subscripts({_TOKS_DUCK}, 1) AS BIGINT) AS i
             FROM documents
         )
-        SELECT doc_id, SUM(i * {_TV_DUCK}) % 1000000007 AS fingerprint
+        SELECT doc_id,
+               CAST(SUM(i * {_TV_DUCK}) % 1000000007 AS BIGINT) AS fingerprint
         FROM toks GROUP BY doc_id
     """,
     "dedup_fuzzy_minhash": f"""

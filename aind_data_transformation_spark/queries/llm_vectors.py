@@ -416,7 +416,7 @@ ORACLES = {
     "multimodal_join": """
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS sum_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS avg_e0_r6,
                round(avg(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
                    AS avg_vecsum_r6

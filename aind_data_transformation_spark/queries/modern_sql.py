@@ -324,8 +324,9 @@ ORACLES = {
         )
         SELECT lang,
                COUNT(*) AS n_docs,
-               SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS n_tokens,
-               SUM(n_chars) AS n_chars_total
+               CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         FROM deduped
         GROUP BY lang
     """,

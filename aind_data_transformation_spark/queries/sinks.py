@@ -349,7 +349,8 @@ ORACLES = {
         SELECT COUNT(*) AS n_rows,
                COUNT(o_totalprice) AS n_price,
                COUNT(o_orderstatus) AS n_status,
-               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
         FROM (
             SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
             FROM orders WHERE o_orderkey % 2 = 0
@@ -372,7 +373,8 @@ ORACLES = {
     "sink_repartition": """
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT o_orderkey) AS n_orders,
-               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
         FROM orders
     """,
     "sink_csv_roundtrip": """
@@ -381,12 +383,14 @@ ORACLES = {
     "sink_orc_roundtrip": """
         SELECT COUNT(*) AS n_rows,
                COUNT(DISTINCT c_custkey) AS n_custs,
-               SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS acctbal_cents
+               CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents
         FROM customer
     """,
     "sink_json_roundtrip": """
         SELECT COUNT(*) AS n_rows,
-               SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents,
+               CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
                MIN(o_orderdate) AS first_date,
                MAX(o_orderdate) AS last_date
         FROM orders

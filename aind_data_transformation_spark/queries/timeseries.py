@@ -200,10 +200,11 @@ QUERIES = {
 
 ORACLES = {
     "ts_rollup_cascade": """
-        SELECT date_trunc('day', ts) AS day,
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(round(value*100) AS BIGINT)) AS total_cents,
+               CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                   AS total_cents,
                MIN(CAST(round(value*100) AS BIGINT)) AS min_cents,
                MAX(CAST(round(value*100) AS BIGINT)) AS max_cents,
                COUNT(DISTINCT date_trunc('hour', ts)) AS n_hours
@@ -213,7 +214,8 @@ ORACLES = {
     "ts_interpolate": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   SUM(CAST(round(value*100) AS BIGINT)) AS day_cents
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       AS day_cents
             FROM events GROUP BY user_id, date_trunc('day', ts)
         ), span AS (
             SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
@@ -252,7 +254,8 @@ ORACLES = {
     "ts_gapfill": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts) AS day,
-                   SUM(CAST(round(value*100) AS BIGINT)) AS day_cents
+                   CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT)
+                       AS day_cents
             FROM events GROUP BY user_id, date_trunc('day', ts)
         ), span AS (
             SELECT user_id, MIN(day) AS d0, MAX(day) AS d1

@@ -26,6 +26,8 @@ RUNTIME_CONFS = {
 }
 
 BUILD_CONFS = {
+    # Keep stdout machine-parseable (the bench contract is ONE JSON line).
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

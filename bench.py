@@ -11,8 +11,21 @@ import json
 import os
 import sys
 import time
+import warnings
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+warnings.filterwarnings("ignore")
+os.environ.setdefault("PYTHONWARNINGS", "ignore")
+
+# The driver parses stdout as a single JSON line. The JVM (log4j banner,
+# "Setting default log level", ivy) and any library print can land on fd 1,
+# so swap fd 1 to stderr for the whole run and keep a private dup of the
+# real stdout for the one JSON line at the end. The JVM inherits the
+# redirected fd at launch, so nothing it writes can corrupt the output.
+_REAL_STDOUT = os.dup(1)
+os.dup2(2, 1)
+sys.stdout = sys.stderr
 
 from aind_data_transformation_spark.queries import registry
 from aind_data_transformation_spark.session import build_session
@@ -20,6 +33,10 @@ from aind_data_transformation_spark.session import build_session
 
 def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def emit(payload: dict) -> None:
+    os.write(_REAL_STDOUT, (json.dumps(payload) + "\n").encode())
 
 
 def main() -> None:
@@ -45,18 +62,16 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
     spark.stop()
+    emit(
+        {
+            "metric": "total_query_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
+    )
 
 
 if __name__ == "__main__":

@@ -61,3 +61,22 @@ def test_callables_have_driver_signature():
     for key, fn in queries.items():
         params = list(inspect.signature(fn).parameters)
         assert len(params) == 2, f"{key} must take (spark, sf_dir)"
+
+
+def test_driver_window_is_all_oracle_checkable_part_b():
+    """The driver's correctness gate only reads the first N registry keys
+    (N=50 in round 1); none of those slots may be wasted on a rows-only
+    key, and the SURVEY §2 contract keys must come first."""
+    from aind_data_transformation_spark.queries import _PART_B_ORACLE_KEYS
+
+    queries, oracles = registry()
+    keys = list(queries)
+    window = keys[:50]
+    assert all(k in oracles for k in window), (
+        "driver window contains a no-oracle key"
+    )
+    assert all(k in _PART_B_ORACLE_KEYS for k in window)
+    no_oracle = [k for k in keys if k not in oracles]
+    assert keys[-len(no_oracle):] == no_oracle, (
+        "rows-only keys must sort to the end of the registry"
+    )
