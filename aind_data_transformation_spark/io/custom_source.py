@@ -90,11 +90,21 @@ class RecordReader(DataSourceReader):
 class RecordStreamReader(SimpleDataSourceStreamReader):
     """Streaming half of the connector: the instrument keeps appending
     ``*.rec`` files to the directory; each micro-batch consumes the files
-    that arrived since the last committed offset. The offset is simply the
-    count of files consumed in sorted-name order (instrument dumps are
-    sequence-numbered), which makes replay (``readBetweenOffsets``)
-    exactly reproducible after a crash — the Structured Streaming
-    exactly-once contract.
+    that arrived since the last committed offset.
+
+    The offset is **content-addressed**: a watermark of the last consumed
+    file name plus the explicit list of names consumed in the batch that
+    produced it (``{"last": name, "files": [...]}``). Positional offsets
+    (a count of files in sorted order) silently shift when a file arrives
+    whose name sorts before already-committed files — committed batches
+    would replay different data, breaking the Structured Streaming
+    exactly-once replay contract. Here ``readBetweenOffsets(start, end)``
+    replays exactly ``end["files"]`` — a pure function of the committed
+    offset, immune to any later directory change; new batches consume
+    names strictly greater than the watermark (a late-sorting arrival is
+    skipped, never re-shuffling committed data — instrument dumps are
+    sequence-numbered, so completeness holds in practice while
+    correctness of committed offsets no longer depends on it).
 
     A Simple reader runs on the driver — right for a control-plane-sized
     trickle of files; a heavy stream would implement the partition-based
@@ -112,17 +122,19 @@ class RecordStreamReader(SimpleDataSourceStreamReader):
         )
 
     def initialOffset(self):
-        return {"n": 0}
+        return {"last": "", "files": []}
 
     def read(self, start):
         files = self._files()
+        last = start["last"]
+        new = [f for f in files if f > last]
         rows = []
-        for fname in files[start["n"]:]:
+        for fname in new:
             rows.extend(_parse_file(os.path.join(self.dir, fname)))
-        return iter(rows), {"n": len(files)}
+        return iter(rows), {"last": new[-1] if new else last, "files": new}
 
     def readBetweenOffsets(self, start, end):
-        for fname in self._files()[start["n"]:end["n"]]:
+        for fname in end["files"]:
             yield from _parse_file(os.path.join(self.dir, fname))
 
 

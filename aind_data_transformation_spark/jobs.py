@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import time
+from typing import Optional
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
@@ -29,7 +30,10 @@ from aind_data_transformation_spark.core import (
     JobResponse,
     SparkJobSettings,
 )
-from aind_data_transformation_spark.ops import connected_components
+from aind_data_transformation_spark.ops import (
+    connected_components,
+    parquet_materializer,
+)
 from aind_data_transformation_spark.texthash import verified_near_dups
 
 
@@ -209,6 +213,12 @@ class CorpusCleanJob(GenericSparkEtl[CorpusCleanJobSettings]):
 
 class NearDupResolveJobSettings(SparkJobSettings):
     jaccard_threshold: float = 0.7
+    #: When set, pipeline stages (LSH bands, candidate pairs, trigram
+    #: sets, per-round component labels) materialize as parquet under this
+    #: directory instead of ``localCheckpoint`` — the fault-tolerant mode
+    #: for cluster runs: a lost executor replays from durable storage
+    #: rather than recomputing from nothing. Leave unset in local mode.
+    materialize_dir: Optional[str] = None
 
 
 class NearDupResolveJob(GenericSparkEtl[NearDupResolveJobSettings]):
@@ -229,10 +239,19 @@ class NearDupResolveJob(GenericSparkEtl[NearDupResolveJobSettings]):
         docs = self.spark.read.parquet(str(s.input_source))
         n_in = docs.count()
 
-        edges = verified_near_dups(
-            docs, "doc_id", "text", threshold=s.jaccard_threshold
+        mat = (
+            parquet_materializer(s.materialize_dir)
+            if s.materialize_dir
+            else None
         )
-        comps = connected_components(edges, "id_a", "id_b")
+        edges = verified_near_dups(
+            docs,
+            "doc_id",
+            "text",
+            threshold=s.jaccard_threshold,
+            materializer=mat,
+        )
+        comps = connected_components(edges, "id_a", "id_b", materializer=mat)
         # survivor = min doc_id per component == the component label itself
         losers = comps.where(F.col("node") != F.col("component")).select(
             F.col("node").alias("doc_id")

@@ -13,6 +13,34 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+#: A materializer truncates lineage between pipeline stages and returns a
+#: DataFrame backed by the materialized data. ``None`` everywhere means
+#: :func:`local_materializer`.
+Materializer = "Callable[[DataFrame, str], DataFrame]"
+
+
+def local_materializer(df: DataFrame, name: str) -> DataFrame:
+    """Default stage materializer: ``localCheckpoint`` — fast, in-memory,
+    executor-local. Right for local mode and short-lived pipelines; NOT
+    fault-tolerant (a lost executor loses its blocks with no lineage left
+    to recompute them)."""
+    return df.localCheckpoint()
+
+
+def parquet_materializer(base_dir: str):
+    """Stage materializer that writes each stage to
+    ``{base_dir}/{name}.parquet`` and reads it back — the 100-TB-safe
+    option: stages become durable, replayable from any executor, and
+    restartable mid-pipeline. Costs one write+read of the (small,
+    signature/edge-sized) intermediate per stage."""
+
+    def materialize(df: DataFrame, name: str) -> DataFrame:
+        path = f"{base_dir.rstrip('/')}/{name}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    return materialize
+
 
 def asof_join(
     left: DataFrame,
@@ -141,7 +169,11 @@ def salted_join(
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iters: int = 25
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iters: int = 25,
+    materializer=None,
 ) -> DataFrame:
     """Connected components by min-label propagation: returns
     ``(node, component)`` where ``component`` is the smallest node id in
@@ -156,20 +188,25 @@ def connected_components(
     truncated per round with ``localCheckpoint`` — without it the plan
     doubles every iteration. Convergence is detected with a cheap
     ``limit(1).count`` probe of changed labels.
+
+    ``materializer`` controls how per-round state is persisted:
+    ``local_materializer`` (default) for local/short runs,
+    ``parquet_materializer(dir)`` for fault-tolerant cluster runs.
     """
-    sym = (
+    mat = materializer or local_materializer
+    sym = mat(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "cc_edges",
     )
-    labels = (
+    labels = mat(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        "cc_labels_0",
     )
-    for _ in range(max_iters):
+    for round_no in range(1, max_iters + 1):
         nbr_min = (
             sym.join(
                 labels.select(F.col("node").alias("b"), "label"), "b"
@@ -184,7 +221,7 @@ def connected_components(
             "label",
             F.least("label", F.coalesce("nbr_min", "label")).alias("new_label"),
         )
-        stepped = stepped.localCheckpoint()
+        stepped = mat(stepped, f"cc_labels_{round_no}")
         changed = stepped.where(F.col("new_label") < F.col("label")).limit(1)
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed.count() == 0:

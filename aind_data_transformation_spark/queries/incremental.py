@@ -118,20 +118,25 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Presence markers (in_a/in_b) detect key existence independently of
+    # payload nullability — classifying by payload nullness would turn a
+    # genuine all-NULL-payload row into a phantom insert/delete.
     a = v1.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("s1"),
         F.col("o_totalprice").alias("p1"),
+        F.lit(1).alias("in_a"),
     )
     b = v2.select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderstatus").alias("s2"),
         F.col("o_totalprice").alias("p2"),
+        F.lit(1).alias("in_b"),
     )
     j = a.join(b, "k", "full")
     op = (
-        F.when(F.col("s1").isNull() & F.col("p1").isNull(), F.lit("insert"))
-        .when(F.col("s2").isNull() & F.col("p2").isNull(), F.lit("delete"))
+        F.when(F.col("in_a").isNull(), F.lit("insert"))
+        .when(F.col("in_b").isNull(), F.lit("delete"))
         .when(
             ~(F.col("s1").eqNullSafe(F.col("s2")))
             | ~(F.col("p1").eqNullSafe(F.col("p2"))),
@@ -175,16 +180,17 @@ ORACLES = {
         ), j AS (
             SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
                    a.o_orderstatus AS s1, a.o_totalprice AS p1,
-                   b.o_orderstatus AS s2, b.o_totalprice AS p2
+                   b.o_orderstatus AS s2, b.o_totalprice AS p2,
+                   a.o_orderkey IS NOT NULL AS in_a,
+                   b.o_orderkey IS NOT NULL AS in_b
             FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey
         )
         SELECT o_orderkey,
-               CASE WHEN s1 IS NULL AND p1 IS NULL THEN 'insert'
-                    WHEN s2 IS NULL AND p2 IS NULL THEN 'delete'
+               CASE WHEN NOT in_a THEN 'insert'
+                    WHEN NOT in_b THEN 'delete'
                     ELSE 'update' END AS op
         FROM j
-        WHERE (s1 IS NULL AND p1 IS NULL)
-           OR (s2 IS NULL AND p2 IS NULL)
+        WHERE NOT in_a OR NOT in_b
            OR (s1 IS DISTINCT FROM s2 OR p1 IS DISTINCT FROM p2)
     """,
 }

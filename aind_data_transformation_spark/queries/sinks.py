@@ -188,10 +188,13 @@ def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("dmin"),
         F.max("l_shipdate").alias("dmax"),
     )
-    gx = "CAST(((l_partkey - pmin) * 255) DIV (pmax - pmin) AS INT)"
+    # greatest(..., 1) guards the degenerate single-distinct-value input:
+    # without it Spark's DIV yields NULL while DuckDB's // raises, so the
+    # engines diverge instead of both producing grid coordinate 0.
+    gx = "CAST(((l_partkey - pmin) * 255) DIV greatest(pmax - pmin, 1) AS INT)"
     gy = (
         "CAST((datediff(l_shipdate, dmin) * 255)"
-        " DIV datediff(dmax, dmin) AS INT)"
+        " DIV greatest(datediff(dmax, dmin), 1) AS INT)"
     )
     coords = li.crossJoin(F.broadcast(bounds)).select(
         "l_orderkey",
@@ -305,14 +308,33 @@ def q_scan_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cache before splitting: Spark forbids a CSV plan whose required
     # schema is only the corrupt column; caching the full frame first is
-    # the documented workaround
+    # the documented workaround. The two aggregates are computed eagerly
+    # so the cache entry can be released before returning (benchmark
+    # loops call this repeatedly — an unreleased cache leaks a block
+    # manager entry per invocation).
     reread = reread.cache()
-    good = reread.where(F.col("_corrupt_record").isNull())
-    badr = reread.where(F.col("_corrupt_record").isNotNull())
-    return good.agg(
-        F.count(F.lit(1)).alias("n_good"),
-        F.max("n_nationkey").alias("max_key"),
-    ).crossJoin(badr.agg(F.count(F.lit(1)).alias("n_bad")))
+    try:
+        good_row = (
+            reread.where(F.col("_corrupt_record").isNull())
+            .agg(
+                F.count(F.lit(1)).alias("n_good"),
+                F.max("n_nationkey").alias("max_key"),
+            )
+            .collect()[0]
+        )
+        n_bad = reread.where(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        reread.unpersist()
+    return spark.createDataFrame(
+        [(good_row["n_good"], good_row["max_key"], n_bad)],
+        T.StructType(
+            [
+                T.StructField("n_good", T.LongType(), False),
+                T.StructField("max_key", T.LongType(), True),
+                T.StructField("n_bad", T.LongType(), False),
+            ]
+        ),
+    )
 
 
 QUERIES = {
@@ -333,9 +355,9 @@ ORACLES = {
                    MIN(l_shipdate) AS dmin, MAX(l_shipdate) AS dmax
             FROM lineitem
         ), coords AS (
-            SELECT ((l_partkey - pmin) * 255) // (pmax - pmin) AS zx,
+            SELECT ((l_partkey - pmin) * 255) // greatest(pmax - pmin, 1) AS zx,
                    (date_diff('day', dmin, l_shipdate) * 255)
-                       // date_diff('day', dmin, dmax) AS zy
+                       // greatest(date_diff('day', dmin, dmax), 1) AS zy
             FROM lineitem, bounds
         )
         SELECT (({_zval_terms("zx", "zy", "duck")}) >> 12) AS zbucket,

@@ -44,8 +44,12 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
+    # No forced broadcast of the document-frequency side: at 100 TB the
+    # distinct-token table is heavy-tailed and GB-scale, and a mandatory
+    # broadcast OOMs the driver. A plain equi-join on term lets AQE
+    # broadcast only when the vocab actually fits the threshold.
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")

@@ -165,7 +165,9 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return vals.select(id_col, *sigs)
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, materializer=None
+) -> DataFrame:
     """Band the 8-value signature into 2 bands of 4; docs sharing a band
     key become candidate pairs (id_a < id_b). One equi-join shuffle per
     band, bounded by bucket sizes.
@@ -175,13 +177,20 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
     materialization Spark re-runs the minhash transforms — the expensive
     part of the whole pipeline — for every branch. The signature table is
     ~40 bytes/doc, orders of magnitude smaller than the corpus, so
-    persisting it is the right call at 100 TB too (there you'd write it
-    to parquet between stages instead)."""
-    banded = sig_df.select(
-        id_col,
-        F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
-        F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
-    ).localCheckpoint()
+    persisting it is the right call at 100 TB too — pass
+    ``ops.parquet_materializer(dir)`` as ``materializer`` there so the
+    stage is durable instead of executor-local."""
+    from aind_data_transformation_spark.ops import local_materializer
+
+    mat = materializer or local_materializer
+    banded = mat(
+        sig_df.select(
+            id_col,
+            F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
+            F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
+        ),
+        "lsh_banded",
+    )
     pairs = None
     for band in ("band1", "band2"):
         a = banded.select(F.col(id_col).alias("id_a"), F.col(band).alias("bk"))
@@ -196,7 +205,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def verified_near_dups(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    materializer=None,
 ) -> DataFrame:
     """The full production near-dup pipeline: LSH candidates -> exact
     trigram-Jaccard verification -> pairs >= threshold.
@@ -206,24 +219,33 @@ def verified_near_dups(
     are computed only for docs that appear in some candidate pair (a
     left-semi join placed BEFORE the transform, so the shingling cost
     scales with the candidate set, not the corpus) and materialized once
-    for the two probe sides."""
-    cands = lsh_candidate_pairs(
-        minhash_signatures(df, id_col, text_col), id_col
-    ).localCheckpoint()
+    for the two probe sides. ``materializer`` selects the stage storage
+    (default executor-local checkpoint; parquet for cluster runs)."""
+    from aind_data_transformation_spark.ops import local_materializer
+
+    mat = materializer or local_materializer
+    cands = mat(
+        lsh_candidate_pairs(
+            minhash_signatures(df, id_col, text_col),
+            id_col,
+            materializer=mat,
+        ),
+        "lsh_cands",
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    tris = (
+    tris = mat(
         df.join(cand_ids, id_col, "left_semi")
         # tokenize once: trigram_set_expr references its array 5 times
         .select(F.col(id_col), F.expr(f"split({text_col}, ' ')").alias("__toks"))
         .select(
             F.col(id_col),
             F.expr(trigram_set_expr("__toks", "spark")).alias("__tri"),
-        )
-        .localCheckpoint()
+        ),
+        "verify_trigrams",
     )
     a = tris.select(F.col(id_col).alias("id_a"), F.col("__tri").alias("tri_a"))
     b = tris.select(F.col(id_col).alias("id_b"), F.col("__tri").alias("tri_b"))

@@ -222,3 +222,54 @@ def test_format_conversion_orc_roundtrip(spark, tmp_path):
     back = spark.read.parquet(str(back_dir))
     assert back.count() == orig.count() == json.loads(r2.data)["rows_written"]
     assert set(back.columns) == set(orig.columns)
+
+
+def test_neardup_parquet_materialization_identical_to_checkpoint(
+    spark, tmp_path
+):
+    """The fault-tolerant parquet stage-materialization mode must be
+    byte-identical to the default localCheckpoint mode — same survivors,
+    same metrics — and must actually write its stages to disk."""
+    import json
+
+    from aind_data_transformation_spark.jobs import (
+        NearDupResolveJob,
+        NearDupResolveJobSettings,
+    )
+
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .where("length(text) > 400")
+        .orderBy("doc_id")
+        .limit(30)
+        .select("doc_id", "text")
+    )
+    base = docs.limit(4)
+    variants = base.selectExpr(
+        "doc_id + 1000000 AS doc_id", "concat(text, ' extraword') AS text"
+    )
+    src = tmp_path / "planted"
+    docs.unionByName(variants).write.parquet(str(src))
+
+    results = {}
+    for mode in ("checkpoint", "parquet"):
+        out = tmp_path / f"resolved_{mode}"
+        mat_dir = str(tmp_path / "stages") if mode == "parquet" else None
+        resp = NearDupResolveJob(
+            NearDupResolveJobSettings(
+                input_source=str(src),
+                output_directory=str(out),
+                materialize_dir=mat_dir,
+            ),
+            spark=spark,
+        ).run_job()
+        assert resp.status_code == 200
+        survivors = sorted(
+            r.doc_id
+            for r in spark.read.parquet(str(out)).select("doc_id").collect()
+        )
+        results[mode] = (survivors, json.loads(resp.data)["rows_out"])
+
+    assert results["checkpoint"] == results["parquet"]
+    staged = list((tmp_path / "stages").glob("*.parquet"))
+    assert staged, "parquet mode must write stage directories"

@@ -303,3 +303,22 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     # the matching partition directory
     files = [r.filePath for r in df.select(F.input_file_name().alias("filePath")).distinct().collect()]
     assert files and all("o_orderstatus=F" in f for f in files)
+
+
+def test_tfidf_vocab_join_not_force_broadcast(spark):
+    """The document-frequency (vocabulary) side of tf-idf must NOT carry a
+    mandatory broadcast hint: at 100 TB the distinct-token table is
+    GB-scale and a forced broadcast OOMs. AQE may still *choose* to
+    broadcast when the vocab fits — that shows up as BroadcastHashJoin in
+    the physical plan and is fine; what must be absent is the user hint in
+    the logical plan."""
+    import contextlib
+    import io
+
+    df = _QUERIES["tfidf_keywords"](spark, TEST_SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    logical = buf.getvalue().split("== Physical Plan ==")[0]
+    assert "ResolvedHint" not in logical
+    assert "UnresolvedHint" not in logical

@@ -127,7 +127,8 @@ def test_python_datasource_reads_length_prefixed_records(spark, tmp_path):
 def test_python_datasource_streams_new_record_files(spark, tmp_path):
     """Streaming half of the custom connector: files arriving in the
     watched directory come through as micro-batches with exactly-once
-    file-count offsets; every payload from every file is delivered once."""
+    content-addressed offsets; every payload from every file is delivered
+    once."""
     import uuid
 
     from aind_data_transformation_spark.io import custom_source
@@ -163,3 +164,39 @@ def test_python_datasource_streams_new_record_files(spark, tmp_path):
     for fi in range(3):
         recs = sorted(by_file[f"seq{fi}.rec"])
         assert recs == [(i, bytes([fi]) * (3 + i)) for i in range(5)]
+
+
+def test_stream_offsets_are_content_addressed(tmp_path):
+    """A file arriving whose name sorts BEFORE already-committed files
+    must not shift committed offsets: replaying a committed batch
+    (readBetweenOffsets) returns exactly the same files as when it was
+    first read. Positional (count-based) offsets fail this."""
+    from aind_data_transformation_spark.io.custom_source import (
+        RecordStreamReader,
+        write_record_file,
+    )
+
+    d = tmp_path / "dump_late"
+    d.mkdir()
+    for name in ("seq2.rec", "seq3.rec"):
+        write_record_file(str(d / name), [name.encode()])
+
+    reader = RecordStreamReader({"path": str(d)})
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert sorted({r[0] for r in rows}) == ["seq2.rec", "seq3.rec"]
+
+    # late-sorting arrival: would shift every index under count offsets
+    write_record_file(str(d / "seq1.rec"), [b"late"])
+
+    replay = {r[0] for r in reader.readBetweenOffsets(start, end)}
+    assert replay == {"seq2.rec", "seq3.rec"}, (
+        "committed batch replay changed after a late-sorting arrival"
+    )
+
+    # the next batch picks up only names beyond the committed watermark
+    rows2, end2 = reader.read(end)
+    assert [r[0] for r in rows2] == []  # seq1 sorts before the watermark
+    write_record_file(str(d / "seq4.rec"), [b"new"])
+    rows3, end3 = reader.read(end)
+    assert {r[0] for r in rows3} == {"seq4.rec"}
