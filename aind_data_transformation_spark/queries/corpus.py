@@ -152,8 +152,48 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (alpha = 0.3) over the ``source`` column — the
+    standard LLM-pretraining mixture rebalance: source keep-rate
+    ``(n_min / n_s) ** (1 - alpha)`` so the smallest source keeps 100%
+    and larger sources are downsampled toward uniform; ``weight`` is the
+    inverse rate for unbiased downstream stats. The keep decision uses
+    the corpus-standard consistent doc hash, so samples are reproducible
+    across runs and engines.
+
+    Distributed shape: one tiny per-source count (broadcastable by AQE —
+    source cardinality is enumerably small BY SCHEMA, unlike a token
+    vocabulary), one scalar min, then a pure pushed-down filter over the
+    corpus — no shuffle of the fact table at any scale."""
+    alpha = 0.3
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    rates = counts.crossJoin(n_min).select(
+        "source",
+        F.pow(
+            F.col("n_min").cast("double") / F.col("n_s").cast("double"),
+            F.lit(1.0 - alpha),
+        ).alias("keep_rate"),
+    )
+    return (
+        d.join(rates, "source")
+        .where(
+            F.expr(_HASH_SPARK).cast("double")
+            < F.col("keep_rate") * F.lit(4294967296.0)
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.round("keep_rate", 6).alias("keep_rate_r6"),
+            F.round(F.lit(1.0) / F.col("keep_rate"), 6).alias("weight_r6"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
+    "sample_temperature": q_sample_temperature,
     "dedup_clusters": q_dedup_clusters,
     "pack_sequences": q_pack_sequences,
     "sample_stratified": q_sample_stratified,
@@ -161,6 +201,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_temperature": f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+        ), m AS (
+            SELECT MIN(n_s) AS n_min FROM counts
+        ), rates AS (
+            SELECT source,
+                   pow(CAST(n_min AS DOUBLE) / CAST(n_s AS DOUBLE), 0.7)
+                       AS keep_rate
+            FROM counts, m
+        )
+        SELECT d.doc_id, d.source,
+               round(r.keep_rate, 6) AS keep_rate_r6,
+               round(1.0 / r.keep_rate, 6) AS weight_r6
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE CAST({_HASH_DUCK} AS DOUBLE) < r.keep_rate * 4294967296.0
+    """,
     "corpus_decontaminate": """
         WITH toks AS (
             SELECT doc_id, source, string_split(text, ' ') AS t

@@ -1,10 +1,13 @@
 """Iterative graph analytics on Spark DataFrames.
 
 PageRank is the canonical "loop until fixpoint" algorithm a declarative
-engine supposedly can't express — here it's a driver-side loop of
-join+groupBy rounds, each materialized (persist + count) so the lineage
-stays one round deep. Connected components (ops.connected_components,
-exercised by ``dedup_clusters``) follows the same pattern.
+engine supposedly can't express — here it's a driver-side loop that only
+*builds* the plan: each round adds one join+groupBy referencing the
+previous round once, so plan growth is linear and a fixed round count
+executes as a single job. Connected components (ops.connected_components,
+exercised by ``dedup_clusters``) is the contrasting case: its per-round
+frame is referenced twice (convergence probe + next round), so it MUST
+materialize each round or the plan doubles.
 
 Determinism contract: ranks are fixed-point int64 (SCALE = 1e12), all
 updates are integer multiply/floor-divide/sum. Integer addition is
@@ -47,26 +50,46 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_plan(
+    spark: SparkSession, sf_dir: str, materialize_every: int = 0
+) -> DataFrame:
     """Fixed-point integer PageRank, ROUNDS rounds, damping 0.85.
 
     rank0 = SCALE // N for every node; each round every node sends
     rank // out_degree along its out-edges and receives
     base + (85 * incoming_sum) // 100, with base = (15 * (SCALE//N)) // 100.
     Symmetrized edges mean every node receives mail every round, so the
-    per-round frame is exactly (node, rank) for all N nodes."""
+    per-round frame is exactly (node, rank) for all N nodes.
+
+    The driver loop only BUILDS the plan: each round references the
+    previous ranks frame exactly once, so the logical plan grows
+    *linearly* (one join+agg per round) and a fixed ROUNDS needs no
+    per-round materialization — one action executes all rounds as one
+    job (8 chained shuffles beat 8 jobs + 8 count() materializations by
+    ~8x measured). Materialization is only for lineage control on LONG
+    runs: pass ``materialize_every=k`` to localCheckpoint every k rounds
+    (what you'd do for 50+ rounds on a cluster). Contrast with connected
+    components (ops.py), where each round references its frame twice and
+    the plan would double per round — there, per-round materialization is
+    mandatory."""
     edges = _edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(deg, "src").persist()
-    n_nodes = deg.count()  # also materializes edges_deg's input
+    # localCheckpoint (not persist): the edge table is referenced by all
+    # ROUNDS rounds of the single returned plan, so it must stay
+    # materialized past this function's return — a persist() here could
+    # never be unpersisted and would leak a block-manager entry per call.
+    # Checkpoint blocks are released by the context cleaner when the
+    # frame is garbage collected.
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    n_nodes = deg.count()
     r0 = SCALE // n_nodes
     base = (15 * r0) // DAMP_DEN
     ranks = deg.select(F.col("src").alias("node"), F.lit(r0).alias("rank"))
-    for _ in range(ROUNDS):
+    for round_no in range(1, ROUNDS + 1):
         contribs = edges_deg.join(
             ranks, edges_deg.src == ranks.node, "inner"
         ).select("dst", F.expr("rank DIV deg").alias("contrib"))
-        new_ranks = (
+        ranks = (
             contribs.groupBy(F.col("dst").alias("node"))
             .agg(F.sum("contrib").alias("mail"))
             .select(
@@ -75,13 +98,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{base}L + ({DAMP_NUM} * mail) DIV {DAMP_DEN}"
                 ).alias("rank"),
             )
-            .persist()
         )
-        new_ranks.count()  # materialize: keeps lineage one round deep
-        ranks.unpersist()  # no-op on the unpersisted round-0 frame
-        ranks = new_ranks
-    edges_deg.unpersist()
+        if materialize_every and round_no % materialize_every == 0:
+            ranks = ranks.localCheckpoint()
     return ranks
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry binding of :func:`pagerank_plan` (fixed 8 rounds, fully
+    lazy — see there for the materialization trade-off)."""
+    return pagerank_plan(spark, sf_dir)
 
 
 def _pagerank_oracle() -> str:

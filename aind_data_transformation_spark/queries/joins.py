@@ -237,8 +237,33 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (ops.salted_join): lineitem (fact)
+    joined to part with the fact side spread over 8 salt values and the
+    dimension replicated 8x, then a per-brand rollup. Salting changes the
+    PLAN, never the result — the oracle is the plain join — and is the
+    manual fallback when one hot key would otherwise pin a 500-GB
+    partition on a single task and AQE skew-splitting can't help (e.g.
+    pre-aggregated inputs, or a skewed build side). Result rolled up in
+    exact integer cents."""
+    from aind_data_transformation_spark.ops import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(li, p, "p_partkey", salt=8)
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+    )
+
+
 QUERIES = {
     "join_inner_equi": q_join_inner_equi,
+    "join_salted_skew": q_join_salted_skew,
     "join_bloom_prune": q_join_bloom_prune,
     "join_broadcast": q_join_broadcast,
     "join_left_right_full": q_join_left_right_full,
@@ -250,6 +275,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_salted_skew": """
+        SELECT p_brand,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                   AS price_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
     "join_bloom_prune": """
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,

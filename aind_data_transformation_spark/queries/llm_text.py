@@ -390,7 +390,33 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization — the step every dedup/fingerprint
+    family runs first: lowercase, strip everything outside [a-z0-9 ],
+    collapse runs of spaces, trim; plus the sha-256 of the normalized
+    form (the exact-dedup key over *normalized* content, which catches
+    case/punctuation-only near-dups that raw-hash dedup misses). Pure
+    column expressions — stays in whole-stage codegen, no shuffle, and
+    the simple character classes behave identically in Java regex and
+    RE2."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.sha2(norm, 256).alias("norm_hash"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
 QUERIES = {
+    "text_normalize": q_text_normalize,
     "text_pii_scrub": q_text_pii_scrub,
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
@@ -407,6 +433,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_normalize": """
+        WITH t AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g')) AS norm_text
+            FROM documents
+        )
+        SELECT doc_id, norm_text,
+               sha256(norm_text) AS norm_hash,
+               CAST(length(norm_text) AS BIGINT) AS norm_len
+        FROM t
+    """,
     "text_pii_scrub": r"""
         WITH dirty AS (
             SELECT doc_id,

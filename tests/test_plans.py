@@ -322,3 +322,13 @@ def test_tfidf_vocab_join_not_force_broadcast(spark):
     logical = buf.getvalue().split("== Physical Plan ==")[0]
     assert "ResolvedHint" not in logical
     assert "UnresolvedHint" not in logical
+
+
+def test_salted_join_spreads_key_and_keeps_result(spark):
+    """The salted join must actually join on (key, salt) — spreading a
+    hot key over salt partitions — with the dimension side exploded."""
+    plan = plan_of(spark, "join_salted_skew")
+    assert "__salt" in plan
+    assert "xxhash64" in plan
+    assert "Explode" in plan or "explode" in plan
+    assert "CartesianProduct" not in plan
