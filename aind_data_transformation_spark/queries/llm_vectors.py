@@ -329,7 +329,146 @@ def q_multimodal_framesample_stub(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_multimodal_audiofeat_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature-extraction stage (the audio analogue of the
+    decode/resize/framesample stubs): binary "audio" payload -> fixed
+    400-byte windows -> per-window quantized features. The window
+    expansion (one row per window) is JVM-side explode so only feature
+    arithmetic crosses into Python; the features are a deterministic
+    stand-in for RMS/zero-crossing (no audio codec in this container — a
+    real deployment decodes PCM and computes real frames inside
+    ``feat_batch`` unchanged). Arrow-batched mapInPandas plumbing,
+    explicit schema, partition-parallel — the real deliverable."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    n_bytes = F.length(F.encode("text", "UTF-8")).cast("long")
+    windows = (
+        d.select("doc_id", n_bytes.alias("n_bytes"))
+        .withColumn("nw", F.expr("n_bytes DIV 400"))
+        .where(F.col("nw") > 0)
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("nw") - 1)
+            ).alias("window_idx"),
+        )
+    )
+
+    def feat_batch(batches):
+        for pdf in batches:
+            # stand-in feature math (vectorized over the Arrow batch);
+            # a real deployment computes RMS / zero-crossings here
+            rms_q = (pdf["n_bytes"] * 31 + pdf["window_idx"] * 17) % 1000
+            zc_q = (pdf["n_bytes"] + pdf["window_idx"] * 13) % 100
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "window_idx": pdf["window_idx"],
+                    "rms_q": rms_q.astype("int64"),
+                    "zc_q": zc_q.astype("int64"),
+                }
+            )
+
+    return windows.mapInPandas(
+        feat_batch, "doc_id long, window_idx long, rms_q long, zc_q long"
+    )
+
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (64-dim embeddings)
+_PQ_CODES = 8  # codes per subspace (3-bit)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization-style ANN: ADC scan over compact codes, then
+    exact rerank — the memory-bound scale path IVF/LSH don't cover (PQ
+    codes are ~3 bits/subspace vs 4 bytes/dim, so a 100-TB corpus's codes
+    fit in RAM while raw vectors never do).
+
+    Stages: (1) each vector's 8 subvector sums, quantized to integer
+    micros (exact cross-engine arithmetic from there on); (2) per-subspace
+    min/max bounds -> 3-bit code per subspace (the deterministic stand-in
+    for a k-means codebook — a real deployment trains centroids offline
+    and joins them in; the search-side algebra is identical); (3)
+    asymmetric distance: exact query subsums vs midpoint reconstruction
+    of corpus codes, integer squared-error sum; (4) top-3k candidates per
+    query by ADC distance, reranked by exact cosine to top-k. The bounds
+    table is one tiny broadcast row; the ADC scan is a broadcast join of
+    5 query rows against codes — no shuffle of the corpus."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    subs = [
+        F.round(
+            F.expr(
+                f"aggregate(slice(emb, {_PQ_SUB * j + 1}, {_PQ_SUB}),"
+                " CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias(f"s{j}")
+        for j in range(_PQ_M)
+    ]
+    base = em.select("vec_id", "emb", *subs)
+    bounds = base.agg(
+        *[F.min(f"s{j}").alias(f"mn{j}") for j in range(_PQ_M)],
+        *[F.max(f"s{j}").alias(f"mx{j}") for j in range(_PQ_M)],
+    )
+    coded_cols = []
+    for j in range(_PQ_M):
+        span = f"(mx{j} - mn{j} + 1)"
+        code = f"least({_PQ_CODES - 1}, ((s{j} - mn{j}) * {_PQ_CODES}) DIV {span})"
+        coded_cols.append(
+            F.expr(f"mn{j} + ((2 * ({code}) + 1) * {span}) DIV {2 * _PQ_CODES}")
+            .alias(f"r{j}")
+        )
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    coded = base.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", "emb", norm.alias("nrm"), *[F.col(f"s{j}") for j in range(_PQ_M)], *coded_cols
+    )
+    queries = coded.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        *[F.col(f"s{j}").alias(f"qs{j}") for j in range(_PQ_M)],
+    )
+    adc = " + ".join(
+        f"(qs{j} - r{j}) * (qs{j} - r{j})" for j in range(_PQ_M)
+    )
+    scored = (
+        coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    cands = scored.withColumn(
+        "adc_rank", F.row_number().over(w_adc)
+    ).where(F.col("adc_rank") <= 3 * _TOP_K)
+    cos = F.round(
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            cos.alias("cos_r9"),
+        )
+        .withColumn("rank", F.row_number().over(w_cos).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+    )
+
+
 QUERIES = {
+    "multimodal_audiofeat_stub": q_multimodal_audiofeat_stub,
+    "ann_pq_topk": q_ann_pq_topk,
     "multimodal_resize_stub": q_multimodal_resize_stub,
     "multimodal_framesample_stub": q_multimodal_framesample_stub,
     "multimodal_join": q_multimodal_join,
@@ -348,6 +487,75 @@ _DOT_DUCK = (
 
 def _dot_duck(a: str, b: str) -> str:
     return _DOT_DUCK.format(a=a, b=b)
+
+
+def _pq_oracle() -> str:
+    """ann_pq_topk oracle: the same integer-micros PQ algebra generated
+    from the same constants (_PQ_M/_PQ_SUB/_PQ_CODES)."""
+    subs = ", ".join(
+        "CAST(round(list_sum(list_transform("
+        f"embedding[{_PQ_SUB * j + 1}:{_PQ_SUB * j + _PQ_SUB}],"
+        f" x -> CAST(x AS DOUBLE))) * 1e6) AS BIGINT) AS s{j}"
+        for j in range(_PQ_M)
+    )
+    mins = ", ".join(
+        f"MIN(s{j}) AS mn{j}, MAX(s{j}) AS mx{j}" for j in range(_PQ_M)
+    )
+    recon = ", ".join(
+        f"mn{j} + ((2 * (least({_PQ_CODES - 1},"
+        f" ((s{j} - mn{j}) * {_PQ_CODES}) // (mx{j} - mn{j} + 1))) + 1)"
+        f" * (mx{j} - mn{j} + 1)) // {2 * _PQ_CODES} AS r{j}"
+        for j in range(_PQ_M)
+    )
+    qs = ", ".join(f"s{j} AS qs{j}" for j in range(_PQ_M))
+    keep_s = ", ".join(f"b.s{j}" for j in range(_PQ_M))
+    adc = " + ".join(
+        f"(q.qs{j} - c.r{j}) * (q.qs{j} - c.r{j})" for j in range(_PQ_M)
+    )
+    return f"""
+        WITH base AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   {subs}
+            FROM embeddings
+        ), bounds AS (
+            SELECT {mins} FROM base
+        ), coded AS (
+            SELECT b.vec_id, b.emb,
+                   sqrt({_dot_duck('b.emb', 'b.emb')}) AS nrm,
+                   {keep_s},
+                   {recon}
+            FROM base b, bounds
+        ), q AS (
+            SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, {qs}
+            FROM coded WHERE vec_id < {_N_QUERIES}
+        ), scored AS (
+            SELECT c.vec_id, c.emb, c.nrm,
+                   q.query_id, q.q_emb, q.q_nrm,
+                   {adc} AS adc_dist
+            FROM coded c JOIN q ON c.vec_id != q.query_id
+        ), cands AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+            ) AS adc_rank
+            FROM scored
+        ), reranked AS (
+            SELECT query_id,
+                   vec_id AS neighbor_id,
+                   CAST(adc_dist AS BIGINT) AS adc_dist,
+                   round({_dot_duck('emb', 'q_emb')} / (nrm * q_nrm), 9)
+                       AS cos_r9,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({_dot_duck('emb', 'q_emb')}
+                                      / (nrm * q_nrm), 9) DESC,
+                                vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM cands WHERE adc_rank <= {3 * _TOP_K}
+        )
+        SELECT query_id, neighbor_id, adc_dist, cos_r9, rank
+        FROM reranked WHERE rank <= {_TOP_K}
+    """
 
 
 def _plane_lit(plane: list) -> str:
@@ -387,6 +595,7 @@ _ANN_LSH_SQL = f"""
 """
 
 ORACLES = {
+    "ann_pq_topk": _pq_oracle(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "multimodal_resize_stub": """
         WITH dims AS (
@@ -401,6 +610,22 @@ ORACLES = {
                CAST(w * 256 // greatest(w, h) AS BIGINT) AS new_w,
                CAST(h * 256 // greatest(w, h) AS BIGINT) AS new_h
         FROM dims
+    """,
+    "multimodal_audiofeat_stub": """
+        WITH w AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text)) // 400 AS nw
+            FROM documents
+            WHERE octet_length(encode(text)) // 400 > 0
+        )
+        SELECT doc_id,
+               CAST(unnest(range(0, nw)) AS BIGINT) AS window_idx,
+               CAST((n_bytes * 31 + unnest(range(0, nw)) * 17) % 1000
+                   AS BIGINT) AS rms_q,
+               CAST((n_bytes + unnest(range(0, nw)) * 13) % 100
+                   AS BIGINT) AS zc_q
+        FROM w
     """,
     "multimodal_framesample_stub": """
         WITH vids AS (

@@ -332,3 +332,11 @@ def test_salted_join_spreads_key_and_keeps_result(spark):
     assert "xxhash64" in plan
     assert "Explode" in plan or "explode" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ann_pq_broadcasts_queries_and_bounds(spark):
+    """PQ ADC scan: the bounds row and the 5-query set broadcast; the
+    corpus is scanned once with no shuffle before the per-query top-k."""
+    plan = plan_of(spark, "ann_pq_topk")
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
