@@ -85,6 +85,45 @@ def asof_join(
     return merged.where(F.col("__side") == 1).drop("__side")
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Forward (at-or-after) as-of join, inclusive: for each left row,
+    attach the ``value_cols`` of the EARLIEST right row with the same key
+    and ``right.ts >= left.ts`` — the "next quote / next calibration"
+    lookup that backward as-of can't express.
+
+    Same distributed shape as :func:`asof_join` (union, one key shuffle,
+    linear window scan), mirrored: left rows sort before right rows at
+    the same instant and the scan is ``first(value, ignorenulls)`` over
+    (current row .. unbounded following), so an equal-ts right row is
+    matched (inclusive). Same preconditions as :func:`asof_join`."""
+    keys = [on] if isinstance(on, str) else list(on)
+    overlap = set(value_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(f"value_cols collide with left columns: {overlap}")
+    l_tagged = left
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn("__side", F.lit(0))
+    r_tagged = right.select(
+        *keys, ts, *value_cols
+    ).withColumn("__side", F.lit(1))
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts, "__side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    for c in value_cols:
+        merged = merged.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return merged.where(F.col("__side") == 0).drop("__side")
+
+
 def topk_per_group(
     df: DataFrame,
     partition_by: Sequence[str],

@@ -302,7 +302,60 @@ def q_fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: declarative expectations over ``orders``
+    (positivity, domain membership, non-null, format, key uniqueness)
+    validated in ONE aggregation pass and reported long-form as
+    (rule_name, n_violations, passed) — the pre-load contract check every
+    ETL framework runs before publishing a table. Null predicate results
+    count as violations (a NULL price is not "positive"). The single-pass
+    shape is the 100-TB property: five rules cost one scan, not five."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def viol(pred):
+        # violation = predicate false OR null
+        return F.count(F.when(~F.coalesce(pred, F.lit(False)), F.lit(1)))
+
+    one = o.agg(
+        viol(F.col("o_totalprice") > 0).alias("v_price_positive"),
+        viol(F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "v_status_domain"
+        ),
+        viol(F.col("o_orderdate").isNotNull()).alias("v_date_not_null"),
+        viol(F.col("o_orderpriority").rlike("^[1-5]-")).alias(
+            "v_priority_format"
+        ),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias(
+            "v_key_unique"
+        ),
+    )
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule_name"),
+                F.col(col).alias("n_violations"),
+            )
+            for name, col in [
+                ("price_positive", "v_price_positive"),
+                ("status_domain", "v_status_domain"),
+                ("date_not_null", "v_date_not_null"),
+                ("priority_format", "v_priority_format"),
+                ("key_unique", "v_key_unique"),
+            ]
+        ]
+    )
+    return (
+        one.select(F.explode(rules).alias("r"))
+        .select(
+            "r.rule_name",
+            "r.n_violations",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )
+
+
 QUERIES = {
+    "dq_expectations": q_dq_expectations,
     "sql_lateral_topn": q_sql_lateral_topn,
     "fn_try_safe": q_fn_try_safe,
     "merge_upsert": q_merge_upsert,
@@ -322,6 +375,34 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "dq_expectations": """
+        WITH agg AS (
+            SELECT
+                COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE)
+                      THEN 1 END) AS v_price_positive,
+                COUNT(CASE WHEN NOT COALESCE(
+                          o_orderstatus IN ('O', 'F', 'P'), FALSE)
+                      THEN 1 END) AS v_status_domain,
+                COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END)
+                    AS v_date_not_null,
+                COUNT(CASE WHEN NOT COALESCE(
+                          regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)
+                      THEN 1 END) AS v_priority_format,
+                COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_key_unique
+            FROM orders
+        ), rules AS (
+            SELECT 'price_positive' AS rule_name,
+                   v_price_positive AS n_violations FROM agg
+            UNION ALL SELECT 'status_domain', v_status_domain FROM agg
+            UNION ALL SELECT 'date_not_null', v_date_not_null FROM agg
+            UNION ALL SELECT 'priority_format', v_priority_format FROM agg
+            UNION ALL SELECT 'key_unique', v_key_unique FROM agg
+        )
+        SELECT rule_name,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM rules
+    """,
     "sql_lateral_topn": """
         SELECT o_orderkey,
                CAST(t.l_linenumber AS BIGINT) AS l_linenumber,

@@ -144,6 +144,38 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "matched_order")
 
 
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each event, the EARLIEST order of the same
+    user placed at-or-after the event — same synthesized order times as
+    ``join_asof``, mirrored direction (ops.asof_join_forward: union, one
+    shuffle, ``first(ignorenulls)`` forward window scan). Oracle: DuckDB
+    native ASOF LEFT JOIN with ``e.ts <= s.ts``."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    synth = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("o_orderkey") % 30).cast("int"),
+            )
+        ).alias("ts"),
+        "o_orderkey",
+    )
+    synth = synth.groupBy("user_id", "ts").agg(
+        F.max("o_orderkey").alias("next_order")
+    )
+    from aind_data_transformation_spark.ops import asof_join_forward
+
+    return asof_join_forward(
+        e.select("user_id", "ts", "event_id"),
+        synth,
+        on="user_id",
+        ts="ts",
+        value_cols=["next_order"],
+    ).select("event_id", "user_id", "next_order")
+
+
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small cartesian: every region × every order status."""
     r = load_table(spark, sf_dir, "region")
@@ -270,6 +302,7 @@ QUERIES = {
     "join_semi_anti": q_join_semi_anti,
     "join_theta_range": q_join_theta_range,
     "join_asof": q_join_asof,
+    "join_asof_forward": q_join_asof_forward,
     "join_cross": q_join_cross,
     "join_self": q_join_self,
 }
@@ -335,6 +368,18 @@ ORACLES = {
               FROM range(0, 20)) bands
           ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band
+    """,
+    "join_asof_forward": """
+        WITH synth AS (
+            SELECT o_custkey AS user_id,
+                   CAST(DATE '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY AS TIMESTAMP) AS ts,
+                   MAX(o_orderkey) AS next_order
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, s.next_order
+        FROM events e
+        ASOF LEFT JOIN synth s
+          ON e.user_id = s.user_id AND e.ts <= s.ts
     """,
     "join_asof": """
         WITH synth AS (

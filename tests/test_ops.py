@@ -76,3 +76,24 @@ def test_register_tables_sql_surface(spark):
     assert row.n > 0
     # events view exposes normalized µs timestamps, not raw ns longs
     assert dict(spark.table("events_sql").dtypes)["ts"] == "timestamp"
+
+
+def test_asof_join_forward_semantics(spark):
+    """Inclusive at-or-after: equal-ts right row matches; a left row past
+    the last right row gets NULL; earliest (not latest) right wins."""
+    from aind_data_transformation_spark.ops import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 13, "c"), (2, 1, "d")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 70), (1, 10, 100), (1, 12, 120)], ["k", "ts", "v"]
+    )
+    got = {
+        r["tag"]: r["v"]
+        for r in asof_join_forward(
+            left, right, on="k", ts="ts", value_cols=["v"]
+        ).collect()
+    }
+    assert got == {"a": 70, "b": 100, "c": None, "d": None}
