@@ -21,6 +21,7 @@ full extra pass and is never acceptable at scale.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -276,22 +277,21 @@ def q_scan_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     dead pipeline."""
     out = _scratch(sf_dir, "nation_dirty")
     n = load_table(spark, sf_dir, "nation")
-    lines = n.select(
-        F.concat_ws(
-            ",",
-            F.col("n_nationkey"),
-            F.col("n_name"),
-            F.col("n_regionkey"),
-        ).alias("value")
-    )
-    # each injected line must be genuinely malformed under PERMISSIVE
+    # The dirty scratch file is test SCAFFOLDING, not the operator: nation
+    # is 25 rows, so it is assembled driver-side with plain file IO (three
+    # Spark jobs for a 28-line file measurably dominated the operator).
+    # Each injected line must be genuinely malformed under PERMISSIVE
     # semantics (type-parse failure or extra tokens) — a merely-short row
-    # is filled with nulls, not quarantined
-    bad = spark.createDataFrame(
-        [("not-a-key,BROKENLAND,9",), ("12,BADREGION,xx",), (",,,,,",)],
-        ["value"],
-    )
-    lines.unionByName(bad).coalesce(1).write.mode("overwrite").text(out)
+    # is filled with nulls, not quarantined.
+    rows = n.select("n_nationkey", "n_name", "n_regionkey").collect()
+    shutil.rmtree(out, ignore_errors=True)  # the reader scans the whole dir
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "part-0.csv"), "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(f"{r[0]},{r[1]},{r[2]}\n")
+        fh.write("not-a-key,BROKENLAND,9\n")
+        fh.write("12,BADREGION,xx\n")
+        fh.write(",,,,,\n")
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.LongType()),
