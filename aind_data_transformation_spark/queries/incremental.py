@@ -26,8 +26,11 @@ _CENTS = "CAST(round(o_totalprice*100) AS BIGINT)"
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    # pid-scoped so concurrent sessions never cross-read mid-rewrite dirs
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_incr", tag, name)
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_incr", str(os.getpid()), tag, name
+    )
 
 
 def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:

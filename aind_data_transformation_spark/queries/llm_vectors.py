@@ -82,8 +82,13 @@ def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k: cell = sign bits of the first 3
-    components (8 coarse cells); queries probe only their own cell."""
+    """IVF-bucketed approximate top-k with multi-probe: cell = sign bits
+    of the first 3 components (8 coarse cells); each query probes its own
+    cell plus the 3 Hamming-1 neighbor cells (nprobe=4) — single-probe
+    recall@5 measured 0.28 on the test corpus because true neighbors
+    straddle cell boundaries; multi-probe is the standard IVF answer and
+    keeps the probe an equi-join on cell (recall floor asserted in
+    tests/test_properties.py)."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
@@ -103,9 +108,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("q_nrm"),
         )
     )
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.array(
+                F.col("q_cell"),
+                F.expr("q_cell ^ 4"),
+                F.expr("q_cell ^ 2"),
+                F.expr("q_cell ^ 1"),
+            )
+        ).alias("probe_cell"),
+    )
     scored = corpus.join(
-        F.broadcast(queries),
-        (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("query_id")),
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
     )
     cos = F.round(
         _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
@@ -141,14 +160,17 @@ _PLANES = [
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SimHash) LSH similarity search: the 4 sign bits
-    of the plane projections bucket the corpus into 16 cells; each query
-    scores only its own cell.
+    """Random-hyperplane (SimHash) LSH similarity search with multi-probe:
+    the 4 sign bits of the plane projections bucket the corpus into 16
+    cells; each query probes its own cell plus the 4 Hamming-1 flips
+    (nprobe=5 — single-probe recall@5 measured 0.04 because a near
+    neighbor flips one marginal plane sign with high probability; the
+    Hamming-1 probes are exactly the buckets those flips land in).
 
     This is the classic cosine-LSH scale path: the bucket id is a pure
     column expression (index build = free byproduct of the scan), the
     probe is an equi-join on the bucket key, and recall is tuned by the
-    plane count / multi-probe — none of which changes the plan shape. The
+    plane count / probe count — none of which changes the plan shape. The
     projection is rounded to 9 decimals before the sign test so bucket
     assignment is bit-identical across engines."""
     em = load_table(spark, sf_dir, "embeddings").select(
@@ -169,9 +191,23 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("q_bucket"),
         F.col("nrm").alias("q_nrm"),
     )
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.array(
+                F.col("q_bucket"),
+                F.expr("q_bucket ^ 8"),
+                F.expr("q_bucket ^ 4"),
+                F.expr("q_bucket ^ 2"),
+                F.expr("q_bucket ^ 1"),
+            )
+        ).alias("probe_bucket"),
+    )
     scored = corpus.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket"))
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe_bucket"))
         & (F.col("vec_id") != F.col("query_id")),
     )
     cos = F.round(
@@ -376,67 +412,70 @@ def q_multimodal_audiofeat_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQ_M = 8  # subspaces
-_PQ_SUB = 8  # dims per subspace (64-dim embeddings)
-_PQ_CODES = 8  # codes per subspace (3-bit)
+_SQ_DIMS = 64  # embedding dimensionality
+_SQ_CODES = 16  # codes per dimension (4-bit scalar quantization)
 
 
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization-style ANN: ADC scan over compact codes, then
-    exact rerank — the memory-bound scale path IVF/LSH don't cover (PQ
-    codes are ~3 bits/subspace vs 4 bytes/dim, so a 100-TB corpus's codes
-    fit in RAM while raw vectors never do).
+    """Quantization-code ANN (PQ with 1-dim subspaces == scalar
+    quantization, FAISS-SQ style): ADC scan over compact 4-bit codes,
+    then exact rerank — the memory-bound scale path IVF/LSH don't cover
+    (codes are 4 bits/dim vs 32, so a 100-TB corpus's codes fit in RAM
+    while raw vectors never do).
 
-    Stages: (1) each vector's 8 subvector sums, quantized to integer
-    micros (exact cross-engine arithmetic from there on); (2) per-subspace
-    min/max bounds -> 3-bit code per subspace (the deterministic stand-in
-    for a k-means codebook — a real deployment trains centroids offline
-    and joins them in; the search-side algebra is identical); (3)
-    asymmetric distance: exact query subsums vs midpoint reconstruction
-    of corpus codes, integer squared-error sum; (4) top-3k candidates per
-    query by ADC distance, reranked by exact cosine to top-k. The bounds
-    table is one tiny broadcast row; the ADC scan is a broadcast join of
-    5 query rows against codes — no shuffle of the corpus."""
+    Stages: (1) L2-normalize each vector and quantize every dimension to
+    integer micros (normalized, so integer squared distance is monotone
+    in cosine; exact cross-engine arithmetic from there on); (2) per-dim
+    corpus min/max bounds -> 4-bit code per dim (the deterministic
+    stand-in for a trained codebook — a real deployment trains centroids
+    offline and joins them in; the search-side algebra is identical);
+    (3) asymmetric distance: exact query micros vs midpoint
+    reconstruction of corpus codes, integer squared-error sum over all
+    64 dims; (4) top-3k candidates per query by ADC distance, reranked
+    by exact cosine to top-k. Recall@5 floor asserted in
+    tests/test_properties.py. The bounds table is one broadcast row; the
+    ADC scan is a broadcast join of 5 query rows against codes — no
+    shuffle of the corpus."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
-    subs = [
-        F.round(
-            F.expr(
-                f"aggregate(slice(emb, {_PQ_SUB * j + 1}, {_PQ_SUB}),"
-                " CAST(0 AS DOUBLE), (a, x) -> a + x)"
-            )
-            * 1e6
-        )
-        .cast("long")
-        .alias(f"s{j}")
-        for j in range(_PQ_M)
-    ]
-    base = em.select("vec_id", "emb", *subs)
-    bounds = base.agg(
-        *[F.min(f"s{j}").alias(f"mn{j}") for j in range(_PQ_M)],
-        *[F.max(f"s{j}").alias(f"mx{j}") for j in range(_PQ_M)],
-    )
-    coded_cols = []
-    for j in range(_PQ_M):
-        span = f"(mx{j} - mn{j} + 1)"
-        code = f"least({_PQ_CODES - 1}, ((s{j} - mn{j}) * {_PQ_CODES}) DIV {span})"
-        coded_cols.append(
-            F.expr(f"mn{j} + ((2 * ({code}) + 1) * {span}) DIV {2 * _PQ_CODES}")
-            .alias(f"r{j}")
-        )
     norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    vcols = [
+        F.round(F.element_at("emb", d + 1) / F.col("nrm") * 1e6)
+        .cast("long")
+        .alias(f"v{d}")
+        for d in range(_SQ_DIMS)
+    ]
+    base = em.select("vec_id", "emb", norm.alias("nrm")).select(
+        "vec_id", "emb", "nrm", *vcols
+    )
+    bounds = base.agg(
+        *[F.min(f"v{d}").alias(f"mn{d}") for d in range(_SQ_DIMS)],
+        *[F.max(f"v{d}").alias(f"mx{d}") for d in range(_SQ_DIMS)],
+    )
+    recon_cols = []
+    for d in range(_SQ_DIMS):
+        span = f"(mx{d} - mn{d} + 1)"
+        code = f"least({_SQ_CODES - 1}, ((v{d} - mn{d}) * {_SQ_CODES}) DIV {span})"
+        recon_cols.append(
+            F.expr(f"mn{d} + ((2 * ({code}) + 1) * {span}) DIV {2 * _SQ_CODES}")
+            .alias(f"r{d}")
+        )
     coded = base.crossJoin(F.broadcast(bounds)).select(
-        "vec_id", "emb", norm.alias("nrm"), *[F.col(f"s{j}") for j in range(_PQ_M)], *coded_cols
+        "vec_id",
+        "emb",
+        "nrm",
+        *[F.col(f"v{d}") for d in range(_SQ_DIMS)],
+        *recon_cols,
     )
     queries = coded.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        *[F.col(f"s{j}").alias(f"qs{j}") for j in range(_PQ_M)],
+        *[F.col(f"v{d}").alias(f"qv{d}") for d in range(_SQ_DIMS)],
     )
     adc = " + ".join(
-        f"(qs{j} - r{j}) * (qs{j} - r{j})" for j in range(_PQ_M)
+        f"(qv{d} - r{d}) * (qv{d} - r{d})" for d in range(_SQ_DIMS)
     )
     scored = (
         coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
@@ -490,40 +529,39 @@ def _dot_duck(a: str, b: str) -> str:
 
 
 def _pq_oracle() -> str:
-    """ann_pq_topk oracle: the same integer-micros PQ algebra generated
-    from the same constants (_PQ_M/_PQ_SUB/_PQ_CODES)."""
-    subs = ", ".join(
-        "CAST(round(list_sum(list_transform("
-        f"embedding[{_PQ_SUB * j + 1}:{_PQ_SUB * j + _PQ_SUB}],"
-        f" x -> CAST(x AS DOUBLE))) * 1e6) AS BIGINT) AS s{j}"
-        for j in range(_PQ_M)
+    """ann_pq_topk oracle: the same integer-micros scalar-quantization
+    ADC algebra generated from the same constants (_SQ_DIMS/_SQ_CODES)."""
+    vs = ", ".join(
+        f"CAST(round(emb[{d + 1}] / nrm * 1e6) AS BIGINT) AS v{d}"
+        for d in range(_SQ_DIMS)
     )
     mins = ", ".join(
-        f"MIN(s{j}) AS mn{j}, MAX(s{j}) AS mx{j}" for j in range(_PQ_M)
+        f"MIN(v{d}) AS mn{d}, MAX(v{d}) AS mx{d}" for d in range(_SQ_DIMS)
     )
     recon = ", ".join(
-        f"mn{j} + ((2 * (least({_PQ_CODES - 1},"
-        f" ((s{j} - mn{j}) * {_PQ_CODES}) // (mx{j} - mn{j} + 1))) + 1)"
-        f" * (mx{j} - mn{j} + 1)) // {2 * _PQ_CODES} AS r{j}"
-        for j in range(_PQ_M)
+        f"mn{d} + ((2 * (least({_SQ_CODES - 1},"
+        f" ((v{d} - mn{d}) * {_SQ_CODES}) // (mx{d} - mn{d} + 1))) + 1)"
+        f" * (mx{d} - mn{d} + 1)) // {2 * _SQ_CODES} AS r{d}"
+        for d in range(_SQ_DIMS)
     )
-    qs = ", ".join(f"s{j} AS qs{j}" for j in range(_PQ_M))
-    keep_s = ", ".join(f"b.s{j}" for j in range(_PQ_M))
+    qs = ", ".join(f"v{d} AS qv{d}" for d in range(_SQ_DIMS))
+    keep_v = ", ".join(f"b.v{d}" for d in range(_SQ_DIMS))
     adc = " + ".join(
-        f"(q.qs{j} - c.r{j}) * (q.qs{j} - c.r{j})" for j in range(_PQ_M)
+        f"(q.qv{d} - c.r{d}) * (q.qv{d} - c.r{d})" for d in range(_SQ_DIMS)
     )
     return f"""
-        WITH base AS (
+        WITH nr AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-                   {subs}
+                   sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
             FROM embeddings
+        ), base AS (
+            SELECT vec_id, emb, nrm, {vs} FROM nr
         ), bounds AS (
             SELECT {mins} FROM base
         ), coded AS (
-            SELECT b.vec_id, b.emb,
-                   sqrt({_dot_duck('b.emb', 'b.emb')}) AS nrm,
-                   {keep_s},
+            SELECT b.vec_id, b.emb, b.nrm,
+                   {keep_v},
                    {recon}
             FROM base b, bounds
         ), q AS (
@@ -557,7 +595,6 @@ def _pq_oracle() -> str:
         FROM reranked WHERE rank <= {_TOP_K}
     """
 
-
 def _plane_lit(plane: list) -> str:
     return "[" + ", ".join(repr(w) for w in plane) + "]"
 
@@ -579,12 +616,17 @@ _ANN_LSH_SQL = f"""
         SELECT vec_id AS query_id, embedding AS q_emb,
                bucket AS q_bucket, nrm AS q_nrm
         FROM corpus WHERE vec_id < {_N_QUERIES}
+    ), probes AS (
+        SELECT query_id, q_emb, q_nrm,
+               unnest([q_bucket, xor(q_bucket, 8), xor(q_bucket, 4),
+                       xor(q_bucket, 2), xor(q_bucket, 1)]) AS probe_bucket
+        FROM queries
     ), scored AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
                CAST(c.bucket AS BIGINT) AS bucket,
                round({_dot_duck('c.embedding', 'q.q_emb')} / (c.nrm * q.q_nrm), 9)
                    AS cos_r9
-        FROM corpus c JOIN queries q ON c.bucket = q.q_bucket
+        FROM corpus c JOIN probes q ON c.bucket = q.probe_bucket
         WHERE c.vec_id != q.query_id
     )
     SELECT query_id, neighbor_id, bucket, cos_r9,
@@ -680,11 +722,16 @@ ORACLES = {
         ), queries AS (
             SELECT vec_id AS query_id, embedding AS q_emb, cell AS q_cell, nrm AS q_nrm
             FROM corpus WHERE vec_id < {_N_QUERIES}
+        ), probes AS (
+            SELECT query_id, q_emb, q_nrm,
+                   unnest([q_cell, xor(q_cell, 4), xor(q_cell, 2),
+                           xor(q_cell, 1)]) AS probe_cell
+            FROM queries
         ), scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id, c.cell,
                    round({_dot_duck('c.embedding', 'q.q_emb')} / (c.nrm * q.q_nrm), 9)
                        AS cos_r9
-            FROM corpus c JOIN queries q ON c.cell = q.q_cell
+            FROM corpus c JOIN probes q ON c.cell = q.probe_cell
             WHERE c.vec_id != q.query_id
         )
         SELECT query_id, neighbor_id, cell, cos_r9,

@@ -33,7 +33,9 @@ def q_scan_csv_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schema-on-read is explicit (never inferSchema — that is an extra full
     pass at 100 TB); the join broadcasts the 5-row region side.
     """
-    scratch = os.path.join(tempfile.gettempdir(), "spark_graft_scan_csv_json")
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scan_csv_json", str(os.getpid())
+    )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     nation.write.mode("overwrite").option("header", "true").csv(f"{scratch}/nation_csv")

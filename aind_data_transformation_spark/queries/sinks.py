@@ -31,8 +31,12 @@ from aind_data_transformation_spark.io.sources import load_table, read_csv, read
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    # pid-scoped: a concurrently-running second session (bench + tests)
+    # must never read a directory this process is mid-rewrite on.
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_sinks", tag, name)
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_sinks", str(os.getpid()), tag, name
+    )
 
 
 def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:

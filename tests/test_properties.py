@@ -148,3 +148,43 @@ def test_hash_sample_consistent_and_partition_independent(spark):
     # nested property: sample(0.1) ⊂ sample(0.2) — consistent thresholds
     c = {r.k for r in hash_sample(df, "k", 0.1).collect()}
     assert c <= a
+
+
+def test_ann_variants_recall_vs_brute_force(spark):
+    """The approximate searches (IVF cells, LSH buckets, PQ codes) must
+    actually find most of the true neighbors, not just execute: recall@5
+    against the exact brute-force top-5 must clear a floor for each
+    variant. Guards against a refactor that silently breaks bucketing
+    (e.g. every query landing in an empty cell still 'passes' the
+    oracle, which only pins the approximate result, not its quality)."""
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        q_ann_ivf_topk,
+        q_ann_lsh_topk,
+        q_ann_pq_topk,
+        q_sim_search_topk,
+    )
+
+    def topsets(df):
+        out = {}
+        for r in df.select("query_id", "neighbor_id").collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topsets(q_sim_search_topk(spark, TEST_SF_DIR))
+    floors = {
+        q_ann_ivf_topk: 0.4,  # nprobe=4 multi-probe
+        q_ann_lsh_topk: 0.35,  # nprobe=5 Hamming-1 multi-probe
+        q_ann_pq_topk: 0.6,  # PQ reranks exactly, should be closest
+    }
+    for fn, floor in floors.items():
+        approx = topsets(fn(spark, TEST_SF_DIR))
+        hits = sum(
+            len(exact[q] & approx.get(q, set())) for q in exact
+        )
+        total = sum(len(v) for v in exact.values())
+        recall = hits / total
+        assert recall >= floor, (
+            f"{fn.__name__}: recall@5 {recall:.2f} below floor {floor}"
+        )
