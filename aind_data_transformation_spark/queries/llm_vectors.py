@@ -426,60 +426,61 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stages: (1) L2-normalize each vector and quantize every dimension to
     integer micros (normalized, so integer squared distance is monotone
     in cosine; exact cross-engine arithmetic from there on); (2) per-dim
-    corpus min/max bounds -> 4-bit code per dim (the deterministic
-    stand-in for a trained codebook — a real deployment trains centroids
-    offline and joins them in; the search-side algebra is identical);
-    (3) asymmetric distance: exact query micros vs midpoint
-    reconstruction of corpus codes, integer squared-error sum over all
-    64 dims; (4) top-3k candidates per query by ADC distance, reranked
-    by exact cosine to top-k. Recall@5 floor asserted in
-    tests/test_properties.py. The bounds table is one broadcast row; the
-    ADC scan is a broadcast join of 5 query rows against codes — no
-    shuffle of the corpus."""
+    corpus min/max bounds — 128 partial aggregations that combine
+    map-side (NOT a posexplode+groupBy, which would shuffle 64x the
+    corpus at scale) — packed into two array literals broadcast with the
+    bounds row; (3) 4-bit code + midpoint reconstruction and the ADC
+    squared-error sum, all as array zip_with/aggregate expressions so
+    codegen stays compact; (4) top-3k candidates per query by ADC
+    distance, reranked by exact cosine to top-k. Recall@5 floor asserted
+    in tests/test_properties.py. The ADC scan is a broadcast join of 5
+    query rows against codes — no shuffle of the corpus."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
     norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
-    vcols = [
-        F.round(F.element_at("emb", d + 1) / F.col("nrm") * 1e6)
-        .cast("long")
-        .alias(f"v{d}")
-        for d in range(_SQ_DIMS)
-    ]
-    base = em.select("vec_id", "emb", norm.alias("nrm")).select(
-        "vec_id", "emb", "nrm", *vcols
+    base = em.select("vec_id", "emb", norm.alias("nrm")).withColumn(
+        "v", F.expr("transform(emb, x -> CAST(round(x / nrm * 1e6) AS BIGINT))")
     )
     bounds = base.agg(
-        *[F.min(f"v{d}").alias(f"mn{d}") for d in range(_SQ_DIMS)],
-        *[F.max(f"v{d}").alias(f"mx{d}") for d in range(_SQ_DIMS)],
+        *[
+            F.min(F.element_at("v", d + 1)).alias(f"mn{d}")
+            for d in range(_SQ_DIMS)
+        ],
+        *[
+            F.max(F.element_at("v", d + 1)).alias(f"mx{d}")
+            for d in range(_SQ_DIMS)
+        ],
+    ).select(
+        F.array(*[F.col(f"mn{d}") for d in range(_SQ_DIMS)]).alias("mn"),
+        F.array(*[F.col(f"mx{d}") for d in range(_SQ_DIMS)]).alias("mx"),
     )
-    recon_cols = []
-    for d in range(_SQ_DIMS):
-        span = f"(mx{d} - mn{d} + 1)"
-        code = f"least({_SQ_CODES - 1}, ((v{d} - mn{d}) * {_SQ_CODES}) DIV {span})"
-        recon_cols.append(
-            F.expr(f"mn{d} + ((2 * ({code}) + 1) * {span}) DIV {2 * _SQ_CODES}")
-            .alias(f"r{d}")
-        )
-    coded = base.crossJoin(F.broadcast(bounds)).select(
-        "vec_id",
-        "emb",
-        "nrm",
-        *[F.col(f"v{d}") for d in range(_SQ_DIMS)],
-        *recon_cols,
+    recon = f"""zip_with(
+        v,
+        zip_with(mn, mx, (a, b) -> struct(a AS mn, b AS mx)),
+        (vd, bd) -> bd.mn
+            + ((2 * least({_SQ_CODES - 1},
+                          ((vd - bd.mn) * {_SQ_CODES})
+                              DIV (bd.mx - bd.mn + 1)) + 1)
+               * (bd.mx - bd.mn + 1)) DIV {2 * _SQ_CODES}
+    )"""
+    coded = base.crossJoin(F.broadcast(bounds)).withColumn(
+        "r", F.expr(recon)
     )
     queries = coded.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
-        *[F.col(f"v{d}").alias(f"qv{d}") for d in range(_SQ_DIMS)],
+        F.col("v").alias("qv"),
     )
-    adc = " + ".join(
-        f"(qv{d} - r{d}) * (qv{d} - r{d})" for d in range(_SQ_DIMS)
-    )
-    scored = (
-        coded.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-        .withColumn("adc_dist", F.expr(adc))
+    scored = coded.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "adc_dist",
+        F.expr(
+            "aggregate(zip_with(qv, r, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x)"
+        ),
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
