@@ -34,6 +34,7 @@ _CATEGORY_MODULES = (
     "timeseries",
     "behavior",
     "text_mining",
+    "training_prep",
     "vector_ops",
     "extras",
     "modern_sql",

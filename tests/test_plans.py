@@ -340,3 +340,45 @@ def test_ann_pq_broadcasts_queries_and_bounds(spark):
     plan = plan_of(spark, "ann_pq_topk")
     assert "Broadcast" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_no_cartesian_gram_equi_join(spark):
+    """The duplicated-span profile joins windows back to the dup-gram set
+    on the gram key — an equi-join, never an all-pairs comparison; the
+    gram document-frequency aggregation is partial+final."""
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bm25_stats_and_df_broadcast(spark):
+    """BM25's corpus-stats row and |query-terms|-row df table broadcast;
+    the corpus-sized tf side is never nested-loop-joined."""
+    plan = plan_of(spark, "rank_bm25")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_vocab_join_not_force_broadcast(spark):
+    """Same contract as tf-idf: the vocabulary join must carry no
+    mandatory broadcast hint (heavy-tailed vocab at 100 TB); only the
+    single-row total is hinted."""
+    df = _QUERIES["text_unigram_logprob"](spark, TEST_SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    optimized = buf.getvalue().split("== Optimized Logical Plan ==", 1)[1]
+    optimized = optimized.split("== Physical Plan ==", 1)[0]
+    # exactly one hint — the broadcast of the 1-row grand-total frame
+    assert optimized.count("ResolvedHint") <= 1
+
+
+def test_sessionize_single_window_sort(spark):
+    """lag + running-sum + final agg must reuse ONE user_id partitioning:
+    exactly one exchange of the event scan, with both window functions
+    evaluated on the same sort."""
+    plan = plan_of(spark, "sessionize_gap")
+    assert "CartesianProduct" not in plan
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= 2, f"sessionize shuffled {n_exchanges} times"

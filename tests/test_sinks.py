@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import glob
 import os
-import tempfile
 
 from tests.conftest import TEST_SF_DIR
 
@@ -14,8 +13,8 @@ from aind_data_transformation_spark.queries import sinks
 
 
 def _scratch(name: str) -> str:
-    tag = TEST_SF_DIR.rstrip("/").rsplit("/", 1)[-1]
-    return os.path.join(tempfile.gettempdir(), "spark_graft_sinks", tag, name)
+    # must mirror the query module's (pid-scoped) scratch layout
+    return sinks._scratch(TEST_SF_DIR, name)
 
 
 def test_partitioned_sink_layout(spark):
