@@ -48,15 +48,20 @@ def asof_join(
     on: str | Sequence[str],
     ts: str,
     value_cols: Sequence[str],
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """Backward (at-or-before) as-of join, inclusive: for each left row,
     attach the ``value_cols`` of the latest right row with the same key
-    and ``right.ts <= left.ts``.
+    and ``right.ts <= left.ts``. With ``tolerance_seconds`` set, a match
+    older than the tolerance is rejected (values null) — the "stale
+    quote" guard of pandas ``merge_asof(tolerance=...)``.
 
     Distributed shape (the reason this beats per-row subqueries at 100 TB):
     tag both sides, union, ONE shuffle on the key, then a linear
     ``last(value, ignorenulls)`` window scan per partition. Right rows sort
-    before left rows at the same instant, giving inclusive semantics.
+    before left rows at the same instant, giving inclusive semantics. The
+    tolerance adds one carried column (the matched right ts) to the same
+    scan — no extra shuffle.
 
     Preconditions: ``right`` has at most one row per (key, ts) — dedupe
     first (e.g. ``groupBy(key, ts).agg(max_by(...))``) or the match among
@@ -74,15 +79,33 @@ def asof_join(
     r_tagged = right.select(
         *keys, ts, *value_cols
     ).withColumn("__side", F.lit(0))
+    if tolerance_seconds is not None:
+        l_tagged = l_tagged.withColumn(
+            "__rts", F.lit(None).cast(right.schema[ts].dataType)
+        )
+        r_tagged = r_tagged.withColumn("__rts", F.col(ts))
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = (
         Window.partitionBy(*keys)
         .orderBy(ts, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
+    carried = list(value_cols) + (
+        ["__rts"] if tolerance_seconds is not None else []
+    )
+    for c in carried:
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return merged.where(F.col("__side") == 1).drop("__side")
+    out = merged.where(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__rts"))
+        ) > tolerance_seconds * 1_000_000
+        for c in value_cols:
+            out = out.withColumn(
+                c, F.when(stale, F.lit(None)).otherwise(F.col(c))
+            )
+        out = out.drop("__rts")
+    return out
 
 
 def asof_join_forward(

@@ -293,6 +293,39 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof
+    (tolerance=...)`` semantics): same synthesized order times as
+    ``join_asof`` but a match more than 2 days older than the event is
+    rejected (null). Same union + one-shuffle window scan — the tolerance
+    rides the existing scan as one carried column (ops.asof_join)."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    synth = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_timestamp(
+            F.date_add(
+                F.lit("2024-01-01").cast("date"),
+                (F.col("o_orderkey") % 30).cast("int"),
+            )
+        ).alias("ts"),
+        "o_orderkey",
+    )
+    synth = synth.groupBy("user_id", "ts").agg(
+        F.max("o_orderkey").alias("matched_order")
+    )
+    from aind_data_transformation_spark.ops import asof_join
+
+    return asof_join(
+        e.select("user_id", "ts", "event_id"),
+        synth,
+        on="user_id",
+        ts="ts",
+        value_cols=["matched_order"],
+        tolerance_seconds=2 * 86400,
+    ).select("event_id", "user_id", "matched_order")
+
+
 QUERIES = {
     "join_inner_equi": q_join_inner_equi,
     "join_salted_skew": q_join_salted_skew,
@@ -303,6 +336,7 @@ QUERIES = {
     "join_theta_range": q_join_theta_range,
     "join_asof": q_join_asof,
     "join_asof_forward": q_join_asof_forward,
+    "join_asof_tolerance": q_join_asof_tolerance,
     "join_cross": q_join_cross,
     "join_self": q_join_self,
 }
@@ -389,6 +423,20 @@ ORACLES = {
             FROM orders GROUP BY 1, 2
         )
         SELECT e.event_id, e.user_id, s.o_orderkey AS matched_order
+        FROM events e
+        ASOF LEFT JOIN synth s
+          ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    "join_asof_tolerance": """
+        WITH synth AS (
+            SELECT o_custkey AS user_id,
+                   CAST(DATE '2024-01-01' + (o_orderkey % 30) * INTERVAL 1 DAY AS TIMESTAMP) AS ts,
+                   MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               CASE WHEN e.ts - s.ts > INTERVAL 2 DAY THEN NULL
+                    ELSE s.o_orderkey END AS matched_order
         FROM events e
         ASOF LEFT JOIN synth s
           ON e.user_id = s.user_id AND e.ts >= s.ts

@@ -506,7 +506,73 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=4) over the embedding corpus —
+    the iterative-ML-on-DataFrames showcase (same fixed-round shape as
+    PageRank: each round is one broadcast of the k-row centroid table +
+    one assignment pass + one dimension-wise mean shuffle; the corpus is
+    never shuffled on an unbounded key).
+
+    Cross-engine determinism: init is the k smallest vec_ids; squared-L2
+    distances are per-dimension 1e9-scaled BIGINT terms (order-free
+    integer sums — argmin cannot flip on float accumulation order, ties
+    break to the lowest centroid id); updated centroids are rounded to 6
+    decimals so the next round's inputs are identical in both engines.
+
+    Returns the round-2 cluster manifest: size + integer-scaled centroid
+    norm per cluster."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("v")
+    )
+    k = 4
+    init = em.orderBy("vec_id").limit(k)
+    w0 = Window.orderBy("vec_id")
+    cents0 = init.select(
+        F.row_number().over(w0).cast("long").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    dist_u = F.expr(
+        "aggregate(zip_with(v, cv, (x, c) ->"
+        " CAST(round((x - c) * (x - c) * 1e9) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = em.crossJoin(F.broadcast(cents)).withColumn("dist_u", dist_u)
+        best = scored.groupBy("vec_id").agg(
+            F.min(F.struct("dist_u", "cid")).alias("m")
+        )
+        return best.select("vec_id", F.col("m.cid").alias("cid"))
+
+    def update(assigned: DataFrame) -> DataFrame:
+        dims = em.join(assigned, "vec_id").select(
+            "cid", F.posexplode("v").alias("d", "x")
+        )
+        avgd = dims.groupBy("cid", "d").agg(F.round(F.avg("x"), 6).alias("cx"))
+        return avgd.groupBy("cid").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(d, cx))), s -> s.cx)"
+            ).alias("cv")
+        )
+
+    c1 = update(assign(cents0))
+    a2 = assign(c1)
+    c2 = update(a2)
+    sizes = a2.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    norms = c2.select(
+        "cid",
+        F.expr(
+            "aggregate(transform(cv, c -> CAST(round(c * c * 1e6) AS BIGINT)),"
+            " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+        ).alias("norm_u6"),
+    )
+    return sizes.join(norms, "cid")
+
+
 QUERIES = {
+    "embed_kmeans_lloyd": q_embed_kmeans_lloyd,
     "multimodal_audiofeat_stub": q_multimodal_audiofeat_stub,
     "ann_pq_topk": q_ann_pq_topk,
     "multimodal_resize_stub": q_multimodal_resize_stub,
@@ -762,3 +828,64 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+def _kmeans_round(cent_cte: str, tag: str) -> str:
+    """One Lloyd round in DuckDB SQL: assignment (integer-scaled argmin,
+    ties to lowest cid) against ``cent_cte``, then 6-decimal dimension
+    means rebuilt into ordered centroid lists. Mirrors the Spark
+    ``assign``/``update`` pair in :func:`q_embed_kmeans_lloyd`."""
+    return f"""
+        s{tag} AS (
+            SELECT e.vec_id, c.cid,
+                   list_sum(list_transform(generate_series(1, len(e.v)),
+                       i -> CAST(round((e.v[i] - c.cv[i])
+                                       * (e.v[i] - c.cv[i]) * 1e9)
+                            AS BIGINT))) AS dist_u
+            FROM emb e CROSS JOIN {cent_cte} c
+        ), a{tag} AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY dist_u, cid
+                       ) AS rn
+                FROM s{tag}
+            ) WHERE rn = 1
+        ), d{tag} AS (
+            SELECT a.cid,
+                   unnest(generate_series(1, len(e.v))) AS d,
+                   unnest(e.v) AS x
+            FROM emb e JOIN a{tag} a USING (vec_id)
+        ), m{tag} AS (
+            SELECT cid, d, round(AVG(x), 6) AS cx
+            FROM d{tag} GROUP BY cid, d
+        ), c{tag} AS (
+            SELECT cid, list(cx ORDER BY d) AS cv FROM m{tag} GROUP BY cid
+        )"""
+
+
+ORACLES["embed_kmeans_lloyd"] = f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), init AS (
+            SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid,
+                   v AS cv
+            FROM init
+        ),{_kmeans_round("c0", "1")},{_kmeans_round("c1", "2")}
+        SELECT sizes.cid, sizes.n_members, norms.norm_u6
+        FROM (
+            SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a2 GROUP BY cid
+        ) sizes
+        JOIN (
+            SELECT cid,
+                   CAST(list_sum(list_transform(cv,
+                       c -> CAST(round(c * c * 1e6) AS BIGINT))) AS BIGINT)
+                       AS norm_u6
+            FROM c2 GROUP BY cid, cv
+        ) norms USING (cid)
+    """

@@ -13,6 +13,7 @@ passes a 100-TB corpus build runs between raw ingest and tokenization:
 - ``dedup_substring_spans`` — token 8-gram spans repeated across documents
                            (the substring-level view of duplication, after
                            Lee et al. 2021, "Deduplicating Training Data")
+- ``corpus_shuffle_shard`` — deterministic global-shuffle shard manifest
 - ``fn_levenshtein``     — edit-distance scalar over a fixed dimension
 - ``agg_skew_kurt``      — exact skewness/kurtosis from integer moments
 
@@ -213,10 +214,12 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
+    # "occurs in >= 2 distinct docs" == min(doc_id) != max(doc_id): two
+    # map-side-combinable extrema instead of a count-distinct expansion.
     dup = (
         g.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("ndocs"))
-        .where(F.col("ndocs") >= 2)
+        .agg(F.min("doc_id").alias("d_lo"), F.max("doc_id").alias("d_hi"))
+        .where(F.col("d_lo") != F.col("d_hi"))
         .select("gram")
         .withColumn("is_dup", F.lit(1))
     )
@@ -227,6 +230,35 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round(1e6 * sum(coalesce(is_dup, 0)) / count(1)) AS BIGINT)"
         ).alias("dup_frac_u6"),
+    )
+
+
+def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: every document gets a
+    pseudorandom but reproducible shuffle key (Knuth multiplicative hash,
+    ``(doc_id * 2654435761) % 2^32``) and is assigned to one of 16 output
+    shards by key range — the pre-tokenization randomization pass that
+    breaks source/time ordering. Returns the per-shard manifest (count,
+    key range, id checksum) proving balance and determinism.
+
+    The multiplier keeps the product within int64 for doc_id < 3.5e9 so
+    both engines stay exact; at larger id spaces you'd switch the key to
+    ``xxhash64(doc_id)`` (same plan, engine-native hash — no SQL oracle).
+    Scale: one projection + one 16-group aggregation, map-side combinable;
+    the real shuffle write is ``repartitionByRange(shuffle_key)`` into the
+    sink, which this manifest validates."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    sharded = d.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        (key % 16).cast("long").alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("shuffle_key").alias("key_lo"),
+        F.max("shuffle_key").alias("key_hi"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
     )
 
 
@@ -306,6 +338,7 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     "text_unigram_logprob": q_text_unigram_logprob,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "corpus_shuffle_shard": q_corpus_shuffle_shard,
     "fn_levenshtein": q_fn_levenshtein,
     "agg_skew_kurt": q_agg_skew_kurt,
 }
@@ -436,6 +469,21 @@ ORACLES = {
                     AS BIGINT) AS dup_frac_u6
         FROM g LEFT JOIN dup USING (gram)
         GROUP BY g.doc_id
+    """,
+    "corpus_shuffle_shard": """
+        WITH sharded AS (
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS shuffle_key,
+                   CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT)
+                       AS shard
+            FROM documents
+        )
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(shuffle_key) AS BIGINT) AS key_lo,
+               CAST(MAX(shuffle_key) AS BIGINT) AS key_hi,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM sharded GROUP BY shard
     """,
     "fn_levenshtein": """
         SELECT a.n_name AS name_a, b.n_name AS name_b,
