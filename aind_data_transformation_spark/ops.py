@@ -97,9 +97,16 @@ def asof_join(
         merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
     out = merged.where(F.col("__side") == 1).drop("__side")
     if tolerance_seconds is not None:
-        stale = (
-            F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__rts"))
-        ) > tolerance_seconds * 1_000_000
+        from pyspark.sql import types as T
+
+        ts_type = right.schema[ts].dataType
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            delta = F.unix_micros(F.col(ts)) - F.unix_micros(F.col("__rts"))
+            limit = F.lit(tolerance_seconds * 1_000_000)
+        else:  # numeric ts: tolerance is in the column's own units
+            delta = F.col(ts) - F.col("__rts")
+            limit = F.lit(tolerance_seconds)
+        stale = delta > limit
         for c in value_cols:
             out = out.withColumn(
                 c, F.when(stale, F.lit(None)).otherwise(F.col(c))

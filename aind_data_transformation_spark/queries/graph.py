@@ -151,10 +151,60 @@ def _pagerank_oracle() -> str:
     )
 
 
+def q_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence edge mining ("frequently bought together"): part
+    pairs appearing in at least 2 common orders, top-20 by support. The
+    pair space is generated by a *self equi-join on the order key* — cost
+    is Σ(items-per-order²), bounded by the basket size (≤7 in TPC-H-ish
+    data), never |parts|². Top-20 is TakeOrdered (per-partition heap +
+    driver merge), not a global sort; ties break on the pair ids."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    support = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        support.where(F.col("n_orders") >= 2)
+        .orderBy(
+            F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(20)
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_copurchase": q_graph_copurchase,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
+    "graph_copurchase": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), support AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS n_orders
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+        )
+        SELECT part_a, part_b, n_orders
+        FROM support WHERE n_orders >= 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
 }

@@ -97,3 +97,24 @@ def test_asof_join_forward_semantics(spark):
         ).collect()
     }
     assert got == {"a": 70, "b": 100, "c": None, "d": None}
+
+
+def test_asof_join_tolerance_rejects_stale_matches(spark):
+    """Backward as-of with tolerance: a match within the window survives,
+    one older than the tolerance nulls out, the no-match row stays NULL.
+    Numeric ts => tolerance in column units."""
+    from aind_data_transformation_spark.ops import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (2, 3, "c")], ["k", "ts", "tag"]
+    )
+    right = spark.createDataFrame([(1, 4, 40), (1, 10, 100)], ["k", "ts", "v"])
+    got = {
+        r["tag"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", ts="ts", value_cols=["v"],
+            tolerance_seconds=5,
+        ).collect()
+    }
+    # "a": matched 4 (delta 1 <= 5); "b": nearest is 10 (delta 10 > 5) -> stale
+    assert got == {"a": 40, "b": None, "c": None}
