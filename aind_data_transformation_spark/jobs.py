@@ -275,3 +275,154 @@ class NearDupResolveJob(GenericSparkEtl[NearDupResolveJobSettings]):
                 }
             ),
         )
+
+
+class TrainingCorpusPipelineJobSettings(SparkJobSettings):
+    """End-to-end corpus build: gate -> exact dedup -> near-dup resolve ->
+    benchmark decontamination -> deterministic shard write."""
+
+    langs: list[str] = ["en", "de", "fr"]
+    min_chars: int = 50
+    max_chars: int = 5000
+    min_tokens: int = 10
+    jaccard_threshold: float = 0.7
+    #: sources treated as evaluation benchmarks; any training doc sharing
+    #: a token 8-gram with them is dropped (and bench docs themselves are
+    #: excluded from the output corpus)
+    bench_sources: list[str] = ["src0", "src1"]
+    n_shards: int = 16
+    #: When set, every stage boundary materializes as parquet under this
+    #: directory (stage1_gated/, stage2_neardup/, stage3_clean/) — the
+    #: fault-tolerant cluster mode: a stage failure restarts from the last
+    #: durable boundary, and lost executors replay from storage. Unset,
+    #: the stages chain as one lazy plan (fine in local mode).
+    staging_dir: Optional[str] = None
+
+
+class TrainingCorpusPipelineJob(
+    GenericSparkEtl[TrainingCorpusPipelineJobSettings]
+):
+    """The 100-TB training-corpus pipeline as ONE job: every stage is the
+    operator already proven in isolation (CorpusCleanJob's gate+dedup,
+    NearDupResolveJob's LSH->verify->components, corpus_decontaminate's
+    8-gram probe, corpus_shuffle_shard's deterministic sharding), chained
+    with optional durable staging between them.
+
+    Scale shape per stage: (1) gate is a scan-level filter + one
+    hash-window dedup on sha256(text); (2) near-dup cost is bounded by
+    LSH bucket collisions, never corpus²; (3) the benchmark 8-gram set is
+    distinct-small -> broadcast left-anti probe, zero shuffle of the
+    training side; (4) the shard write repartitions on the shard id so
+    each output directory is written in parallel with bounded file
+    counts."""
+
+    def _stage(self, df: DataFrame, name: str) -> DataFrame:
+        s = self.job_settings
+        if not s.staging_dir:
+            return df
+        path = f"{s.staging_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def run_job(self) -> JobResponse:
+        from pyspark.sql import Window
+
+        started = time.time()
+        s = self.job_settings
+        docs = self.spark.read.parquet(str(s.input_source))
+        n_in = docs.count()
+
+        # stage 1: quality gate + exact dedup (min-doc_id survivor)
+        toks = F.split("text", " ")
+        gated = docs.where(
+            F.col("lang").isin(s.langs)
+            & F.col("n_chars").between(s.min_chars, s.max_chars)
+            & (F.size(toks) >= s.min_tokens)
+        )
+        w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+        exact = (
+            gated.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        exact = self._stage(exact, "stage1_gated")
+        n_gated = exact.count()
+
+        # stage 2: near-dup clusters -> one survivor per cluster
+        mat = (
+            parquet_materializer(f"{s.staging_dir}/neardup_work")
+            if s.staging_dir
+            else None
+        )
+        edges = verified_near_dups(
+            exact, "doc_id", "text",
+            threshold=s.jaccard_threshold, materializer=mat,
+        )
+        comps = connected_components(edges, "id_a", "id_b", materializer=mat)
+        losers = comps.where(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        neardup = exact.join(losers, "doc_id", "left_anti")
+        neardup = self._stage(neardup, "stage2_neardup")
+        n_neardup = neardup.count()
+
+        # stage 3: benchmark decontamination (8-gram overlap, bench side
+        # is distinct-small -> broadcast anti-join; training side never
+        # shuffles)
+        def grams(df: DataFrame) -> DataFrame:
+            t = F.split("text", " ")
+            return df.where(F.size(t) >= 8).select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(split(text, ' ')) - 7),"
+                        " i -> concat_ws(' ', slice(split(text, ' '), i, 8)))"
+                    )
+                ).alias("gram"),
+            )
+
+        is_bench = F.col("source").isin(s.bench_sources)
+        bench_grams = (
+            grams(docs.where(is_bench)).select("gram").distinct()
+        )
+        train = neardup.where(~is_bench)
+        contaminated = (
+            grams(train)
+            .join(F.broadcast(bench_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = train.join(contaminated, "doc_id", "left_anti")
+        clean = self._stage(clean, "stage3_clean")
+        n_clean = clean.count()
+
+        # stage 4: deterministic shuffle-shard write (Knuth multiplicative
+        # key -> shard; partition-parallel, pruned reads per shard)
+        key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        sharded = clean.withColumn(
+            "shard", (key % s.n_shards).cast("long")
+        )
+        (
+            sharded.repartition(s.n_shards, "shard")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .option("compression", s.compression)
+            .parquet(str(s.output_directory))
+        )
+        return JobResponse(
+            status_code=200,
+            message="ok",
+            data=json.dumps(
+                {
+                    "rows_in": n_in,
+                    "rows_gated": n_gated,
+                    "rows_after_neardup": n_neardup,
+                    "rows_clean": n_clean,
+                    "exact_dropped": n_in - n_gated,
+                    "neardup_dropped": n_gated - n_neardup,
+                    "contaminated_dropped": n_neardup - n_clean,
+                    "n_shards": s.n_shards,
+                    "seconds": round(time.time() - started, 3),
+                }
+            ),
+        )

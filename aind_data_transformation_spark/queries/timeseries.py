@@ -191,14 +191,134 @@ def q_ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (parallel variant) of
+    each event type's series to 20 buckets: within a bucket, keep the
+    point with the largest triangle area against the *previous and next
+    bucket averages* (the classic LTTB uses the previously-selected point
+    — a sequential chain; anchoring on bucket averages is the standard
+    parallelization, same visual fidelity class). Edge buckets (no
+    neighbor average) keep their earliest point.
+
+    Determinism: x = exact microseconds, y = exact cents; bucket ids come
+    from integer DIV on row_number; bucket averages are exact-int sums
+    cast to double, so the area arithmetic (IEEE *,-,abs on identical
+    operands) is bit-identical across engines and the per-bucket argmax
+    (area DESC NULLS LAST, x ASC) cannot drift.
+
+    Scale: one window shuffle on the series key for numbering, one
+    bucket-keyed aggregation, a 20-row-per-series broadcast-sized
+    neighbor join back, and a per-bucket top-1 window — no global sort,
+    no cross product. At 100 TB the series key (metric/entity) is the
+    partitioner; per-task state is one partition's rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("yc"),
+    )
+    pts = e.groupBy("event_type", "x").agg(F.max("yc").alias("yc"))
+    w = Window.partitionBy("event_type").orderBy("x")
+    wall = Window.partitionBy("event_type")
+    numbered = pts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wall)
+    )
+    bucketed = numbered.withColumn(
+        "bucket", F.expr("CAST(((rn - 1) * 20) DIV n AS BIGINT)")
+    )
+    avgs = bucketed.groupBy("event_type", "bucket").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (F.sum("yc").cast("double") / F.count(F.lit(1))).alias("ay"),
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    anchors = avgs.select(
+        "event_type",
+        "bucket",
+        "n_src",
+        F.lag("ax").over(wb).alias("px"),
+        F.lag("ay").over(wb).alias("py"),
+        F.lead("ax").over(wb).alias("nx"),
+        F.lead("ay").over(wb).alias("ny"),
+    )
+    joined = bucketed.join(anchors, ["event_type", "bucket"])
+    area = F.abs(
+        (F.col("px") - F.col("nx"))
+        * (F.col("yc").cast("double") - F.col("py"))
+        - (F.col("px") - F.col("x").cast("double"))
+        * (F.col("ny") - F.col("py"))
+    )
+    wsel = Window.partitionBy("event_type", "bucket").orderBy(
+        area.desc_nulls_last(), F.col("x").asc()
+    )
+    return (
+        joined.withColumn("sel", F.row_number().over(wsel))
+        .where(F.col("sel") == 1)
+        .select(
+            "event_type",
+            "bucket",
+            F.col("x").alias("x_us"),
+            F.col("yc").alias("y_cents"),
+            "n_src",
+        )
+    )
+
+
 QUERIES = {
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
     "ts_rollup_cascade": q_ts_rollup_cascade,
+    "ts_downsample_lttb": q_ts_downsample_lttb,
     "join_range_banded": q_join_range_banded,
 }
 
 ORACLES = {
+    "ts_downsample_lttb": """
+        WITH pts AS (
+            SELECT event_type, epoch_us(ts) AS x,
+                   MAX(CAST(round(value * 100) AS BIGINT)) AS yc
+            FROM events GROUP BY event_type, epoch_us(ts)
+        ), numbered AS (
+            SELECT event_type, x, yc,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY x
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM pts
+        ), bucketed AS (
+            SELECT event_type, x, yc,
+                   CAST(((rn - 1) * 20) // n AS BIGINT) AS bucket
+            FROM numbered
+        ), avgs AS (
+            SELECT event_type, bucket,
+                   CAST(SUM(x) AS DOUBLE) / COUNT(*) AS ax,
+                   CAST(SUM(yc) AS DOUBLE) / COUNT(*) AS ay,
+                   CAST(COUNT(*) AS BIGINT) AS n_src
+            FROM bucketed GROUP BY event_type, bucket
+        ), anchors AS (
+            SELECT event_type, bucket, n_src,
+                   lag(ax) OVER wb AS px, lag(ay) OVER wb AS py,
+                   lead(ax) OVER wb AS nx, lead(ay) OVER wb AS ny
+            FROM avgs
+            WINDOW wb AS (PARTITION BY event_type ORDER BY bucket)
+        ), joined AS (
+            SELECT b.event_type, b.bucket, b.x, b.yc, a.n_src,
+                   abs((a.px - a.nx) * (CAST(b.yc AS DOUBLE) - a.py)
+                       - (a.px - CAST(b.x AS DOUBLE)) * (a.ny - a.py))
+                       AS area
+            FROM bucketed b
+            JOIN anchors a
+              ON b.event_type = a.event_type AND b.bucket = a.bucket
+        )
+        SELECT event_type, bucket, x AS x_us, yc AS y_cents, n_src
+        FROM (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type, bucket
+                       ORDER BY area DESC NULLS LAST, x ASC
+                   ) AS sel
+            FROM joined
+        ) WHERE sel = 1
+    """,
     "ts_rollup_cascade": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                event_type,

@@ -273,3 +273,55 @@ def test_neardup_parquet_materialization_identical_to_checkpoint(
     assert results["checkpoint"] == results["parquet"]
     staged = list((tmp_path / "stages").glob("*.parquet"))
     assert staged, "parquet mode must write stage directories"
+
+
+def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
+    """The capstone pipeline: gate -> exact dedup -> near-dup ->
+    decontaminate -> shard write. Checks monotone stage counts, the
+    hive-sharded output layout, determinism across reruns, and that the
+    staged (durable-boundary) mode produces the identical corpus."""
+    import os
+
+    from aind_data_transformation_spark.jobs import (
+        TrainingCorpusPipelineJob,
+        TrainingCorpusPipelineJobSettings,
+    )
+
+    out1 = tmp_path / "corpus_a"
+    resp = TrainingCorpusPipelineJob(
+        TrainingCorpusPipelineJobSettings(
+            input_source=f"{TEST_SF_DIR}/documents.parquet",
+            output_directory=str(out1),
+            n_shards=4,
+        ),
+        spark=spark,
+    ).run_job()
+    assert resp.status_code == 200
+    m = json.loads(resp.data)
+    assert (
+        m["rows_in"] >= m["rows_gated"] >= m["rows_after_neardup"]
+        >= m["rows_clean"] > 0
+    )
+    # bench sources are gone and the output is hive-sharded
+    shard_dirs = [d for d in os.listdir(out1) if d.startswith("shard=")]
+    assert 1 <= len(shard_dirs) <= 4
+    got = spark.read.parquet(str(out1))
+    assert got.where(got.source.isin("src0", "src1")).count() == 0
+    ids1 = sorted(r.doc_id for r in got.select("doc_id").collect())
+
+    # rerun with durable staging: identical surviving corpus
+    out2 = tmp_path / "corpus_b"
+    TrainingCorpusPipelineJob(
+        TrainingCorpusPipelineJobSettings(
+            input_source=f"{TEST_SF_DIR}/documents.parquet",
+            output_directory=str(out2),
+            n_shards=4,
+            staging_dir=str(tmp_path / "staging"),
+        ),
+        spark=spark,
+    ).run_job()
+    ids2 = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(out2)).select("doc_id").collect()
+    )
+    assert ids1 == ids2
