@@ -211,7 +211,29 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 3.4+/4 modern-SQL
+    surface, same syntax DuckDB pioneered): every non-aggregate select
+    item becomes a grouping key. Semantically identical to the explicit
+    list — the physical plan is the same partial+final hash aggregate."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_gba"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
 QUERIES = {
+    "sql_group_by_all": q_sql_group_by_all,
     "sql_recursive_cte": q_sql_recursive_cte,
     "sql_params_identifier": q_sql_params_identifier,
     "fn_xml": q_fn_xml,
@@ -223,6 +245,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_group_by_all": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
     "sql_params_identifier": """
         SELECT o_orderpriority, COUNT(*) AS n_orders
         FROM orders

@@ -341,7 +341,28 @@ def q_scan_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines ingestion (``spark.read.text``) — the plainest LLM
+    corpus dump format (one document per line). Round-trips documents
+    through a .txt write + line-source re-read and aggregates line count
+    + exact char totals, which the oracle recomputes from the original
+    table — proving the line source is lossless for newline-free text.
+    At 100 TB the text source splits on line boundaries within files, so
+    parallelism is file-count × block-count, same as CSV."""
+    out = _scratch(sf_dir, "docs_txt")
+    d = load_table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+    )
+
+
 QUERIES = {
+    "scan_text_lines": q_scan_text_lines,
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
     "sink_zorder_layout": q_sink_zorder_layout,
     "scan_schema_evolution": q_scan_schema_evolution,
@@ -353,6 +374,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_text_lines": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(MAX(length(text)) AS BIGINT) AS max_len,
+               CAST(MIN(length(text)) AS BIGINT) AS min_len
+        FROM documents
+    """,
     "sink_zorder_layout": f"""
         WITH bounds AS (
             SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,

@@ -134,9 +134,33 @@ def q_udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``): the
+    third UDF tier — row-signature ergonomics with Arrow batch transfer.
+    Same normalizer contract as ``udf_python`` so the two tiers are
+    directly comparable in the bench."""
+    import re
+
+    ws = re.compile(r"\s+")
+
+    @F.udf("string", useArrow=True)
+    def normalize_arrow(text: str) -> str:
+        if text is None:
+            return None
+        return ws.sub(" ", text.strip().lower())
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(normalize_arrow("text"), 1, 40).alias("norm_prefix"),
+        F.length(normalize_arrow("text")).cast("bigint").alias("norm_len"),
+    )
+
+
 _Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
 
 QUERIES = {
+    "udf_arrow": q_udf_arrow,
     "udtf_python_class": q_udtf_python_class,
     "udf_python": q_udf_python,
     "udf_pandas": q_udf_pandas,
@@ -157,6 +181,12 @@ ORACLES = {
         GROUP BY doc_id, token
     """,
     "udf_python": r"""
+        SELECT doc_id,
+               substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,
+               CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
+        FROM documents
+    """,
+    "udf_arrow": r"""
         SELECT doc_id,
                substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,
                CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
