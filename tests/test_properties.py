@@ -188,3 +188,52 @@ def test_ann_variants_recall_vs_brute_force(spark):
         assert recall >= floor, (
             f"{fn.__name__}: recall@5 {recall:.2f} below floor {floor}"
         )
+
+
+@_SLOW
+@given(
+    left=st.lists(st.tuples(_key, _ts), min_size=0, max_size=15),
+    right=st.lists(
+        st.tuples(_key, _ts, st.integers(0, 99)), min_size=0, max_size=15
+    ),
+    tol=st.integers(min_value=0, max_value=8),
+)
+def test_asof_tolerance_matches_pandas_merge_asof(spark, left, right, tol):
+    """Differential test against pandas.merge_asof(tolerance=...): the
+    industry-reference as-of semantics (backward, inclusive, stale match
+    dropped when delta > tolerance)."""
+    import pandas as pd
+
+    rmap = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), -1))
+    right_rows = [(k, ts, v) for (k, ts), v in rmap.items()]
+    left_rows = [(k, ts, i) for i, (k, ts) in enumerate(left)]
+
+    ldf = spark.createDataFrame(left_rows, _LEFT_SCHEMA)
+    rdf = spark.createDataFrame(right_rows, _RIGHT_SCHEMA)
+    got = {
+        r.event_id: r.val
+        for r in asof_join(
+            ldf, rdf, on="k", ts="ts", value_cols=["val"],
+            tolerance_seconds=tol,
+        ).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["k", "ts", "event_id"]).sort_values(
+        ["ts", "event_id"]
+    )
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "val"]).sort_values(
+        ["ts", "k"]
+    )
+    if len(lp) and len(rp):
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward", tolerance=tol
+        )
+        want = {
+            int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+            for r in merged.itertuples()
+        }
+    else:
+        want = {int(eid): None for _, _, eid in left_rows}
+    assert got == want
