@@ -354,7 +354,42 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (the regr_slope/intercept/r2 family)
+    computed from exact integer power sums instead of the engines' native
+    ``regr_*`` (whose float accumulation order differs): per event type,
+    regress value-cents on user_id. All sums accumulate in decimal(38,0)
+    / int128 — order-independent — and the closed-form statistics use
+    only IEEE-exact +,-,*,/ on the converted doubles, rounded to 6
+    decimals (wide-int→double conversion ulp, same policy as
+    agg_skew_kurt). One map-side-combinable aggregation."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    d38 = "decimal(38,0)"
+    x = F.col("user_id")
+    y = cents("value")
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast(d38)).cast("double").alias("sx"),
+        F.sum(y.cast(d38)).cast("double").alias("sy"),
+        F.sum((x * x).cast(d38)).cast("double").alias("sxx"),
+        F.sum((y * y).cast(d38)).cast("double").alias("syy"),
+        F.sum((x * y).cast(d38)).cast("double").alias("sxy"),
+    )
+    return sums.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_rows",
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope",
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,"
+        " 6) AS intercept",
+        "round(((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+        " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2",
+    )
+
+
 QUERIES = {
+    "agg_regression": q_agg_regression,
     "dq_expectations": q_dq_expectations,
     "sql_lateral_topn": q_sql_lateral_topn,
     "fn_try_safe": q_fn_try_safe,
@@ -375,6 +410,32 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "agg_regression": """
+        WITH sums AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(user_id AS HUGEINT)) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(yc AS HUGEINT)) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(user_id AS HUGEINT)
+                            * CAST(user_id AS HUGEINT)) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(yc AS HUGEINT)
+                            * CAST(yc AS HUGEINT)) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(user_id AS HUGEINT)
+                            * CAST(yc AS HUGEINT)) AS DOUBLE) AS sxy
+            FROM (SELECT event_type, user_id,
+                         CAST(round(value * 100) AS BIGINT) AS yc
+                  FROM events)
+            GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_rows,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n, 6) AS intercept,
+               round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM sums
+    """,
     "dq_expectations": """
         WITH agg AS (
             SELECT
