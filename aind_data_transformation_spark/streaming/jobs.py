@@ -390,3 +390,51 @@ def write_stream_parquet(df: DataFrame, out_dir: str, checkpoint_dir: str, *, mo
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_corpus_ingest(
+    docs_stream: DataFrame,
+    corpus_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental corpus ingestion with cross-batch exact dedup: each
+    micro-batch of arriving documents is deduped within itself (min
+    doc_id per sha256(text)) and then anti-joined against the hashes
+    already in the corpus before appending — so re-sent or re-crawled
+    documents never enter the corpus twice, across any number of batches
+    and restarts (foreachBatch + checkpoint = exactly-once per batch).
+
+    Scale: the anti-join probes only the ``text_sha`` column of the
+    existing corpus (column-pruned scan); at 100 TB you'd keep the seen-
+    hash set as its own compact parquet (or a Bloom sidecar) instead of
+    re-scanning the corpus — same plan, smaller probe side. Returns the
+    started StreamingQuery.
+    """
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        spark = batch_df.sparkSession
+        if len(batch_df.take(1)) == 0:
+            return
+        hashed = batch_df.withColumn("text_sha", F.sha2("text", 256))
+        w = Window.partitionBy("text_sha").orderBy("doc_id")
+        fresh = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = spark.read.parquet(corpus_dir).select("text_sha").distinct()
+        except Exception:
+            seen = None
+        if seen is not None:
+            fresh = fresh.join(seen, "text_sha", "left_anti")
+        fresh.write.mode("append").parquet(corpus_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -382,3 +382,25 @@ def test_sessionize_single_window_sort(spark):
     assert "CartesianProduct" not in plan
     n_exchanges = plan.count("Exchange")
     assert n_exchanges <= 2, f"sessionize shuffled {n_exchanges} times"
+
+
+def test_kmeans_broadcasts_centroids_no_corpus_shuffle_for_assignment(spark):
+    """Each Lloyd assignment must broadcast the k-row centroid table; the
+    corpus is never cartesian-multiplied or sort-merge-shuffled for it."""
+    plan = plan_of(spark, "embed_kmeans_lloyd")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lttb_no_cartesian_single_series_partitioning(spark):
+    plan = plan_of(spark, "ts_downsample_lttb")
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_is_equi_join_with_takeordered(spark):
+    """The pair generation must be an equi-join on the order key (basket-
+    bounded), and top-20 must be TakeOrdered, not a global sort."""
+    plan = plan_of(spark, "graph_copurchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -215,3 +215,46 @@ def test_stream_file_sink_exactly_once_on_restart(spark, tmp_path):
     more.exceptAll(base).write.mode("append").parquet(src)
     drain()
     assert spark.read.parquet(out).count() == 130
+
+
+def test_incremental_corpus_ingest_dedups_across_batches(spark, tmp_path):
+    """Documents re-sent in later micro-batches (same text, new doc_id)
+    must not re-enter the corpus: batch 1 loads docs 0-49, batch 2
+    delivers docs 30-79 (20 overlapping texts) — the corpus ends with
+    exactly 80 unique texts, and a restart drain adds nothing."""
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt_ingest")
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    b1 = docs.where("doc_id < 50")
+    # re-sent texts arrive under NEW doc_ids (re-crawl shape)
+    b2 = (
+        docs.where("doc_id >= 30 AND doc_id < 80")
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        q = jobs.incremental_corpus_ingest(
+            jobs_read(src, schema), corpus, ckpt
+        )
+        q.awaitTermination()
+
+    def jobs_read(path, sch):
+        return (
+            spark.readStream.schema(sch)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    drain()
+    assert spark.read.parquet(corpus).count() == 50
+    b2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = spark.read.parquet(corpus)
+    assert got.count() == 80  # 30 new texts, 20 re-sent dropped
+    assert got.select("text_sha").distinct().count() == 80
+    drain()  # restart: no-op
+    assert spark.read.parquet(corpus).count() == 80
