@@ -13,6 +13,8 @@ passes a 100-TB corpus build runs between raw ingest and tokenization:
 - ``dedup_substring_spans`` — token 8-gram spans repeated across documents
                            (the substring-level view of duplication, after
                            Lee et al. 2021, "Deduplicating Training Data")
+- ``dedup_substring_scrub`` — removes those repeated spans (earliest doc
+                           keeps the text; later copies rebuilt without it)
 - ``corpus_shuffle_shard`` — deterministic global-shuffle shard manifest
 - ``fn_levenshtein``     — edit-distance scalar over a fixed dimension
 - ``agg_skew_kurt``      — exact skewness/kurtosis from integer moments
@@ -233,6 +235,75 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup that actually REMOVES repeated spans (the
+    action to ``dedup_substring_spans``'s signal, after Lee et al. 2021):
+    a token 8-gram window is *foreign-duplicated* in doc d if the same
+    gram occurs in an earlier document (owner = min doc_id); every token
+    position covered by a foreign-duplicated window is dropped and the
+    document is rebuilt from the surviving tokens in order. The earliest
+    document keeps its text; later copies lose the repeated span.
+    Documents under 8 tokens pass through untouched.
+
+    Returns (doc_id, n_tokens, n_removed, scrubbed_md5) — md5 because
+    both engines produce identical digests, giving an exact cross-engine
+    proof of the rebuilt string without hauling full texts through the
+    compare.
+
+    Scale: windows and positions are flatMaps; ownership is one gram-
+    keyed aggregation; coverage expansion is bounded by 8× the
+    foreign-dup window count; the rebuild is a per-doc sorted
+    collect_list — all equi-joins and hash aggregations, no cross
+    product."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", F.expr(_TOKS_SPARK).alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+    )
+    big = d.where(F.col("n_tokens") >= 8)
+    g = big.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 7),"
+                " i -> concat_ws(' ', slice(toks, i, 8)))"
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
+    owner = g.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    foreign = g.join(owner, "gram").where(F.col("owner") < F.col("doc_id"))
+    covered = foreign.select(
+        "doc_id", F.explode(F.expr("sequence(i, i + 7)")).alias("pos")
+    ).distinct()
+    tokpos = big.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "concat_ws(' ', transform(array_sort(collect_list("
+            "struct(pos, tok))), s -> s.tok))"
+        ).alias("scrubbed"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        d.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(F.col("n_tokens") < 8, F.lit(0))
+            .otherwise(F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.when(F.col("n_tokens") < 8, F.col("text")).otherwise(
+                    F.coalesce(F.col("scrubbed"), F.lit(""))
+                )
+            ).alias("scrubbed_md5"),
+        )
+    )
+
+
 def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training: every document gets a
     pseudorandom but reproducible shuffle key (Knuth multiplicative hash,
@@ -338,6 +409,7 @@ QUERIES = {
     "text_entropy": q_text_entropy,
     "text_unigram_logprob": q_text_unigram_logprob,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_substring_scrub": q_dedup_substring_scrub,
     "corpus_shuffle_shard": q_corpus_shuffle_shard,
     "fn_levenshtein": q_fn_levenshtein,
     "agg_skew_kurt": q_agg_skew_kurt,
@@ -469,6 +541,50 @@ ORACLES = {
                     AS BIGINT) AS dup_frac_u6
         FROM g LEFT JOIN dup USING (gram)
         GROUP BY g.doc_id
+    """,
+    "dedup_substring_scrub": f"""
+        WITH d AS (
+            SELECT doc_id, text, {_TOKS_DUCK} AS toks,
+                   CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(toks) - 7)) AS i,
+                   unnest(list_transform(
+                       generate_series(1, len(toks) - 7),
+                       j -> array_to_string(list_slice(toks, j, j + 7), ' ')
+                   )) AS gram
+            FROM d WHERE n_tokens >= 8
+        ), owner AS (
+            SELECT gram, MIN(doc_id) AS owner FROM g GROUP BY gram
+        ), covered AS (
+            SELECT DISTINCT g.doc_id,
+                   unnest(generate_series(g.i, g.i + 7)) AS pos
+            FROM g JOIN owner USING (gram)
+            WHERE owner.owner < g.doc_id
+        ), tokpos AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(toks))) AS pos,
+                   unnest(toks) AS tok
+            FROM d WHERE n_tokens >= 8
+        ), kept AS (
+            SELECT t.doc_id, t.pos, t.tok
+            FROM tokpos t
+            LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+            WHERE c.pos IS NULL
+        ), rebuilt AS (
+            SELECT doc_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS scrubbed,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM kept GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.n_tokens,
+               CASE WHEN d.n_tokens < 8 THEN 0
+                    ELSE d.n_tokens - coalesce(r.n_kept, 0)
+               END AS n_removed,
+               md5(CASE WHEN d.n_tokens < 8 THEN d.text
+                        ELSE coalesce(r.scrubbed, '') END) AS scrubbed_md5
+        FROM d LEFT JOIN rebuilt r USING (doc_id)
     """,
     "corpus_shuffle_shard": """
         WITH sharded AS (
