@@ -135,7 +135,55 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct actives: per day, the distinct users active that
+    day (DAU), in the trailing 7 days (WAU), and trailing 28 days (MAU).
+
+    Scalable shape: a COUNT(DISTINCT) over a *range* can't partial-
+    aggregate, so each (user, active-day) pair is exploded into the ≤7
+    (resp. ≤28) report days it contributes to, turning the rolling
+    distinct into plain hash count-distincts keyed by day — flatMap ×
+    window-size, then one shuffle each; never a per-day rescan of the
+    event log. Report days are clamped to the observed [min, max] day
+    span."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    ud = e.distinct()
+    bounds = ud.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def rolling(n: int, name: str) -> DataFrame:
+        contrib = ud.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, date_add(day, {n - 1}))")
+            ).alias("day"),
+        )
+        return (
+            contrib.crossJoin(F.broadcast(bounds))
+            .where(F.col("day") <= F.col("d1"))
+            .groupBy("day")
+            .agg(F.count_distinct("user_id").alias(name))
+        )
+
+    # repo cross-engine dtype rule: truncated days travel as TIMESTAMP
+    return (
+        dau.join(rolling(7, "wau"), "day")
+        .join(rolling(28, "mau"), "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+        )
+    )
+
+
 QUERIES = {
+    "dau_wau_mau": q_dau_wau_mau,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "scd2_history": q_scd2_history,
@@ -143,6 +191,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dau_wau_mau": """
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), bounds AS (
+            SELECT MAX(day) AS d1 FROM ud
+        ), dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau
+            FROM ud GROUP BY day
+        ), wau AS (
+            SELECT cd AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM (
+                SELECT user_id,
+                       CAST(unnest(generate_series(
+                           CAST(day AS TIMESTAMP),
+                           CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS cd
+                FROM ud
+            ), bounds
+            WHERE cd <= d1
+            GROUP BY cd
+        ), mau AS (
+            SELECT cd AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+            FROM (
+                SELECT user_id,
+                       CAST(unnest(generate_series(
+                           CAST(day AS TIMESTAMP),
+                           CAST(day AS TIMESTAMP) + INTERVAL 27 DAY,
+                           INTERVAL 1 DAY)) AS DATE) AS cd
+                FROM ud
+            ), bounds
+            WHERE cd <= d1
+            GROUP BY cd
+        )
+        SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau, mau.mau
+        FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
     "funnel_steps": """
         WITH t_view AS (
             SELECT user_id, MIN(ts) AS t_view FROM events
