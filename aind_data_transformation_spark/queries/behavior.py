@@ -182,7 +182,55 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    campaign (``props.k % 4``) of the user's most recent *view* no more
+    than 7 days earlier; purchases with no qualifying view stay
+    unattributed (NULL campaign). Revenue rolls up per campaign in exact
+    cents.
+
+    Built on the library as-of join with staleness tolerance
+    (ops.asof_join): union + ONE user_id shuffle + linear window scan —
+    no per-purchase subquery. Views are deduped per (user, ts) with
+    max_by(event_id) so the tie rule is explicit."""
+    from aind_data_transformation_spark.ops import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.get_json_object("props", "$.k").cast("long") % 4).alias(
+                "campaign"
+            ),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("campaign", "event_id").alias("campaign"))
+    )
+    attributed = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        value_cols=["campaign"],
+        tolerance_seconds=7 * 86400,
+    )
+    return attributed.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )
+
+
 QUERIES = {
+    "attribution_last_touch": q_attribution_last_touch,
     "dau_wau_mau": q_dau_wau_mau,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
@@ -191,6 +239,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "attribution_last_touch": """
+        WITH purchases AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), views AS (
+            SELECT user_id, ts,
+                   arg_max(CAST(json_extract(props, '$.k') AS BIGINT) % 4,
+                           event_id) AS campaign
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), attributed AS (
+            SELECT p.user_id, p.cents,
+                   CASE WHEN p.ts - v.ts > INTERVAL 7 DAY THEN NULL
+                        ELSE v.campaign END AS campaign
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT campaign,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS attributed_cents
+        FROM attributed GROUP BY campaign
+    """,
     "dau_wau_mau": """
         WITH ud AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

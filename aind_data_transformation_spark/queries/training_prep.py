@@ -272,9 +272,11 @@ def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", (F.col("pos0") + 1).alias("i"), "gram")
     owner = g.groupBy("gram").agg(F.min("doc_id").alias("owner"))
     foreign = g.join(owner, "gram").where(F.col("owner") < F.col("doc_id"))
+    # no .distinct(): left_anti tolerates duplicate probe rows, so the
+    # coverage expansion needs no dedup shuffle of its own
     covered = foreign.select(
         "doc_id", F.explode(F.expr("sequence(i, i + 7)")).alias("pos")
-    ).distinct()
+    )
     tokpos = big.select(
         "doc_id", F.posexplode("toks").alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
