@@ -303,6 +303,43 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same decode contract as ``multimodal_decode_stub`` but through
+    ``mapInArrow`` (Spark 4): the decoder receives raw
+    ``pyarrow.RecordBatch``es — zero pandas materialization, the
+    lowest-overhead Python boundary Spark offers. This is the tier a
+    high-throughput media decoder actually wants (hand the Arrow buffers
+    straight to a native decoder without a pandas copy)."""
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def decode_batches(batches):
+        for batch in batches:
+            payload = batch.column("payload")
+            n_bytes = [len(v.as_py()) for v in payload]
+            first = [
+                (v.as_py()[0] if len(v.as_py()) else -1) for v in payload
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(n_bytes, type=pa.int64()),
+                    pa.array(first, type=pa.int64()),
+                    pa.array([n % 7 for n in n_bytes], type=pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "first_byte", "fake_feature"],
+            )
+
+    return with_payload.mapInArrow(
+        decode_batches,
+        "doc_id long, n_bytes long, first_byte long, fake_feature long",
+    )
+
+
 def q_multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize stage: binary payload -> (w, h) "decode" ->
     aspect-preserving resize to max side 256, via mapInPandas. The decode
@@ -582,6 +619,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
     "multimodal_decode_stub": q_multimodal_decode_stub,
+    "multimodal_decode_arrow": q_multimodal_decode_arrow,
     "ann_lsh_topk": q_ann_lsh_topk,
 }
 
@@ -821,6 +859,13 @@ ORACLES = {
         WHERE round({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) > 0.95
     """,
     "multimodal_decode_stub": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+               CAST(octet_length(encode(text)) AS BIGINT) % 7 AS fake_feature
+        FROM documents
+    """,
+    "multimodal_decode_arrow": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,

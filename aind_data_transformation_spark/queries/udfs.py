@@ -134,6 +134,53 @@ def q_udtf_python_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()`` static method): the
+    output schema is computed at plan time from the literal argument —
+    here a JSON field name whose value becomes a column NAMED after that
+    field. This is the shape connector/extraction UDTFs take when the
+    caller decides the projection (`json_field(props, 'k')` -> column
+    ``k``). The rowwise extraction feeds a normal aggregation so the
+    oracle stays compact."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import types as T
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class JsonField:
+        @staticmethod
+        def analyze(
+            row: AnalyzeArgument, field: AnalyzeArgument
+        ) -> AnalyzeResult:
+            return AnalyzeResult(
+                schema=T.StructType(
+                    [T.StructField(str(field.value), T.LongType())]
+                )
+            )
+
+        def eval(self, row: str, field: str):
+            try:
+                v = _json.loads(row).get(field)
+            except Exception:
+                v = None
+            yield (int(v) if v is not None else None,)
+
+    spark.udtf.register("json_field", udtf(JsonField))
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "_poly_events"
+    )
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(t.k) AS BIGINT) AS sum_k,
+               CAST(MIN(t.k) AS BIGINT) AS min_k,
+               CAST(MAX(t.k) AS BIGINT) AS max_k
+        FROM _poly_events, LATERAL json_field(props, 'k') AS t
+        """
+    )
+
+
 def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``): the
     third UDF tier — row-signature ergonomics with Arrow batch transfer.
@@ -160,6 +207,7 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
 
 QUERIES = {
+    "udtf_polymorphic": q_udtf_polymorphic,
     "udf_arrow": q_udf_arrow,
     "udtf_python_class": q_udtf_python_class,
     "udf_python": q_udf_python,
@@ -185,6 +233,14 @@ ORACLES = {
                substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,
                CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
         FROM documents
+    """,
+    "udtf_polymorphic": """
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k,
+               MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        FROM events
     """,
     "udf_arrow": r"""
         SELECT doc_id,
