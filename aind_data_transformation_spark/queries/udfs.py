@@ -92,6 +92,71 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas API (``groupBy().cogroup().applyInPandas``): the
+    distributed pandas-merge_asof pattern — purchases and views cogroup
+    per user_id, and each group pair runs plain ``pd.merge_asof``
+    (backward, 7-day tolerance) inside Arrow batches. Same semantics as
+    ``attribution_last_touch`` (which the oracle reuses), but exercised
+    through the cogroup boundary — the way a pandas-first team ports an
+    existing merge_asof pipeline to the cluster without rewriting it.
+
+    Scale: ONE co-partitioned shuffle of both sides on user_id; per-task
+    state is one user's rows on each side."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # the view side renames ts -> vts: both sides descend from the same
+    # scan, and a shared attribute between cogrouped relations is
+    # deduplicated away (the right frame would silently lose its ts)
+    views = (
+        e.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("vts"),
+            "event_id",
+            (F.get_json_object("props", "$.k").cast("long") % 4).alias(
+                "campaign"
+            ),
+        )
+        .groupBy("user_id", "vts")
+        .agg(F.max_by("campaign", "event_id").alias("campaign"))
+    )
+
+    def attribute(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": [], "cents": [], "campaign": []}
+            ).astype({"user_id": "int64", "cents": "int64", "campaign": "object"})
+        left = left.sort_values("ts")
+        if right.empty:
+            out = left.assign(campaign=None)
+        else:
+            out = pd.merge_asof(
+                left,
+                right.sort_values("vts"),
+                left_on="ts",
+                right_on="vts",
+                by="user_id",
+                direction="backward",
+                tolerance=pd.Timedelta(days=7),
+            )
+        return out[["user_id", "cents", "campaign"]]
+
+    attributed = (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(attribute, "user_id long, cents long, campaign long")
+    )
+    return attributed.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("cents").cast("long").alias("attributed_cents"),
+    )
+
+
 def q_udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row-to-many table function: tokenize documents (whitespace
     split with position). Expressed as posexplode(split(...)) — JVM-side,
@@ -208,6 +273,7 @@ _Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
 
 QUERIES = {
     "udtf_polymorphic": q_udtf_polymorphic,
+    "cogroup_asof_pandas": q_cogroup_asof_pandas,
     "udf_arrow": q_udf_arrow,
     "udtf_python_class": q_udtf_python_class,
     "udf_python": q_udf_python,
@@ -233,6 +299,30 @@ ORACLES = {
                substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,
                CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
         FROM documents
+    """,
+    "cogroup_asof_pandas": """
+        WITH purchases AS (
+            SELECT user_id, ts,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), views AS (
+            SELECT user_id, ts,
+                   arg_max(CAST(json_extract(props, '$.k') AS BIGINT) % 4,
+                           event_id) AS campaign
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ), attributed AS (
+            SELECT p.user_id, p.cents,
+                   CASE WHEN p.ts - v.ts > INTERVAL 7 DAY THEN NULL
+                        ELSE v.campaign END AS campaign
+            FROM purchases p
+            ASOF LEFT JOIN views v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT campaign,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(cents) AS BIGINT) AS attributed_cents
+        FROM attributed GROUP BY campaign
     """,
     "udtf_polymorphic": """
         SELECT COUNT(*) AS n_rows,
