@@ -92,6 +92,41 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_arrow_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped aggregation through ``groupBy().applyInArrow`` (Spark 4):
+    the zero-pandas grouped boundary — each group arrives as a
+    ``pyarrow.Table``. Computes per-label vector count plus the mean of
+    embedding dim 0 (rounded to 6 decimals, accumulation in float64 over
+    the group's Arrow buffer)."""
+    import pyarrow as pa
+
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        # sort by vec_id so the float accumulation order is fixed
+        table = table.sort_by("vec_id")
+        label = table.column("label")[0].as_py()
+        emb = table.column("embedding")
+        dim0 = pa.array(
+            [v[0].as_py() for v in emb], type=pa.float64()
+        )
+        mean0 = round(pc.mean(dim0).as_py(), 6)
+        return pa.Table.from_arrays(
+            [
+                pa.array([label], type=pa.int32()),
+                pa.array([table.num_rows], type=pa.int64()),
+                pa.array([mean0], type=pa.float64()),
+            ],
+            names=["label", "n_vecs", "mean_dim0_r6"],
+        )
+
+    return em.groupBy("label").applyInArrow(
+        stats, "label int, n_vecs long, mean_dim0_r6 double"
+    )
+
+
 def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped pandas API (``groupBy().cogroup().applyInPandas``): the
     distributed pandas-merge_asof pattern — purchases and views cogroup
@@ -274,6 +309,7 @@ _Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
 QUERIES = {
     "udtf_polymorphic": q_udtf_polymorphic,
     "cogroup_asof_pandas": q_cogroup_asof_pandas,
+    "udaf_arrow_grouped": q_udaf_arrow_grouped,
     "udf_arrow": q_udf_arrow,
     "udtf_python_class": q_udtf_python_class,
     "udf_python": q_udf_python,
@@ -299,6 +335,12 @@ ORACLES = {
                substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 40) AS norm_prefix,
                CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
         FROM documents
+    """,
+    "udaf_arrow_grouped": """
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               round(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS mean_dim0_r6
+        FROM embeddings GROUP BY label
     """,
     "cogroup_asof_pandas": """
         WITH purchases AS (
