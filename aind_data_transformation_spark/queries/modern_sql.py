@@ -211,6 +211,46 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-free pagination surface: ``ORDER BY ... LIMIT n OFFSET m``
+    (Spark 3.4+). Deterministic because the sort key (totalprice, key) is
+    unique. At scale OFFSET is a driver-side skip after a TakeOrdered of
+    n+m rows — fine for page-sized m; deep pagination should switch to a
+    keyset predicate (WHERE key > last_seen), which is `project_filter`'s
+    shape."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_pg"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders_pg
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+        """
+    )
+
+
+def q_sql_distribute_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout SQL surface: ``DISTRIBUTE BY`` (hash partition) +
+    ``SORT BY`` (within-partition order) — the layout clause pair used to
+    prepare writes (co-located keys, clustered row groups) without a
+    global sort. The row SET is unchanged (the oracle checks exactly
+    that); the partitioning/sort shows up in the plan, asserted in
+    tests/test_plans.py."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_ds"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem_ds
+        WHERE l_quantity > 45
+        DISTRIBUTE BY l_orderkey SORT BY l_orderkey, l_linenumber
+        """
+    )
+
+
 def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 3.4+/4 modern-SQL
     surface, same syntax DuckDB pioneered): every non-aggregate select
@@ -233,6 +273,8 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sql_limit_offset": q_sql_limit_offset,
+    "sql_distribute_sort": q_sql_distribute_sort,
     "sql_group_by_all": q_sql_group_by_all,
     "sql_recursive_cte": q_sql_recursive_cte,
     "sql_params_identifier": q_sql_params_identifier,
@@ -245,6 +287,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_limit_offset": """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 20
+    """,
+    "sql_distribute_sort": """
+        SELECT l_orderkey, l_linenumber, l_partkey
+        FROM lineitem
+        WHERE l_quantity > 45
+    """,
     "sql_group_by_all": """
         SELECT o_orderstatus, o_orderpriority,
                COUNT(*) AS n_orders,

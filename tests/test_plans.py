@@ -404,3 +404,12 @@ def test_copurchase_is_equi_join_with_takeordered(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_distribute_sort_partitions_and_sorts_without_global_sort(spark):
+    """DISTRIBUTE BY + SORT BY = hash exchange + within-partition sort;
+    a global (range) sort must NOT appear."""
+    plan = plan_of(spark, "sql_distribute_sort")
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "Sort " in plan
+    assert "rangepartitioning" not in plan
