@@ -191,7 +191,34 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the health dashboard a corpus
+    build publishes after ingest: document count, exact char volume,
+    distinct-text count (sha256), exact-duplicate rate (1e4-scaled), and
+    mean document length. One pass building per-(source, hash) counts,
+    then a map-side-combinable rollup to sources; never a self-join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.sha2("text", 256).alias("h")
+    )
+    per_hash = d.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return per_hash.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST(round(1e4 * (sum(n) - count(1)) / sum(n)) AS BIGINT)"
+        ).alias("dup_rate_u4"),
+        F.expr(
+            "CAST(sum(chars) AS DOUBLE) / CAST(sum(n) AS DOUBLE)"
+        ).alias("mean_chars"),
+    )
+
+
 QUERIES = {
+    "corpus_stats_summary": q_corpus_stats_summary,
     "corpus_decontaminate": q_corpus_decontaminate,
     "sample_temperature": q_sample_temperature,
     "dedup_clusters": q_dedup_clusters,
@@ -201,6 +228,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_stats_summary": """
+        WITH per_hash AS (
+            SELECT source, sha256(text) AS h,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars
+            FROM documents GROUP BY source, sha256(text)
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(round(1e4 * (SUM(n) - COUNT(*)) / SUM(n)) AS BIGINT)
+                   AS dup_rate_u4,
+               CAST(SUM(chars) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+                   AS mean_chars
+        FROM per_hash GROUP BY source
+    """,
     "sample_temperature": f"""
         WITH counts AS (
             SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
