@@ -361,8 +361,63 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_bad_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL quarantine — the LLM-corpus twin of ``scan_bad_records``:
+    a JSON-lines dump with 3 injected malformed lines (truncated object,
+    bare text, type garbage), read PERMISSIVE with ``_corrupt_record``.
+    Good docs flow on, bad lines are counted — a crawler dump with one
+    mangled line must never kill the ingest. Result: (n_good, n_bad,
+    total chars over good docs)."""
+    out = _scratch(sf_dir, "docs_dirty_jsonl")
+    d = load_table(spark, sf_dir, "documents")
+    rows = d.select("doc_id", "text").orderBy("doc_id").limit(50).collect()
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(out, "part-0.jsonl"), "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(_json.dumps({"doc_id": r[0], "text": r[1]}) + "\n")
+        fh.write('{"doc_id": 1, "text": "trunca\n')
+        fh.write("just raw text, not json\n")
+        fh.write('{"doc_id": "not-a-number", "text": 7}\n')
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    reread = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    ).cache()
+    try:
+        good = reread.where(F.col("_corrupt_record").isNull())
+        good_row = good.agg(
+            F.count(F.lit(1)).alias("n_good"),
+            F.sum(F.length("text")).cast("long").alias("good_chars"),
+        ).collect()[0]
+        n_bad = reread.where(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        reread.unpersist()
+    return spark.createDataFrame(
+        [(good_row["n_good"], good_row["good_chars"], n_bad)],
+        T.StructType(
+            [
+                T.StructField("n_good", T.LongType(), False),
+                T.StructField("good_chars", T.LongType(), True),
+                T.StructField("n_bad", T.LongType(), False),
+            ]
+        ),
+    )
+
+
 QUERIES = {
     "scan_text_lines": q_scan_text_lines,
+    "scan_bad_jsonl": q_scan_bad_jsonl,
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
     "sink_zorder_layout": q_sink_zorder_layout,
     "scan_schema_evolution": q_scan_schema_evolution,
@@ -374,6 +429,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_bad_jsonl": """
+        WITH g AS (
+            SELECT text FROM documents ORDER BY doc_id LIMIT 50
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_good,
+               CAST(SUM(length(text)) AS BIGINT) AS good_chars,
+               CAST(3 AS BIGINT) AS n_bad
+        FROM g
+    """,
     "scan_text_lines": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(SUM(length(text)) AS BIGINT) AS total_chars,
