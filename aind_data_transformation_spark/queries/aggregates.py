@@ -406,12 +406,48 @@ ORACLES = {
                arg_min(o_orderkey, {sql_cents('o_totalprice')} * 1000000 + o_orderkey) AS worst_order
         FROM orders GROUP BY o_custkey
     """,
+    # NOT quantile_cont: DuckDB's native interpolation evaluates
+    # v_lo*(1-f)+v_hi*f-style orderings whose float rounding can differ
+    # from the engine formula by an ulp (seen at sf0.1); mirroring the
+    # exact lo + frac*(hi-lo) expression keeps both engines bit-identical.
     "agg_percentiles": f"""
+        WITH counts AS (
+            SELECT l_returnflag, {_PRICE} AS v, COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        ), dist AS (
+            SELECT l_returnflag, v,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM counts
+        )
         SELECT l_returnflag,
-               quantile_cont({_PRICE}, 0.5) / 100.0 AS median_price,
-               quantile_cont({_PRICE}, 0.95) / 100.0 AS p95_price,
-               COUNT(l_extendedprice) AS n_rows
-        FROM lineitem GROUP BY l_returnflag
+               (CAST(MIN(CASE WHEN cum > floor(0.5 * CAST(n - 1 AS DOUBLE))
+                              THEN v END) AS DOUBLE)
+                + MAX(0.5 * CAST(n - 1 AS DOUBLE)
+                      - floor(0.5 * CAST(n - 1 AS DOUBLE)))
+                  * (CAST(COALESCE(
+                         MIN(CASE WHEN cum > floor(0.5 * CAST(n - 1 AS DOUBLE)) + 1
+                                  THEN v END),
+                         MIN(CASE WHEN cum > floor(0.5 * CAST(n - 1 AS DOUBLE))
+                                  THEN v END)) AS DOUBLE)
+                     - CAST(MIN(CASE WHEN cum > floor(0.5 * CAST(n - 1 AS DOUBLE))
+                                     THEN v END) AS DOUBLE))) / 100.0
+                   AS median_price,
+               (CAST(MIN(CASE WHEN cum > floor(0.95 * CAST(n - 1 AS DOUBLE))
+                              THEN v END) AS DOUBLE)
+                + MAX(0.95 * CAST(n - 1 AS DOUBLE)
+                      - floor(0.95 * CAST(n - 1 AS DOUBLE)))
+                  * (CAST(COALESCE(
+                         MIN(CASE WHEN cum > floor(0.95 * CAST(n - 1 AS DOUBLE)) + 1
+                                  THEN v END),
+                         MIN(CASE WHEN cum > floor(0.95 * CAST(n - 1 AS DOUBLE))
+                                  THEN v END)) AS DOUBLE)
+                     - CAST(MIN(CASE WHEN cum > floor(0.95 * CAST(n - 1 AS DOUBLE))
+                                     THEN v END) AS DOUBLE))) / 100.0
+                   AS p95_price,
+               CAST(MAX(n) AS BIGINT) AS n_rows
+        FROM dist GROUP BY l_returnflag
     """,
     "agg_corr_covar": f"""
         WITH sums AS (
