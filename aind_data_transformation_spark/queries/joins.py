@@ -326,7 +326,35 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "matched_order")
 
 
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / ``IS NOT DISTINCT FROM``): join
+    orders to themselves on a nullable derived key where NULL must match
+    NULL — the semantics plain ``=`` silently drops. The null-safe
+    operator still plans as a hash equi-join (NULL hashes like any
+    value), unlike an ``(a = b OR (a IS NULL AND b IS NULL))`` rewrite
+    which degrades to a nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    # nullable key: priority digit for urgent orders, NULL otherwise
+    key = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.substring("o_orderpriority", 1, 1).cast("long"),
+    )
+    left = o.select(F.col("o_orderkey").alias("k_l"), key.alias("pk"))
+    sizes = left.groupBy("pk").agg(
+        F.count(F.lit(1)).alias("n_same_key")
+    ).select(F.col("pk").alias("pk_s"), "n_same_key")
+    return (
+        left.join(sizes, F.col("pk").eqNullSafe(F.col("pk_s")))
+        .groupBy(F.col("pk_s").alias("pk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("n_same_key").alias("n_same_key"),
+        )
+    )
+
+
 QUERIES = {
+    "join_null_safe": q_join_null_safe,
     "join_inner_equi": q_join_inner_equi,
     "join_salted_skew": q_join_salted_skew,
     "join_bloom_prune": q_join_bloom_prune,
@@ -426,6 +454,23 @@ ORACLES = {
         FROM events e
         ASOF LEFT JOIN synth s
           ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    "join_null_safe": """
+        WITH l AS (
+            SELECT o_orderkey AS k_l,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN CAST(substr(o_orderpriority, 1, 1) AS BIGINT)
+                   END AS pk
+            FROM orders
+        ), sizes AS (
+            SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_same_key
+            FROM l GROUP BY pk
+        )
+        SELECT s.pk,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               MAX(s.n_same_key) AS n_same_key
+        FROM l JOIN sizes s ON l.pk IS NOT DISTINCT FROM s.pk
+        GROUP BY s.pk
     """,
     "join_asof_tolerance": """
         WITH synth AS (

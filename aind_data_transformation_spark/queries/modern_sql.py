@@ -211,6 +211,26 @@ def q_fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_hint_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``/*+ REBALANCE(col) */`` — the AQE write-optimization hint: ask
+    the runtime to split/merge partitions of the result around the given
+    key so the following write gets even file sizes even under key skew
+    (unlike REPARTITION, a skewed key's partition is split). The row SET
+    is unchanged (oracle checks that); the hint's presence is asserted in
+    tests/test_plans.py."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_rb"
+    )
+    return spark.sql(
+        """
+        SELECT /*+ REBALANCE(l_returnflag) */
+               l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem_rb
+        WHERE l_quantity >= 48
+        """
+    )
+
+
 def q_sql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset-free pagination surface: ``ORDER BY ... LIMIT n OFFSET m``
     (Spark 3.4+). Deterministic because the sort key (totalprice, key) is
@@ -273,6 +293,7 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sql_hint_rebalance": q_sql_hint_rebalance,
     "sql_limit_offset": q_sql_limit_offset,
     "sql_distribute_sort": q_sql_distribute_sort,
     "sql_group_by_all": q_sql_group_by_all,
@@ -287,6 +308,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_hint_rebalance": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem
+        WHERE l_quantity >= 48
+    """,
     "sql_limit_offset": """
         SELECT o_orderkey, o_totalprice
         FROM orders

@@ -413,3 +413,22 @@ def test_distribute_sort_partitions_and_sorts_without_global_sort(spark):
     assert "hashpartitioning(l_orderkey" in plan
     assert "Sort " in plan
     assert "rangepartitioning" not in plan
+
+
+def test_null_safe_join_is_hash_join_not_nested_loop(spark):
+    """eqNullSafe must plan as a hash equi-join (NULL hashes like any
+    value) — never the nested-loop a manual OR-rewrite would force."""
+    plan = plan_of(spark, "join_null_safe")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rebalance_hint_reaches_the_plan(spark):
+    """The REBALANCE hint must materialize as an AQE rebalance exchange
+    (RebalancePartitions in the optimized plan)."""
+    df = _QUERIES["sql_hint_rebalance"](spark, TEST_SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    assert "RebalancePartitions" in buf.getvalue()
