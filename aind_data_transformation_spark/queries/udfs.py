@@ -136,29 +136,38 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the cogroup boundary — the way a pandas-first team ports an
     existing merge_asof pipeline to the cluster without rewriting it.
 
-    Scale: ONE co-partitioned shuffle of both sides on user_id; per-task
-    state is one user's rows on each side."""
+    Scale: ONE co-partitioned shuffle of both sides — but on a hashed
+    *bucket* of user_id, not user_id itself. Cogrouped applyInPandas
+    invokes Python once per group, so grouping on the raw key means one
+    pandas call per user (millions at 100 TB, each a few rows — pure
+    invocation overhead). Bucketing to a fixed number of groups amortizes
+    the Python boundary while ``pd.merge_asof(by="user_id")`` keeps the
+    per-user matching exact inside each bucket."""
+    n_buckets = 64
     e = load_table(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id",
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.pmod(F.hash("user_id"), F.lit(n_buckets)).alias("bucket"),
     )
-    # the view side renames ts -> vts: both sides descend from the same
-    # scan, and a shared attribute between cogrouped relations is
-    # deduplicated away (the right frame would silently lose its ts)
+    # the view side renames ts -> vts and user_id -> vuser: both sides
+    # descend from the same scan, and a shared attribute between cogrouped
+    # relations is deduplicated away (the right frame would silently lose
+    # any column it shares with the left once it isn't the grouping key)
     views = (
         e.where(F.col("event_type") == "view")
         .select(
-            "user_id",
+            F.col("user_id").alias("vuser"),
             F.col("ts").alias("vts"),
             "event_id",
             (F.get_json_object("props", "$.k").cast("long") % 4).alias(
                 "campaign"
             ),
         )
-        .groupBy("user_id", "vts")
+        .groupBy("vuser", "vts")
         .agg(F.max_by("campaign", "event_id").alias("campaign"))
+        .withColumn("bucket", F.pmod(F.hash("vuser"), F.lit(n_buckets)))
     )
 
     def attribute(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -166,24 +175,25 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"user_id": [], "cents": [], "campaign": []}
             ).astype({"user_id": "int64", "cents": "int64", "campaign": "object"})
-        left = left.sort_values("ts")
+        left = left.sort_values("ts", kind="mergesort")
         if right.empty:
             out = left.assign(campaign=None)
         else:
             out = pd.merge_asof(
                 left,
-                right.sort_values("vts"),
+                right.sort_values("vts", kind="mergesort"),
                 left_on="ts",
                 right_on="vts",
-                by="user_id",
+                left_by="user_id",
+                right_by="vuser",
                 direction="backward",
                 tolerance=pd.Timedelta(days=7),
             )
         return out[["user_id", "cents", "campaign"]]
 
     attributed = (
-        purchases.groupBy("user_id")
-        .cogroup(views.groupBy("user_id"))
+        purchases.groupBy("bucket")
+        .cogroup(views.groupBy("bucket"))
         .applyInPandas(attribute, "user_id long, cents long, campaign long")
     )
     return attributed.groupBy("campaign").agg(
