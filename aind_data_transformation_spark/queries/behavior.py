@@ -229,7 +229,40 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of consecutive active days (an
+    island = maximal streak of days with >= 1 event). The classic
+    row_number trick — a day's integer index minus its row_number within
+    the user is constant across one island — turns run detection into a
+    plain groupBy, no iterative logic. Returns per-user streak stats
+    (counts only, so tie-breaking between equal-length streaks never
+    arises and the result is engine-order independent).
+
+    Scale: distinct (user, day) reduces events before any window; the
+    window partitions on user_id (high cardinality, no skew beyond
+    per-user activity), and both aggregations shuffle day-level rows,
+    orders of magnitude fewer than events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    idx = e.withColumn(
+        "grp",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w),
+    )
+    islands = idx.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.max("len").cast("long").alias("longest_streak"),
+    )
+
+
 QUERIES = {
+    "win_gaps_islands": q_win_gaps_islands,
     "attribution_last_touch": q_attribution_last_touch,
     "dau_wau_mau": q_dau_wau_mau,
     "funnel_steps": q_funnel_steps,
@@ -239,6 +272,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "win_gaps_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+            FROM events
+        ), idx AS (
+            SELECT user_id, d,
+                   date_diff('day', DATE '1970-01-01', d)
+                       - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS grp
+            FROM days
+        ), islands AS (
+            SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+            FROM idx GROUP BY user_id, grp
+        )
+        SELECT user_id,
+               CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS longest_streak
+        FROM islands GROUP BY user_id
+    """,
     "attribution_last_touch": """
         WITH purchases AS (
             SELECT user_id, ts, event_id,

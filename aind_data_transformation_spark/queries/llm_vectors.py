@@ -608,7 +608,98 @@ def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(norms, "cid")
 
 
+#: hybrid search: candidates kept per leg before fusion, and the RRF
+#: smoothing constant (k=60 from Cormack et al. 2009, the standard value)
+_RRF_CAND = 20
+_RRF_K = 60
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical leg (shared
+    distinct-token overlap between the query document and each corpus
+    document) and a vector leg (exact cosine over the paired embedding —
+    documents.doc_id and embeddings.vec_id share an id space, see
+    ``multimodal_join``), each ranked top-20 per query, fused by
+    RRF(d) = sum over legs of 1/(k + rank_leg(d)) with k=60 and re-ranked
+    to a final top-5. Missing-leg candidates contribute 0 (standard RRF
+    over the union of candidate lists). The fused score is 1e6-scaled to
+    BIGINT: both legs' ranks are exact integers, so 1/(60+r) sums are
+    bit-identical across engines (IEEE exact-rounded ops on identical
+    operands, fixed order).
+
+    Scale: both legs broadcast only the 5 query rows (query token set /
+    query vectors); the corpus-sized passes are one token explode and one
+    vector scan. The fusion join is over <= 40 rows per query — AQE
+    broadcasts it. No leg materializes a cross product against the
+    corpus beyond the broadcast-probe shape sim_search_topk already uses."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("split(lower(text), ' ')").alias("toks")
+    )
+    toks = d.select("doc_id", F.explode("toks").alias("term")).where(
+        F.col("term") != ""
+    ).distinct()
+    q_toks = toks.where(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    overlap = (
+        toks.join(F.broadcast(q_toks), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("shared").desc(), F.col("cand_id").asc()
+    )
+    lex = (
+        overlap.withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .where(F.col("lex_rank") <= _RRF_CAND)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    corpus = em.select(
+        "vec_id", "emb", F.sqrt(_dot(F.col("emb"), F.col("emb"))).alias("nrm")
+    )
+    queries = corpus.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cos = F.round(
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    w_vec = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("cand_id").asc()
+    )
+    vec = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("cos_r9"))
+        .withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
+        .where(F.col("vec_rank") <= _RRF_CAND)
+        .select("query_id", "cand_id", "vec_rank")
+    )
+
+    fused = lex.join(vec, ["query_id", "cand_id"], "full_outer").withColumn(
+        "rrf_u6",
+        F.expr(
+            f"CAST(round(1e6 * (coalesce(1.0 / ({_RRF_K} + lex_rank), 0.0)"
+            f" + coalesce(1.0 / ({_RRF_K} + vec_rank), 0.0))) AS BIGINT)"
+        ),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u6").desc(), F.col("cand_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w_f).cast("long"))
+        .where(F.col("rank") <= _TOP_K)
+        .select("query_id", "cand_id", "lex_rank", "vec_rank", "rrf_u6", "rank")
+    )
+
+
 QUERIES = {
+    "hybrid_search_rrf": q_hybrid_search_rrf,
     "embed_kmeans_lloyd": q_embed_kmeans_lloyd,
     "multimodal_audiofeat_stub": q_multimodal_audiofeat_stub,
     "ann_pq_topk": q_ann_pq_topk,
@@ -741,7 +832,64 @@ _ANN_LSH_SQL = f"""
     QUALIFY rank <= {_TOP_K}
 """
 
+_HYBRID_RRF_SQL = f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ) WHERE term <> ''
+    ), q_toks AS (
+        SELECT doc_id AS query_id, term FROM toks WHERE doc_id < {_N_QUERIES}
+    ), overlap AS (
+        SELECT q.query_id, t.doc_id AS cand_id,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM toks t JOIN q_toks q USING (term)
+        WHERE t.doc_id != q.query_id
+        GROUP BY q.query_id, t.doc_id
+    ), lex AS (
+        SELECT query_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY shared DESC, cand_id ASC) AS BIGINT) AS lex_rank
+        FROM overlap
+        QUALIFY lex_rank <= {_RRF_CAND}
+    ), corpus AS (
+        SELECT vec_id, embedding,
+               sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+        FROM corpus WHERE vec_id < {_N_QUERIES}
+    ), vec AS (
+        SELECT query_id, cand_id, vec_rank FROM (
+            SELECT q.query_id, c.vec_id AS cand_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round({_dot_duck('c.embedding', 'q.q_emb')}
+                                      / (c.nrm * q.q_nrm), 9) DESC,
+                                c.vec_id ASC
+                   ) AS BIGINT) AS vec_rank
+            FROM corpus c CROSS JOIN queries q
+            WHERE c.vec_id != q.query_id
+        ) WHERE vec_rank <= {_RRF_CAND}
+    ), fused AS (
+        SELECT coalesce(l.query_id, v.query_id) AS query_id,
+               coalesce(l.cand_id, v.cand_id) AS cand_id,
+               l.lex_rank, v.vec_rank,
+               CAST(round(1e6 * (coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+                    + coalesce(1.0 / ({_RRF_K} + v.vec_rank), 0.0)))
+                    AS BIGINT) AS rrf_u6
+        FROM lex l FULL OUTER JOIN vec v
+          ON l.query_id = v.query_id AND l.cand_id = v.cand_id
+    )
+    SELECT query_id, cand_id, lex_rank, vec_rank, rrf_u6,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_u6 DESC, cand_id ASC) AS BIGINT) AS rank
+    FROM fused
+    QUALIFY rank <= {_TOP_K}
+"""
+
 ORACLES = {
+    "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "ann_pq_topk": _pq_oracle(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "multimodal_resize_stub": """

@@ -292,7 +292,34 @@ def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0+, SPARK-49555; the GoogleSQL ``|>``
+    operator from "SQL Has Problems. We Can Fix Them", VLDB 2024): each
+    ``|>`` stage is a self-contained relational step applied
+    top-to-bottom, so the query reads in execution order. Catalyst parses
+    it to the same logical plan as the nested-SELECT equivalent (the
+    oracle) — same pushdown, same partial+final aggregate, zero runtime
+    cost."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_pipe"
+    )
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= DATE '1994-01-01'
+        |> EXTEND CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT) AS disc_cents
+        |> AGGREGATE COUNT(*) AS n_items,
+                     CAST(SUM(disc_cents) AS BIGINT) AS revenue_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n_items > 0
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue_cents
+        """
+    )
+
+
 QUERIES = {
+    "sql_pipe_syntax": q_sql_pipe_syntax,
     "sql_hint_rebalance": q_sql_hint_rebalance,
     "sql_limit_offset": q_sql_limit_offset,
     "sql_distribute_sort": q_sql_distribute_sort,
@@ -308,6 +335,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_pipe_syntax": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1994-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        HAVING COUNT(*) > 0
+    """,
     "sql_hint_rebalance": """
         SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         FROM lineitem

@@ -415,7 +415,75 @@ def q_scan_bad_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_by_status(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per process) orders as a Hive-partitioned parquet table
+    on o_orderstatus — the shared fixture for the two partition-pruning
+    demos below. The salt bounds files per partition dir at 2 while
+    keeping the write parallel (same knob as sink_parquet_partitioned)."""
+    out = _scratch(sf_dir, "orders_by_status")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        o = load_table(spark, sf_dir, "orders")
+        (
+            o.repartition(
+                6, F.col("o_orderstatus"), F.pmod("o_orderkey", F.lit(2))
+            )
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    return out
+
+
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning: a literal filter on the Hive partition
+    column never touches the other partitions' files — the scan's
+    PartitionFilters (asserted in tests/test_plans.py) eliminate
+    directories at planning time, so a 100-TB table filtered to one
+    partition reads only that partition's bytes."""
+    out = _orders_by_status(spark, sf_dir)
+    reread = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact is partitioned on the join key
+    and the dim side carries a runtime filter, so Spark injects a
+    dynamicpruning subquery into the fact scan's PartitionFilters — the
+    fact partitions that no surviving dim row joins to are never read.
+    The dim is round-tripped through parquet so its filter is a real
+    runtime predicate Catalyst cannot constant-fold away (a local-relation
+    dim would be folded and DPP would never trigger). At 100 TB this is
+    the difference between scanning one day/status partition and scanning
+    the whole fact table."""
+    out = _orders_by_status(spark, sf_dir)
+    fact = spark.read.parquet(out)
+    dim_path = _scratch(sf_dir, "status_dim")
+    if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
+        spark.createDataFrame(
+            [("F", 1), ("O", 2), ("P", 3)], "status string, sla int"
+        ).coalesce(1).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("sla") <= 1)
+    return (
+        fact.join(dim, fact.o_orderstatus == dim.status)
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "scan_partition_pruned": q_scan_partition_pruned,
+    "join_dpp": q_join_dpp,
     "scan_text_lines": q_scan_text_lines,
     "scan_bad_jsonl": q_scan_bad_jsonl,
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
@@ -429,6 +497,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_partition_pruned": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "join_dpp": """
+        SELECT d.status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders o
+        JOIN (VALUES ('F', 1), ('O', 2), ('P', 3)) AS d(status, sla)
+          ON o.o_orderstatus = d.status
+        WHERE d.sla <= 1
+        GROUP BY d.status
+    """,
     "scan_bad_jsonl": """
         WITH g AS (
             SELECT text FROM documents ORDER BY doc_id LIMIT 50

@@ -432,3 +432,40 @@ def test_rebalance_hint_reaches_the_plan(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("extended")
     assert "RebalancePartitions" in buf.getvalue()
+
+
+def test_partition_pruned_scan_has_partition_filters(spark):
+    """A literal filter on the Hive partition column must become a
+    planning-time PartitionFilters entry on the scan — zero data filters,
+    zero non-matching directories read."""
+    plan = plan_of(spark, "scan_partition_pruned")
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2, "scan must carry PartitionFilters"
+    assert "o_orderstatus" in pf[1].split("]", 1)[0]
+
+
+def test_join_dpp_injects_dynamic_pruning_subquery(spark):
+    """The dim-side runtime filter must reach the partitioned fact scan as
+    a dynamicpruning expression — the runtime equivalent of static
+    partition elimination."""
+    plan = plan_of(spark, "join_dpp")
+    assert "dynamicpruning" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_broadcasts_query_legs_only(spark):
+    """Both retrieval legs must probe the corpus with a broadcast of the
+    5-query side; the corpus itself is never broadcast or cartesian-joined
+    beyond the explicit broadcast-probe shape."""
+    plan = plan_of(spark, "hybrid_search_rrf")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gaps_islands_single_window_then_hash_agg(spark):
+    """One window sort on (user_id, day), then hash aggregation — no
+    global sort, no join."""
+    plan = plan_of(spark, "win_gaps_islands")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
