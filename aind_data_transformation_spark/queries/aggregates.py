@@ -338,6 +338,42 @@ def q_agg_countif_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower): per return flag, the smallest price whose
+    cumulative quantity-weight reaches half the group's total weight —
+    the robust central-price statistic a revenue dashboard wants when
+    line items carry different volumes. Same distribution-aggregation
+    shape as agg_percentiles (per-(group, value) weight sums, cumulative
+    window over the compressed distribution, threshold probe), all exact
+    integers (cents × centi-quantity), so both engines agree bit-for-bit.
+
+    Scale: the shuffled relation is the per-group *distinct value*
+    distribution, far smaller than the raw rows; the cumulative window
+    partitions per group over that compressed set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", cents("l_extendedprice").alias("v")
+    ).agg(F.sum(cents("l_quantity")).alias("w"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    dist = counts.select(
+        "l_returnflag",
+        "v",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("total_w"),
+    )
+    return dist.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total_w"), F.col("v"))
+        ).alias("wmedian_cents"),
+        F.max("total_w").cast("long").alias("total_w"),
+    )
+
+
 QUERIES = {
     "agg_countif_bool": q_agg_countif_bool,
     "agg_group": q_agg_group,
@@ -352,9 +388,29 @@ QUERIES = {
     "agg_percentiles": q_agg_percentiles,
     "agg_corr_covar": q_agg_corr_covar,
     "agg_mode": q_agg_mode,
+    "agg_weighted_median": q_agg_weighted_median,
 }
 
 ORACLES = {
+    "agg_weighted_median": f"""
+        WITH counts AS (
+            SELECT l_returnflag,
+                   {sql_cents('l_extendedprice')} AS v,
+                   CAST(SUM({sql_cents('l_quantity')}) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+        ), dist AS (
+            SELECT l_returnflag, v,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                   CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                       AS total_w
+            FROM counts
+        )
+        SELECT l_returnflag,
+               MIN(CASE WHEN cum * 2 >= total_w THEN v END) AS wmedian_cents,
+               CAST(MAX(total_w) AS BIGINT) AS total_w
+        FROM dist GROUP BY l_returnflag
+    """,
     "agg_countif_bool": """
         SELECT o_orderstatus,
                CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big_orders,

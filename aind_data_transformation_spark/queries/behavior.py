@@ -261,7 +261,39 @@ def q_win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence pattern matching (the MATCH_RECOGNIZE use case,
+    expressed portably): users whose full event history contains
+    view -> click -> purchase *in that order*, with any events between.
+    Each user's history collapses to one delimited string, ordered by
+    (ts, event_id) via array_sort over collected structs — deterministic
+    regardless of shuffle order — and the pattern is a single regex pass.
+
+    Scale: one shuffle (groupBy user_id); per-user state is that user's
+    event-type string, and the regex is linear in it. For 100-TB histories
+    you'd cap the collected window (e.g. last 90 days) with a pre-filter —
+    same plan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), s -> s.event_type)"
+            ),
+        ).alias("seq")
+    )
+    hit = F.col("seq").rlike("view.*click.*purchase")
+    return seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(hit.cast("long")).cast("long").alias("n_matched"),
+    )
+
+
 QUERIES = {
+    "seq_pattern_match": q_seq_pattern_match,
     "win_gaps_islands": q_win_gaps_islands,
     "attribution_last_touch": q_attribution_last_touch,
     "dau_wau_mau": q_dau_wau_mau,
@@ -272,6 +304,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seq_pattern_match": """
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN regexp_matches(seq,
+                        'view.*click.*purchase') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_matched
+        FROM seq
+    """,
     "win_gaps_islands": """
         WITH days AS (
             SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d

@@ -184,13 +184,75 @@ def q_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-purchase graph (edges = part pairs
+    sharing >= 2 orders, from graph_copurchase's support mining). Edges
+    are stored once with part_a < part_b, so each triangle (a < b < c) is
+    produced exactly once by the two-hop equi-join chain
+    e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) — the standard distributed
+    node-ordering algorithm (no orientation heuristic needed because the
+    support threshold already bounds degree).
+
+    Scale: after the >= 2-order support filter the edge set is sparse;
+    both triangle joins are equi-joins on edge keys (shuffle-partitioned,
+    AQE-broadcast when one side is small). The basket-bounded pair
+    generation is the same Σ(basket²) shape as graph_copurchase — never
+    |parts|²."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_copurchase": q_graph_copurchase,
+    "graph_triangle_count": q_graph_triangle_count,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
+    "graph_triangle_count": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        ), tri AS (
+            SELECT COUNT(*) AS n
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles
+    """,
     "graph_copurchase": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -80,9 +80,67 @@ def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual information,
+    PMI(x,y) = ln( (c_xy / M) / ((c_x / N) * (c_y / N)) ) computed as
+    ``ln((c_xy * N * N) / (M * c_x * c_y))`` over exact integer counts
+    (c_xy bigram count, c_x/c_y unigram counts, N/M corpus totals), the
+    double division formed with identical operand order in both engines
+    and 1e6-scaled to BIGINT (module docstring playbook: one
+    transcendental, then integers). A min-support filter (c_xy >= 5)
+    keeps the rare-pair noise PMI is notorious for out of the ranking.
+
+    Scale: bigram construction is array-local; both count aggregations
+    are single hash-agg shuffles; the unigram side is vocabulary-sized,
+    so the two c_x/c_y joins are plain equi-joins AQE will broadcast when
+    they fit (same reasoning as tfidf_keywords); totals are one broadcast
+    row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.expr(_TOKENS).alias("toks")).where(F.size("toks") >= 2)
+    uni = (
+        toks.select(F.explode("toks").alias("t"))
+        .where(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs_expr = (
+        "transform(sequence(1, size(toks) - 1),"
+        " i -> struct(element_at(toks, i) AS x, element_at(toks, i + 1) AS y))"
+    )
+    bi = (
+        toks.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.x", "p.y")
+        .where((F.col("x") != "") & (F.col("y") != ""))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+    )
+    totals = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    )
+    scored = (
+        bi.where(F.col("c_xy") >= 5)
+        .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi_u6",
+            F.expr(
+                "CAST(round(1e6 * ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)"
+                " / (CAST(n_bi AS DOUBLE) * c_x * c_y))) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.select("x", "y", "c_xy", "c_x", "c_y", "pmi_u6")
+        .orderBy(F.col("pmi_u6").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(20)
+    )
+
+
 QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "ngram_topk": q_ngram_topk,
+    "ngram_pmi": q_ngram_pmi,
 }
 
 ORACLES = {
@@ -108,6 +166,42 @@ ORACLES = {
                    ) AS BIGINT) AS rank
             FROM tf JOIN df ON tf.term = df.term
         ) WHERE rank <= 3
+    """,
+    "ngram_pmi": """
+        WITH toks AS (
+            SELECT string_split(lower(text), ' ') AS t FROM documents
+            WHERE len(string_split(lower(text), ' ')) >= 2
+        ), uni AS (
+            SELECT t AS term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS t FROM toks) WHERE t <> ''
+            GROUP BY t
+        ), bi AS (
+            SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+            FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                           i -> struct_pack(x := t[i], y := t[i + 1]))
+                       , recursive := true)
+                FROM toks
+            ) WHERE x <> '' AND y <> ''
+            GROUP BY x, y
+        ), totals AS (
+            SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+                   (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bi) AS n_bi
+        )
+        SELECT x, y, c_xy, c_x, c_y, pmi_u6 FROM (
+            SELECT b.x, b.y, b.c_xy,
+                   ux.c AS c_x, uy.c AS c_y,
+                   CAST(round(1e6 * ln((CAST(b.c_xy AS DOUBLE) * t.n_uni * t.n_uni)
+                        / (CAST(t.n_bi AS DOUBLE) * ux.c * uy.c))) AS BIGINT)
+                       AS pmi_u6
+            FROM bi b
+            JOIN uni ux ON b.x = ux.term
+            JOIN uni uy ON b.y = uy.term
+            CROSS JOIN totals t
+            WHERE b.c_xy >= 5
+        )
+        ORDER BY pmi_u6 DESC, x ASC, y ASC
+        LIMIT 20
     """,
     "ngram_topk": """
         WITH toks AS (
