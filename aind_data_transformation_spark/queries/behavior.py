@@ -292,7 +292,72 @@ def q_seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lower_median(df: DataFrame, key: str, val) -> DataFrame:
+    """Exact lower median per group over an integer column: per-(group,
+    value) counts, cumulative window over the compressed distribution,
+    smallest value whose doubled cumulative count reaches the group total.
+    The shuffled relation is the distinct-value distribution, not the raw
+    rows (same shape as aggregates.q_agg_percentiles)."""
+    counts = df.groupBy(key, val.alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy(key)
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(key)
+    dist = counts.select(
+        key,
+        "v",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return dist.groupBy(key).agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("med")
+    )
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per event
+    type, med = lower median of integer cents, mad = lower median of
+    |cents - med|, and an event is an outlier when |cents - med| >
+    3 * mad. Unlike q_anomaly_zscore this survives heavy-tailed value
+    distributions (the mean/stddev pair is itself dragged by the
+    outliers it is supposed to flag). Every comparison is on exact
+    integers — no floating point anywhere, so the engines agree
+    bit-for-bit.
+
+    Scale: two distribution aggregations (each shuffles the compressed
+    per-type value distribution) plus one broadcast of the 5-row
+    med/mad table back onto the event scan."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = _lower_median(e, "event_type", F.col("c"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med")).alias("d"), "c", "med"
+    )
+    mad = _lower_median(
+        dev.select("event_type", F.col("d")), "event_type", F.col("d")
+    ).withColumnRenamed("med", "mad")
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                (F.col("d") > F.lit(3) * F.col("mad")).cast("long")
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    return flagged
+
+
 QUERIES = {
+    "anomaly_mad": q_anomaly_mad,
     "seq_pattern_match": q_seq_pattern_match,
     "win_gaps_islands": q_win_gaps_islands,
     "attribution_last_touch": q_attribution_last_touch,
@@ -304,6 +369,49 @@ QUERIES = {
 }
 
 ORACLES = {
+    "anomaly_mad": """
+        WITH e AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ), cnt1 AS (
+            SELECT event_type, c AS v, COUNT(*) AS cnt
+            FROM e GROUP BY event_type, c
+        ), dist1 AS (
+            SELECT event_type, v,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM cnt1
+        ), med AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cum * 2 >= n THEN v END) AS med
+            FROM dist1 GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, abs(e.c - m.med) AS d, m.med
+            FROM e JOIN med m USING (event_type)
+        ), cnt2 AS (
+            SELECT event_type, d AS v, COUNT(*) AS cnt
+            FROM dev GROUP BY event_type, d
+        ), dist2 AS (
+            SELECT event_type, v,
+                   SUM(cnt) OVER (PARTITION BY event_type ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY event_type) AS n
+            FROM cnt2
+        ), mad AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cum * 2 >= n THEN v END) AS mad
+            FROM dist2 GROUP BY event_type
+        )
+        SELECT d.event_type,
+               MAX(d.med) AS med_cents,
+               MAX(m.mad) AS mad_cents,
+               CAST(SUM(CASE WHEN d.d > 3 * m.mad THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
+    """,
     "seq_pattern_match": """
         WITH seq AS (
             SELECT user_id,

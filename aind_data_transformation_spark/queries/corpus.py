@@ -217,7 +217,47 @@ def q_corpus_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language keeps exactly
+    min-class-size documents, chosen by Knuth multiplicative hash rank on
+    doc_id — deterministic across engines, runs, and partitionings, so a
+    100-TB corpus rebalance is reproducible without materializing the
+    sample. Returns per-language before/after counts plus the kept rows'
+    char sum (proves the *selection identity*, not just the count).
+
+    Scale: one per-language count (6 rows, broadcast), one window rank
+    per language (partitions on lang — at extreme per-class cardinality
+    you'd pre-filter by a hash threshold ~ target/size before ranking,
+    same plan), one final aggregation."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    target = sizes.agg(F.min("n_before").alias("n_target"))
+    h = F.expr("pmod(doc_id * 2654435761, 4294967296)")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(target)
+    )
+    kept = ranked.where(F.col("rk") <= F.col("n_target"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("kept_chars"),
+        )
+        .join(F.broadcast(sizes), "lang")
+        .select(
+            "lang",
+            F.col("n_before").cast("long").alias("n_before"),
+            "n_kept",
+            "kept_chars",
+        )
+    )
+
+
 QUERIES = {
+    "sample_class_balance": q_sample_class_balance,
     "corpus_stats_summary": q_corpus_stats_summary,
     "corpus_decontaminate": q_corpus_decontaminate,
     "sample_temperature": q_sample_temperature,
@@ -228,6 +268,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sample_class_balance": """
+        WITH sizes AS (
+            SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+        ), target AS (
+            SELECT MIN(n_before) AS n_target FROM sizes
+        ), ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                                doc_id ASC
+                   ) AS rk
+            FROM documents
+        ), kept AS (
+            SELECT lang, n_chars FROM ranked, target WHERE rk <= n_target
+        )
+        SELECT k.lang,
+               CAST(s.n_before AS BIGINT) AS n_before,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               CAST(SUM(k.n_chars) AS BIGINT) AS kept_chars
+        FROM kept k JOIN sizes s USING (lang)
+        GROUP BY k.lang, s.n_before
+    """,
     "corpus_stats_summary": """
         WITH per_hash AS (
             SELECT source, sha256(text) AS h,
