@@ -40,6 +40,7 @@ _CATEGORY_MODULES = (
     "modern_sql",
     "graph",
     "incremental",
+    "ml_prep",
 )
 
 

@@ -226,14 +226,123 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BFS frontier rounds (fixed — the oracle unrolls the same count)
+BFS_ROUNDS = 3
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase edge list (support >= 2), the undirected
+    graph under graph_triangle_count, as (u, v) in both directions."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select("u", "v")
+    )
+    return half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def q_graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BFS (shortest hop count) on the co-purchase graph from
+    the minimum part id in the edge set, BFS_ROUNDS rounds. Each round is
+    dist' = min(dist, 1 + min over in-neighbors(dist)) — one equi-join of
+    the edge list against the current distance vector plus a min-groupBy,
+    exactly the Pregel message round lowered to DataFrames (same shape as
+    PageRank above). All-integer state, so partial-aggregation order
+    cannot change anything and the DuckDB oracle (identical rounds
+    unrolled as chained CTEs) matches exactly.
+
+    Scale: per round one shuffle of (frontier ⋈ edges); the distance
+    vector is keyed by node — pre-partitioning edges by u makes every
+    round's join co-partitioned. Plan growth is 2x per round because the
+    round frame is referenced twice (carry + expand); with the fixed
+    small round count that is bounded, and a cluster run materializes
+    per round (ops.connected_components shows the pattern)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    seed = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = seed
+    for _ in range(BFS_ROUNDS):
+        expanded = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _bfs_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for r in range(1, BFS_ROUNDS + 1):
+        rounds.append(
+            f"d{r} AS (\n"
+            f"            SELECT node, MIN(dist) AS dist FROM (\n"
+            f"                SELECT node, dist FROM {prev}\n"
+            f"                UNION ALL\n"
+            f"                SELECT e.v AS node, d.dist + 1 AS dist\n"
+            f"                FROM {prev} d JOIN edges e ON e.u = d.node\n"
+            f"            ) GROUP BY node\n"
+            f"        )"
+        )
+        prev = f"d{r}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), half AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        ), edges AS (
+            SELECT u, v FROM half
+            UNION ALL
+            SELECT v AS u, u AS v FROM half
+        ), d0 AS (
+            SELECT MIN(u) AS node, 0 AS dist FROM edges
+        ),
+        {chain}
+        SELECT CAST(node AS BIGINT) AS part, CAST(dist AS BIGINT) AS dist
+        FROM {prev}
+    """
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
+    "graph_bfs_frontier": q_graph_bfs_frontier,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
+    "graph_bfs_frontier": _bfs_oracle(),
     "graph_triangle_count": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -271,6 +271,83 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment verification of the LSH candidate pairs:
+    containment_ab = |A ∩ B| / |A| over trigram sets (and the b-in-a
+    mirror). Jaccard misses the 'small doc embedded inside a big doc'
+    duplication mode — a 100-word quote inside a 10k-word page has tiny
+    Jaccard but containment ~1. Pairs with either direction >= 0.5
+    survive. The expensive exact set intersection runs only on the
+    LSH-bounded candidate set (same discipline as
+    ``dedup_minhash_verified``); trigram sets are built only for docs in
+    some candidate pair (left-semi before the transform).
+
+    Scale: identical shape to the verified near-dup pipeline — band
+    equi-joins for candidates, candidate-bounded verification; no
+    all-pairs stage anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id")
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    tris = (
+        d.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id", F.expr("split(text, ' ')").alias("__toks"))
+        .select(
+            "doc_id",
+            F.expr(trigram_set_expr("__toks", "spark")).alias("tri"),
+        )
+    )
+    j = (
+        cands.join(
+            tris.select(F.col("doc_id").alias("id_a"), F.col("tri").alias("tri_a")),
+            "id_a",
+        )
+        .join(
+            tris.select(F.col("doc_id").alias("id_b"), F.col("tri").alias("tri_b")),
+            "id_b",
+        )
+        .where((F.size("tri_a") > 0) & (F.size("tri_b") > 0))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            (
+                F.expr("CAST(size(array_intersect(tri_a, tri_b)) AS DOUBLE)")
+                / F.expr("CAST(size(tri_a) AS DOUBLE)")
+            ).alias("containment_ab"),
+            (
+                F.expr("CAST(size(array_intersect(tri_a, tri_b)) AS DOUBLE)")
+                / F.expr("CAST(size(tri_b) AS DOUBLE)")
+            ).alias("containment_ba"),
+        )
+    )
+    return j.where(
+        (F.col("containment_ab") >= 0.5) | (F.col("containment_ba") >= 0.5)
+    )
+
+
+def _containment_oracle() -> str:
+    from aind_data_transformation_spark.texthash import candidate_tris_cte
+
+    return f"""{candidate_tris_cte()}
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(ta.tri) AS DOUBLE) AS containment_ab,
+               CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(tb.tri) AS DOUBLE) AS containment_ba
+        FROM cands
+        JOIN tris ta ON ta.doc_id = doc_a
+        JOIN tris tb ON tb.doc_id = doc_b
+        WHERE len(ta.tri) > 0 AND len(tb.tri) > 0
+          AND (CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(ta.tri) AS DOUBLE) >= 0.5
+               OR CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                 / CAST(len(tb.tri) AS DOUBLE) >= 0.5)
+    """
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash sketch per document + bucket sizes (identical
     sketches = near-dup bucket). Bit j is the sign of the sum of
@@ -428,6 +505,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_fuzzy_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
 }
@@ -605,6 +683,7 @@ ORACLES = {
         )
     """,
     "dedup_minhash_verified": verified_pairs_sql(0.7),
+    "dedup_containment": _containment_oracle(),
     "dedup_simhash": f"""
         WITH sketches AS (
             SELECT doc_id, CAST({_SIMHASH_BITS_DUCK} AS BIGINT) AS simhash

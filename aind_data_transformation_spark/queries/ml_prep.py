@@ -1,0 +1,564 @@
+"""ML-preparation operators, batch 3: per-dimension embedding statistics,
+distributed covariance (the PCA front-end), vocabulary coverage / OOV
+rates, a word-bigram language-model quality score (the conditional-prob
+step up from ``text_unigram_logprob``), exact distributed quantile
+binning, and per-session event-path extraction for sequence modeling.
+
+These extend the LLM-pipeline surface (SURVEY.md §2 Part C) with the
+feature-engineering passes that sit between corpus curation and model
+training:
+
+- ``embed_dim_stats``    — per-dimension mean/variance/min/max across the
+                           corpus (embedding drift / dead-dimension audit)
+- ``embed_covariance``   — upper-triangle covariance of the leading
+                           dimensions from one distributed pass of integer
+                           moment sums; the d x d result is driver-sized,
+                           which is exactly how distributed PCA splits
+                           work (reduce moments, eigensolve locally)
+- ``tok_vocab_coverage`` — per-document OOV-token rate against the corpus
+                           top-K vocabulary (tokenizer-coverage audit)
+- ``text_bigram_lm_score`` — add-1-smoothed word-bigram log-probability
+                           per document (KenLM-style fluency filter, one
+                           order above the unigram proxy)
+- ``quantile_bins``      — exact decile binning via one distributed
+                           percentile reduce + broadcast boundary probe
+                           (NOT a single-task global ntile window)
+- ``session_paths``      — ordered event-type path string per gap session
+                           (the sequence-model view of the event log)
+
+Cross-engine exactness strategy (module doctrine shared with
+``queries/training_prep.py``): aggregate in exact integers wherever
+accumulation order could matter (micro-scaled element values, token
+counts, cents); round each transcendental term (``ln``) to a 1e-6
+integer grid *before* summation; keep raw doubles only for the final
+identical-operand-order arithmetic (division, sqrt) that IEEE rounds
+deterministically.
+
+Scale notes are per operator; none materializes a cross product,
+collects to the driver (beyond the d x d covariance contract), or
+broadcasts an unbounded side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+#: leading dimensions covered by the covariance pass (the PCA front-end
+#: contract: moments for a fixed d' x d' block, eigensolve driver-side)
+_COV_DIMS = 8
+
+#: vocabulary size for the coverage audit (fixed K => the vocab side is
+#: bounded and broadcast-safe at any corpus size)
+_VOCAB_K = 20
+
+#: decile boundaries for quantile binning
+_QS = [i / 10.0 for i in range(1, 10)]
+
+_GAP_US = 30 * 60 * 1_000_000
+
+#: micro-scaled integer element: exact for float32 inputs well inside the
+#: int64 range, and makes every subsequent sum order-independent
+_XI = "CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)"
+
+
+def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics of the embedding column: n, mean,
+    population variance, min, max. Elements are micro-scaled to BIGINT
+    before summation (sum and sum-of-squares are then order-independent
+    exact integers); mean/variance are recovered with an identical
+    double-operation sequence in both engines, so results hash-match.
+
+    Scale: ``posexplode`` is a map-side expansion (rows x dim), followed
+    by ONE hash aggregation keyed on the 64-value dim column — partial
+    aggregation collapses each task's input to 64 rows before the
+    shuffle, so the shuffle is O(tasks x dim) regardless of corpus size.
+    Column pruning keeps the scan to the embedding column only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode(F.expr(f"transform(embedding, x -> {_XI})")).alias(
+            "dim", "xi"
+        )
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("xi")
+    sxx = F.sum(F.col("xi") * F.col("xi"))
+    nd = n.cast("double")
+    sxd = sx.cast("double")
+    sxxd = sxx.cast("double")
+    return (
+        x.groupBy(F.col("dim").cast("long").alias("dim"))
+        .agg(
+            n.alias("n"),
+            (sxd / nd / 1e6).alias("mean"),
+            (((sxxd - sxd * sxd / nd) / nd) / 1e12).alias("var_pop"),
+            (F.min("xi").cast("double") / 1e6).alias("vmin"),
+            (F.max("xi").cast("double") / 1e6).alias("vmax"),
+        )
+    )
+
+
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance entries cov(i, j), i <= j < 8, of the
+    leading embedding dimensions, from exact integer moment sums
+    (sum xi, sum xj, sum xi*xj) in a single distributed reduce. This is
+    the scale-correct PCA front-end: the reduce is one pass over the
+    data producing O(d'^2) numbers; the eigensolve on the tiny d' x d'
+    matrix is driver work by design.
+
+    Exactness: micro-scaled BIGINT sums (order-independent); covariance
+    recovered as (Sxy - Sx*Sy/n)/n with the identical double sequence in
+    both engines, then de-scaled by 1e12."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cols = [
+        F.expr(
+            f"CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE)"
+            f" * 1000000.0D) AS BIGINT)"
+        ).alias(f"x{i}")
+        for i in range(_COV_DIMS)
+    ]
+    w = e.select(*cols)
+    pairs = [
+        (i, j) for i in range(_COV_DIMS) for j in range(_COV_DIMS) if i <= j
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(_COV_DIMS):
+        aggs.append(F.sum(f"x{i}").alias(f"s{i}"))
+    for i, j in pairs:
+        aggs.append(
+            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p_{i}_{j}")
+        )
+    row = w.agg(*aggs)
+    cov_terms = ", ".join(
+        f"{i}L, {j}L, (CAST(p_{i}_{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE)"
+        f" / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) / 1e12"
+        for i, j in pairs
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {cov_terms}) AS (i, j, cov)"
+    ).selectExpr("CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j", "cov")
+
+
+def q_tok_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-K
+    vocabulary (K=20, ranked by document frequency with lexicographic
+    tie-break). The OOV rate is reported in exact parts-per-million
+    (integer), sidestepping float rounding entirely.
+
+    Scale: document frequency is one distinct + hash aggregation on the
+    term key; the vocabulary is a fixed-K TakeOrdered (driver-sized by
+    contract) re-broadcast to the probe join — the broadcast side is
+    bounded by K, never by the corpus, so this is broadcast-correct at
+    100 TB. The probe join + per-doc aggregation shuffle on term and
+    doc_id respectively."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    dfreq = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    vocab = (
+        dfreq.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    n_tok = F.count(F.lit(1))
+    n_in = F.count("in_vocab")
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_tok.alias("n_tokens"),
+            (n_tok - n_in).alias("n_oov"),
+            F.expr(
+                "CAST(round(CAST(count(1) - count(in_vocab) AS DOUBLE)"
+                " / CAST(count(1) AS DOUBLE) * 1000000.0D) AS BIGINT)"
+            ).alias("oov_ppm"),
+        )
+    )
+
+
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-1-smoothed word-bigram log-probability score per document:
+    P(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V) with counts taken over
+    the whole corpus and V the distinct-unigram count. Per-bigram
+    ln(P) is rounded to a 1e-6 integer grid BEFORE summation (module
+    doctrine: an engine's last-ulp ``ln`` difference cannot survive the
+    grid), so the per-document sum is exact; the average is the
+    identical double division in both engines.
+
+    This is the KenLM-style fluency filter one order above
+    ``text_unigram_logprob``: gibberish token order now scores low even
+    when the unigram distribution looks normal.
+
+    Scale: bigrams are an array-local ``zip_with`` + explode (map-side);
+    the model is two hash aggregations keyed on bigram/unigram; scoring
+    re-joins the exploded bigrams to the model on the bigram key — all
+    shuffle-equi-join work on high-cardinality keys, with the scalar V
+    joined as a broadcast literal. No cross product, no driver loop."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    )
+    big = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("w").alias("t")).agg(
+        F.countDistinct("t").alias("vs")
+    )
+    lp = (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0D)"
+                " / (CAST(c1 AS DOUBLE) + CAST(vs AS DOUBLE)))"
+                " * 1000000.0D) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").alias("lp_micro_sum"),
+        (
+            F.sum("lp_micro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1e6
+        ).alias("avg_logprob"),
+    )
+
+
+def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile binning of order totals with per-bin stats — the ML
+    feature-bucketization pass. Boundaries come from ONE distributed
+    exact-percentile reduce (Spark's ``percentile`` merges per-partition
+    state; no global sort); assignment probes the broadcast 9-value
+    boundary array with an array-local ``filter`` count. This is the
+    scale-correct shape: a single-task global ``ntile`` window would
+    serialize 100 TB through one executor, the percentile reduce does
+    not.
+
+    Exactness: cents are exact BIGINT; both engines interpolate
+    percentiles as lo + (h - floor(h)) * (hi - lo) with h = (n-1)*p on
+    identical operands, giving bit-identical double boundaries."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    qs = ", ".join(f"{p}D" for p in _QS)
+    bounds = o.agg(
+        F.expr(f"percentile(cents, array({qs}))").alias("bs")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        F.expr(
+            "CAST(size(filter(bs, x -> CAST(cents AS DOUBLE) >= x))"
+            " AS BIGINT)"
+        ).alias("bucket"),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-type path per gap session (30-minute idle cutoff):
+    the sequence-model view of the event log ('view>click>purchase').
+    Session assignment is the standard lag + running-sum window pair on
+    (user_id); the path is an order-guaranteed aggregation — Spark sorts
+    the collected (us, event_id, event_type) structs (lexicographic
+    struct order == the window order), DuckDB uses
+    ``string_agg(... ORDER BY ...)`` — so the strings match exactly.
+
+    Scale: both windows and the final aggregation partition on user_id,
+    the natural high-cardinality key; per-group state is one session's
+    events. Exact-microsecond arithmetic (no truncation ambiguity)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    prev = F.lag("us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("us") - prev) > _GAP_US), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.withColumn("session_idx", F.sum(is_new).over(cum).cast("long"))
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(us, event_id, event_type))),"
+                " s -> s.event_type), '>')"
+            ).alias("path"),
+        )
+    )
+
+
+def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration at corpus scale: the top-20 adjacent
+    character pairs by total occurrence count, counted on **word types
+    weighted by word frequency** — the standard BPE optimization (Sennrich
+    et al. 2016): the pair scan runs over the distinct-word table (small),
+    not the raw token stream (huge). A full tokenizer train is a driver
+    loop re-running this step with the winning pair merged into one
+    symbol; each iteration is this exact plan.
+
+    Ties break on the pair string, counts are exact integers, and the
+    character split is the portable substring form (both engines index
+    chars identically), so the oracle hash-matches.
+
+    Scale: word-type table = one hash aggregation of the token explode;
+    pair explode is array-local over words (bounded length); final count
+    is one more hash aggregation + TakeOrdered-20. No joins at all."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    pairs = (
+        "zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1),"
+        " (a, b) -> concat(a, b))"
+    )
+    return (
+        wc.where(F.length("w") >= 2)
+        .select("cnt", F.expr(chars).alias("cs"))
+        .select("cnt", F.explode(F.expr(pairs)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "bpe_pair_merge_step": q_bpe_pair_merge_step,
+    "embed_dim_stats": q_embed_dim_stats,
+    "embed_covariance": q_embed_covariance,
+    "tok_vocab_coverage": q_tok_vocab_coverage,
+    "text_bigram_lm_score": q_text_bigram_lm_score,
+    "quantile_bins": q_quantile_bins,
+    "session_paths": q_session_paths,
+}
+
+_XI_SQL = "CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+
+_COV_PAIRS = [
+    (i, j) for i in range(_COV_DIMS) for j in range(_COV_DIMS) if i <= j
+]
+
+_COV_MOMENTS = ", ".join(
+    [
+        f"sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0)"
+        f" AS BIGINT)) AS s{i}"
+        for i in range(_COV_DIMS)
+    ]
+    + [
+        f"sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0)"
+        f" AS BIGINT)"
+        f" * CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * 1000000.0)"
+        f" AS BIGINT)) AS p_{i}_{j}"
+        for i, j in _COV_PAIRS
+    ]
+)
+
+_COV_ROWS = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS i, CAST({j} AS BIGINT) AS j,"
+    f" (CAST(p_{i}_{j} AS DOUBLE)"
+    f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / CAST(n AS DOUBLE) / 1e12 AS cov FROM m"
+    for i, j in _COV_PAIRS
+)
+
+_QS_SQL = ", ".join(str(p) for p in _QS)
+
+ORACLES = {
+    "bpe_pair_merge_step": """
+        WITH wc AS (
+            SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        cs AS (
+            SELECT cnt,
+                   list_transform(range(1, length(w) + 1),
+                                  i -> w[i]) AS chars
+            FROM wc WHERE length(w) >= 2
+        ),
+        p AS (
+            SELECT cnt,
+                   unnest(list_transform(
+                       range(1, len(chars)),
+                       i -> chars[i] || chars[i + 1])) AS pair
+            FROM cs
+        )
+        SELECT pair, sum(cnt)::BIGINT AS n_occurrences
+        FROM p
+        GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC
+        LIMIT 20
+    """,
+    "embed_dim_stats": f"""
+        WITH t AS (
+            SELECT unnest(range(len(embedding))) AS dim,
+                   unnest(list_transform(embedding, x -> {_XI_SQL})) AS xi
+            FROM embeddings
+        )
+        SELECT CAST(dim AS BIGINT) AS dim,
+               count(*) AS n,
+               CAST(sum(xi) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                   AS mean,
+               (CAST(sum(xi * xi) AS DOUBLE)
+                - CAST(sum(xi) AS DOUBLE) * CAST(sum(xi) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE))
+               / CAST(count(*) AS DOUBLE) / 1e12 AS var_pop,
+               CAST(min(xi) AS DOUBLE) / 1e6 AS vmin,
+               CAST(max(xi) AS DOUBLE) / 1e6 AS vmax
+        FROM t
+        GROUP BY dim
+    """,
+    "embed_covariance": f"""
+        WITH m AS (
+            SELECT count(*) AS n, {_COV_MOMENTS}
+            FROM embeddings
+        )
+        {_COV_ROWS}
+    """,
+    "tok_vocab_coverage": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ),
+        dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df
+            FROM toks GROUP BY term
+        ),
+        vocab AS (
+            SELECT term FROM dfreq
+            ORDER BY df DESC, term ASC LIMIT {_VOCAB_K}
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               CAST(count(*) - count(v.term) AS BIGINT) AS n_oov,
+               CAST(round(CAST(count(*) - count(v.term) AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS oov_ppm
+        FROM toks t LEFT JOIN vocab v ON t.term = v.term
+        GROUP BY t.doc_id
+    """,
+    "text_bigram_lm_score": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM toks WHERE len(w) >= 2
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        v AS (
+            SELECT count(DISTINCT t) AS vs
+            FROM (SELECT unnest(w) AS t FROM toks)
+        ),
+        lp AS (
+            SELECT big.doc_id,
+                   CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0)
+                                 / (CAST(c1 AS DOUBLE)
+                                    + CAST(vs AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS lp_micro
+            FROM big
+            JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+            JOIN uc ON big.w1 = uc.w1
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               sum(lp_micro) AS lp_micro_sum,
+               CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 1e6 AS avg_logprob
+        FROM lp
+        GROUP BY doc_id
+    """,
+    "quantile_bins": f"""
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        b AS (
+            SELECT quantile_cont(cents, [{_QS_SQL}]) AS bs FROM c
+        )
+        SELECT CAST(len(list_filter(bs, x -> CAST(cents AS DOUBLE) >= x))
+                    AS BIGINT) AS bucket,
+               count(*) AS n,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               sum(cents)::BIGINT AS sum_cents
+        FROM c, b
+        GROUP BY bucket
+    """,
+    "session_paths": f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        f AS (
+            SELECT *,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > {_GAP_US}
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        s AS (
+            SELECT *,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+            FROM f
+        )
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               min(us) AS start_us,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        FROM s
+        GROUP BY user_id, session_idx
+    """,
+}

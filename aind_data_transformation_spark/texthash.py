@@ -95,11 +95,12 @@ def trigram_set_expr(toks: str, dialect: str) -> str:
     )
 
 
-def verified_pairs_sql(threshold: float = 0.7) -> str:
-    """DuckDB twin of :func:`verified_near_dups` over the ``documents``
-    table: emits ``(doc_a, doc_b, jaccard)`` for every LSH-candidate pair
-    whose exact trigram Jaccard is >= ``threshold``. Kept here so every
-    oracle that builds on the near-dup pipeline composes the same SQL."""
+def candidate_tris_cte() -> str:
+    """Shared DuckDB WITH-clause prefix over ``documents``: minhash
+    signatures -> LSH bands -> candidate pairs (``cands``: doc_a < doc_b)
+    plus per-doc trigram sets (``tris``). Every oracle built on the
+    near-dup pipeline (Jaccard verification, containment) composes this
+    one definition so the candidate set can never drift between keys."""
     mh = ",\n                   ".join(
         f"{minhash_from_shingles(i, 'shingle_vals', 'duck')} AS mh{i}"
         for i in range(8)
@@ -134,6 +135,14 @@ def verified_pairs_sql(threshold: float = 0.7) -> str:
             SELECT doc_id, {trigram_set_expr(TOKS_DUCK, 'duck')} AS tri
             FROM documents
         )
+    """
+
+
+def verified_pairs_sql(threshold: float = 0.7) -> str:
+    """DuckDB twin of :func:`verified_near_dups` over the ``documents``
+    table: emits ``(doc_a, doc_b, jaccard)`` for every LSH-candidate pair
+    whose exact trigram Jaccard is >= ``threshold``."""
+    return f"""{candidate_tris_cte()}
         SELECT doc_a, doc_b,
                CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
                  / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)

@@ -469,3 +469,85 @@ def test_gaps_islands_single_window_then_hash_agg(spark):
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quantile_bins_no_global_window(spark):
+    """Decile binning must be the percentile-reduce + broadcast-probe
+    shape: no Window operator anywhere (a global ntile would serialize
+    the table through one task) and the 9-value boundary side joined by
+    broadcast, never cartesian."""
+    plan = plan_of(spark, "quantile_bins")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_dim_stats_partial_agg_and_pruned_scan(spark):
+    """Per-dimension stats: partial+final hash aggregation on the dim key
+    (shuffle is O(tasks x 64), not O(rows)) and a scan pruned to the
+    embedding column."""
+    plan = plan_of(spark, "embed_dim_stats")
+    assert plan.count("HashAggregate") >= 2
+    read_schema = plan.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "embedding" in read_schema and "label" not in read_schema
+
+
+def test_embed_covariance_single_reduce_no_shuffle_join(spark):
+    """Covariance must be one distributed moment reduce: no join of any
+    kind and no more than the single final-aggregation exchange."""
+    plan = plan_of(spark, "embed_covariance")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_vocab_coverage_broadcasts_fixed_k_vocab(spark):
+    """The top-K vocabulary side (bounded by K, not the corpus) must probe
+    via broadcast hash join; the term explode stays map-side."""
+    plan = plan_of(spark, "tok_vocab_coverage")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_model_joins_are_equi(spark):
+    """Bigram scoring joins (bigram->counts, bigram->unigram counts) must
+    be shuffle/broadcast equi-joins; the scalar V side is broadcast; no
+    cartesian beyond the single-row V cross join."""
+    plan = plan_of(spark, "text_bigram_lm_score")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_session_paths_windows_partition_on_user(spark):
+    """Both session windows and the path aggregation partition on
+    user_id — no empty-partition (global) window spec."""
+    plan = plan_of(spark, "session_paths")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan.split("Window", 1)[1].split("(4)", 1)[0]
+
+
+def test_bpe_pair_counts_no_joins_two_agg_levels(spark):
+    """BPE pair counting must be pure aggregation work: token explode ->
+    word-type table -> pair explode -> count + TakeOrdered. No join
+    operator of any kind may appear."""
+    plan = plan_of(spark, "bpe_pair_merge_step")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bfs_rounds_are_equi_joins(spark):
+    """Every BFS round joins the frontier to the edge list as an
+    equi-join (hash or sort-merge); the seed aggregation broadcast is the
+    only nested-loop-shaped exchange allowed."""
+    plan = plan_of(spark, "graph_bfs_frontier")
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_has_no_all_pairs_stage(spark):
+    """Containment verification runs on the LSH-banded candidate set:
+    band-key equi-joins only, never a cartesian of documents."""
+    plan = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
