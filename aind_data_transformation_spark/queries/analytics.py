@@ -388,7 +388,32 @@ def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the report a 100-TB pipeline runs BEFORE a
+    big join to decide between plain shuffle, salting, and AQE skew
+    splitting: per-key cardinality distribution of lineitem.l_suppkey
+    (rows, distinct keys, heaviest key, its ppm share of all rows, and
+    the p50/p99 of per-key counts). Two aggregation levels, both with
+    map-side partial aggregation; the second input is one row per key.
+    Exact integers except the percentile interpolation, which is the
+    identical double formula in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr(
+            "CAST(round(CAST(max(cnt) AS DOUBLE)"
+            " / CAST(sum(cnt) AS DOUBLE) * 1000000.0D) AS BIGINT)"
+        ).alias("top_share_ppm"),
+        F.expr("percentile(cnt, 0.5D)").alias("p50_key_rows"),
+        F.expr("percentile(cnt, 0.99D)").alias("p99_key_rows"),
+    )
+
+
 QUERIES = {
+    "diag_key_skew": q_diag_key_skew,
     "agg_regression": q_agg_regression,
     "dq_expectations": q_dq_expectations,
     "sql_lateral_topn": q_sql_lateral_topn,
@@ -410,6 +435,21 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "diag_key_skew": """
+        WITH per_key AS (
+            SELECT l_suppkey, count(*) AS cnt
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT sum(cnt)::BIGINT AS n_rows,
+               count(*) AS n_keys,
+               max(cnt) AS max_key_rows,
+               CAST(round(CAST(max(cnt) AS DOUBLE)
+                          / CAST(sum(cnt) AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS top_share_ppm,
+               quantile_cont(cnt, 0.5) AS p50_key_rows,
+               quantile_cont(cnt, 0.99) AS p99_key_rows
+        FROM per_key
+    """,
     "agg_regression": """
         WITH sums AS (
             SELECT event_type,

@@ -269,24 +269,29 @@ def q_graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per round one shuffle of (frontier ⋈ edges); the distance
     vector is keyed by node — pre-partitioning edges by u makes every
-    round's join co-partitioned. Plan growth is 2x per round because the
-    round frame is referenced twice (carry + expand); with the fixed
-    small round count that is bounded, and a cluster run materializes
-    per round (ops.connected_components shows the pattern)."""
-    edges = _copurchase_edges(spark, sf_dir)
+    round's join co-partitioned. The edge list feeds every round and the
+    round frame is referenced twice (carry + expand), so both are
+    stage-materialized (ops.local_materializer; parquet on a cluster —
+    ops.connected_components shows the same pattern). Without that the
+    plan doubles per round and the basket self-join that builds the
+    edges re-executes 2^rounds times."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    edges = mat(_copurchase_edges(spark, sf_dir), "bfs_edges")
     seed = edges.agg(F.min("u").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
     dist = seed
-    for _ in range(BFS_ROUNDS):
+    for r in range(BFS_ROUNDS):
         expanded = (
             dist.join(edges, dist.node == edges.u)
             .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
         )
-        dist = (
+        dist = mat(
             dist.unionByName(expanded)
             .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+            .agg(F.min("dist").alias("dist")),
+            f"bfs_round_{r}",
         )
     return dist.select(
         F.col("node").cast("long").alias("part"),

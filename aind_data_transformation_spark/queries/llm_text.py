@@ -284,21 +284,31 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical shape to the verified near-dup pipeline — band
     equi-joins for candidates, candidate-bounded verification; no
-    all-pairs stage anywhere."""
+    all-pairs stage anywhere. Both the candidate set and the trigram
+    table feed two plan branches each (pair sides a/b), so they are
+    stage-materialized exactly like ``verified_near_dups`` — without
+    that the minhash and shingling work runs twice (measured 3x the
+    verified pipeline's wall time at sf0.1)."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
     d = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id")
+    cands = mat(
+        lsh_candidate_pairs(minhash_signatures(d, "doc_id", "text"), "doc_id"),
+        "containment_cands",
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .unionByName(cands.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    tris = (
+    tris = mat(
         d.join(cand_ids, "doc_id", "left_semi")
         .select("doc_id", F.expr("split(text, ' ')").alias("__toks"))
         .select(
             "doc_id",
             F.expr(trigram_set_expr("__toks", "spark")).alias("tri"),
-        )
+        ),
+        "containment_tris",
     )
     j = (
         cands.join(

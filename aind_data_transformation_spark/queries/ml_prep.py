@@ -360,8 +360,37 @@ def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words featurization (long form): every token
+    maps to bucket = portable_hash(token) % 64 and per-document bucket
+    counts are the model-ready sparse features — the fixed-width,
+    vocabulary-free encoding (no dictionary to build, ship, or broadcast)
+    that linear models and gradient-boosted trees train on at corpus
+    scale. Uses the same portable token hash as the minhash pipeline
+    (texthash.tokval), so the oracle reproduces buckets exactly.
+
+    Scale: explode + one hash aggregation on (doc_id, bucket); output is
+    bounded by docs x 64. No vocabulary state of any kind — the defining
+    advantage of feature hashing at 100 TB."""
+    from aind_data_transformation_spark.texthash import tokval
+
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("t"),
+    )
+    return (
+        terms.select("doc_id", F.expr(f"({tokval('t')}) % 64").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 QUERIES = {
     "bpe_pair_merge_step": q_bpe_pair_merge_step,
+    "feature_hashing": q_feature_hashing,
     "embed_dim_stats": q_embed_dim_stats,
     "embed_covariance": q_embed_covariance,
     "tok_vocab_coverage": q_tok_vocab_coverage,
@@ -401,7 +430,25 @@ _COV_ROWS = "\nUNION ALL\n".join(
 
 _QS_SQL = ", ".join(str(p) for p in _QS)
 
+def _feature_hashing_oracle() -> str:
+    from aind_data_transformation_spark.texthash import tokval
+
+    return f"""
+        WITH terms AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS t
+            FROM documents
+        )
+        SELECT doc_id, ({tokval('t')}) % 64 AS bucket,
+               count(*) AS cnt
+        FROM terms
+        GROUP BY doc_id, bucket
+    """
+
+
 ORACLES = {
+    "feature_hashing": _feature_hashing_oracle(),
     "bpe_pair_merge_step": """
         WITH wc AS (
             SELECT w, count(*) AS cnt FROM (
@@ -511,7 +558,7 @@ ORACLES = {
         )
         SELECT doc_id,
                count(*) AS n_bigrams,
-               sum(lp_micro) AS lp_micro_sum,
+               sum(lp_micro)::BIGINT AS lp_micro_sum,
                CAST(sum(lp_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                    / 1e6 AS avg_logprob
         FROM lp

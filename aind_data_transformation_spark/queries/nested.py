@@ -145,7 +145,41 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over per-order quantity arrays:
+    transform (scale), filter (predicate), exists / forall (quantified
+    predicates), aggregate-with-finish (mean as sum DIV count), and
+    zip_with against a sequence. The array is a sorted ``collect_list``
+    (deterministic element order), all element math is integer-exact.
+
+    Scale: one hash aggregation to build the per-order arrays (basket-
+    bounded), then a pure map pass — lambdas run inside codegen, never
+    in Python."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    arr = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("q")).alias("qs")
+    )
+    return arr.select(
+        "l_orderkey",
+        F.expr("transform(qs, x -> x * 2L)").alias("doubled"),
+        F.expr("filter(qs, x -> x >= 25L)").alias("big"),
+        F.expr("exists(qs, x -> x >= 49L)").alias("any_huge"),
+        F.expr("forall(qs, x -> x >= 5L)").alias("all_mid"),
+        F.expr(
+            "aggregate(qs, named_struct('s', 0L, 'c', 0L),"
+            " (acc, x) -> named_struct('s', acc.s + x, 'c', acc.c + 1L),"
+            " acc -> acc.s DIV acc.c)"
+        ).alias("mean_floor"),
+        F.expr(
+            "zip_with(qs, sequence(1L, size(qs)), (x, i) -> x * i)"
+        ).alias("weighted"),
+    )
+
+
 QUERIES = {
+    "fn_higher_order": q_fn_higher_order,
     "fn_variant": q_fn_variant,
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
@@ -155,6 +189,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_higher_order": """
+        WITH arr AS (
+            SELECT l_orderkey,
+                   list_sort(list(CAST(l_quantity AS BIGINT))) AS qs
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey,
+               list_transform(qs, x -> x * 2) AS doubled,
+               list_filter(qs, x -> x >= 25) AS big,
+               len(list_filter(qs, x -> x >= 49)) > 0 AS any_huge,
+               len(list_filter(qs, x -> NOT (x >= 5))) = 0 AS all_mid,
+               CAST(list_aggregate(qs, 'sum') // len(qs) AS BIGINT)
+                   AS mean_floor,
+               list_transform(range(1, len(qs) + 1),
+                              i -> qs[i] * i) AS weighted
+        FROM arr
+    """,
     "fn_struct": """
         SELECT c_nationkey, bal_cents AS min_bal_cents, name AS min_bal_name
         FROM (

@@ -329,15 +329,16 @@ def q_scan_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bad = reread.where(F.col("_corrupt_record").isNotNull()).count()
     finally:
         reread.unpersist()
-    return spark.createDataFrame(
-        [(good_row["n_good"], good_row["max_key"], n_bad)],
-        T.StructType(
-            [
-                T.StructField("n_good", T.LongType(), False),
-                T.StructField("max_key", T.LongType(), True),
-                T.StructField("n_bad", T.LongType(), False),
-            ]
-        ),
+    # JVM-side literal relation: spark.createDataFrame would ship the
+    # 1-row result through a Python-worker parallelize job on EVERY
+    # downstream action (~seconds each); a SQL VALUES relation is a pure
+    # local relation with zero job cost.
+    max_key = good_row["max_key"]
+    return spark.sql(
+        f"SELECT CAST({good_row['n_good']} AS BIGINT) AS n_good,"
+        f" CAST({'NULL' if max_key is None else max_key} AS BIGINT)"
+        f" AS max_key,"
+        f" CAST({n_bad} AS BIGINT) AS n_bad"
     )
 
 
@@ -403,15 +404,14 @@ def q_scan_bad_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_bad = reread.where(F.col("_corrupt_record").isNotNull()).count()
     finally:
         reread.unpersist()
-    return spark.createDataFrame(
-        [(good_row["n_good"], good_row["good_chars"], n_bad)],
-        T.StructType(
-            [
-                T.StructField("n_good", T.LongType(), False),
-                T.StructField("good_chars", T.LongType(), True),
-                T.StructField("n_bad", T.LongType(), False),
-            ]
-        ),
+    # JVM-side literal relation (see q_scan_bad_records): avoids a
+    # Python-worker parallelize job per downstream action.
+    good_chars = good_row["good_chars"]
+    return spark.sql(
+        f"SELECT CAST({good_row['n_good']} AS BIGINT) AS n_good,"
+        f" CAST({'NULL' if good_chars is None else good_chars} AS BIGINT)"
+        f" AS good_chars,"
+        f" CAST({n_bad} AS BIGINT) AS n_bad"
     )
 
 
@@ -465,8 +465,11 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(out)
     dim_path = _scratch(sf_dir, "status_dim")
     if not os.path.exists(os.path.join(dim_path, "_SUCCESS")):
-        spark.createDataFrame(
-            [("F", 1), ("O", 2), ("P", 3)], "status string, sla int"
+        # VALUES relation, not createDataFrame: the latter routes the
+        # 3 rows through a Python-worker parallelize job (~seconds).
+        spark.sql(
+            "SELECT col1 AS status, CAST(col2 AS INT) AS sla"
+            " FROM VALUES ('F', 1), ('O', 2), ('P', 3)"
         ).coalesce(1).write.mode("overwrite").parquet(dim_path)
     dim = spark.read.parquet(dim_path).where(F.col("sla") <= 1)
     return (

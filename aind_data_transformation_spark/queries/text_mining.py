@@ -137,13 +137,50 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the IR-side product of a corpus
+    build: per term, document frequency, total term frequency, and the
+    sorted postings list of doc_ids. One explode + one hash aggregation
+    on the term key; the distinct-doc set per term is collected and
+    sorted array-locally, so determinism never depends on shuffle order.
+
+    Scale: the term key is the natural shard key (this IS the sharded
+    inverted index layout); hot stop-word terms produce long postings —
+    the production layout splits those rows into fixed-size posting
+    blocks (term, block_no, postings), which is the same plan plus one
+    array-chunking projection."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(F.expr(_TOKENS)).alias("term"),
+    ).where(F.col("term") != "")
+    return terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
 QUERIES = {
+    "corpus_inverted_index": q_corpus_inverted_index,
     "tfidf_keywords": q_tfidf_keywords,
     "ngram_topk": q_ngram_topk,
     "ngram_pmi": q_ngram_pmi,
 }
 
 ORACLES = {
+    "corpus_inverted_index": """
+        WITH terms AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), t AS (SELECT * FROM terms WHERE term <> '')
+        SELECT term,
+               count(DISTINCT doc_id) AS df,
+               count(*) AS total_tf,
+               list_sort(list(DISTINCT doc_id)) AS postings
+        FROM t
+        GROUP BY term
+    """,
     "tfidf_keywords": """
         WITH terms AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -263,7 +263,139 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean event value on
+    each ISO weekday divided by the type's overall mean — the naive
+    seasonal decomposition a forecasting pipeline computes before
+    de-seasonalizing. Sums accumulate in exact integer cents; both means
+    and the ratio are the identical double-division sequence in both
+    engines, so results hash-match. ISO weekday (1=Mon..7=Sun) via
+    ``weekday()+1`` on Spark and ``isodow()`` on DuckDB — both evaluated
+    on UTC-pinned timestamps.
+
+    Scale: one hash aggregation to (type, dow) — 7 rows per type — and a
+    broadcast-sized join back to per-type totals. The fact shuffles
+    once."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.weekday("ts") + F.lit(1)).cast("long").alias("isodow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    by_dow = e.groupBy("event_type", "isodow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("c"),
+    )
+    by_type = by_dow.groupBy("event_type").agg(
+        F.sum("n").alias("tn"), F.sum("c").alias("tc")
+    )
+    mean_dow = F.col("c").cast("double") / F.col("n").cast("double")
+    mean_type = F.col("tc").cast("double") / F.col("tn").cast("double")
+    return (
+        by_dow.join(F.broadcast(by_type), "event_type")
+        .select(
+            "event_type",
+            "isodow",
+            "n",
+            (mean_dow / 100.0).alias("mean_value"),
+            (mean_dow / mean_type).alias("seasonal_ratio"),
+        )
+    )
+
+
+#: EWMA smoothing factor and window depth (finite-window approximation)
+_EWMA_ALPHA = 0.3
+_EWMA_DEPTH = 20
+_EWMA_WEIGHTS = [
+    _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** i for i in range(_EWMA_DEPTH)
+]
+
+
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of event values per type,
+    as a bounded 20-term window (truncated-geometric weights, normalized
+    by the finite weight sum; only rows with full history emit). The
+    recurrence y_t = a*x_t + (1-a)*y_{t-1} is inherently sequential — a
+    scan no engine parallelizes — but its bounded unrolling is 20
+    ``lag`` columns over ONE window sort, each term integer-rounded on a
+    1e-6 grid before summation (module doctrine: per-term doubles are
+    identical literals x identical operands in both engines; the sum of
+    integers is order-independent), so it distributes AND hash-matches.
+
+    Scale: one window shuffle on event_type; 20 lags share the single
+    sort. Weights are plan literals — no state, no join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    lagged = e.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        *[
+            F.lag("cents", i).over(w).alias(f"l{i}")
+            for i in range(_EWMA_DEPTH)
+        ],
+    )
+    terms = " + ".join(
+        f"CAST(round(CAST(l{i} AS DOUBLE) * CAST('{w_!r}' AS DOUBLE)"
+        f" * 1000000.0D) AS BIGINT)"
+        for i, w_ in enumerate(_EWMA_WEIGHTS)
+    )
+    # ONE multiplication by a shared string-cast constant: DuckDB parses
+    # bare decimal literals as DECIMAL (different rounding), so the
+    # normalizer is round-tripped through CAST('<repr>' AS DOUBLE) in both
+    # dialects — string->double parsing is correctly-rounded everywhere.
+    inv = 1.0 / (1e6 * sum(_EWMA_WEIGHTS) * 100.0)
+    return (
+        lagged.where(F.col("rn") >= _EWMA_DEPTH)
+        .select(
+            "event_id",
+            "event_type",
+            (
+                F.expr(f"CAST(({terms}) AS DOUBLE)")
+                * F.expr(f"CAST('{inv!r}' AS DOUBLE)")
+            ).alias("ewma_value"),
+        )
+    )
+
+
+def _ewma_oracle() -> str:
+    lags = ",\n                   ".join(
+        f"lag(cents, {i}) OVER w AS l{i}" for i in range(_EWMA_DEPTH)
+    )
+    terms = " + ".join(
+        f"CAST(round(CAST(l{i} AS DOUBLE) * CAST('{w_!r}' AS DOUBLE)"
+        f" * 1000000.0) AS BIGINT)"
+        for i, w_ in enumerate(_EWMA_WEIGHTS)
+    )
+    inv = 1.0 / (1e6 * sum(_EWMA_WEIGHTS) * 100.0)
+    return f"""
+        WITH e AS (
+            SELECT event_id, event_type, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        lagged AS (
+            SELECT event_id, event_type,
+                   row_number() OVER w AS rn,
+                   {lags}
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+        )
+        SELECT event_id, event_type,
+               CAST(({terms}) AS DOUBLE) * CAST('{inv!r}' AS DOUBLE)
+                   AS ewma_value
+        FROM lagged
+        WHERE rn >= {_EWMA_DEPTH}
+    """
+
+
 QUERIES = {
+    "ts_ewma": q_ts_ewma,
+    "ts_seasonal_dow": q_ts_seasonal_dow,
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
     "ts_rollup_cascade": q_ts_rollup_cascade,
@@ -272,6 +404,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_ewma": _ewma_oracle(),
+    "ts_seasonal_dow": """
+        WITH e AS (
+            SELECT event_type, isodow(ts) AS isodow,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        by_dow AS (
+            SELECT event_type, CAST(isodow AS BIGINT) AS isodow,
+                   count(*) AS n, sum(cents)::BIGINT AS c
+            FROM e GROUP BY event_type, isodow
+        ),
+        by_type AS (
+            SELECT event_type, sum(n)::BIGINT AS tn, sum(c)::BIGINT AS tc
+            FROM by_dow GROUP BY event_type
+        )
+        SELECT d.event_type, d.isodow, d.n,
+               CAST(d.c AS DOUBLE) / CAST(d.n AS DOUBLE) / 100.0
+                   AS mean_value,
+               (CAST(d.c AS DOUBLE) / CAST(d.n AS DOUBLE))
+                   / (CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE))
+                   AS seasonal_ratio
+        FROM by_dow d JOIN by_type t ON d.event_type = t.event_type
+    """,
     "ts_downsample_lttb": """
         WITH pts AS (
             SELECT event_type, epoch_us(ts) AS x,

@@ -551,3 +551,36 @@ def test_containment_has_no_all_pairs_stage(spark):
     plan = plan_of(spark, "dedup_containment")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_feature_hashing_pure_aggregation(spark):
+    """Hashing-trick features: no vocabulary join may exist — the whole
+    point is zero dictionary state. Explode + hash aggregation only."""
+    plan = plan_of(spark, "feature_hashing")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_inverted_index_single_term_shuffle(spark):
+    """Inverted-index build: one aggregation keyed on term (the shard
+    key); postings sorting is array-local, no global sort."""
+    plan = plan_of(spark, "corpus_inverted_index")
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_seasonal_dow_broadcasts_type_totals(spark):
+    """The per-type totals side (rows = distinct event types) must join
+    back by broadcast — the fact shuffles once into (type, dow)."""
+    plan = plan_of(spark, "ts_seasonal_dow")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_audit_two_agg_levels_no_sort(spark):
+    """Skew audit: per-key counts then one global reduce — no global
+    sort, no window, no join."""
+    plan = plan_of(spark, "diag_key_skew")
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"):
+        assert bad not in plan

@@ -237,3 +237,68 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, left, right, tol):
     else:
         want = {int(eid): None for _, _, eid in left_rows}
     assert got == want
+
+
+def test_quantile_bins_partition_all_rows(spark):
+    """The decile binning must partition the input exactly: bucket ids
+    0..9, per-bucket counts summing to the table count, and bucket spans
+    non-overlapping in order."""
+    from aind_data_transformation_spark.queries.ml_prep import q_quantile_bins
+    from tests.conftest import TEST_SF_DIR
+
+    rows = {
+        r["bucket"]: r
+        for r in q_quantile_bins(spark, TEST_SF_DIR).collect()
+    }
+    orders = spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+    assert sum(r["n"] for r in rows.values()) == orders.count()
+    assert set(rows) <= set(range(10))
+    spans = [rows[b] for b in sorted(rows)]
+    for lo, hi in zip(spans, spans[1:]):
+        assert lo["max_cents"] <= hi["min_cents"]
+
+
+def test_bfs_distances_consistent_with_edges(spark):
+    """BFS output sanity: the seed has distance 0; every other reached
+    node at distance d has at least one neighbor at distance d-1."""
+    from aind_data_transformation_spark.queries.graph import (
+        _copurchase_edges,
+        q_graph_bfs_frontier,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    dist = {r["part"]: r["dist"] for r in q_graph_bfs_frontier(spark, TEST_SF_DIR).collect()}
+    edges = [
+        (r["u"], r["v"]) for r in _copurchase_edges(spark, TEST_SF_DIR).collect()
+    ]
+    nbrs: dict = {}
+    for u, v in edges:
+        nbrs.setdefault(v, set()).add(u)
+    seed = min(u for u, _ in edges)
+    assert dist[seed] == 0
+    for node, d in dist.items():
+        if d == 0:
+            assert node == seed
+        else:
+            assert any(dist.get(n) == d - 1 for n in nbrs.get(node, ()))
+
+
+def test_session_paths_agree_with_sessionize_gap(spark):
+    """The path aggregation must produce exactly one row per
+    (user, session) of sessionize_gap, with matching event counts —
+    the two sessionizations can never drift apart."""
+    from aind_data_transformation_spark.queries.ml_prep import q_session_paths
+    from aind_data_transformation_spark.queries.training_prep import (
+        q_sessionize_gap,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    paths = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in q_session_paths(spark, TEST_SF_DIR).collect()
+    }
+    sess = {
+        (r["user_id"], r["session_idx"]): r["n_events"]
+        for r in q_sessionize_gap(spark, TEST_SF_DIR).collect()
+    }
+    assert paths == sess
