@@ -412,8 +412,60 @@ def q_diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per customer, Recency (days since
+    epoch of last order), Frequency (order count), Monetary (total
+    cents) — each scored 1-5 against corpus quintile boundaries from ONE
+    exact-percentile reduce per dimension, then combined into the
+    classic 3-digit RFM code. Same scale shape as ``quantile_bins``: a
+    distributed percentile aggregation plus a broadcast boundary probe —
+    never a single-task global ntile window.
+
+    All three metrics are exact integers; both engines interpolate
+    quintiles with the identical (n-1)*p formula, and the boundary
+    comparison casts the metric to double the same way — hash-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("r_days"),
+        F.count(F.lit(1)).alias("f_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "m_cents"
+        ),
+    )
+    qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    bounds = per_cust.agg(
+        F.expr(f"percentile(r_days, {qs})").alias("rb"),
+        F.expr(f"percentile(f_orders, {qs})").alias("fb"),
+        F.expr(f"percentile(m_cents, {qs})").alias("mb"),
+    )
+    score = (
+        lambda col, b: f"CAST(1 + size(filter({b}, x -> CAST({col} AS DOUBLE) > x)) AS BIGINT)"
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(bounds))
+        .select(
+            "o_custkey",
+            "r_days",
+            "f_orders",
+            "m_cents",
+            F.expr(score("r_days", "rb")).alias("r_score"),
+            F.expr(score("f_orders", "fb")).alias("f_score"),
+            F.expr(score("m_cents", "mb")).alias("m_score"),
+        )
+        .withColumn(
+            "rfm",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).cast("long"),
+        )
+    )
+
+
 QUERIES = {
     "diag_key_skew": q_diag_key_skew,
+    "rfm_segments": q_rfm_segments,
     "agg_regression": q_agg_regression,
     "dq_expectations": q_dq_expectations,
     "sql_lateral_topn": q_sql_lateral_topn,
@@ -435,6 +487,35 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', DATE '1970-01-01',
+                                  max(o_orderdate)) AS BIGINT) AS r_days,
+                   count(*) AS f_orders,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS m_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        b AS (
+            SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+                   quantile_cont(f_orders, [0.2, 0.4, 0.6, 0.8]) AS fb,
+                   quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mb
+            FROM per_cust
+        )
+        SELECT o_custkey, r_days, f_orders, m_cents,
+               CAST(1 + len(list_filter(rb,
+                   x -> CAST(r_days AS DOUBLE) > x)) AS BIGINT) AS r_score,
+               CAST(1 + len(list_filter(fb,
+                   x -> CAST(f_orders AS DOUBLE) > x)) AS BIGINT) AS f_score,
+               CAST(1 + len(list_filter(mb,
+                   x -> CAST(m_cents AS DOUBLE) > x)) AS BIGINT) AS m_score,
+               CAST((1 + len(list_filter(rb, x -> CAST(r_days AS DOUBLE) > x))) * 100
+                    + (1 + len(list_filter(fb, x -> CAST(f_orders AS DOUBLE) > x))) * 10
+                    + (1 + len(list_filter(mb, x -> CAST(m_cents AS DOUBLE) > x)))
+                    AS BIGINT) AS rfm
+        FROM per_cust, b
+    """,
     "diag_key_skew": """
         WITH per_key AS (
             SELECT l_suppkey, count(*) AS cnt

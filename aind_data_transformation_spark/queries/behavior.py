@@ -356,7 +356,44 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged
 
 
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: for every
+    (current, next) pair within a user's time-ordered stream, the
+    transition count and probability P(next | current) — the behavioral
+    fingerprint sequence models and anomaly detectors consume. Counts
+    are exact integers; the probability is one double division on
+    identical operands in both engines.
+
+    Scale: one window shuffle on user_id for the ``lead``, one hash
+    aggregation on the (cur, nxt) pair (25 cells here, bounded by
+    |types|² in general), and the per-cur totals join is
+    broadcast-sized. The fact shuffles twice, never sorts globally."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    pairs = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(totals), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "p"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "events_transition_matrix": q_events_transition_matrix,
     "anomaly_mad": q_anomaly_mad,
     "seq_pattern_match": q_seq_pattern_match,
     "win_gaps_islands": q_win_gaps_islands,
@@ -369,6 +406,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_transition_matrix": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ),
+        seq AS (
+            SELECT event_type AS cur,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id) AS nxt
+            FROM e
+        ),
+        pairs AS (
+            SELECT cur, nxt, count(*) AS n
+            FROM seq WHERE nxt IS NOT NULL
+            GROUP BY cur, nxt
+        ),
+        totals AS (
+            SELECT cur, sum(n)::BIGINT AS tot FROM pairs GROUP BY cur
+        )
+        SELECT p.cur, p.nxt, p.n,
+               CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        FROM pairs p JOIN totals t ON p.cur = t.cur
+    """,
     "anomaly_mad": """
         WITH e AS (
             SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c

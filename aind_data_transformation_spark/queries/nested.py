@@ -178,8 +178,51 @@ def q_fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: transform_values, transform_keys,
+    map_filter, and map_zip_with over a per-event map. Each derived map
+    is canonicalized to a sorted 'k=v' CSV string (map iteration order
+    is engine-internal; the sorted-entries string is the portable
+    representation), so the oracle compares exact strings.
+
+    Scale: pure map-side expression work on each row — no shuffle, no
+    Python, stays in codegen like the array HOFs."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        F.expr(
+            "map('uid', user_id, 'val',"
+            " CAST(round(value * 100) AS BIGINT))"
+        ).alias("m"),
+        F.expr("map('uid', 10L, 'bonus', 5L)").alias("m2"),
+    )
+    canon = (
+        lambda m: f"array_join(transform(array_sort(map_entries({m})),"
+        f" e -> concat(e.key, '=', CAST(e.value AS STRING))), ',')"
+    )
+    return base.select(
+        "event_id",
+        F.expr(canon("transform_values(m, (k, v) -> v * 2L)")).alias(
+            "doubled"
+        ),
+        F.expr(canon("transform_keys(m, (k, v) -> upper(k))")).alias(
+            "upper_keys"
+        ),
+        F.expr(canon("map_filter(m, (k, v) -> v % 2 = 0)")).alias(
+            "even_only"
+        ),
+        F.expr(
+            canon(
+                "map_zip_with(m, m2,"
+                " (k, v1, v2) -> coalesce(v1, 0L) + coalesce(v2, 0L))"
+            )
+        ).alias("zipped"),
+    )
+
+
 QUERIES = {
     "fn_higher_order": q_fn_higher_order,
+    "fn_map_higher_order": q_fn_map_higher_order,
     "fn_variant": q_fn_variant,
     "fn_array": q_fn_array,
     "fn_map": q_fn_map,
@@ -189,6 +232,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_map_higher_order": """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id,
+               array_to_string(list_transform(list_sort(
+                   [{'key': 'uid', 'value': user_id * 2},
+                    {'key': 'val', 'value': cents * 2}]),
+                   x -> x.key || '=' || CAST(x.value AS VARCHAR)), ',')
+                   AS doubled,
+               array_to_string(list_transform(list_sort(
+                   [{'key': 'UID', 'value': user_id},
+                    {'key': 'VAL', 'value': cents}]),
+                   x -> x.key || '=' || CAST(x.value AS VARCHAR)), ',')
+                   AS upper_keys,
+               coalesce(array_to_string(list_transform(list_sort(list_filter(
+                   [{'key': 'uid', 'value': user_id},
+                    {'key': 'val', 'value': cents}],
+                   x -> x.value % 2 = 0)),
+                   x -> x.key || '=' || CAST(x.value AS VARCHAR)), ','), '')
+                   AS even_only,
+               array_to_string(list_transform(list_sort(
+                   [{'key': 'bonus', 'value': CAST(5 AS BIGINT)},
+                    {'key': 'uid', 'value': user_id + 10},
+                    {'key': 'val', 'value': cents}]),
+                   x -> x.key || '=' || CAST(x.value AS VARCHAR)), ',')
+                   AS zipped
+        FROM e
+    """,
     "fn_higher_order": """
         WITH arr AS (
             SELECT l_orderkey,

@@ -65,14 +65,55 @@ def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(f_only)
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL):
+    duplicates carry multiplicity — min(m, n) copies survive an
+    intersect-all, max(m - n, 0) an except-all. Spark's
+    ``intersectAll``/``exceptAll`` compile to the same partial+final
+    aggregation-on-multiplicity shape the SQL standard prescribes; no
+    distinct pass anywhere, so multiplicities never collapse.
+
+    Scale: both ops are one hash shuffle of (key, side) with counts —
+    the multiplicity arithmetic is aggregation, not a join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") <= 25).select("l_suppkey")
+    b = li.where(F.col("l_discount") >= 0.05).select("l_suppkey")
+    inter = a.intersectAll(b).withColumn("tag", F.lit("inter_all"))
+    exc = a.exceptAll(b).withColumn("tag", F.lit("except_all"))
+    return (
+        inter.unionByName(exc)
+        .groupBy("l_suppkey", "tag")
+        .agg(F.count(F.lit(1)).alias("multiplicity"))
+    )
+
+
 QUERIES = {
     "sort_limit": q_sort_limit,
     "sort_multi_null": q_sort_multi_null,
     "set_union": q_set_union,
     "set_intersect_except": q_set_intersect_except,
+    "set_ops_all": q_set_ops_all,
 }
 
 ORACLES = {
+    "set_ops_all": """
+        WITH a AS (
+            SELECT l_suppkey FROM lineitem WHERE l_quantity <= 25
+        ), b AS (
+            SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.05
+        ), inter AS (
+            SELECT l_suppkey, 'inter_all' AS tag
+            FROM (SELECT l_suppkey FROM a INTERSECT ALL
+                  SELECT l_suppkey FROM b)
+        ), exc AS (
+            SELECT l_suppkey, 'except_all' AS tag
+            FROM (SELECT l_suppkey FROM a EXCEPT ALL
+                  SELECT l_suppkey FROM b)
+        )
+        SELECT l_suppkey, tag, count(*) AS multiplicity
+        FROM (SELECT * FROM inter UNION ALL SELECT * FROM exc)
+        GROUP BY l_suppkey, tag
+    """,
     "sort_limit": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders

@@ -584,3 +584,22 @@ def test_key_skew_audit_two_agg_levels_no_sort(spark):
     plan = plan_of(spark, "diag_key_skew")
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"):
         assert bad not in plan
+
+
+def test_transition_matrix_broadcast_totals_single_window(spark):
+    """Markov transitions: one user-partitioned window for the lead, pair
+    aggregation, and a broadcast join back to per-cur totals."""
+    plan = plan_of(spark, "events_transition_matrix")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_no_global_window_broadcast_bounds(spark):
+    """RFM scoring must be the percentile-reduce + broadcast-probe shape
+    (same contract as quantile_bins): no Window operator, boundaries via
+    broadcast."""
+    plan = plan_of(spark, "rfm_segments")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
