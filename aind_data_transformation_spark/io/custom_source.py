@@ -22,8 +22,10 @@ import struct
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     BinaryType,
@@ -138,6 +140,65 @@ class RecordStreamReader(SimpleDataSourceStreamReader):
             yield from _parse_file(os.path.join(self.dir, fname))
 
 
+class _RecCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task wrote and its
+    record count. Must be picklable (travels task -> driver)."""
+
+    def __init__(self, tmp_name: str, n_records: int):
+        self.tmp_name = tmp_name
+        self.n_records = n_records
+
+
+class RecordWriter(DataSourceWriter):
+    """Batch writer half of the connector (``df.write.format(...)``):
+    each task streams its partition's ``payload`` column into a
+    temporary ``.rec.tmp`` file; the driver-side ``commit`` renames the
+    temp files into place and drops a ``_SUCCESS`` manifest — the
+    standard two-phase output commit, so a failed/speculated task can
+    never leave a half-written visible file (``abort`` removes temps).
+
+    Scale: one file per partition, written streaming row-by-row — no
+    buffering of the partition in memory, no driver data path."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("record sink requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = f"part-{pid:05d}.rec.tmp"
+        n = 0
+        with open(os.path.join(self.dir, tmp), "wb") as f:
+            for row in iterator:
+                payload = bytes(row["payload"])
+                f.write(struct.pack("<I", len(payload)))
+                f.write(payload)
+                n += 1
+        return _RecCommit(tmp, n)
+
+    def commit(self, messages):
+        total = 0
+        for m in messages:
+            final = os.path.join(self.dir, m.tmp_name[: -len(".tmp")])
+            os.replace(os.path.join(self.dir, m.tmp_name), final)
+            total += m.n_records
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.dir, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
 class RecordDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -151,6 +212,14 @@ class RecordDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return RecordStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        names = [f.name for f in schema.fields]
+        if "payload" not in names:
+            raise ValueError(
+                "record sink requires a 'payload' binary column"
+            )
+        return RecordWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -338,16 +338,133 @@ def _bfs_oracle() -> str:
     """
 
 
+def q_basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on order baskets: for part pairs sharing
+    >= 2 orders, both directed rules A->B with confidence
+    supp(AB)/supp(A) and lift conf * N / supp(B); top-20 by (lift desc,
+    confidence desc, antecedent, consequent). Supports are exact
+    integers; confidence and lift are the identical double sequence in
+    both engines.
+
+    Scale: pair generation is the basket-bounded self equi-join of
+    graph_copurchase (Σ basket², never |parts|²); item supports are one
+    hash agg; the support joins are keyed on part id (broadcast-eligible
+    after the >= 2 filter); N is a broadcast scalar."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    isupp = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("supp")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_supp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .where(F.col("supp_ab") >= 2)
+    )
+    rules = pair_supp.select(
+        F.col("x").alias("ante"), F.col("y").alias("cons"), "supp_ab"
+    ).unionByName(
+        pair_supp.select(
+            F.col("y").alias("ante"), F.col("x").alias("cons"), "supp_ab"
+        )
+    )
+    conf = F.col("supp_ab").cast("double") / F.col("supp_a").cast("double")
+    lift = (
+        conf
+        * F.col("n_orders").cast("double")
+        / F.col("supp_b").cast("double")
+    )
+    return (
+        rules.join(
+            isupp.select(
+                F.col("item").alias("ante"), F.col("supp").alias("supp_a")
+            ),
+            "ante",
+        )
+        .join(
+            isupp.select(
+                F.col("item").alias("cons"), F.col("supp").alias("supp_b")
+            ),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "supp_ab",
+            "supp_a",
+            "supp_b",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("confidence").desc(),
+            F.col("ante"),
+            F.col("cons"),
+        )
+        .limit(20)
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_bfs_frontier": q_graph_bfs_frontier,
+    "basket_assoc_rules": q_basket_assoc_rules,
 }
 
 ORACLES = {
     "graph_pagerank": _pagerank_oracle(),
     "graph_bfs_frontier": _bfs_oracle(),
+    "basket_assoc_rules": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n AS (
+            SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+        ), isupp AS (
+            SELECT l_partkey AS item, count(*) AS supp
+            FROM items GROUP BY l_partkey
+        ), pair_supp AS (
+            SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS supp_ab
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING count(*) >= 2
+        ), rules AS (
+            SELECT x AS ante, y AS cons, supp_ab FROM pair_supp
+            UNION ALL
+            SELECT y AS ante, x AS cons, supp_ab FROM pair_supp
+        )
+        SELECT r.ante, r.cons, r.supp_ab,
+               sa.supp AS supp_a, sb.supp AS supp_b,
+               CAST(r.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE)
+                   AS confidence,
+               CAST(r.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE)
+                   * CAST(n.n_orders AS DOUBLE) / CAST(sb.supp AS DOUBLE)
+                   AS lift
+        FROM rules r
+        JOIN isupp sa ON sa.item = r.ante
+        JOIN isupp sb ON sb.item = r.cons
+        CROSS JOIN n
+        ORDER BY lift DESC, confidence DESC, ante, cons
+        LIMIT 20
+    """,
     "graph_triangle_count": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -318,7 +318,32 @@ def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_exec_immediate_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting surface (Spark 4): a session variable declared with
+    DECLARE/SET VAR drives a dynamically-composed statement via EXECUTE
+    IMMEDIATE ... USING — the pattern stored-procedure-style ETL uses to
+    parameterize generated SQL without string interpolation. The oracle
+    is the same query with the threshold inlined."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(spark, sf_dir, suffix="_ei")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE min_total_ei DOUBLE DEFAULT 0.0"
+    )
+    spark.sql("SET VAR min_total_ei = 150000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderstatus, COUNT(*) AS n_orders,
+                  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders_ei WHERE o_totalprice > ? GROUP BY o_orderstatus'
+        USING min_total_ei
+        """
+    )
+
+
 QUERIES = {
+    "sql_exec_immediate_vars": q_sql_exec_immediate_vars,
     "sql_pipe_syntax": q_sql_pipe_syntax,
     "sql_hint_rebalance": q_sql_hint_rebalance,
     "sql_limit_offset": q_sql_limit_offset,
@@ -335,6 +360,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_exec_immediate_vars": """
+        SELECT o_orderstatus, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS cents
+        FROM orders
+        WHERE o_totalprice > 150000.0
+        GROUP BY o_orderstatus
+    """,
     "sql_pipe_syntax": """
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n_items,

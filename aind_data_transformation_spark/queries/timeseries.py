@@ -393,8 +393,55 @@ def _ewma_oracle() -> str:
     """
 
 
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (the TimescaleDB ``time_weight``
+    op): each observation's value is held until the next observation, so
+    the mean weights by holding duration, not by sample count — the
+    correct average for irregularly-sampled gauges. Weights are integer
+    SECONDS (``dt_us DIV 1_000_000``) and values integer cents, so the
+    weighted sum is exact int64 (bounded ~1e12 per user) and
+    order-independent; the final division is one identical double op.
+    Users whose observations all fall in the same second are dropped
+    (zero total weight).
+
+    Scale: one window shuffle on user_id for the ``lead``, one hash
+    aggregation per user. Nothing global."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seg = (
+        e.withColumn("nxt_us", F.lead("us").over(w))
+        .where(F.col("nxt_us").isNotNull())
+        .select(
+            "user_id",
+            "cents",
+            F.expr("(nxt_us - us) DIV 1000000").alias("dt_s"),
+        )
+    )
+    agg = seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dt_s")).alias("wsum"),
+        F.sum("dt_s").alias("tsum"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+    return agg.where(F.col("tsum") > 0).select(
+        "user_id",
+        "n_segments",
+        "tsum",
+        (
+            F.col("wsum").cast("double")
+            / F.col("tsum").cast("double")
+            / F.lit(100.0)
+        ).alias("twa_value"),
+    )
+
+
 QUERIES = {
     "ts_ewma": q_ts_ewma,
+    "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "ts_seasonal_dow": q_ts_seasonal_dow,
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
@@ -405,6 +452,32 @@ QUERIES = {
 
 ORACLES = {
     "ts_ewma": _ewma_oracle(),
+    "ts_time_weighted_avg": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        seg AS (
+            SELECT user_id, cents,
+                   (lead(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) - us)
+                       // 1000000 AS dt_s
+            FROM e
+            QUALIFY dt_s IS NOT NULL
+        ),
+        agg AS (
+            SELECT user_id,
+                   sum(cents * dt_s)::BIGINT AS wsum,
+                   sum(dt_s)::BIGINT AS tsum,
+                   count(*) AS n_segments
+            FROM seg GROUP BY user_id
+        )
+        SELECT user_id, n_segments, tsum,
+               CAST(wsum AS DOUBLE) / CAST(tsum AS DOUBLE) / 100.0
+                   AS twa_value
+        FROM agg WHERE tsum > 0
+    """,
     "ts_seasonal_dow": """
         WITH e AS (
             SELECT event_type, isodow(ts) AS isodow,

@@ -603,3 +603,21 @@ def test_rfm_no_global_window_broadcast_bounds(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_assoc_rules_equi_joins_takeordered(spark):
+    """Association rules: basket-bounded pair join + item-support
+    equi-joins + broadcast scalar N; top-20 is TakeOrdered, never a
+    global sort; no cartesian beyond the single-row N cross join."""
+    plan = plan_of(spark, "basket_assoc_rules")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_twa_single_window_then_agg(spark):
+    """Time-weighted average: one user-partitioned window for the lead,
+    then per-user hash aggregation — no join, no global sort."""
+    plan = plan_of(spark, "ts_time_weighted_avg")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan

@@ -199,3 +199,34 @@ def test_stream_offsets_are_content_addressed(tmp_path):
     write_record_file(str(d / "seq4.rec"), [b"new"])
     rows3, end3 = reader.read(end)
     assert {r[0] for r in rows3} == {"seq4.rec"}
+
+
+def test_custom_datasource_writer_roundtrip(spark, tmp_path):
+    """Write half of the Python DataSource connector: df.write.format
+    streams each partition's payloads into one .rec file via the
+    two-phase temp-then-rename commit (a _SUCCESS manifest marks commit);
+    reading the directory back yields the exact payload multiset."""
+    from aind_data_transformation_spark.io import custom_source
+
+    custom_source.register(spark)
+    out = str(tmp_path / "rec_sink")
+    df = (
+        spark.range(20)
+        .selectExpr(
+            "CAST(NULL AS STRING) AS file",
+            "id AS record_idx",
+            "CAST(8 AS INT) AS n_bytes",
+            "CAST(concat('payload', id) AS BINARY) AS payload",
+        )
+        .repartition(4)
+    )
+    df.write.format("lenprefixed").option("path", out).mode("append").save()
+    import os
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not [n for n in names if n.endswith(".tmp")]
+    back = spark.read.format("lenprefixed").option("path", out).load()
+    got = sorted(bytes(r["payload"]) for r in back.collect())
+    want = sorted(f"payload{i}".encode() for i in range(20))
+    assert got == want
