@@ -463,9 +463,57 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: clip order totals at the exact
+    p05/p95 (one distributed percentile reduce, boundaries broadcast),
+    report raw vs winsorized means and how many rows clipped each side.
+    The robust-stats companion to the z-score/MAD outlier detectors —
+    what a feature pipeline applies BEFORE normalization so tail values
+    can't dominate. Clip arithmetic uses double boundaries on integer
+    cents with the identical operation order in both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
+    )
+    bounds = o.agg(
+        F.expr("percentile(cents, array(0.05D, 0.95D))").alias("b")
+    ).select(
+        F.expr("b[0]").alias("lo"), F.expr("b[1]").alias("hi")
+    )
+    clipped = o.crossJoin(F.broadcast(bounds)).select(
+        "cents",
+        "lo",
+        "hi",
+        # micro-grid the clipped double so the sum is order-independent
+        # integer math (module doctrine — a raw double sum would drift
+        # with partial-aggregation order)
+        F.expr(
+            "CAST(round(greatest(least(CAST(cents AS DOUBLE), hi), lo)"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    return clipped.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("mean_raw"),
+        (
+            F.sum("w_micro").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / 1e6
+        ).alias("mean_winsorized"),
+        F.sum(
+            F.when(F.col("cents").cast("double") < F.col("lo"), 1).otherwise(0)
+        ).cast("long").alias("n_clipped_low"),
+        F.sum(
+            F.when(F.col("cents").cast("double") > F.col("hi"), 1).otherwise(0)
+        ).cast("long").alias("n_clipped_high"),
+    )
+
+
 QUERIES = {
     "diag_key_skew": q_diag_key_skew,
     "rfm_segments": q_rfm_segments,
+    "stats_winsorized": q_stats_winsorized,
     "agg_regression": q_agg_regression,
     "dq_expectations": q_dq_expectations,
     "sql_lateral_topn": q_sql_lateral_topn,
@@ -487,6 +535,33 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "stats_winsorized": """
+        WITH c AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ),
+        b AS (
+            SELECT quantile_cont(cents, 0.05) AS lo,
+                   quantile_cont(cents, 0.95) AS hi
+            FROM c
+        ),
+        k AS (
+            SELECT cents, lo, hi,
+                   CAST(round(greatest(least(CAST(cents AS DOUBLE), hi), lo)
+                              * 1000000.0) AS BIGINT) AS w_micro
+            FROM c, b
+        )
+        SELECT count(*) AS n,
+               CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_raw,
+               CAST(sum(w_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+                   AS mean_winsorized,
+               sum(CASE WHEN CAST(cents AS DOUBLE) < lo THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clipped_low,
+               sum(CASE WHEN CAST(cents AS DOUBLE) > hi THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clipped_high
+        FROM k
+    """,
     "rfm_segments": """
         WITH per_cust AS (
             SELECT o_custkey,

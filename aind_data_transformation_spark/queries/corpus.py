@@ -256,7 +256,87 @@ def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chunker geometry: window of 32 tokens advancing by 24 (8-token overlap)
+_CHUNK_SIZE = 32
+_CHUNK_STRIDE = 24
+
+
+def q_doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunker — the pass that turns long
+    documents into fixed-size overlapping token windows for pretraining
+    or retrieval indexing (window 32, stride 24, so consecutive chunks
+    share 8 tokens of context). Chunk starts come from an array-local
+    ``sequence``; each chunk is a ``slice`` + join — the whole operator
+    is one explode with zero shuffles, so at 100 TB it is a pure map
+    pass bounded by scan bandwidth (output rows ~= tokens/stride).
+
+    Output: (doc_id, chunk_idx, n_tokens, chunk_text); exact integers
+    and strings only — trivially hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    ).where(F.size("w") > 0)
+    starts = f"sequence(0, size(w) - 1, {_CHUNK_STRIDE})"
+    return (
+        toks.select(
+            "doc_id",
+            "w",
+            F.posexplode(F.expr(starts)).alias("chunk_idx", "start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(f"slice(w, start + 1, {_CHUNK_SIZE})").alias("c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("c").cast("long").alias("n_tokens"),
+            F.array_join("c", " ").alias("chunk_text"),
+        )
+    )
+
+
+def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch shuffle manifest: every training epoch needs a
+    DIFFERENT deterministic permutation of the corpus (same order each
+    rerun, different order each epoch). Each (doc, epoch) gets a mixed
+    integer key from a portable multiplicative hash; sharding is key
+    mod 8. The manifest per (epoch, shard) — counts plus key span —
+    is what the data-loader consumes; the full permutation is the same
+    expression ordered by the key.
+
+    Scale: the epoch dimension is an array-local explode (3 rows per
+    doc); the manifest is one hash aggregation on (epoch, shard). The
+    actual epoch write would be repartitionByRange on shuffle_key —
+    same plan as corpus_shuffle_shard."""
+    d = load_table(spark, sf_dir, "documents")
+    mix = (
+        "((doc_id + 1) * 2654435761L"
+        " + CAST(epoch AS BIGINT) * 1103515245L) % 2147483647L"
+    )
+    return (
+        d.select(
+            "doc_id", F.explode(F.expr("sequence(0, 2)")).alias("epoch")
+        )
+        .select(
+            F.col("epoch").cast("long").alias("epoch"),
+            F.expr(f"({mix}) % 8").alias("shard"),
+            F.expr(mix).alias("k"),
+        )
+        .groupBy("epoch", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
+    "doc_chunk_overlap": q_doc_chunk_overlap,
+    "epoch_shuffle_plan": q_epoch_shuffle_plan,
     "sample_class_balance": q_sample_class_balance,
     "corpus_stats_summary": q_corpus_stats_summary,
     "corpus_decontaminate": q_corpus_decontaminate,
@@ -268,6 +348,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "epoch_shuffle_plan": """
+        WITH ex AS (
+            SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents
+        ), keyed AS (
+            SELECT CAST(epoch AS BIGINT) AS epoch,
+                   ((doc_id + 1) * 2654435761 + epoch * 1103515245)
+                       % 2147483647 AS k
+            FROM ex
+        )
+        SELECT epoch, k % 8 AS shard,
+               count(*) AS n_docs,
+               min(k) AS min_key,
+               max(k) AS max_key
+        FROM keyed
+        GROUP BY epoch, shard
+    """,
+    "doc_chunk_overlap": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS w
+            FROM documents
+        ), nz AS (
+            SELECT * FROM toks WHERE len(w) > 0
+        ), st AS (
+            SELECT doc_id, w,
+                   unnest(range(0, len(w), {_CHUNK_STRIDE})) AS start,
+                   generate_subscripts(range(0, len(w), {_CHUNK_STRIDE}), 1)
+                       AS ord
+            FROM nz
+        )
+        SELECT doc_id,
+               CAST(ord - 1 AS BIGINT) AS chunk_idx,
+               CAST(len(w[start + 1 : least(start + {_CHUNK_SIZE}, len(w))])
+                    AS BIGINT) AS n_tokens,
+               array_to_string(
+                   w[start + 1 : least(start + {_CHUNK_SIZE}, len(w))], ' ')
+                   AS chunk_text
+        FROM st
+    """,
     "sample_class_balance": """
         WITH sizes AS (
             SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang

@@ -484,8 +484,35 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-granular lineage audit: every warehouse ingest stamps rows
+    with their source file (``input_file_name``) so bad batches can be
+    traced and surgically deleted. Reports per-file row counts and key
+    span. Paths are normalized to basenames — the only portable,
+    deterministic part of a file URI.
+
+    Scale: input_file_name is a per-row virtual column (no I/O); the
+    audit is one hash aggregation keyed by file — rows ~= file count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "source_file"
+            ),
+            "l_orderkey",
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_key"),
+            F.max("l_orderkey").alias("max_key"),
+        )
+    )
+
+
 QUERIES = {
     "scan_partition_pruned": q_scan_partition_pruned,
+    "scan_with_lineage": q_scan_with_lineage,
     "join_dpp": q_join_dpp,
     "scan_text_lines": q_scan_text_lines,
     "scan_bad_jsonl": q_scan_bad_jsonl,
@@ -500,6 +527,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_with_lineage": """
+        -- the driver layout is one file per table named <table>.parquet,
+        -- so the expected lineage is the literal basename; the Spark side
+        -- genuinely derives it from input_file_name()
+        SELECT 'lineitem.parquet' AS source_file,
+               count(*) AS n_rows,
+               min(l_orderkey) AS min_key,
+               max(l_orderkey) AS max_key
+        FROM lineitem
+    """,
     "scan_partition_pruned": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,

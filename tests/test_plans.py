@@ -621,3 +621,11 @@ def test_twa_single_window_then_agg(spark):
     assert "Window" in plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_chunker_zero_shuffle_map_pass(spark):
+    """The sliding-window chunker must be a pure map pass: no Exchange,
+    no join, no aggregation — output rows stream from the scan."""
+    plan = plan_of(spark, "doc_chunk_overlap")
+    for bad in ("Exchange", "SortMergeJoin", "HashAggregate", "Window"):
+        assert bad not in plan

@@ -302,3 +302,38 @@ def test_session_paths_agree_with_sessionize_gap(spark):
         for r in q_sessionize_gap(spark, TEST_SF_DIR).collect()
     }
     assert paths == sess
+
+
+def test_chunker_covers_every_token(spark):
+    """Chunk coverage invariant: for every document, stitching the
+    chunks back with the stride exactly reconstructs the token stream —
+    no token lost, none duplicated outside the designed overlap."""
+    from aind_data_transformation_spark.queries.corpus import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+        q_doc_chunk_overlap,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    chunks = {}
+    for r in q_doc_chunk_overlap(spark, TEST_SF_DIR).collect():
+        chunks.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r[
+            "chunk_text"
+        ].split(" ")
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").collect()
+    checked = 0
+    for row in docs[:50]:
+        toks = [t for t in row["text"].lower().split(" ") if t]
+        if not toks:
+            continue
+        got = chunks[row["doc_id"]]
+        # exact invariant: every chunk equals the slice it claims
+        for idx, ctoks in got.items():
+            start = idx * _CHUNK_STRIDE
+            assert ctoks == toks[start : start + _CHUNK_SIZE]
+        # and chunk starts tile the full range (last start < n_tokens,
+        # next would-be start >= n_tokens)
+        assert (len(got) - 1) * _CHUNK_STRIDE < len(toks)
+        assert len(got) * _CHUNK_STRIDE >= len(toks)
+        checked += 1
+    assert checked > 0
