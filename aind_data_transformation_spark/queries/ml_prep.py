@@ -388,8 +388,146 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: logistic-regression geometry: leading dims as features, fixed rounds
+_LR_DIMS = 4
+_LR_ROUNDS = 3
+_LR_RATE = "CAST('0.1' AS DOUBLE)"
+
+
+def _lr_z(wcols: list, xcols: list) -> str:
+    return " + ".join(f"{w} * {x}" for w, x in zip(wcols, xcols)) + " + b"
+
+
+def q_ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training: 3 full-batch gradient
+    descent rounds on the leading 4 embedding dimensions predicting
+    label parity, entirely as DataFrame plans (the iterative-ML shape of
+    ``embed_kmeans_lloyd``: per round ONE moment-style reduce of the
+    corpus + a 1-row broadcast weight update — the corpus is never
+    shuffled on an unbounded key, and gradients are driver-sized by
+    construction, exactly how distributed GD parallelizes).
+
+    Cross-engine exactness: per-row gradient terms round to a 1e-6
+    integer grid before summation (order-independent; a last-ulp
+    ``exp`` difference cannot survive the grid except on exact
+    boundaries), and updated weights round to 6 decimals so each
+    round's inputs are bit-identical in both engines — same fixed-point
+    discipline as PageRank/k-means. Returns the trained weights plus
+    in-sample accuracy counts."""
+    em = load_table(spark, sf_dir, "embeddings")
+    feats = em.select(
+        *[
+            F.expr(f"CAST(element_at(embedding, {d + 1}) AS DOUBLE)").alias(
+                f"x{d + 1}"
+            )
+            for d in range(_LR_DIMS)
+        ],
+        F.expr("CAST(label % 2 AS DOUBLE)").alias("y"),
+    )
+    wcols = [f"w{d + 1}" for d in range(_LR_DIMS)]
+    xcols = [f"x{d + 1}" for d in range(_LR_DIMS)]
+    wdf = spark.sql(
+        "SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS {w}" for w in wcols)
+        + ", CAST(0.0 AS DOUBLE) AS b"
+    )
+    resid = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({_lr_z(wcols, xcols)}))) - y)"
+    for _ in range(_LR_ROUNDS):
+        joined = feats.crossJoin(F.broadcast(wdf))
+        grads = joined.agg(
+            *[
+                F.expr(
+                    f"sum(CAST(round({resid} * {x} * 1000000.0D) AS BIGINT))"
+                ).alias(f"g{i + 1}")
+                for i, x in enumerate(xcols)
+            ],
+            F.expr(
+                f"sum(CAST(round({resid} * 1000000.0D) AS BIGINT))"
+            ).alias("gb"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        wdf = grads.crossJoin(F.broadcast(wdf)).select(
+            *[
+                F.expr(
+                    f"round({w} - {_LR_RATE} * CAST(g{i + 1} AS DOUBLE)"
+                    f" / 1000000.0D / CAST(n AS DOUBLE), 6) AS {w}"
+                )
+                for i, w in enumerate(wcols)
+            ],
+            F.expr(
+                f"round(b - {_LR_RATE} * CAST(gb AS DOUBLE)"
+                f" / 1000000.0D / CAST(n AS DOUBLE), 6) AS b"
+            ),
+        )
+    pred = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({_lr_z(wcols, xcols)}))) > CAST(0.5 AS DOUBLE))"
+    scored = feats.crossJoin(F.broadcast(wdf)).agg(
+        F.expr(
+            f"sum(CASE WHEN {pred} = (y = CAST(1.0 AS DOUBLE))"
+            " THEN 1L ELSE 0L END)"
+        ).alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return wdf.crossJoin(scored)
+
+
+def _logreg_oracle() -> str:
+    wcols = [f"w{d + 1}" for d in range(_LR_DIMS)]
+    xcols = [f"x{d + 1}" for d in range(_LR_DIMS)]
+    feats = ", ".join(
+        f"CAST(embedding[{d + 1}] AS DOUBLE) AS x{d + 1}"
+        for d in range(_LR_DIMS)
+    )
+    z = _lr_z([f"w.{w}" for w in wcols], xcols)
+    resid = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z}))) - y)"
+    ctes = [
+        f"feats AS (SELECT {feats}, CAST(label % 2 AS DOUBLE) AS y"
+        " FROM embeddings)",
+        "wr0 AS (SELECT "
+        + ", ".join(f"CAST(0.0 AS DOUBLE) AS {w}" for w in wcols)
+        + ", CAST(0.0 AS DOUBLE) AS b)",
+    ]
+    prev = "wr0"
+    for r in range(1, _LR_ROUNDS + 1):
+        gsel = ", ".join(
+            f"sum(CAST(round({resid} * {x} * 1000000.0) AS BIGINT)) AS g{i + 1}"
+            for i, x in enumerate(xcols)
+        )
+        ctes.append(
+            f"gr{r} AS (SELECT {gsel},"
+            f" sum(CAST(round({resid} * 1000000.0) AS BIGINT)) AS gb,"
+            f" count(*) AS n FROM feats, {prev} w)"
+        )
+        wsel = ", ".join(
+            f"round(w.{w} - {_LR_RATE} * CAST(g.g{i + 1} AS DOUBLE)"
+            f" / 1000000.0 / CAST(g.n AS DOUBLE), 6) AS {w}"
+            for i, w in enumerate(wcols)
+        )
+        ctes.append(
+            f"wr{r} AS (SELECT {wsel},"
+            f" round(w.b - {_LR_RATE} * CAST(g.gb AS DOUBLE)"
+            f" / 1000000.0 / CAST(g.n AS DOUBLE), 6) AS b"
+            f" FROM {prev} w, gr{r} g)"
+        )
+        prev = f"wr{r}"
+    pred = (
+        f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({z})))"
+        " > CAST(0.5 AS DOUBLE))"
+    )
+    ctes.append(
+        f"scored AS (SELECT sum(CASE WHEN {pred} = (y = CAST(1.0 AS DOUBLE))"
+        " THEN 1 ELSE 0 END)::BIGINT AS n_correct, count(*) AS n"
+        f" FROM feats, {prev} w)"
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"\n        SELECT w.*, s.n_correct, s.n FROM {prev} w, scored s"
+    )
+
+
 QUERIES = {
     "bpe_pair_merge_step": q_bpe_pair_merge_step,
+    "ml_logreg_gd": q_ml_logreg_gd,
     "feature_hashing": q_feature_hashing,
     "embed_dim_stats": q_embed_dim_stats,
     "embed_covariance": q_embed_covariance,
@@ -448,6 +586,7 @@ def _feature_hashing_oracle() -> str:
 
 
 ORACLES = {
+    "ml_logreg_gd": _logreg_oracle(),
     "feature_hashing": _feature_hashing_oracle(),
     "bpe_pair_merge_step": """
         WITH wc AS (

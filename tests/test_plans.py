@@ -629,3 +629,14 @@ def test_chunker_zero_shuffle_map_pass(spark):
     plan = plan_of(spark, "doc_chunk_overlap")
     for bad in ("Exchange", "SortMergeJoin", "HashAggregate", "Window"):
         assert bad not in plan
+
+
+def test_logreg_rounds_are_reduces_with_broadcast_weights(spark):
+    """Gradient descent: each round must be a moment-style reduce
+    (partial+final aggregation) against 1-row broadcast weights — the
+    corpus is never shuffled on an unbounded key (no sort-merge join
+    anywhere)."""
+    plan = plan_of(spark, "ml_logreg_gd")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
