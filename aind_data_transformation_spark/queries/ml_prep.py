@@ -141,6 +141,98 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr("CAST(i AS BIGINT) AS i", "CAST(j AS BIGINT) AS j", "cov")
 
 
+_PCA_ROUNDS = 4
+
+
+def _pca_cov_cols(dialect: str) -> str:
+    """Full-matrix covariance columns c_i_j (i<=j) from micro-scaled
+    integer moment sums — identical formula in both dialects."""
+    elem = (
+        "element_at(embedding, {k})" if dialect == "spark" else "embedding[{k}]"
+    )
+    terms = []
+    for i, j in _COV_PAIRS:
+        xi = f"CAST(round(CAST({elem.format(k=i + 1)} AS DOUBLE) * 1000000.0) AS BIGINT)"
+        xj = f"CAST(round(CAST({elem.format(k=j + 1)} AS DOUBLE) * 1000000.0) AS BIGINT)"
+        terms.append(
+            f"(CAST(sum({xi} * {xj}) AS DOUBLE)"
+            f" - CAST(sum({xi}) AS DOUBLE) * CAST(sum({xj}) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE)) / CAST(count(*) AS DOUBLE)"
+            f" / 1e12 AS c_{i}_{j}"
+        )
+    return ", ".join(terms)
+
+
+def _pca_round_exprs() -> tuple[list, list]:
+    """Per-round (u-step, v-step) select expressions, shared by both
+    dialects: u = C v (fixed summation order), v = round(u/||u||, 6)."""
+
+    def c(i, j):
+        return f"c_{min(i, j)}_{max(i, j)}"
+
+    u_step = [
+        f"({' + '.join(f'{c(d, j)} * v{j}' for j in range(_COV_DIMS))}) AS u{d}"
+        for d in range(_COV_DIMS)
+    ]
+    nrm = "sqrt(" + " + ".join(f"u{d} * u{d}" for d in range(_COV_DIMS)) + ")"
+    v_step = [
+        f"round(u{d} / {nrm}, 6) AS v{d}" for d in range(_COV_DIMS)
+    ] + [f"round({nrm}, 6) AS lam"]
+    return u_step, v_step
+
+
+def _pca_sql(table: str, dialect: str) -> str:
+    """The COMPLETE power-iteration query, generated once and rendered
+    for either dialect (only the array-indexing syntax differs) —
+    maximal cross-engine parity by construction."""
+    u_step, v_step = _pca_round_exprs()
+    ccols = ", ".join(f"c_{i}_{j}" for i, j in _COV_PAIRS)
+    ctes = [
+        f"cov AS (SELECT {_pca_cov_cols(dialect)} FROM {table})",
+        "it0 AS (SELECT "
+        + ", ".join(
+            f"CAST({1.0 if d == 0 else 0.0} AS DOUBLE) AS v{d}"
+            for d in range(_COV_DIMS)
+        )
+        + f", {ccols} FROM cov)",
+    ]
+    prev = "it0"
+    for r in range(1, _PCA_ROUNDS + 1):
+        ctes.append(
+            f"u{r} AS (SELECT {', '.join(u_step)}, {ccols} FROM {prev})"
+        )
+        ctes.append(
+            f"it{r} AS (SELECT {', '.join(v_step)}, {ccols} FROM u{r})"
+        )
+        prev = f"it{r}"
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS dim, v{d} AS loading, lam"
+        f" AS eigenvalue FROM {prev}"
+        for d in range(_COV_DIMS)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + rows
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the leading embedding dimensions by
+    power iteration, entirely in-plan: ONE distributed moment reduce
+    builds the 8x8 covariance (same exact-integer scheme as
+    ``embed_covariance``), then 4 power-iteration rounds run as scalar
+    expression folding over that single row — matrix-vector products on
+    a d' x d' matrix are driver-scale work by definition, here kept
+    inside the plan so the whole thing is one job. The iterate
+    re-normalizes and rounds to 6 decimals each round (fixed-point
+    discipline). Spark and DuckDB run the SAME generated SQL (only the
+    array-index syntax differs), so the loadings match exactly.
+
+    Returns long-form (dim, loading) plus the iterate-norm eigenvalue
+    estimate."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(spark, sf_dir, suffix="_pca")
+    return spark.sql(_pca_sql("embeddings_pca", "spark"))
+
+
 def q_tok_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document out-of-vocabulary rate against the corpus top-K
     vocabulary (K=20, ranked by document frequency with lexicographic
@@ -528,6 +620,7 @@ def _logreg_oracle() -> str:
 QUERIES = {
     "bpe_pair_merge_step": q_bpe_pair_merge_step,
     "ml_logreg_gd": q_ml_logreg_gd,
+    "embed_pca_power": q_embed_pca_power,
     "feature_hashing": q_feature_hashing,
     "embed_dim_stats": q_embed_dim_stats,
     "embed_covariance": q_embed_covariance,
@@ -587,6 +680,7 @@ def _feature_hashing_oracle() -> str:
 
 ORACLES = {
     "ml_logreg_gd": _logreg_oracle(),
+    "embed_pca_power": _pca_sql("embeddings", "duck"),
     "feature_hashing": _feature_hashing_oracle(),
     "bpe_pair_merge_step": """
         WITH wc AS (

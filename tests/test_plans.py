@@ -640,3 +640,13 @@ def test_logreg_rounds_are_reduces_with_broadcast_weights(spark):
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_pca_power_single_reduce(spark):
+    """Power iteration must collapse to ONE distributed covariance
+    reduce; the 4 matrix-vector rounds are scalar expression folding on
+    the single-row result — no join of fact-sized inputs, no extra
+    shuffles of the corpus."""
+    plan = plan_of(spark, "embed_pca_power")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
