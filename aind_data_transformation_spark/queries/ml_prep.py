@@ -213,6 +213,44 @@ def _pca_sql(table: str, dialect: str) -> str:
     return "WITH " + ",\n        ".join(ctes) + "\n        " + rows
 
 
+def _pca_project_sql(table: str, dialect: str) -> str:
+    """Projection companion: scores every vector against the trained
+    component from :func:`_pca_sql`'s final iterate (1-row broadcast)."""
+    u_step, v_step = _pca_round_exprs()
+    ccols = ", ".join(f"c_{i}_{j}" for i, j in _COV_PAIRS)
+    elem = (
+        "element_at(embedding, {k})" if dialect == "spark" else "embedding[{k}]"
+    )
+    base = _pca_sql(table, dialect)
+    # reuse the WITH chain up to the final iterate, then project
+    with_part = base.split("\n        SELECT CAST(0", 1)[0]
+    score = " + ".join(
+        f"w.v{d} * CAST({elem.format(k=d + 1)} AS DOUBLE)"
+        for d in range(_COV_DIMS)
+    )
+    return f"""{with_part},
+        proj AS (
+            SELECT e.vec_id,
+                   CAST(round(({score}) * 1000000.0) AS BIGINT)
+                       AS score_micro
+            FROM {table} e, it{_PCA_ROUNDS} w
+        )
+        SELECT vec_id, score_micro FROM proj"""
+
+
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the trained principal component (the
+    dimensionality-reduction apply step): the 1-row component from the
+    power iteration probes the corpus as a broadcast — one covariance
+    reduce + one map pass over the vectors, no corpus shuffle. Scores
+    are 1e-6 integer-gridded (identical double dot products feed the
+    grid, so both engines agree exactly)."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(spark, sf_dir, suffix="_pcap")
+    return spark.sql(_pca_project_sql("embeddings_pcap", "spark"))
+
+
 def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the leading embedding dimensions by
     power iteration, entirely in-plan: ONE distributed moment reduce
@@ -621,6 +659,7 @@ QUERIES = {
     "bpe_pair_merge_step": q_bpe_pair_merge_step,
     "ml_logreg_gd": q_ml_logreg_gd,
     "embed_pca_power": q_embed_pca_power,
+    "embed_pca_project": q_embed_pca_project,
     "feature_hashing": q_feature_hashing,
     "embed_dim_stats": q_embed_dim_stats,
     "embed_covariance": q_embed_covariance,
@@ -681,6 +720,7 @@ def _feature_hashing_oracle() -> str:
 ORACLES = {
     "ml_logreg_gd": _logreg_oracle(),
     "embed_pca_power": _pca_sql("embeddings", "duck"),
+    "embed_pca_project": _pca_project_sql("embeddings", "duck"),
     "feature_hashing": _feature_hashing_oracle(),
     "bpe_pair_merge_step": """
         WITH wc AS (
