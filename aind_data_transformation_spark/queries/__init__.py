@@ -41,6 +41,7 @@ _CATEGORY_MODULES = (
     "graph",
     "incremental",
     "ml_prep",
+    "similarity",
 )
 
 

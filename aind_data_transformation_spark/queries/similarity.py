@@ -1,0 +1,543 @@
+"""Similarity-join and classification operators: banded edit-distance
+string joins, k-NN label prediction, grid-bucketed spatial neighbor joins,
+CCNet-style perplexity bucketing, and multinomial Naive Bayes scoring.
+
+These are the record-linkage / curation passes a training-data pipeline
+runs after the dedup family (``llm_text.py``): fuzzy matching that is NOT
+near-duplicate detection (different thresholds, different verify
+predicate), label transfer from a labelled seed set, and model-based
+quality partitioning (the CCNet head/middle/tail split).
+
+Scale doctrine (shared with the dedup family): every pairwise operator in
+this module generates candidates with an EQUI-join on a banding key
+(string prefix band, grid cell, coarse quantile) and verifies with an
+exact predicate only on the banded candidates — the all-pairs cross
+product never materializes, so cost is Σ(band size²), not N². This is the
+PassJoin / Ed-Join blocking scheme for strings and the fixed-grid cell
+join for points; both band keys are plain column expressions, so the
+"index build" is free at scan time and survives any partitioning.
+
+Cross-engine determinism: edit distances and vote counts are integers;
+spatial distances are 1e6-scaled integer coordinates (order-free sums);
+Naive-Bayes log-probabilities are rounded to a 1e-6 grid per term BEFORE
+summation (the module doctrine of ``ml_prep.py``: a last-ulp ``ln``
+difference between the JVM and DuckDB's libm cannot survive the grid), so
+argmax ties cannot flip across engines and every operator here hash-matches
+its DuckDB oracle exactly.
+
+Reference parity note: the reference framework (aind-data-transformation,
+``src/aind_data_transformation/core.py``) defines only the ETL job shell —
+similarity/classification operators are part of this repo's mandated
+LLM-pipeline extension surface (SURVEY.md §2), not reference ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+
+#: string-sim join: prefix-band width, length-difference cap, distance cap.
+#: A true edit-distance join needs |len(a)-len(b)| <= tau to match, so the
+#: length filter is lossless for tau <= _SIM_LEN_DIFF; the prefix band is
+#: the blocking approximation (standard Ed-Join trade: near-misses whose
+#: first _SIM_BAND chars differ are not candidates).
+_SIM_HEAD = 40
+_SIM_BAND = 12
+_SIM_LEN_DIFF = 8
+_SIM_TAU = 20
+
+#: k-NN: held-out query rows (smallest vec_ids) and neighbourhood size.
+_KNN_QUERIES = 10
+_KNN_K = 5
+
+#: spatial grid join: 1e6-scaled integer epsilon (0.02 in embedding units).
+_EPS_U = 20_000
+
+
+def q_join_string_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded edit-distance similarity join over document heads (first
+    40 chars, lowercased): candidates share a 12-char prefix band and
+    differ in total length by <= 8, then the exact Levenshtein distance
+    is computed on candidates only and thresholded at 20.
+
+    This is the PassJoin/Ed-Join blocking shape: the prefix band is an
+    equi-join key, so Spark plans a hash shuffle join on ``band`` —
+    cost is Σ(band size²) over bands, never |docs|². At 100 TB you add
+    more/segmented bands (PassJoin's partition lemma) to keep bands
+    bounded; the plan shape is unchanged. The length filter is applied
+    IN the join condition so oversized candidates never reach the
+    Levenshtein kernel."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, _SIM_HEAD)).alias("head"),
+        F.length("text").alias("tlen"),
+    )
+    b = d.withColumn("band", F.substring("head", 1, _SIM_BAND))
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.abs(F.col("a.tlen") - F.col("b.tlen")) <= _SIM_LEN_DIFF
+        ),
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.head"), F.col("b.head"))
+            .cast("bigint")
+            .alias("lev_head"),
+        )
+        .where(F.col("lev_head") <= _SIM_TAU)
+    )
+
+
+def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label transfer: the 10 smallest vec_ids are the unlabelled
+    query set; each is assigned the majority label of its 5 nearest
+    training vectors (exact integer-scaled squared-L2, ties on distance
+    to the lower vec_id, ties on vote count to the lower label).
+
+    Scale shape: identical to ``sim_search_topk`` — the query side is
+    tiny and broadcast, the corpus is scanned once, per-query top-k is a
+    window over the broadcast-join output, and the vote is a k-row
+    aggregation per query. Label transfer over a 100-TB corpus against a
+    labelled seed set is exactly this plan with the seed set broadcast
+    (or LSH-bucketed via ``ann_lsh_topk`` when the seed set outgrows the
+    broadcast threshold)."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        "label",
+    )
+    queries = em.where(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    train = em.where(F.col("vec_id") >= _KNN_QUERIES)
+    # per-dimension 1e9-scaled integer terms: addition order cannot
+    # change the sum, so the argmin is engine-exact (kmeans doctrine)
+    dist_u = F.expr(
+        "aggregate(zip_with(v, qv, (x, q) ->"
+        " CAST(round((x - q) * (x - q) * 1e9) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, t) -> acc + t)"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_u").asc(), F.col("vec_id").asc()
+    )
+    neigh = (
+        train.crossJoin(F.broadcast(queries))
+        .select("query_id", "vec_id", "label", dist_u.alias("dist_u"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+    )
+    votes = neigh.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    best = votes.groupBy("query_id").agg(
+        F.min(F.struct((-F.col("votes")).alias("nv"), "label")).alias("m")
+    )
+    return best.select(
+        "query_id",
+        F.col("m.label").cast("bigint").alias("pred_label"),
+        (-F.col("m.nv")).cast("bigint").alias("votes"),
+    )
+
+
+def q_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid ε-neighborhood self-join over the first two embedding
+    dimensions (1e6-scaled integer coordinates): each point lands in a
+    cell of side ε; the left side probes its own cell plus the 8
+    neighbors (exploded offset array — a flatMap, no shuffle), the right
+    side stays in its home cell, and the join is a plain equi-join on
+    the probed cell. Every qualifying pair (a<b, squared distance
+    <= ε²) is emitted exactly once because the right side's home cell is
+    unique. This is the standard grid/cell spatial join: candidates per
+    point are bounded by 9-cell occupancy, the N² cross product never
+    exists, and the cell key is a column expression (free at scan, any
+    partitioning). All arithmetic is integer — engine-exact."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            "CAST(round(CAST(embedding[0] AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("xi"),
+        F.expr(
+            "CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)"
+        ).alias("yi"),
+    )
+    # floor (not truncating) division: coordinates are signed, and
+    # Spark's DIV truncates toward zero while a grid needs floor cells
+    # (and the DuckDB oracle's // floors) — floor() on the exact double
+    # quotient is engine-identical for these magnitudes
+    pts = em.withColumn(
+        "cx",
+        F.floor(F.col("xi").cast("double") / F.lit(float(_EPS_U))).cast("long"),
+    ).withColumn(
+        "cy",
+        F.floor(F.col("yi").cast("double") / F.lit(float(_EPS_U))).cast("long"),
+    )
+    probes = pts.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("xi").alias("xa"),
+        F.col("yi").alias("ya"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "id_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("dx")).alias("pcx"),
+        F.explode(F.expr("array(-1L, 0L, 1L)")).alias("dy"),
+        "cy",
+    ).select(
+        "id_a", "xa", "ya", "pcx", (F.col("cy") + F.col("dy")).alias("pcy")
+    )
+    d2 = (F.col("xa") - F.col("xi")) * (F.col("xa") - F.col("xi")) + (
+        F.col("ya") - F.col("yi")
+    ) * (F.col("ya") - F.col("yi"))
+    return (
+        probes.join(
+            pts,
+            (F.col("pcx") == F.col("cx"))
+            & (F.col("pcy") == F.col("cy"))
+            & (F.col("id_a") < F.col("vec_id")),
+        )
+        .select(
+            "id_a",
+            F.col("vec_id").alias("id_b"),
+            d2.cast("bigint").alias("dist2_u"),
+        )
+        .where(F.col("dist2_u") <= _EPS_U * _EPS_U)
+    )
+
+
+def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality partitioning: score every document with the
+    corpus bigram language model (the exact integer-grid algebra of
+    ``text_bigram_lm_score``), then split each language into
+    head/middle/tail terciles by score (``ntile(3)`` over avg log-prob
+    DESC, doc_id ASC — a total order, so the split is engine-exact).
+    CCNet (Wenzek et al. 2020) uses exactly this per-language
+    perplexity tercile to keep head-quality web text for LM training.
+
+    Scale: the LM passes are the ``text_bigram_lm_score`` shape (hash
+    aggregations + equi-joins on bigram keys); the tercile is one window
+    per language — at 100 TB you'd replace ntile with precomputed
+    per-language quantile cut-points (one small aggregate, broadcast
+    back) to avoid the per-language global sort; the tercile semantics
+    are unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    )
+    big = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("w").alias("t")).agg(
+        F.countDistinct("t").alias("vs")
+    )
+    lp = (
+        big.join(bc, ["w1", "w2"])
+        .join(uc, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0D)"
+                " / (CAST(c1 AS DOUBLE) + CAST(vs AS DOUBLE)))"
+                " * 1000000.0D) AS BIGINT)"
+            ).alias("lp_micro"),
+        )
+    )
+    scores = lp.groupBy("doc_id").agg(
+        (
+            F.sum("lp_micro").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_lp")
+    )
+    scored = toks.select("doc_id", "lang").join(scores, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_lp").desc(), F.col("doc_id").asc()
+    )
+    bucket = F.element_at(
+        F.expr("array('head', 'middle', 'tail')"), F.ntile(3).over(w)
+    )
+    return scored.select(
+        "lang",
+        "doc_id",
+        (F.col("avg_lp") / 1e6).alias("avg_logprob"),
+        bucket.alias("bucket"),
+    )
+
+
+def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes source classification: train per-source
+    add-1-smoothed token models over the corpus, score every document
+    against all 20 sources, return each document's argmax source and
+    its 1e-6-integer score. Per-term log-probabilities are rounded to
+    the 1e-6 grid BEFORE summation and the prior is rounded on the same
+    grid, so per-(doc, class) scores are exact integer sums and the
+    argmax (score DESC, source ASC) cannot flip across engines.
+
+    Scale shape: the model is two hash aggregations (per-(source, term)
+    counts, per-source totals); scoring is doc-token occurrences × the
+    20-row class list (broadcast) LEFT-joined to the model on
+    (term, source) — unseen (term, source) pairs coalesce to the
+    smoothing floor, so the model matrix is stored sparse (only observed
+    pairs), which is what makes NB trainable on a 100-TB corpus: model
+    size is observed-vocabulary-sized, scoring is one equi-join keyed on
+    the high-cardinality term column, and no step is quadratic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    class_term = toks.groupBy(
+        F.col("source").alias("cls"), "term"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    class_tot = class_term.groupBy("cls").agg(F.sum("cnt").alias("tot"))
+    vocab = toks.agg(F.countDistinct("term").alias("vs"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    priors = (
+        d.groupBy(F.col("source").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "cls",
+            F.expr(
+                "CAST(round(ln(CAST(dc AS DOUBLE) / CAST(n AS DOUBLE))"
+                " * 1000000.0D) AS BIGINT)"
+            ).alias("prior_u"),
+        )
+    )
+    classes = priors.join(class_tot, "cls").crossJoin(F.broadcast(vocab))
+    # every token occurrence × every class; unseen terms take the
+    # add-1 floor ln(1 / (tot + V)) via coalesce(cnt, 0)
+    scored_terms = (
+        toks.crossJoin(F.broadcast(classes))
+        .join(class_term, ["cls", "term"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            "prior_u",
+            F.expr(
+                "CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0D)"
+                " / (CAST(tot AS DOUBLE) + CAST(vs AS DOUBLE)))"
+                " * 1000000.0D) AS BIGINT)"
+            ).alias("lp_u"),
+        )
+    )
+    doc_cls = scored_terms.groupBy("doc_id", "cls", "prior_u").agg(
+        F.sum("lp_u").alias("sum_lp")
+    ).select(
+        "doc_id", "cls", (F.col("prior_u") + F.col("sum_lp")).alias("score_u")
+    )
+    best = doc_cls.groupBy("doc_id").agg(
+        F.min(
+            F.struct((-F.col("score_u")).alias("ns"), "cls")
+        ).alias("m")
+    )
+    return best.select(
+        "doc_id",
+        F.col("m.cls").alias("pred_source"),
+        (-F.col("m.ns")).cast("bigint").alias("score_u"),
+    )
+
+
+QUERIES = {
+    "join_string_sim": q_join_string_sim,
+    "ml_knn_classify": q_ml_knn_classify,
+    "spatial_grid_join": q_spatial_grid_join,
+    "corpus_perplexity_buckets": q_corpus_perplexity_buckets,
+    "ml_naive_bayes_score": q_ml_naive_bayes_score,
+}
+
+ORACLES = {
+    "join_string_sim": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   lower(substr(text, 1, {_SIM_HEAD})) AS head,
+                   length(text) AS tlen
+            FROM documents
+        ), b AS (
+            SELECT doc_id, head, tlen, substr(head, 1, {_SIM_BAND}) AS band
+            FROM d
+        )
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+               CAST(levenshtein(a.head, c.head) AS BIGINT) AS lev_head
+        FROM b a JOIN b c
+          ON a.band = c.band AND a.doc_id < c.doc_id
+         AND abs(a.tlen - c.tlen) <= {_SIM_LEN_DIFF}
+        WHERE levenshtein(a.head, c.head) <= {_SIM_TAU}
+    """,
+    "ml_knn_classify": f"""
+        WITH em AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                   label
+            FROM embeddings
+        ), queries AS (
+            SELECT vec_id AS query_id, v AS qv FROM em
+            WHERE vec_id < {_KNN_QUERIES}
+        ), scored AS (
+            SELECT q.query_id, t.vec_id, t.label,
+                   list_sum(list_transform(list_zip(t.v, q.qv),
+                       p -> CAST(round((p[1] - p[2]) * (p[1] - p[2]) * 1e9)
+                                 AS BIGINT))) AS dist_u
+            FROM em t CROSS JOIN queries q
+            WHERE t.vec_id >= {_KNN_QUERIES}
+        ), neigh AS (
+            SELECT query_id, label
+            FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                        ORDER BY dist_u ASC, vec_id ASC) <= {_KNN_K}
+        ), votes AS (
+            SELECT query_id, label, COUNT(*) AS votes
+            FROM neigh GROUP BY query_id, label
+        )
+        SELECT query_id,
+               CAST(label AS BIGINT) AS pred_label,
+               CAST(votes AS BIGINT) AS votes
+        FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                    ORDER BY votes DESC, label ASC) = 1
+    """,
+    "spatial_grid_join": f"""
+        WITH pts AS (
+            SELECT vec_id,
+                   CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6) AS BIGINT)
+                       AS xi,
+                   CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6) AS BIGINT)
+                       AS yi
+            FROM embeddings
+        ), cells AS (
+            SELECT vec_id, xi, yi,
+                   CAST(floor(CAST(xi AS DOUBLE) / {float(_EPS_U)})
+                        AS BIGINT) AS cx,
+                   CAST(floor(CAST(yi AS DOUBLE) / {float(_EPS_U)})
+                        AS BIGINT) AS cy
+            FROM pts
+        ), offsets AS (
+            SELECT dx.x AS dx, dy.x AS dy
+            FROM (VALUES (-1), (0), (1)) dx(x),
+                 (VALUES (-1), (0), (1)) dy(x)
+        ), probes AS (
+            SELECT c.vec_id AS id_a, c.xi AS xa, c.yi AS ya,
+                   c.cx + o.dx AS pcx, c.cy + o.dy AS pcy
+            FROM cells c CROSS JOIN offsets o
+        )
+        SELECT p.id_a, b.vec_id AS id_b,
+               CAST((p.xa - b.xi) * (p.xa - b.xi)
+                    + (p.ya - b.yi) * (p.ya - b.yi) AS BIGINT) AS dist2_u
+        FROM probes p JOIN cells b
+          ON p.pcx = b.cx AND p.pcy = b.cy AND p.id_a < b.vec_id
+        WHERE (p.xa - b.xi) * (p.xa - b.xi)
+              + (p.ya - b.yi) * (p.ya - b.yi) <= {_EPS_U * _EPS_U}
+    """,
+    "corpus_perplexity_buckets": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(w[1:len(w) - 1]) AS w1,
+                   unnest(w[2:len(w)]) AS w2
+            FROM toks WHERE len(w) >= 2
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+        uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+        v AS (
+            SELECT count(DISTINCT t) AS vs
+            FROM (SELECT unnest(w) AS t FROM toks)
+        ),
+        lp AS (
+            SELECT big.doc_id,
+                   CAST(round(ln((CAST(c2 AS DOUBLE) + 1.0)
+                                 / (CAST(c1 AS DOUBLE)
+                                    + CAST(vs AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS lp_micro
+            FROM big
+            JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+            JOIN uc ON big.w1 = uc.w1
+            CROSS JOIN v
+        ),
+        scores AS (
+            SELECT doc_id,
+                   CAST(sum(lp_micro) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_lp
+            FROM lp GROUP BY doc_id
+        )
+        SELECT t.lang, s.doc_id,
+               s.avg_lp / 1e6 AS avg_logprob,
+               (['head', 'middle', 'tail'])[
+                   ntile(3) OVER (PARTITION BY t.lang
+                                  ORDER BY s.avg_lp DESC, s.doc_id ASC)]
+                   AS bucket
+        FROM scores s JOIN toks t ON s.doc_id = t.doc_id
+    """,
+    "ml_naive_bayes_score": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+        ),
+        class_term AS (
+            SELECT source AS cls, term, count(*) AS cnt
+            FROM toks GROUP BY source, term
+        ),
+        class_tot AS (
+            SELECT cls, sum(cnt) AS tot FROM class_term GROUP BY cls
+        ),
+        vocab AS (SELECT count(DISTINCT term) AS vs FROM toks),
+        n_docs AS (SELECT count(*) AS n FROM documents),
+        priors AS (
+            SELECT source AS cls,
+                   CAST(round(ln(CAST(count(*) AS DOUBLE)
+                                 / CAST((SELECT n FROM n_docs) AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS prior_u
+            FROM documents GROUP BY source
+        ),
+        classes AS (
+            SELECT p.cls, p.prior_u, t.tot, v.vs
+            FROM priors p JOIN class_tot t ON p.cls = t.cls CROSS JOIN vocab v
+        ),
+        scored_terms AS (
+            SELECT k.doc_id, c.cls, c.prior_u,
+                   CAST(round(ln((CAST(coalesce(m.cnt, 0) AS DOUBLE) + 1.0)
+                                 / (CAST(c.tot AS DOUBLE)
+                                    + CAST(c.vs AS DOUBLE)))
+                              * 1000000.0) AS BIGINT) AS lp_u
+            FROM toks k
+            CROSS JOIN classes c
+            LEFT JOIN class_term m ON m.cls = c.cls AND m.term = k.term
+        ),
+        doc_cls AS (
+            SELECT doc_id, cls, prior_u + sum(lp_u) AS score_u
+            FROM scored_terms GROUP BY doc_id, cls, prior_u
+        )
+        SELECT doc_id, cls AS pred_source,
+               CAST(score_u AS BIGINT) AS score_u
+        FROM doc_cls
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score_u DESC, cls ASC) = 1
+    """,
+}

@@ -650,3 +650,53 @@ def test_pca_power_single_reduce(spark):
     plan = plan_of(spark, "embed_pca_power")
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_string_sim_join_is_banded_equi_join(spark):
+    """PassJoin-style blocking: the candidate join must be a hash/merge
+    equi-join on the prefix band — never a nested-loop over all document
+    pairs (the length filter rides the band join, it is not the join)."""
+    plan = plan_of(spark, "join_string_sim")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_grid_join_is_cell_equi_join(spark):
+    """The ε-neighborhood join must probe grid cells with an equi-join;
+    the 9-cell probe expansion is a flatMap (explode), not a shuffle, and
+    the N² point cross product must not exist in the plan."""
+    plan = plan_of(spark, "spatial_grid_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the exploded offset probes
+
+
+def test_knn_broadcasts_query_side(spark):
+    """Label transfer scans the corpus once against a broadcast query
+    set — shuffling the corpus against 10 query rows would be absurd."""
+    plan = plan_of(spark, "ml_knn_classify")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_naive_bayes_model_join_is_equi(spark):
+    """NB scoring joins token occurrences to the sparse model on
+    (class, term) — a hash equi-join; the only nested-loop is the
+    broadcast of the 20-row class list."""
+    plan = plan_of(spark, "ml_naive_bayes_score")
+    assert "CartesianProduct" not in plan
+    # the sparse-model join must not degrade to a nested loop: the only
+    # BroadcastNestedLoopJoins allowed are the three deliberate tiny
+    # broadcast crosses (1-row doc count, 1-row vocab size, 20-row class
+    # list); the (cls, term) model join itself must be a hash join
+    # (formatted explain prints each operator twice: tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") <= 6
+    assert "BroadcastHashJoin LeftOuter" in plan or "LeftOuter" in plan
+
+
+def test_perplexity_buckets_windows_partition_on_lang(spark):
+    """The tercile split must window per-language (bounded partitions),
+    and the LM joins stay equi — no corpus-sized nested loop."""
+    plan = plan_of(spark, "corpus_perplexity_buckets")
+    assert "CartesianProduct" not in plan
+    assert "ntile" in plan
