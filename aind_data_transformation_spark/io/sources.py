@@ -72,11 +72,19 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def register_tables(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
-    """Register every driver table as a temp view (``name + suffix``) so
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    suffix: str = "",
+    tables: tuple[str, ...] | None = None,
+) -> None:
+    """Register driver tables as temp views (``name + suffix``) so
     pipelines can run against the pure SQL surface (``spark.sql``) with the
-    same normalized schemas as :func:`load_table`."""
-    for name in TABLES:
+    same normalized schemas as :func:`load_table`. Pass ``tables`` to
+    register only what the query reads — each registration is a parquet
+    footer/schema round-trip, so registering all 10 tables costs ~3 s of
+    pure driver overhead that a single-table query should not pay."""
+    for name in tables if tables is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
 
 

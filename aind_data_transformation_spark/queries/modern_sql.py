@@ -175,7 +175,7 @@ def q_sql_params_identifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     parameters inlined."""
     from aind_data_transformation_spark.io.sources import register_tables
 
-    register_tables(spark, sf_dir, suffix="_prm")
+    register_tables(spark, sf_dir, suffix="_prm", tables=("orders",))
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS n_orders
@@ -326,7 +326,7 @@ def q_sql_exec_immediate_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the same query with the threshold inlined."""
     from aind_data_transformation_spark.io.sources import register_tables
 
-    register_tables(spark, sf_dir, suffix="_ei")
+    register_tables(spark, sf_dir, suffix="_ei", tables=("orders",))
     spark.sql(
         "DECLARE OR REPLACE VARIABLE min_total_ei DOUBLE DEFAULT 0.0"
     )

@@ -311,7 +311,10 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("cls"), "term"
     ).agg(F.count(F.lit(1)).alias("cnt"))
     class_tot = class_term.groupBy("cls").agg(F.sum("cnt").alias("tot"))
-    vocab = toks.agg(F.countDistinct("term").alias("vs"))
+    # vocabulary size from the (already aggregated) sparse model rather
+    # than a third pass over the token explode — identical value: every
+    # corpus term appears in at least one class
+    vocab = class_term.agg(F.countDistinct("term").alias("vs"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n"))
     priors = (
         d.groupBy(F.col("source").alias("cls"))
@@ -326,19 +329,28 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     classes = priors.join(class_tot, "cls").crossJoin(F.broadcast(vocab))
-    # every token occurrence × every class; unseen terms take the
-    # add-1 floor ln(1 / (tot + V)) via coalesce(cnt, 0)
+    # score distinct (doc, term) pairs weighted by tf — identical sum
+    # (tf * lp_u is the occurrence sum, exact integers) at a fraction of
+    # the expansion: the × classes blowup applies to per-doc DISTINCT
+    # terms, not every token occurrence. Unseen terms take the add-1
+    # floor ln(1 / (tot + V)) via coalesce(cnt, 0).
+    doc_term = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     scored_terms = (
-        toks.crossJoin(F.broadcast(classes))
+        doc_term.crossJoin(F.broadcast(classes))
         .join(class_term, ["cls", "term"], "left")
         .select(
             "doc_id",
             "cls",
             "prior_u",
-            F.expr(
-                "CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0D)"
-                " / (CAST(tot AS DOUBLE) + CAST(vs AS DOUBLE)))"
-                " * 1000000.0D) AS BIGINT)"
+            (
+                F.col("tf")
+                * F.expr(
+                    "CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0D)"
+                    " / (CAST(tot AS DOUBLE) + CAST(vs AS DOUBLE)))"
+                    " * 1000000.0D) AS BIGINT)"
+                )
             ).alias("lp_u"),
         )
     )
@@ -520,13 +532,18 @@ ORACLES = {
             SELECT p.cls, p.prior_u, t.tot, v.vs
             FROM priors p JOIN class_tot t ON p.cls = t.cls CROSS JOIN vocab v
         ),
+        doc_term AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
         scored_terms AS (
             SELECT k.doc_id, c.cls, c.prior_u,
-                   CAST(round(ln((CAST(coalesce(m.cnt, 0) AS DOUBLE) + 1.0)
+                   k.tf * CAST(round(ln((CAST(coalesce(m.cnt, 0) AS DOUBLE)
+                                         + 1.0)
                                  / (CAST(c.tot AS DOUBLE)
                                     + CAST(c.vs AS DOUBLE)))
                               * 1000000.0) AS BIGINT) AS lp_u
-            FROM toks k
+            FROM doc_term k
             CROSS JOIN classes c
             LEFT JOIN class_term m ON m.cls = c.cls AND m.term = k.term
         ),
