@@ -42,6 +42,7 @@ _CATEGORY_MODULES = (
     "incremental",
     "ml_prep",
     "similarity",
+    "stattests",
 )
 
 

@@ -420,8 +420,69 @@ def q_basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity on the purchase bipartite graph:
+    Jaccard overlap of the *order neighborhoods* of two parts,
+    |N(a)∩N(b)| / |N(a)∪N(b)|, top-20 pairs.
+
+    Common-neighbor counts come from the order-key self equi-join (cost
+    bounded by basket size², like graph_copurchase — never |parts|²);
+    degrees broadcast onto the pair aggregate. Ranking is on a
+    micro-scaled integer score so ordering is engine-stable. At 100 TB
+    this is the scalable node-similarity shape: one shuffle to build
+    co-occurrence pairs, one to aggregate them."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("deg"))
+    a, b = items.alias("a"), items.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    da = deg.select(F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b"))
+    scored = (
+        common.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common",
+            (F.col("deg_a") + F.col("deg_b") - F.col("common")).alias("un"),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.round(
+                F.col("common").cast("double")
+                / F.col("un").cast("double")
+                * F.lit(1.0e6)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.select("part_a", "part_b", "common", "un", "jaccard_micro")
+        .orderBy(
+            F.col("jaccard_micro").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(20)
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
+    "graph_jaccard_neighbors": q_graph_jaccard_neighbors,
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_bfs_frontier": q_graph_bfs_frontier,
@@ -429,6 +490,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_jaccard_neighbors": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), deg AS (
+            SELECT l_partkey, COUNT(*)::BIGINT AS deg
+            FROM items GROUP BY l_partkey
+        ), common AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*)::BIGINT AS common
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ), scored AS (
+            SELECT part_a, part_b, common,
+                   da.deg + db.deg - common AS un,
+                   CAST(round(CAST(common AS DOUBLE)
+                              / CAST(da.deg + db.deg - common AS DOUBLE)
+                              * 1e6) AS BIGINT) AS jaccard_micro
+            FROM common
+            JOIN deg da ON da.l_partkey = part_a
+            JOIN deg db ON db.l_partkey = part_b
+        )
+        SELECT part_a, part_b, common, CAST(un AS BIGINT) AS un,
+               jaccard_micro
+        FROM scored
+        ORDER BY jaccard_micro DESC, part_a, part_b
+        LIMIT 20
+    """,
     "graph_pagerank": _pagerank_oracle(),
     "graph_bfs_frontier": _bfs_oracle(),
     "basket_assoc_rules": """

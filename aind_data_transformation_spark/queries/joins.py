@@ -353,8 +353,76 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (concurrency analysis): pairs of user
+    sessions from *different* users that were active at the same time,
+    aggregated to per-user-pair overlap counts.
+
+    An overlap join is a theta join (s1.start ≤ s2.end AND s2.start ≤
+    s1.end) that Spark would otherwise plan as a broadcast nested loop.
+    Instead each interval explodes into the hour buckets it touches
+    (``sequence``), candidates meet through a bucket *equi-join*, the
+    pair is de-duplicated (an overlap spanning k shared hours matches k
+    times), and the exact predicate verifies. Cost scales with
+    Σ(intervals per hour)², never |A|×|B| — the standard grid-banding
+    that keeps temporal overlap joins shuffle-based at 100 TB. The
+    DuckDB oracle runs the naive theta join, proving the banded plan
+    computes identical semantics."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    prev = F.lag("us").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("us") - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (
+        e.withColumn("sidx", F.sum(is_new).over(cum).cast("long"))
+        .groupBy("user_id", "sidx")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    hour_us = 3_600_000_000
+    banded = sess.select(
+        "user_id",
+        "sidx",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                (F.col("s_us") / hour_us).cast("long"),
+                (F.col("e_us") / hour_us).cast("long"),
+            )
+        ).alias("hb"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hb") == F.col("b.hb"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .where(
+            (F.col("a.s_us") <= F.col("b.e_us"))
+            & (F.col("b.s_us") <= F.col("a.e_us"))
+        )
+        .select(
+            F.col("a.user_id").alias("u1"),
+            F.col("a.sidx").alias("x1"),
+            F.col("b.user_id").alias("u2"),
+            F.col("b.sidx").alias("x2"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("u1", "u2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlaps")
+    )
+
+
 QUERIES = {
     "join_null_safe": q_join_null_safe,
+    "join_interval_overlap": q_join_interval_overlap,
     "join_inner_equi": q_join_inner_equi,
     "join_salted_skew": q_join_salted_skew,
     "join_bloom_prune": q_join_bloom_prune,
@@ -370,6 +438,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_interval_overlap": """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        ), marked AS (
+            SELECT user_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                             OR us - lag(us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), sess AS (
+            SELECT user_id,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sidx,
+                   us
+            FROM marked
+        ), iv AS (
+            SELECT user_id, sidx,
+                   MIN(us) AS s_us, MAX(us) AS e_us
+            FROM sess GROUP BY user_id, sidx
+        )
+        SELECT a.user_id AS u1, b.user_id AS u2,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id
+         AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+        GROUP BY a.user_id, b.user_id
+    """,
     "join_salted_skew": """
         SELECT p_brand,
                COUNT(*) AS n_items,

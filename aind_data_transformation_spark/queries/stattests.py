@@ -1,0 +1,648 @@
+"""Distribution-testing and model-fitting statistics as single Catalyst
+plans: two-sample Kolmogorov–Smirnov, Mann–Whitney U, chi-square
+independence, multi-feature OLS via exact normal equations, Kaplan–Meier
+survival, a Zipf rank-frequency fit, and a deterministic count-min sketch.
+
+Cross-engine exactness strategy (see numeric.py): every sum that feeds a
+final statistic is accumulated over *integers* (cents, micro-scaled logs,
+exact counts) so partial-aggregation order cannot perturb the result; the
+closing arithmetic is the same double expression tree on both engines.
+
+Scale shapes: every operator pre-aggregates the raw fact table down to its
+*value domain* (distinct prices, durations, contingency cells, vocabulary)
+before any global window — the unpartitioned windows below run over those
+compact aggregates, never over raw rows, which is what makes a global ECDF
+or at-risk cumsum viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.queries.numeric import cents, sql_cents
+
+_G1 = "1-URGENT"
+_G2 = "5-LOW"
+
+
+def _two_sample_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-value counts of o_totalprice cents for the two priority
+    groups: (v, c1, c2). One shuffle (groupBy v); all ECDF/rank math
+    downstream runs on this compact value-domain frame."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(_G1, _G2)
+    )
+    return (
+        o.select(
+            cents("o_totalprice").alias("v"),
+            (F.col("o_orderpriority") == _G1).cast("long").alias("is1"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("is1").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("is1")).alias("c2"),
+        )
+    )
+
+
+def q_stats_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D statistic between the order-price
+    distributions of URGENT vs LOW priority orders.
+
+    ECDFs are step functions that only move at observed values, so D is
+    computed over the distinct-value aggregate: cumulative counts per
+    group via one ordered window, D = max |c1/n1 - c2/n2|. max() is
+    order-independent and each ratio is one double division on exact
+    integers — bit-identical across engines."""
+    per = _two_sample_values(spark, sf_dir)
+    tot = per.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    ).crossJoin(F.broadcast(tot))
+    diff = F.abs(
+        F.col("cum1").cast("double") / F.col("n1").cast("double")
+        - F.col("cum2").cast("double") / F.col("n2").cast("double")
+    )
+    return cum.groupBy("n1", "n2").agg(F.max(diff).alias("ks_d"))
+
+
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U for the same two groups, exact tie handling via
+    average ranks. Doubled ranks (2·avg_rank is always an integer, even
+    on ties) keep the rank sum in exact BIGINT space; U emerges from one
+    closing division."""
+    per = _two_sample_values(spark, sf_dir)
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ct = F.col("c1") + F.col("c2")
+    cum_before = F.coalesce(F.sum(ct).over(w), F.lit(0))
+    # 2*avg_rank of a tie block starting after cum_before with ct members
+    rank2 = 2 * cum_before + ct + 1
+    agg = per.select(
+        (F.col("c1") * rank2).alias("r1_2x"), "c1", "c2"
+    ).agg(
+        F.sum("r1_2x").alias("r1_2x"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    u1 = (
+        F.col("r1_2x") - F.col("n1") * (F.col("n1") + 1)
+    ).cast("double") / F.lit(2.0)
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (F.col("n1").cast("double") * F.col("n2").cast("double") - u1).alias(
+            "u2"
+        ),
+    )
+
+
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the o_orderstatus ×
+    o_orderpriority contingency table. Marginals come from window sums
+    over the (tiny) contingency aggregate; each cell's (obs-exp)²/exp
+    term is nano-scaled to BIGINT before the final sum so the statistic
+    is order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    cont = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    row_t = F.sum("obs").over(Window.partitionBy("o_orderstatus"))
+    col_t = F.sum("obs").over(Window.partitionBy("o_orderpriority"))
+    n_t = F.sum("obs").over(
+        Window.partitionBy()
+    )
+    cells = cont.select(
+        "obs",
+        row_t.alias("rt"),
+        col_t.alias("ct"),
+        n_t.alias("n"),
+    )
+    exp = (
+        F.col("rt").cast("double")
+        * F.col("ct").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("obs").cast("double") - exp) * (
+        F.col("obs").cast("double") - exp
+    ) / exp
+    nano = F.round(term * F.lit(1.0e9)).cast("long")
+    stats = cells.select(
+        nano.alias("nano"), "n"
+    ).groupBy("n").agg(F.sum("nano").alias("chi2_nano"))
+    dims = cont.agg(
+        F.countDistinct("o_orderstatus").alias("r"),
+        F.countDistinct("o_orderpriority").alias("c"),
+    )
+    return stats.crossJoin(F.broadcast(dims)).select(
+        F.col("n").alias("n_orders"),
+        (F.col("chi2_nano").cast("double") / F.lit(1.0e9)).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
+    )
+
+
+def q_ml_ols_multifeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-feature ordinary least squares (extendedprice ~ quantity +
+    discount + tax) solved in one reduce: accumulate the 13 raw integer
+    moments exactly (DECIMAL(38,0) — order-independent), derive the
+    centered normal-equation matrix, and solve the symmetric 3×3 system
+    by Cramer's rule in a closing double expression. The whole model fit
+    is a single map-side-combinable aggregation over the fact table —
+    the textbook pattern for closed-form fits at 100 TB (one pass, no
+    gradient rounds, no driver-side math)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, x3, y = (
+        cents("l_quantity"),
+        cents("l_discount"),
+        cents("l_tax"),
+        cents("l_extendedprice"),
+    )
+    d38 = "decimal(38,0)"
+
+    def s(col, name):
+        return F.sum(col.cast(d38)).cast("double").alias(name)
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(x1, "s1"), s(x2, "s2"), s(x3, "s3"), s(y, "sy"),
+        s(x1 * x1, "s11"), s(x1 * x2, "s12"), s(x1 * x3, "s13"),
+        s(x2 * x2, "s22"), s(x2 * x3, "s23"), s(x3 * x3, "s33"),
+        s(x1 * y, "s1y"), s(x2 * y, "s2y"), s(x3 * y, "s3y"),
+        s(y * y, "syy"),
+    )
+    n = F.col("n")
+    # centered second moments: Cij = Sij - Si*Sj/n (double, same tree
+    # both engines)
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c13 = F.col("s13") - F.col("s1") * F.col("s3") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c23 = F.col("s23") - F.col("s2") * F.col("s3") / n
+    c33 = F.col("s33") - F.col("s3") * F.col("s3") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    c3y = F.col("s3y") - F.col("s3") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = (
+        c11 * (c22 * c33 - c23 * c23)
+        - c12 * (c12 * c33 - c23 * c13)
+        + c13 * (c12 * c23 - c22 * c13)
+    )
+    b1 = (
+        c1y * (c22 * c33 - c23 * c23)
+        - c12 * (c2y * c33 - c23 * c3y)
+        + c13 * (c2y * c23 - c22 * c3y)
+    ) / det
+    b2 = (
+        c11 * (c2y * c33 - c3y * c23)
+        - c1y * (c12 * c33 - c23 * c13)
+        + c13 * (c12 * c3y - c2y * c13)
+    ) / det
+    b3 = (
+        c11 * (c22 * c3y - c2y * c23)
+        - c12 * (c12 * c3y - c2y * c13)
+        + c1y * (c12 * c23 - c22 * c13)
+    ) / det
+    b0 = (
+        F.col("sy") - b1 * F.col("s1") - b2 * F.col("s2") - b3 * F.col("s3")
+    ) / n
+    sse = cyy - (b1 * c1y + b2 * c2y + b3 * c3y)
+    return m.select(
+        n.cast("long").alias("n_rows"),
+        b0.alias("beta0"),
+        b1.alias("beta1"),
+        b2.alias("beta2"),
+        b3.alias("beta3"),
+        (F.lit(1.0) - sse / cyy).alias("r2"),
+    )
+
+
+def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival over customer lifetimes: duration = days
+    between a customer's first and last order; a customer is an *event*
+    (churned) when their last order predates the observation end by more
+    than 90 days, otherwise right-censored. At-risk counts come from one
+    cumulative window over the distinct-duration aggregate; the product
+    ∏(1-dᵢ/nᵢ) is carried as a nano-scaled log sum (exact BIGINT, order
+    independent) and exponentiated once at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    life = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    end = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end_d"))
+    per_cust = life.crossJoin(F.broadcast(end)).select(
+        F.datediff("last_d", "first_d").cast("long").alias("dur"),
+        (F.datediff("end_d", "last_d") > 90).cast("long").alias("event"),
+    )
+    per_t = per_cust.groupBy("dur").agg(
+        F.sum("event").alias("d"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    cumw = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_t.agg(F.sum("m").alias("n_total"))
+    t = per_t.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("n_total") - F.coalesce(F.sum("m").over(w), F.lit(0))
+    )
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    log_nano = F.when(
+        F.col("d") >= F.col("n_risk"), F.lit(None).cast("long")
+    ).otherwise(F.round(F.log(factor) * F.lit(1.0e9)).cast("long"))
+    t = t.withColumn("log_nano", log_nano)
+    zero_flag = F.max(
+        F.when(F.col("log_nano").isNull(), 1).otherwise(0)
+    ).over(cumw)
+    cum_log = F.sum("log_nano").over(cumw)
+    # exp() may differ in the final ulp between JVM and libm — round the
+    # survival probability to 6 dp so both engines emit identical doubles
+    surv = F.when(zero_flag == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(cum_log.cast("double") / F.lit(1.0e9)), 6)
+    )
+    return (
+        t.select(
+            F.col("dur").alias("dur_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            surv.alias("survival"),
+        )
+        .where(F.col("n_events") > 0)
+    )
+
+
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(frequency) on ln(rank) for the top 500 terms. Log values are
+    micro-scaled to BIGINT per term (rank ties broken lexically), so the
+    four regression sums are exact integers; a heavy-tailed corpus obeys
+    slope ≈ -1. Scale: vocabulary aggregation is the only fact-table
+    shuffle; the regression runs over 500 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    top = freq.select(
+        "cnt", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= 500)
+    xm = F.round(F.log(F.col("rank").cast("double")) * 1.0e6).cast("long")
+    ym = F.round(F.log(F.col("cnt").cast("double")) * 1.0e6).cast("long")
+    pts = top.select(
+        xm.alias("x"),
+        ym.alias("y"),
+        (xm * ym).alias("xy"),
+        (xm * xm).alias("xx"),
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("xx").cast("double").alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    intercept = (
+        (F.col("sy") / F.lit(1.0e6)) - slope * (F.col("sx") / F.lit(1.0e6))
+    ) / F.col("n")
+    return agg.select(
+        F.col("n").cast("long").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic count-min sketch over the corpus vocabulary: 4 hash
+    rows × 512 buckets, hashes drawn from disjoint md5 substrings (so
+    both engines agree bit-for-bit), estimate = min over rows of the
+    bucket counters. Emits the 20 true-top terms with their exact and
+    estimated counts — est ≥ true always (one-sided CMS error).
+
+    Scale: the sketch is a 2k-cell aggregate (fixed size regardless of
+    corpus size) built in one shuffle — exactly how a heavy-hitter pass
+    over 100 TB avoids a full vocabulary materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("term")).where(
+        F.col("term") != ""
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def bucket(row: int):
+        # 7 hex chars (28 bits) from md5 offset 1+7*row, mod 512
+        sub = F.substring(F.md5("term"), 1 + 7 * row, 7)
+        return F.pmod(F.conv(sub, 16, 10).cast("long"), F.lit(512))
+
+    rows = []
+    for r in range(4):
+        rows.append(
+            freq.select(
+                F.lit(r).alias("h"), bucket(r).alias("b"), "cnt"
+            )
+        )
+    hashed = rows[0].unionAll(rows[1]).unionAll(rows[2]).unionAll(rows[3])
+    sketch = hashed.groupBy("h", "b").agg(F.sum("cnt").alias("cell"))
+    wtop = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
+    top = freq.select(
+        "term", "cnt", F.row_number().over(wtop).alias("rk")
+    ).where(F.col("rk") <= 20)
+    probes = []
+    for r in range(4):
+        probes.append(
+            top.select(
+                "term", "cnt", F.lit(r).alias("h"), bucket(r).alias("b")
+            )
+        )
+    probe = probes[0].unionAll(probes[1]).unionAll(probes[2]).unionAll(
+        probes[3]
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["h", "b"])
+        .groupBy("term", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return est.select(
+        "term",
+        F.col("cnt").alias("true_cnt"),
+        F.col("est").alias("est_cnt"),
+    )
+
+
+QUERIES = {
+    "stats_ks_twosample": q_stats_ks_twosample,
+    "stats_mannwhitney": q_stats_mannwhitney,
+    "stats_chi2": q_stats_chi2,
+    "ml_ols_multifeat": q_ml_ols_multifeat,
+    "survival_kaplan_meier": q_survival_kaplan_meier,
+    "text_zipf_slope": q_text_zipf_slope,
+    "sketch_countmin": q_sketch_countmin,
+}
+
+_V = sql_cents("o_totalprice")
+
+ORACLES = {
+    "stats_ks_twosample": f"""
+        WITH per AS (
+            SELECT {_V} AS v,
+                   SUM(CASE WHEN o_orderpriority = '{_G1}' THEN 1 ELSE 0 END)::BIGINT AS c1,
+                   SUM(CASE WHEN o_orderpriority = '{_G2}' THEN 1 ELSE 0 END)::BIGINT AS c2
+            FROM orders
+            WHERE o_orderpriority IN ('{_G1}', '{_G2}')
+            GROUP BY 1
+        ),
+        tot AS (SELECT SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2 FROM per),
+        cum AS (
+            SELECT SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                   SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+            FROM per
+        )
+        SELECT n1, n2,
+               MAX(abs(CAST(cum1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       - CAST(cum2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS ks_d
+        FROM cum, tot
+        GROUP BY n1, n2
+    """,
+    "stats_mannwhitney": f"""
+        WITH per AS (
+            SELECT {_V} AS v,
+                   SUM(CASE WHEN o_orderpriority = '{_G1}' THEN 1 ELSE 0 END)::BIGINT AS c1,
+                   SUM(CASE WHEN o_orderpriority = '{_G2}' THEN 1 ELSE 0 END)::BIGINT AS c2
+            FROM orders
+            WHERE o_orderpriority IN ('{_G1}', '{_G2}')
+            GROUP BY 1
+        ),
+        rk AS (
+            SELECT c1, c2,
+                   2 * COALESCE(SUM(c1 + c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (c1 + c2) + 1 AS rank2
+            FROM per
+        ),
+        agg AS (
+            SELECT SUM(c1 * rank2)::BIGINT AS r1_2x,
+                   SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2
+            FROM rk
+        )
+        SELECT n1, n2,
+               CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+               CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 - CAST(r1_2x - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u2
+        FROM agg
+    """,
+    "stats_chi2": """
+        WITH cont AS (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS obs
+            FROM orders GROUP BY 1, 2
+        ),
+        cells AS (
+            SELECT obs,
+                   SUM(obs) OVER (PARTITION BY o_orderstatus) AS rt,
+                   SUM(obs) OVER (PARTITION BY o_orderpriority) AS ct,
+                   SUM(obs) OVER () AS n
+            FROM cont
+        ),
+        terms AS (
+            SELECT n,
+                   CAST(round(
+                       (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1e9) AS BIGINT) AS nano
+            FROM cells
+        ),
+        stat AS (
+            SELECT n, SUM(nano)::BIGINT AS chi2_nano FROM terms GROUP BY n
+        ),
+        dims AS (
+            SELECT COUNT(DISTINCT o_orderstatus) AS r,
+                   COUNT(DISTINCT o_orderpriority) AS c
+            FROM orders
+        )
+        SELECT CAST(n AS BIGINT) AS n_orders,
+               CAST(chi2_nano AS DOUBLE) / 1e9 AS chi2,
+               CAST((r - 1) * (c - 1) AS BIGINT) AS dof
+        FROM stat, dims
+    """,
+    "ml_ols_multifeat": f"""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST({sql_cents('l_quantity')} AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST({sql_cents('l_discount')} AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST({sql_cents('l_tax')} AS DECIMAL(38,0))) AS DOUBLE) AS s3,
+                   CAST(SUM(CAST({sql_cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST({sql_cents('l_quantity')} * {sql_cents('l_quantity')} AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST({sql_cents('l_quantity')} * {sql_cents('l_discount')} AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST({sql_cents('l_quantity')} * {sql_cents('l_tax')} AS DECIMAL(38,0))) AS DOUBLE) AS s13,
+                   CAST(SUM(CAST({sql_cents('l_discount')} * {sql_cents('l_discount')} AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST({sql_cents('l_discount')} * {sql_cents('l_tax')} AS DECIMAL(38,0))) AS DOUBLE) AS s23,
+                   CAST(SUM(CAST({sql_cents('l_tax')} * {sql_cents('l_tax')} AS DECIMAL(38,0))) AS DOUBLE) AS s33,
+                   CAST(SUM(CAST({sql_cents('l_quantity')} * {sql_cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST({sql_cents('l_discount')} * {sql_cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST({sql_cents('l_tax')} * {sql_cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) AS s3y,
+                   CAST(SUM(CAST({sql_cents('l_extendedprice')} * {sql_cents('l_extendedprice')} AS DECIMAL(38,0))) AS DOUBLE) AS syy
+            FROM lineitem
+        ),
+        c AS (
+            SELECT n, s1, s2, s3, sy,
+                   s11 - s1 * s1 / n AS c11,
+                   s12 - s1 * s2 / n AS c12,
+                   s13 - s1 * s3 / n AS c13,
+                   s22 - s2 * s2 / n AS c22,
+                   s23 - s2 * s3 / n AS c23,
+                   s33 - s3 * s3 / n AS c33,
+                   s1y - s1 * sy / n AS c1y,
+                   s2y - s2 * sy / n AS c2y,
+                   s3y - s3 * sy / n AS c3y,
+                   syy - sy * sy / n AS cyy
+            FROM m
+        ),
+        sol AS (
+            SELECT n, s1, s2, s3, sy, c1y, c2y, c3y, cyy,
+                   (c1y * (c22 * c33 - c23 * c23)
+                    - c12 * (c2y * c33 - c23 * c3y)
+                    + c13 * (c2y * c23 - c22 * c3y))
+                   / (c11 * (c22 * c33 - c23 * c23)
+                      - c12 * (c12 * c33 - c23 * c13)
+                      + c13 * (c12 * c23 - c22 * c13)) AS b1,
+                   (c11 * (c2y * c33 - c3y * c23)
+                    - c1y * (c12 * c33 - c23 * c13)
+                    + c13 * (c12 * c3y - c2y * c13))
+                   / (c11 * (c22 * c33 - c23 * c23)
+                      - c12 * (c12 * c33 - c23 * c13)
+                      + c13 * (c12 * c23 - c22 * c13)) AS b2,
+                   (c11 * (c22 * c3y - c2y * c23)
+                    - c12 * (c12 * c3y - c2y * c13)
+                    + c1y * (c12 * c23 - c22 * c13))
+                   / (c11 * (c22 * c33 - c23 * c23)
+                      - c12 * (c12 * c33 - c23 * c13)
+                      + c13 * (c12 * c23 - c22 * c13)) AS b3
+            FROM c
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               (sy - b1 * s1 - b2 * s2 - b3 * s3) / n AS beta0,
+               b1 AS beta1, b2 AS beta2, b3 AS beta3,
+               1.0 - (cyy - (b1 * c1y + b2 * c2y + b3 * c3y)) / cyy AS r2
+        FROM sol
+    """,
+    "survival_kaplan_meier": """
+        WITH life AS (
+            SELECT o_custkey,
+                   MIN(CAST(o_orderdate AS DATE)) AS first_d,
+                   MAX(CAST(o_orderdate AS DATE)) AS last_d
+            FROM orders GROUP BY o_custkey
+        ),
+        obs AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS end_d FROM orders),
+        per_cust AS (
+            SELECT CAST(date_diff('day', first_d, last_d) AS BIGINT) AS dur,
+                   CASE WHEN date_diff('day', last_d, end_d) > 90
+                        THEN 1 ELSE 0 END AS event
+            FROM life, obs
+        ),
+        per_t AS (
+            SELECT dur, SUM(event)::BIGINT AS d, COUNT(*)::BIGINT AS m
+            FROM per_cust GROUP BY dur
+        ),
+        tot AS (SELECT SUM(m)::BIGINT AS n_total FROM per_t),
+        t AS (
+            SELECT dur, d, m,
+                   n_total - COALESCE(SUM(m) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM per_t, tot
+        ),
+        lg AS (
+            SELECT dur, d, n_risk,
+                   CASE WHEN d >= n_risk THEN NULL
+                        ELSE CAST(round(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+                   END AS log_nano
+            FROM t
+        ),
+        cum AS (
+            SELECT dur, d, n_risk,
+                   MAX(CASE WHEN log_nano IS NULL THEN 1 ELSE 0 END)
+                       OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zf,
+                   SUM(log_nano)
+                       OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_log
+            FROM lg
+        )
+        SELECT dur AS dur_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               d AS n_events,
+               CASE WHEN zf = 1 THEN 0.0
+                    ELSE round(exp(CAST(cum_log AS DOUBLE) / 1e9), 6)
+               END AS survival
+        FROM cum
+        WHERE d > 0
+    """,
+    "text_zipf_slope": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        freq AS (
+            SELECT term, COUNT(*)::BIGINT AS cnt FROM toks
+            WHERE term <> '' GROUP BY term
+        ),
+        top AS (
+            SELECT cnt,
+                   row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+            FROM freq QUALIFY rank <= 500
+        ),
+        pts AS (
+            SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+            FROM top
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x)::BIGINT AS DOUBLE) AS sx,
+                   CAST(SUM(y)::BIGINT AS DOUBLE) AS sy,
+                   CAST(SUM(x * y)::BIGINT AS DOUBLE) AS sxy,
+                   CAST(SUM(x * x)::BIGINT AS DOUBLE) AS sxx
+            FROM pts
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+               ((sy / 1e6) - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (sx / 1e6)) / n AS intercept
+        FROM agg
+    """,
+    "sketch_countmin": """
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ),
+        freq AS (
+            SELECT term, COUNT(*)::BIGINT AS cnt FROM toks
+            WHERE term <> '' GROUP BY term
+        ),
+        hashed AS (
+            SELECT h.r AS h,
+                   CAST(CAST('0x' || substr(md5(term), 1 + 7 * h.r, 7) AS BIGINT) % 512 AS BIGINT) AS b,
+                   cnt
+            FROM freq, (SELECT unnest([0, 1, 2, 3]) AS r) h
+        ),
+        sketch AS (
+            SELECT h, b, SUM(cnt)::BIGINT AS cell FROM hashed GROUP BY h, b
+        ),
+        top AS (
+            SELECT term, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+            FROM freq QUALIFY rk <= 20
+        ),
+        probe AS (
+            SELECT term, cnt, h.r AS h,
+                   CAST(CAST('0x' || substr(md5(term), 1 + 7 * h.r, 7) AS BIGINT) % 512 AS BIGINT) AS b
+            FROM top, (SELECT unnest([0, 1, 2, 3]) AS r) h
+        )
+        SELECT p.term, p.cnt AS true_cnt, MIN(s.cell)::BIGINT AS est_cnt
+        FROM probe p JOIN sketch s ON p.h = s.h AND p.b = s.b
+        GROUP BY p.term, p.cnt
+    """,
+}
