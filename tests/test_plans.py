@@ -700,3 +700,54 @@ def test_perplexity_buckets_windows_partition_on_lang(spark):
     plan = plan_of(spark, "corpus_perplexity_buckets")
     assert "CartesianProduct" not in plan
     assert "ntile" in plan
+
+
+def test_interval_overlap_is_banded_equi_join(spark):
+    """The session-overlap theta join must meet through the hour-bucket
+    equi-join — a nested-loop over all session pairs is the plan this
+    operator exists to avoid."""
+    plan = plan_of(spark, "join_interval_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_ols_multifeat_single_pass_partial_agg(spark):
+    """The 15 raw moments must accumulate map-side (partial + final
+    aggregate) in ONE scan of lineitem — the whole model fit is a single
+    reduce, no joins, no windows."""
+    plan = plan_of(spark, "ml_ols_multifeat")
+    # formatted explain lists the operator in tree + detail: 1 scan -> 2
+    assert plan.count("Scan parquet") <= 2
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+
+
+def test_ks_window_runs_over_value_domain_not_rows(spark):
+    """The ECDF window must consume the distinct-value aggregate (an
+    upstream HashAggregate), never the raw order rows."""
+    plan = plan_of(spark, "stats_ks_twosample")
+    assert "Window" in plan
+    # the aggregate that compacts to the value domain sits below the sort
+    # feeding the window
+    before_window = plan.split("Window", 1)[0]
+    assert "HashAggregate" in before_window
+
+
+def test_countmin_sketch_joins_broadcast(spark):
+    """Probing the 2k-cell sketch must broadcast the sketch side."""
+    plan = plan_of(spark, "sketch_countmin")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_neighbors_no_all_pairs(spark):
+    """Common-neighbor pairs come from the order-key equi self-join;
+    degree lookups broadcast — the |parts|x|parts| cross space never
+    materializes."""
+    plan = plan_of(spark, "graph_jaccard_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
