@@ -176,6 +176,87 @@ def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "next_order")
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join: for each event, the order of the
+    same user closest in time in EITHER direction (ties prefer the
+    earlier/backward match).
+
+    Completes the as-of family (backward `join_asof`, forward
+    `join_asof_forward`, bounded `join_asof_tolerance`) in ONE window
+    sort: both sides union-tagged, a single shuffle on user_id, then a
+    backward ``last(ignorenulls)`` and a forward ``first(ignorenulls)``
+    share the same ordered frame — Spark executes one sort for both
+    frames. Order rows sort before event rows at the same instant, so an
+    exactly-simultaneous order is captured by the backward scan (delta
+    0, which wins every tie) and correctly skipped by the forward scan.
+
+    Scale: identical to the other as-of variants — per-user sequential
+    state, no join blow-up, one shuffle of both inputs."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    synth = (
+        o.select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(
+                F.to_timestamp(
+                    F.date_add(
+                        F.lit("2024-01-01").cast("date"),
+                        (F.col("o_orderkey") % 30).cast("int"),
+                    )
+                )
+            ).alias("us"),
+            "o_orderkey",
+        )
+        .groupBy("user_id", "us")
+        .agg(F.max("o_orderkey").alias("okey"))
+        .select(
+            "user_id",
+            "us",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "okey",
+        )
+    )
+    left = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("okey"),
+    )
+    both = left.unionByName(synth)
+    w = Window.partitionBy("user_id").orderBy("us", "side")
+    bwd = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    order_us = F.when(F.col("okey").isNotNull(), F.col("us"))
+    scanned = both.select(
+        "user_id",
+        "us",
+        "side",
+        "event_id",
+        F.last("okey", ignorenulls=True).over(bwd).alias("b_key"),
+        F.last(order_us, ignorenulls=True).over(bwd).alias("b_us"),
+        F.first("okey", ignorenulls=True).over(fwd).alias("f_key"),
+        F.first(order_us, ignorenulls=True).over(fwd).alias("f_us"),
+    ).where(F.col("side") == 1)
+    d_b = F.col("us") - F.col("b_us")
+    d_f = F.col("f_us") - F.col("us")
+    pick_b = F.col("b_key").isNotNull() & (
+        F.col("f_key").isNull() | (d_b <= d_f)
+    )
+    return scanned.select(
+        "event_id",
+        "user_id",
+        F.when(pick_b, F.col("b_key"))
+        .otherwise(F.col("f_key"))
+        .alias("nearest_order"),
+        F.when(pick_b, F.lit("backward"))
+        .when(F.col("f_key").isNotNull(), F.lit("forward"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("direction"),
+    )
+
+
 def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small cartesian: every region × every order status."""
     r = load_table(spark, sf_dir, "region")
@@ -432,6 +513,7 @@ QUERIES = {
     "join_theta_range": q_join_theta_range,
     "join_asof": q_join_asof,
     "join_asof_forward": q_join_asof_forward,
+    "join_asof_nearest": q_join_asof_nearest,
     "join_asof_tolerance": q_join_asof_tolerance,
     "join_cross": q_join_cross,
     "join_self": q_join_self,
@@ -540,6 +622,38 @@ ORACLES = {
         FROM events e
         ASOF LEFT JOIN synth s
           ON e.user_id = s.user_id AND e.ts <= s.ts
+    """,
+    "join_asof_nearest": """
+        WITH e AS (
+            SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        ),
+        s AS (
+            SELECT o_custkey AS user_id,
+                   epoch_us(CAST(DATE '2024-01-01'
+                                 + CAST(o_orderkey % 30 AS INTEGER) AS TIMESTAMP)) AS us,
+                   MAX(o_orderkey) AS okey
+            FROM orders GROUP BY 1, 2
+        ),
+        b AS (
+            SELECT e.event_id, e.user_id, e.us, s.okey AS b_key, s.us AS b_us
+            FROM e ASOF LEFT JOIN s
+              ON e.user_id = s.user_id AND e.us >= s.us
+        ),
+        f AS (
+            SELECT e.event_id, s.okey AS f_key, s.us AS f_us
+            FROM e ASOF LEFT JOIN s
+              ON e.user_id = s.user_id AND e.us <= s.us
+        )
+        SELECT b.event_id, b.user_id,
+               CASE WHEN b_key IS NOT NULL
+                         AND (f_key IS NULL OR b.us - b_us <= f_us - b.us)
+                    THEN b_key ELSE f_key END AS nearest_order,
+               CASE WHEN b_key IS NOT NULL
+                         AND (f_key IS NULL OR b.us - b_us <= f_us - b.us)
+                    THEN 'backward'
+                    WHEN f_key IS NOT NULL THEN 'forward'
+                    ELSE NULL END AS direction
+        FROM b JOIN f ON b.event_id = f.event_id
     """,
     "join_asof": """
         WITH synth AS (

@@ -302,6 +302,70 @@ def q_ts_seasonal_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily 'view' and 'purchase'
+    value series (lags -3..+3) — the lead/lag-detection primitive of a
+    forecasting pipeline ("do views predict purchases k days later?").
+
+    Daily sums accumulate in exact integer cents on an epoch-day integer
+    key (``unix_micros DIV 86.4e9`` — no timezone semantics at all); each
+    lag is one equi-join of the compact daily frame against itself
+    shifted by the lag, and Pearson r closes from the six exact integer
+    moments in one identical double expression per engine.
+
+    Scale: the fact table shuffles once down to the day domain; the 7
+    lag joins run over that bounded aggregate (days, not rows)."""
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = (
+        e.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            (F.unix_micros("ts") / day_us).cast("long").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("y"),
+        )
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select("day", "x")
+    b = daily.select(F.col("day").alias("day_b"), "y")
+    shifted = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day") + F.col("lag"))
+    )
+    m = shifted.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        r.alias("xcorr"),
+    )
+
+
 #: EWMA smoothing factor and window depth (finite-window approximation)
 _EWMA_ALPHA = 0.3
 _EWMA_DEPTH = 20
@@ -443,6 +507,7 @@ QUERIES = {
     "ts_ewma": q_ts_ewma,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "ts_seasonal_dow": q_ts_seasonal_dow,
+    "ts_cross_correlation": q_ts_cross_correlation,
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
     "ts_rollup_cascade": q_ts_rollup_cascade,
@@ -451,6 +516,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_cross_correlation": """
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day,
+                   SUM(CASE WHEN event_type = 'view'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS x,
+                   SUM(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END)::BIGINT AS y
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY 1
+        ),
+        lags AS (SELECT unnest(range(-3, 4)) AS lag),
+        shifted AS (
+            SELECT l.lag, a.x, b.y
+            FROM daily a
+            CROSS JOIN lags l
+            JOIN daily b ON b.day = a.day + l.lag
+        ),
+        m AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x)::BIGINT AS DOUBLE) AS sx,
+                   CAST(SUM(y)::BIGINT AS DOUBLE) AS sy,
+                   CAST(SUM(x * x)::BIGINT AS DOUBLE) AS sxx,
+                   CAST(SUM(y * y)::BIGINT AS DOUBLE) AS syy,
+                   CAST(SUM(x * y)::BIGINT AS DOUBLE) AS sxy
+            FROM shifted GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS xcorr
+        FROM m
+    """,
     "ts_ewma": _ewma_oracle(),
     "ts_time_weighted_avg": """
         WITH e AS (
