@@ -374,7 +374,33 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate clause: per-status order
+    counts and exact cent sums restricted to disjoint predicates in one
+    pass — the standard one-scan-many-conditions rollup (each FILTER
+    aggregate partial-combines map-side exactly like a CASE-guarded sum,
+    but reads as the SQL standard intends)."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(spark, sf_dir, suffix="_afc", tables=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS n_urgent,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS urgent_cents
+        FROM orders_afc
+        GROUP BY o_orderstatus
+        """
+    )
+
+
 QUERIES = {
+    "agg_filter_clause": q_agg_filter_clause,
     "agg_countif_bool": q_agg_countif_bool,
     "agg_group": q_agg_group,
     "agg_distinct": q_agg_distinct,
@@ -392,6 +418,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "agg_filter_clause": """
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                   AS n_urgent,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+                   AS urgent_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "agg_weighted_median": f"""
         WITH counts AS (
             SELECT l_returnflag,

@@ -366,6 +366,134 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week growth of daily event value per
+    event type — the dashboard staple. Daily sums in exact integer cents
+    on the epoch-day key; DoD/WoW deltas via ``lag`` over the compact
+    (type, day) aggregate; growth ratios close as one double division.
+
+    Scale: one fact shuffle to (type, day); the lag window partitions on
+    event_type over the bounded day domain."""
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / day_us).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    dod = F.lag("c", 1).over(w)
+    wow = F.lag("c", 7).over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        (F.col("c").cast("double") / 100.0).alias("value_sum"),
+        F.when(
+            dod.isNotNull() & (dod != 0),
+            (F.col("c") - dod).cast("double") / F.abs(dod).cast("double"),
+        ).alias("dod_growth"),
+        F.when(
+            wow.isNotNull() & (wow != 0),
+            (F.col("c") - wow).cast("double") / F.abs(wow).cast("double"),
+        ).alias("wow_growth"),
+    )
+
+
+def q_ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter: flag event values deviating from their rolling
+    window median by more than 3 scaled rolling MADs (window = ±5 rows
+    per event type, full windows only). Rolling median and MAD are exact
+    on the integer-cent grid via sorted-array element extraction
+    (``array_sort`` + ``element_at`` over ``collect_list``), so both
+    engines agree bit-for-bit; the 3·1.4826·MAD threshold compares on a
+    micro-scaled integer.
+
+    Scale: one window sort per event type; state per row is the bounded
+    11-element window — the standard distributed rolling-robust filter."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id").rowsBetween(-5, 5)
+    win = F.array_sort(F.collect_list("c").over(w))
+    n = F.size(win)
+    # exact lower median of the 11-element window
+    med = F.element_at(win, ((n + 1) / 2).cast("int"))
+    dev_sorted = F.array_sort(
+        F.expr("transform(win_arr, x -> abs(x - med_v))")
+    )
+    out = (
+        e.withColumn("win_arr", win)
+        .withColumn("n_win", n)
+        .where(F.col("n_win") == 11)
+        .withColumn("med_v", F.element_at("win_arr", 6))
+        .withColumn("mad_v", F.element_at(dev_sorted, 6))
+        .withColumn(
+            "is_outlier",
+            # |x - med| > 3 * 1.4826 * MAD, on a 1e4-scaled integer grid
+            (F.abs(F.col("c") - F.col("med_v")) * 10000)
+            > (F.col("mad_v") * 44478),
+        )
+    )
+    return out.where("is_outlier").select(
+        "event_id",
+        "event_type",
+        (F.col("c").cast("double") / 100.0).alias("value"),
+        (F.col("med_v").cast("double") / 100.0).alias("rolling_median"),
+        (F.col("mad_v").cast("double") / 100.0).alias("rolling_mad"),
+    )
+
+
+def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: cumulative sum of
+    deviations from the series mean over the daily aggregate; the day
+    with the maximum |S| is the level-shift candidate, reported with its
+    micro-scaled CUSUM score. Deviations stay exact: S accumulates
+    cents·n-scaled integers (c·N - total, avoiding any division), so the
+    argmax is engine-stable.
+
+    Scale: one fact shuffle to (type, day); per-type totals broadcast;
+    the cumsum window runs over the bounded day domain."""
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / day_us).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("tc"), F.count(F.lit(1)).alias("nd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # S_i * nd = sum_{j<=i}(c_j * nd - tc): integer-exact CUSUM
+    scaled = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "s_scaled", F.sum(F.col("c") * F.col("nd") - F.col("tc")).over(w)
+        )
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), F.col("day").asc()
+    )
+    return (
+        scaled.withColumn("rk", F.row_number().over(wmax))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            (
+                F.abs(F.col("s_scaled")).cast("double")
+                / F.col("nd").cast("double")
+                / 100.0
+            ).alias("cusum_score"),
+        )
+    )
+
+
 #: EWMA smoothing factor and window depth (finite-window approximation)
 _EWMA_ALPHA = 0.3
 _EWMA_DEPTH = 20
@@ -508,6 +636,9 @@ QUERIES = {
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "ts_seasonal_dow": q_ts_seasonal_dow,
     "ts_cross_correlation": q_ts_cross_correlation,
+    "ts_period_over_period": q_ts_period_over_period,
+    "ts_outlier_hampel": q_ts_outlier_hampel,
+    "ts_changepoint_cusum": q_ts_changepoint_cusum,
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
     "ts_rollup_cascade": q_ts_rollup_cascade,
@@ -516,6 +647,92 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_period_over_period": """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(c AS DOUBLE) / 100.0 AS value_sum,
+               CASE WHEN lag(c, 1) OVER w IS NOT NULL
+                         AND lag(c, 1) OVER w <> 0
+                    THEN CAST(c - lag(c, 1) OVER w AS DOUBLE)
+                         / CAST(abs(lag(c, 1) OVER w) AS DOUBLE)
+               END AS dod_growth,
+               CASE WHEN lag(c, 7) OVER w IS NOT NULL
+                         AND lag(c, 7) OVER w <> 0
+                    THEN CAST(c - lag(c, 7) OVER w AS DOUBLE)
+                         / CAST(abs(lag(c, 7) OVER w) AS DOUBLE)
+               END AS wow_growth
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    "ts_outlier_hampel": """
+        WITH e AS (
+            SELECT event_id, event_type, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        wined AS (
+            SELECT event_id, event_type, c,
+                   list_sort(list(c) OVER (
+                       PARTITION BY event_type ORDER BY us, event_id
+                       ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING
+                   )) AS win_arr
+            FROM e
+        ),
+        full_w AS (
+            SELECT event_id, event_type, c, win_arr,
+                   win_arr[6] AS med_v
+            FROM wined WHERE len(win_arr) = 11
+        ),
+        mads AS (
+            SELECT event_id, event_type, c, med_v,
+                   list_sort(list_transform(win_arr, x -> abs(x - med_v)))[6] AS mad_v
+            FROM full_w
+        )
+        SELECT event_id, event_type,
+               CAST(c AS DOUBLE) / 100.0 AS value,
+               CAST(med_v AS DOUBLE) / 100.0 AS rolling_median,
+               CAST(mad_v AS DOUBLE) / 100.0 AS rolling_mad
+        FROM mads
+        WHERE abs(c - med_v) * 10000 > mad_v * 44478
+    """,
+    "ts_changepoint_cusum": """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, SUM(c)::BIGINT AS tc, COUNT(*)::BIGINT AS nd
+            FROM daily GROUP BY event_type
+        ),
+        scaled AS (
+            SELECT d.event_type, d.day, t.nd,
+                   SUM(d.c * t.nd - t.tc) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s_scaled
+            FROM daily d JOIN tot t ON d.event_type = t.event_type
+        ),
+        ranked AS (
+            SELECT event_type, day, nd, s_scaled,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY abs(s_scaled) DESC, day ASC
+                   ) AS rk
+            FROM scaled
+        )
+        SELECT event_type,
+               CAST(day AS BIGINT) AS changepoint_day,
+               CAST(abs(s_scaled) AS DOUBLE) / CAST(nd AS DOUBLE) / 100.0
+                   AS cusum_score
+        FROM ranked WHERE rk = 1
+    """,
     "ts_cross_correlation": """
         WITH daily AS (
             SELECT epoch_us(ts) // 86400000000 AS day,
