@@ -43,6 +43,7 @@ _CATEGORY_MODULES = (
     "ml_prep",
     "similarity",
     "stattests",
+    "ml_eval",
 )
 
 

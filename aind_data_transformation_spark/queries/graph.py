@@ -27,7 +27,7 @@ against the co-partitioned rank vector).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
 
@@ -480,9 +480,58 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (edges = part pairs
+    sharing >= 2 orders): per-degree node counts plus the cumulative
+    fraction of nodes at-or-below each degree — the first diagnostic of
+    any large graph (skew detection before an iterative algorithm).
+
+    Scale: edges from the basket-bounded self equi-join; per-node degree
+    is one aggregation; the distribution aggregates again to the degree
+    domain, over which the cumulative window runs (bounded by max
+    degree, not node count)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+    )
+    both = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = both.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    dist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    tot = dist.agg(F.sum("n_nodes").alias("n_total"))
+    w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "degree",
+            "n_nodes",
+            (
+                F.sum("n_nodes").over(w).cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("cum_frac"),
+        )
+    )
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_jaccard_neighbors": q_graph_jaccard_neighbors,
+    "graph_degree_distribution": q_graph_degree_distribution,
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_bfs_frontier": q_graph_bfs_frontier,
@@ -490,6 +539,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_degree_distribution": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ), nodes AS (
+            SELECT u AS node FROM edges
+            UNION ALL
+            SELECT v AS node FROM edges
+        ), deg AS (
+            SELECT node, COUNT(*)::BIGINT AS degree FROM nodes GROUP BY node
+        ), dist AS (
+            SELECT degree, COUNT(*)::BIGINT AS n_nodes FROM deg GROUP BY degree
+        ), tot AS (SELECT SUM(n_nodes)::BIGINT AS n_total FROM dist)
+        SELECT degree, n_nodes,
+               CAST(SUM(n_nodes) OVER (ORDER BY degree
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / CAST(n_total AS DOUBLE) AS cum_frac
+        FROM dist, tot
+    """,
     "graph_jaccard_neighbors": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -1,0 +1,312 @@
+"""Model-evaluation and dataset-monitoring operators: confusion-matrix
+metrics for the heuristic language classifier, rank-based AUC for the
+quality scorer, smoothed target encoding, per-dimension embedding drift.
+
+Everything follows the cross-engine doctrine (numeric.py): counts and
+micro-scaled integers accumulate exactly; precision/recall/AUC close with
+one identical double expression per engine.
+
+Scale: evaluation is aggregation — each operator shuffles the fact table
+once down to a class/score/dimension domain and computes metrics over that
+compact frame. This is how model evals run over a 100-TB scored corpus
+without sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.queries.llm_text import (
+    q_text_langid,
+    q_text_quality_score,
+)
+
+
+def q_ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision / recall / F1 of the `text_langid` classifier
+    against the documents' true ``lang`` label (which includes fr/zh the
+    classifier never predicts — realistic open-set conditions).
+
+    tp/fp/fn come from ONE conditional aggregation per predicted class
+    over the (true, predicted) pairs; ratios close in doubles. The
+    confusion source is the langid query itself, so the eval follows the
+    model, not a copy of its logic."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    joined = d.join(pred, "doc_id").select(
+        F.col("lang").alias("t"), F.col("predicted_lang").alias("p")
+    )
+    rows = []
+    for cls in ("en", "es", "de"):
+        c = F.lit(cls)
+        rows.append(
+            joined.agg(
+                c.alias("cls"),
+                F.sum(((F.col("t") == c) & (F.col("p") == c)).cast("long")).alias("tp"),
+                F.sum(((F.col("t") != c) & (F.col("p") == c)).cast("long")).alias("fp"),
+                F.sum(((F.col("t") == c) & (F.col("p") != c)).cast("long")).alias("fn"),
+            )
+        )
+    m = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
+    return m.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (2.0 * prec * rec / (prec + rec)).alias("f1"),
+    )
+
+
+def q_ml_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC of the `text_quality_score` scorer for predicting
+    English documents, via the rank-sum identity AUC = U/(n⁺·n⁻) with
+    average-rank tie handling — no threshold sweep, no sampling.
+
+    Scores discretize to a 1e6 integer grid; the rank accumulation runs
+    over the distinct-score domain (same machinery as
+    `stats_mannwhitney`), so a 100-TB scored corpus reduces to its score
+    histogram in one shuffle before any window."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = q_text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    per = (
+        d.join(scored, "doc_id")
+        .select(
+            F.round(F.col("quality") * 1.0e6).cast("long").alias("s"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("is_pos").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("is_pos")).alias("c0"),
+        )
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ct = F.col("c1") + F.col("c0")
+    rank2 = 2 * F.coalesce(F.sum(ct).over(w), F.lit(0)) + ct + 1
+    agg = per.select((F.col("c1") * rank2).alias("r1_2x"), "c1", "c0").agg(
+        F.sum("r1_2x").alias("r1_2x"),
+        F.sum("c1").alias("n_pos"),
+        F.sum("c0").alias("n_neg"),
+    )
+    u1 = (
+        F.col("r1_2x") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("double") / F.lit(2.0)
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            u1 / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of o_orderpriority by mean order value:
+    enc = (Σcents + m·global_mean) / (n + m) with m=10 — the standard
+    high-cardinality categorical encoder. Category sums and the global
+    mean are exact integer aggregates; the smoothing closes in doubles.
+
+    Scale: two partial-combined aggregations (per-category, global) and
+    a broadcast of the 1-row global mean — no per-row state, applies
+    unchanged to a billion-category key."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc")
+    )
+    g = o.agg(
+        F.count(F.lit(1)).alias("gn"), F.sum(cents).alias("gc")
+    )
+    m = F.lit(10.0)
+    gmean = F.col("gc").cast("double") / F.col("gn").cast("double")
+    enc = (F.col("sc").cast("double") + m * gmean) / (
+        F.col("n").cast("double") + m
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        "n",
+        (enc / 100.0).alias("encoded_value"),
+        (gmean / 100.0).alias("global_mean"),
+    )
+
+
+def q_embed_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution-drift report between two deterministic
+    corpus halves (vec_id parity stands in for reference/production
+    snapshots): mean shift and pooled-variance-normalized shift per
+    dimension. Micro-int sums keep both halves' moments exact; the
+    normalized drift closes in doubles.
+
+    Scale: posexplode + ONE hash aggregation keyed on (dim, half) —
+    partial aggregation collapses each task to 2·dims rows, so the
+    drift report over a 100-TB embedding store shuffles kilobytes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xi = "CAST(round(CAST(x AS DOUBLE) * 1000000.0D) AS BIGINT)"
+    x = e.select(
+        (F.col("vec_id") % 2).cast("long").alias("half"),
+        F.posexplode(F.expr(f"transform(embedding, x -> {xi})")).alias(
+            "dim", "v"
+        ),
+    )
+    agg = x.groupBy(F.col("dim").cast("long").alias("dim"), "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    varp = (
+        F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / nd
+    sides = agg.select("dim", "half", mean.alias("mu"), varp.alias("var"))
+    a = sides.where(F.col("half") == 0).select(
+        "dim", F.col("mu").alias("mu_a"), F.col("var").alias("var_a")
+    )
+    b = sides.where(F.col("half") == 1).select(
+        F.col("dim").alias("dim_b"),
+        F.col("mu").alias("mu_b"),
+        F.col("var").alias("var_b"),
+    )
+    j = a.join(b, F.col("dim") == F.col("dim_b"))
+    shift = F.abs(F.col("mu_a") - F.col("mu_b"))
+    pooled = F.sqrt((F.col("var_a") + F.col("var_b")) / F.lit(2.0))
+    return j.select(
+        "dim",
+        (F.col("mu_a") / 1e6).alias("mean_ref"),
+        (F.col("mu_b") / 1e6).alias("mean_cur"),
+        (shift / 1e6).alias("mean_shift"),
+        (shift / pooled).alias("normalized_shift"),
+    )
+
+
+QUERIES = {
+    "ml_eval_confusion": q_ml_eval_confusion,
+    "ml_auc_roc": q_ml_auc_roc,
+    "ml_target_encoding": q_ml_target_encoding,
+    "embed_drift_report": q_embed_drift_report,
+}
+
+_TOKS = "string_split(text, ' ')"
+
+ORACLES = {
+    "ml_eval_confusion": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_intersect({_TOKS}, ['the','a','fast','small'])) AS BIGINT) AS score_en,
+                   CAST(len(list_intersect({_TOKS}, ['data','table','row','column'])) AS BIGINT) AS score_es,
+                   CAST(len(list_intersect({_TOKS}, ['merge','join','sort','filter'])) AS BIGINT) AS score_de
+            FROM documents
+        ),
+        pairs AS (
+            SELECT lang AS t,
+                   CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                        WHEN score_es >= score_de THEN 'es'
+                        ELSE 'de' END AS p
+            FROM scored
+        ),
+        m AS (
+            SELECT c.cls,
+                   SUM(CASE WHEN t = c.cls AND p = c.cls THEN 1 ELSE 0 END)::BIGINT AS tp,
+                   SUM(CASE WHEN t <> c.cls AND p = c.cls THEN 1 ELSE 0 END)::BIGINT AS fp,
+                   SUM(CASE WHEN t = c.cls AND p <> c.cls THEN 1 ELSE 0 END)::BIGINT AS fn
+            FROM pairs, (SELECT unnest(['en','es','de']) AS cls) c
+            GROUP BY c.cls
+        )
+        SELECT cls, tp, fp, fn,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+               CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+               2.0 * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                   * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                   / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                      + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)) AS f1
+        FROM m
+    """,
+    "ml_auc_roc": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len({_TOKS}) AS DOUBLE) AS n,
+                   CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS nd,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'the')) AS DOUBLE) AS nthe
+            FROM documents
+        ),
+        q AS (
+            SELECT CAST(round((0.4 * least(1.0, n / 50.0) + 0.3 * (nd / n)
+                               + 0.3 * (1.0 - nthe / n)) * 1e6) AS BIGINT) AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+            FROM t
+        ),
+        per AS (
+            SELECT s, SUM(is_pos)::BIGINT AS c1,
+                   (COUNT(*) - SUM(is_pos))::BIGINT AS c0
+            FROM q GROUP BY s
+        ),
+        rk AS (
+            SELECT c1, c0,
+                   2 * COALESCE(SUM(c1 + c0) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     + (c1 + c0) + 1 AS rank2
+            FROM per
+        ),
+        agg AS (
+            SELECT SUM(c1 * rank2)::BIGINT AS r1_2x,
+                   SUM(c1)::BIGINT AS n_pos, SUM(c0)::BIGINT AS n_neg
+            FROM rk
+        )
+        SELECT n_pos, n_neg,
+               (CAST(r1_2x - n_pos * (n_pos + 1) AS DOUBLE) / 2.0)
+                   / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+        FROM agg
+    """,
+    "ml_target_encoding": """
+        WITH per AS (
+            SELECT o_orderpriority, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sc
+            FROM orders GROUP BY o_orderpriority
+        ),
+        g AS (
+            SELECT COUNT(*)::BIGINT AS gn,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS gc
+            FROM orders
+        )
+        SELECT o_orderpriority, n,
+               ((CAST(sc AS DOUBLE) + 10.0 * (CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE)))
+                / (CAST(n AS DOUBLE) + 10.0)) / 100.0 AS encoded_value,
+               (CAST(gc AS DOUBLE) / CAST(gn AS DOUBLE)) / 100.0 AS global_mean
+        FROM per, g
+    """,
+    "embed_drift_report": """
+        WITH x AS (
+            SELECT CAST(vec_id % 2 AS BIGINT) AS half,
+                   unnest(range(len(embedding))) AS dim,
+                   unnest(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS v
+            FROM embeddings
+        ),
+        agg AS (
+            SELECT CAST(dim AS BIGINT) AS dim, half,
+                   COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS s,
+                   SUM(v * v)::BIGINT AS ss
+            FROM x GROUP BY dim, half
+        ),
+        sides AS (
+            SELECT dim, half,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   (CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS var
+            FROM agg
+        )
+        SELECT a.dim,
+               a.mu / 1e6 AS mean_ref,
+               b.mu / 1e6 AS mean_cur,
+               abs(a.mu - b.mu) / 1e6 AS mean_shift,
+               abs(a.mu - b.mu) / sqrt((a.var + b.var) / 2.0)
+                   AS normalized_shift
+        FROM sides a JOIN sides b
+          ON a.dim = b.dim AND a.half = 0 AND b.half = 1
+    """,
+}
