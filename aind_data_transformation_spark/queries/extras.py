@@ -131,7 +131,33 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface: month addition with end-of-month
+    clamping (``add_months``), day offsets, last-day-of-month, quarter
+    truncation, and integer month spans — all pure column expressions in
+    whole-stage codegen, mapped to the equivalent DuckDB interval ops in
+    the oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    fmt = "yyyy-MM-dd"
+    # dates travel as formatted strings (house convention, q_fn_date):
+    # pandas/NumPy widen DATE to midnight timestamps, so raw date columns
+    # can never hash-match across the engine boundary
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, fmt).alias("order_date"),
+        F.date_format(F.add_months(d, 3), fmt).alias("plus_3m"),
+        F.date_format(F.date_add(d, 45), fmt).alias("plus_45d"),
+        F.date_format(F.last_day(d), fmt).alias("month_end"),
+        F.date_format(F.trunc(d, "quarter"), fmt).alias("quarter_start"),
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+        ).cast("long").alias("months_since_1995"),
+    )
+
+
 QUERIES = {
+    "fn_interval_arith": q_fn_interval_arith,
     "fn_url": q_fn_url,
     "fn_trig": q_fn_trig,
     "fn_format": q_fn_format,
@@ -141,6 +167,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_interval_arith": """
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+               strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+                             AS DATE), '%Y-%m-%d') AS plus_3m,
+               strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY
+                             AS DATE), '%Y-%m-%d') AS plus_45d,
+               strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                   AS month_end,
+               strftime(CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))
+                             AS DATE), '%Y-%m-%d') AS quarter_start,
+               CAST((year(o_orderdate) - 1995) * 12
+                    + (month(o_orderdate) - 1) AS BIGINT)
+                   AS months_since_1995
+        FROM orders
+    """,
     "fn_url": """
         WITH t AS (
             SELECT doc_id,

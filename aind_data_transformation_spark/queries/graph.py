@@ -528,10 +528,170 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 3
+LPA_ROUNDS = 3
+
+
+def q_graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round k-core peel (k=2) of the co-purchase graph: each
+    round recomputes degrees on the surviving subgraph and drops nodes
+    below k together with their incident edges. Emits the surviving
+    nodes with their post-peel degree after KCORE_ROUNDS rounds — the
+    standard dense-subgraph extraction / spam-node filter.
+
+    All-integer state; the DuckDB oracle unrolls the identical rounds as
+    chained CTEs. Scale: a round is one degree aggregation plus two
+    semi-joins of the edge list against the surviving-node set — the
+    same Pregel-on-DataFrames shape as BFS/PageRank; edges and per-round
+    survivors stage-materialize because each feeds two plan branches."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    edges = mat(_copurchase_edges(spark, sf_dir), "kcore_edges")
+    for r in range(KCORE_ROUNDS):
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= KCORE_K).select("u")
+        keep = mat(keep, f"kcore_keep_{r}")
+        edges = mat(
+            edges.join(keep, "u", "left_semi").join(
+                keep.select(F.col("u").alias("v")), "v", "left_semi"
+            ),
+            f"kcore_edges_{r}",
+        )
+    return (
+        edges.groupBy(F.col("u").cast("long").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def _k_core_oracle() -> str:
+    rounds = []
+    prev = "e0"
+    for r in range(KCORE_ROUNDS):
+        rounds.append(
+            f"""k{r} AS (
+            SELECT u FROM {prev} GROUP BY u HAVING COUNT(*) >= {KCORE_K}
+        ), e{r + 1} AS (
+            SELECT e.u, e.v FROM {prev} e
+            WHERE e.u IN (SELECT u FROM k{r})
+              AND e.v IN (SELECT u FROM k{r})
+        )"""
+        )
+        prev = f"e{r + 1}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), half AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        ), e0 AS (
+            SELECT u, v FROM half
+            UNION ALL
+            SELECT v AS u, u AS v FROM half
+        ),
+        {chain}
+        SELECT CAST(u AS BIGINT) AS part,
+               CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM {prev}
+        GROUP BY u
+    """
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (community detection) on the
+    co-purchase graph: labels start as node ids; each round every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the smaller label — the deterministic LPA variant. LPA_ROUNDS sync
+    rounds, then (label, community size).
+
+    Integer labels + (count desc, label asc) argmax keep every round
+    engine-exact; the oracle unrolls identical rounds. Scale: a round is
+    edges ⋈ labels (one shuffle) + a two-level aggregation; labels
+    stage-materialize per round (referenced by the next round's join and
+    the final aggregate)."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    edges = mat(_copurchase_edges(spark, sf_dir), "lpa_edges")
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for r in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        labels = mat(
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("u").alias("node"), "label"),
+            f"lpa_round_{r}",
+        )
+    return labels.groupBy(F.col("label").cast("long").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for r in range(LPA_ROUNDS):
+        rounds.append(
+            f"""v{r} AS (
+            SELECT e.u, l.label, COUNT(*) AS cnt
+            FROM edges e JOIN {prev} l ON e.v = l.node
+            GROUP BY e.u, l.label
+        ), l{r + 1} AS (
+            SELECT u AS node, label FROM (
+                SELECT u, label,
+                       row_number() OVER (
+                           PARTITION BY u ORDER BY cnt DESC, label ASC
+                       ) AS rk
+                FROM v{r}
+            ) WHERE rk = 1
+        )"""
+        )
+        prev = f"l{r + 1}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), half AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        ), edges AS (
+            SELECT u, v FROM half
+            UNION ALL
+            SELECT v AS u, u AS v FROM half
+        ), l0 AS (
+            SELECT DISTINCT u AS node, u AS label FROM edges
+        ),
+        {chain}
+        SELECT CAST(label AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM {prev}
+        GROUP BY label
+    """
+
+
 QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "graph_jaccard_neighbors": q_graph_jaccard_neighbors,
     "graph_degree_distribution": q_graph_degree_distribution,
+    "graph_k_core": q_graph_k_core,
+    "graph_label_propagation": q_graph_label_propagation,
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_bfs_frontier": q_graph_bfs_frontier,
@@ -595,6 +755,8 @@ ORACLES = {
         LIMIT 20
     """,
     "graph_pagerank": _pagerank_oracle(),
+    "graph_k_core": _k_core_oracle(),
+    "graph_label_propagation": _lpa_oracle(),
     "graph_bfs_frontier": _bfs_oracle(),
     "basket_assoc_rules": """
         WITH items AS (

@@ -184,16 +184,102 @@ def q_embed_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the order-value distributions
+    of two deterministic population halves (orderkey parity stands in
+    for reference vs production scoring windows): 20 fixed-width bins on
+    the cent grid, Laplace-smoothed shares, PSI = Σ(p-q)·ln(p/q).
+
+    Each bin's PSI term is nano-scaled to BIGINT before the final sum
+    (order-independent); shares close in identical double trees. PSI
+    < 0.1 is the conventional "stable" threshold — emitted alongside the
+    statistic. Scale: one fact shuffle to (bin, half); the PSI closes
+    over 20 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    binned = o.select(
+        F.least(F.lit(19), (cents / F.lit(3000000)).cast("long")).alias("bin"),
+        (F.col("o_orderkey") % 2).cast("long").alias("half"),
+    )
+    counts = binned.groupBy("bin", "half").agg(F.count(F.lit(1)).alias("n"))
+    a = counts.where(F.col("half") == 0).select("bin", F.col("n").alias("na"))
+    b = counts.where(F.col("half") == 1).select(
+        F.col("bin").alias("bin_b"), F.col("n").alias("nb")
+    )
+    bins = spark.range(0, 20).select(F.col("id").cast("long").alias("bin"))
+    tot = counts.groupBy().agg(
+        F.sum(F.when(F.col("half") == 0, F.col("n")).otherwise(0)).alias("ta"),
+        F.sum(F.when(F.col("half") == 1, F.col("n")).otherwise(0)).alias("tb"),
+    )
+    j = (
+        bins.join(a, "bin", "left")
+        .join(b, F.col("bin") == F.col("bin_b"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            "ta",
+            "tb",
+        )
+    )
+    p = (F.col("na") + 1).cast("double") / (F.col("ta") + 20).cast("double")
+    q = (F.col("nb") + 1).cast("double") / (F.col("tb") + 20).cast("double")
+    term_nano = F.round((p - q) * F.log(p / q) * F.lit(1.0e9)).cast("long")
+    agg = j.select(term_nano.alias("t")).agg(F.sum("t").alias("psi_nano"))
+    return agg.select(
+        (F.col("psi_nano").cast("double") / 1.0e9).alias("psi"),
+        (F.col("psi_nano") < F.lit(100000000)).alias("is_stable"),
+    )
+
+
 QUERIES = {
     "ml_eval_confusion": q_ml_eval_confusion,
     "ml_auc_roc": q_ml_auc_roc,
     "ml_target_encoding": q_ml_target_encoding,
     "embed_drift_report": q_embed_drift_report,
+    "ml_psi_drift": q_ml_psi_drift,
 }
 
 _TOKS = "string_split(text, ' ')"
 
 ORACLES = {
+    "ml_psi_drift": """
+        WITH binned AS (
+            SELECT least(19, CAST(round(o_totalprice * 100) AS BIGINT) // 3000000) AS bin,
+                   CAST(o_orderkey % 2 AS BIGINT) AS half
+            FROM orders
+        ),
+        counts AS (
+            SELECT bin, half, COUNT(*)::BIGINT AS n FROM binned GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT SUM(CASE WHEN half = 0 THEN n ELSE 0 END)::BIGINT AS ta,
+                   SUM(CASE WHEN half = 1 THEN n ELSE 0 END)::BIGINT AS tb
+            FROM counts
+        ),
+        bins AS (SELECT unnest(range(0, 20)) AS bin),
+        j AS (
+            SELECT b.bin,
+                   COALESCE(a.n, 0) AS na, COALESCE(c.n, 0) AS nb, ta, tb
+            FROM bins b
+            LEFT JOIN counts a ON a.bin = b.bin AND a.half = 0
+            LEFT JOIN counts c ON c.bin = b.bin AND c.half = 1
+            CROSS JOIN tot
+        ),
+        terms AS (
+            SELECT CAST(round(
+                (CAST(na + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE)
+                 - CAST(nb + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE))
+                * ln((CAST(na + 1 AS DOUBLE) / CAST(ta + 20 AS DOUBLE))
+                     / (CAST(nb + 1 AS DOUBLE) / CAST(tb + 20 AS DOUBLE)))
+                * 1e9) AS BIGINT) AS t
+            FROM j
+        )
+        SELECT CAST(SUM(t)::BIGINT AS DOUBLE) / 1e9 AS psi,
+               SUM(t)::BIGINT < 100000000 AS is_stable
+        FROM terms
+    """,
     "ml_eval_confusion": f"""
         WITH scored AS (
             SELECT doc_id, lang,

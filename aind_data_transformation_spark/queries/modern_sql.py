@@ -342,7 +342,48 @@ def q_sql_exec_immediate_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI three-valued-logic IN / NOT IN subquery semantics, the
+    classic correctness trap: when the subquery list contains a NULL,
+    ``NOT IN`` returns UNKNOWN for every non-matching row (zero rows),
+    while ``NOT EXISTS`` keeps its two-valued behavior. One row of four
+    counts proves the engine implements the standard, not the intuitive
+    reading — on both engines identically.
+
+    Scale: Catalyst plans IN-subqueries as semi/anti joins (null-aware
+    anti join for NOT IN) — set-membership at fact scale is a join, not
+    a broadcast list."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(
+        spark, sf_dir, suffix="_ins", tables=("orders", "customer")
+    )
+    return spark.sql(
+        """
+        SELECT
+            (SELECT COUNT(*) FROM orders_ins
+             WHERE o_custkey IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                                             ELSE c_custkey END
+                                 FROM customer_ins)) AS n_in_with_nulls,
+            (SELECT COUNT(*) FROM orders_ins
+             WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                                                 ELSE c_custkey END
+                                     FROM customer_ins)) AS n_not_in_with_nulls,
+            (SELECT COUNT(*) FROM orders_ins o
+             WHERE EXISTS (SELECT 1 FROM customer_ins c
+                           WHERE c.c_acctbal >= 0
+                             AND c.c_custkey = o.o_custkey)) AS n_exists,
+            (SELECT COUNT(*) FROM orders_ins o
+             WHERE NOT EXISTS (SELECT 1 FROM customer_ins c
+                               WHERE c.c_acctbal >= 0
+                                 AND c.c_custkey = o.o_custkey))
+                AS n_not_exists
+        """
+    )
+
+
 QUERIES = {
+    "sql_in_subquery": q_sql_in_subquery,
     "sql_exec_immediate_vars": q_sql_exec_immediate_vars,
     "sql_pipe_syntax": q_sql_pipe_syntax,
     "sql_hint_rebalance": q_sql_hint_rebalance,
@@ -360,6 +401,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_in_subquery": """
+        SELECT
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                                             ELSE c_custkey END
+                                 FROM customer)) AS n_in_with_nulls,
+            (SELECT COUNT(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                                                 ELSE c_custkey END
+                                     FROM customer)) AS n_not_in_with_nulls,
+            (SELECT COUNT(*) FROM orders o
+             WHERE EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_acctbal >= 0
+                             AND c.c_custkey = o.o_custkey)) AS n_exists,
+            (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_acctbal >= 0
+                                 AND c.c_custkey = o.o_custkey))
+                AS n_not_exists
+    """,
     "sql_exec_immediate_vars": """
         SELECT o_orderstatus, count(*) AS n_orders,
                sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
