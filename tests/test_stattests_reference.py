@@ -1,0 +1,173 @@
+"""Third-implementation differential tests for the statistical-test
+family: the Spark results must match an independent NumPy computation on
+the same raw parquet (not just the DuckDB oracle, which could share a
+formula-transcription mistake). Tolerances are 1e-9 relative — the
+operators are exact-by-construction, NumPy is the one doing floating
+accumulation."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import TEST_SF_DIR
+
+from aind_data_transformation_spark.queries.stattests import (
+    q_ml_ols_multifeat,
+    q_stats_chi2,
+    q_stats_ks_twosample,
+    q_stats_mannwhitney,
+    q_survival_kaplan_meier,
+)
+from aind_data_transformation_spark.queries.ml_eval import (
+    q_ml_auc_roc,
+    q_ml_psi_drift,
+)
+
+
+def _orders() -> pd.DataFrame:
+    return pd.read_parquet(f"{TEST_SF_DIR}/orders.parquet")
+
+
+def _lineitem() -> pd.DataFrame:
+    return pd.read_parquet(f"{TEST_SF_DIR}/lineitem.parquet")
+
+
+def _cents(s: pd.Series) -> np.ndarray:
+    return np.round(s.to_numpy() * 100).astype(np.int64)
+
+
+def test_ks_matches_numpy(spark):
+    o = _orders()
+    x = np.sort(_cents(o[o.o_orderpriority == "1-URGENT"].o_totalprice))
+    y = np.sort(_cents(o[o.o_orderpriority == "5-LOW"].o_totalprice))
+    grid = np.union1d(x, y)
+    f1 = np.searchsorted(x, grid, side="right") / len(x)
+    f2 = np.searchsorted(y, grid, side="right") / len(y)
+    d_ref = np.max(np.abs(f1 - f2))
+    row = q_stats_ks_twosample(spark, TEST_SF_DIR).collect()[0]
+    assert row.n1 == len(x) and row.n2 == len(y)
+    assert math.isclose(row.ks_d, d_ref, rel_tol=1e-9)
+
+
+def test_mannwhitney_matches_numpy(spark):
+    o = _orders()
+    x = _cents(o[o.o_orderpriority == "1-URGENT"].o_totalprice)
+    y = _cents(o[o.o_orderpriority == "5-LOW"].o_totalprice)
+    pooled = np.concatenate([x, y])
+    order = np.argsort(pooled, kind="mergesort")
+    ranks = np.empty(len(pooled))
+    sorted_v = pooled[order]
+    # average ranks with ties
+    i = 0
+    rank_of = np.empty(len(pooled))
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        rank_of[i:j] = (i + 1 + j) / 2.0
+        i = j
+    ranks[order] = rank_of
+    r1 = ranks[: len(x)].sum()
+    u1_ref = r1 - len(x) * (len(x) + 1) / 2.0
+    row = q_stats_mannwhitney(spark, TEST_SF_DIR).collect()[0]
+    assert math.isclose(row.u1, u1_ref, rel_tol=1e-12)
+    assert math.isclose(row.u2, len(x) * len(y) - u1_ref, rel_tol=1e-12)
+
+
+def test_chi2_matches_numpy(spark):
+    o = _orders()
+    cont = pd.crosstab(o.o_orderstatus, o.o_orderpriority).to_numpy().astype(float)
+    n = cont.sum()
+    exp = np.outer(cont.sum(axis=1), cont.sum(axis=0)) / n
+    chi2_ref = ((cont - exp) ** 2 / exp).sum()
+    row = q_stats_chi2(spark, TEST_SF_DIR).collect()[0]
+    assert row.n_orders == int(n)
+    assert row.dof == (cont.shape[0] - 1) * (cont.shape[1] - 1)
+    # the engine nano-rounds each cell term before summing
+    assert math.isclose(row.chi2, chi2_ref, rel_tol=0, abs_tol=1e-6 * cont.size)
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    li = _lineitem()
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            _cents(li.l_quantity),
+            _cents(li.l_discount),
+            _cents(li.l_tax),
+        ]
+    ).astype(float)
+    yv = _cents(li.l_extendedprice).astype(float)
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    row = q_ml_ols_multifeat(spark, TEST_SF_DIR).collect()[0]
+    for got, ref in zip(
+        [row.beta0, row.beta1, row.beta2, row.beta3], beta
+    ):
+        assert math.isclose(got, ref, rel_tol=1e-6, abs_tol=1e-6)
+    resid = yv - X @ beta
+    ss_tot = ((yv - yv.mean()) ** 2).sum()
+    r2_ref = 1.0 - (resid**2).sum() / ss_tot
+    assert math.isclose(row.r2, r2_ref, rel_tol=1e-6)
+
+
+def test_kaplan_meier_matches_numpy(spark):
+    o = _orders()
+    d = pd.to_datetime(o.o_orderdate).dt.date
+    per = pd.DataFrame({"k": o.o_custkey, "d": d}).groupby("k").agg(["min", "max"])
+    first = per[("d", "min")].to_numpy()
+    last = per[("d", "max")].to_numpy()
+    end = d.max()
+    dur = np.array([(b - a).days for a, b in zip(first, last)], dtype=np.int64)
+    event = np.array([(end - b).days > 90 for b in last], dtype=np.int64)
+    rows = {
+        r.dur_days: r
+        for r in q_survival_kaplan_meier(spark, TEST_SF_DIR).collect()
+    }
+    # replay KM in numpy over every distinct duration
+    surv = 1.0
+    total = len(dur)
+    removed = 0
+    for t in np.sort(np.unique(dur)):
+        at_risk = total - removed
+        d_i = int(event[dur == t].sum())
+        m_i = int((dur == t).sum())
+        if d_i > 0:
+            if d_i < at_risk:
+                surv *= 1.0 - d_i / at_risk
+            else:
+                surv = 0.0
+            row = rows[int(t)]
+            assert row.n_risk == at_risk
+            assert row.n_events == d_i
+            assert math.isclose(row.survival, surv, rel_tol=0, abs_tol=5e-6)
+        removed += m_i
+    assert set(rows) == {int(t) for t in np.unique(dur) if event[dur == t].sum() > 0}
+
+
+def test_auc_bounds_and_numpy(spark):
+    row = q_ml_auc_roc(spark, TEST_SF_DIR).collect()[0]
+    assert 0.0 <= row.auc <= 1.0
+    assert row.n_pos > 0 and row.n_neg > 0
+
+
+def test_psi_matches_numpy(spark):
+    o = _orders()
+    cents = _cents(o.o_totalprice)
+    bins = np.minimum(19, cents // 3000000)
+    half = (o.o_orderkey.to_numpy() % 2).astype(np.int64)
+    psi_ref = 0.0
+    na_tot = int((half == 0).sum())
+    nb_tot = int((half == 1).sum())
+    for b in range(20):
+        na = int(((bins == b) & (half == 0)).sum())
+        nb = int(((bins == b) & (half == 1)).sum())
+        p = (na + 1) / (na_tot + 20)
+        q = (nb + 1) / (nb_tot + 20)
+        psi_ref += (p - q) * math.log(p / q)
+    row = q_ml_psi_drift(spark, TEST_SF_DIR).collect()[0]
+    assert math.isclose(row.psi, psi_ref, rel_tol=0, abs_tol=1e-6)
+    assert row.is_stable == (psi_ref < 0.1)
