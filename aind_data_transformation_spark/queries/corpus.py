@@ -334,7 +334,90 @@ def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for incremental corpus ingest: the
+    already-ingested half of the corpus (even doc_id) builds a 4096-bit
+    / 3-hash Bloom bitmap over content digests; the incoming half probes
+    it. Docs with any unset bit are DEFINITELY new and skip the exact
+    check entirely; "maybe-dup" docs are verified against the exact
+    digest set to count true dups vs Bloom false positives — the row
+    that tells you whether the filter is sized right.
+
+    Determinism: positions derive from disjoint md5 substrings (the
+    engine's portable hash discipline); the bitmap packs 32 bits per
+    BIGINT word (sign-safe in both engines) via ``bit_or`` aggregation —
+    a mergeable integer aggregate, so the filter builds map-side like
+    any sum. Scale: the bitmap is O(filter bits) regardless of corpus
+    size and broadcasts to the probe side; only the maybe-dup fraction
+    ever reaches the exact (shuffle) check. That cost model — broadcast
+    sketch probe gating an exact join — is the point of the operator."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dig")
+    )
+    seen = d.where(F.col("doc_id") % 2 == 0)
+    incoming = d.where(F.col("doc_id") % 2 == 1)
+
+    def positions(frame):
+        rows = []
+        for r in range(3):
+            pos = F.pmod(
+                F.conv(F.substring("dig", 1 + 7 * r, 7), 16, 10).cast("long"),
+                F.lit(4096),
+            )
+            rows.append(
+                frame.select(
+                    "doc_id",
+                    "dig",
+                    (pos / 32).cast("long").alias("word"),
+                    F.pmod(pos, F.lit(32)).cast("int").alias("bit"),
+                )
+            )
+        return rows[0].unionAll(rows[1]).unionAll(rows[2])
+
+    bitmap = (
+        positions(seen)
+        .groupBy("word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("wv"))
+    )
+    probed = (
+        positions(incoming)
+        .join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "doc_id",
+            "dig",
+            (
+                F.coalesce(
+                    F.col("wv").bitwiseAND(F.expr("shiftleft(1L, bit)")),
+                    F.lit(0),
+                )
+                != 0
+            ).alias("hit"),
+        )
+        .groupBy("doc_id", "dig")
+        .agg(F.bool_and("hit").alias("maybe_dup"))
+    )
+    truth = probed.join(
+        seen.select(F.col("dig").alias("dig_s")).distinct(),
+        F.col("dig") == F.col("dig_s"),
+        "left",
+    ).select(
+        "doc_id",
+        "maybe_dup",
+        F.col("dig_s").isNotNull().alias("is_true_dup"),
+    )
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.col("maybe_dup").cast("long")).alias("n_maybe_dup"),
+        F.sum((~F.col("maybe_dup")).cast("long")).alias("n_definitely_new"),
+        F.sum(F.col("is_true_dup").cast("long")).alias("n_true_dup"),
+        F.sum(
+            (F.col("maybe_dup") & ~F.col("is_true_dup")).cast("long")
+        ).alias("n_false_positive"),
+    )
+
+
 QUERIES = {
+    "corpus_bloom_dedup": q_corpus_bloom_dedup,
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "epoch_shuffle_plan": q_epoch_shuffle_plan,
     "sample_class_balance": q_sample_class_balance,
@@ -348,6 +431,56 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_bloom_dedup": """
+        WITH d AS (
+            SELECT doc_id, md5(text) AS dig FROM documents
+        ),
+        seen AS (SELECT doc_id, dig FROM d WHERE doc_id % 2 = 0),
+        incoming AS (SELECT doc_id, dig FROM d WHERE doc_id % 2 = 1),
+        hashes AS (SELECT unnest([0, 1, 2]) AS r),
+        seen_pos AS (
+            SELECT CAST(CAST('0x' || substr(dig, 1 + 7 * h.r, 7) AS BIGINT)
+                        % 4096 AS BIGINT) AS pos
+            FROM seen, hashes h
+        ),
+        bitmap AS (
+            SELECT pos // 32 AS word,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER))
+                       AS wv
+            FROM seen_pos GROUP BY pos // 32
+        ),
+        probe AS (
+            SELECT i.doc_id, i.dig,
+                   CAST(CAST('0x' || substr(i.dig, 1 + 7 * h.r, 7) AS BIGINT)
+                        % 4096 AS BIGINT) AS pos
+            FROM incoming i, hashes h
+        ),
+        probed AS (
+            SELECT p.doc_id, p.dig,
+                   bool_and(COALESCE(
+                       b.wv & (CAST(1 AS BIGINT)
+                               << CAST(p.pos % 32 AS INTEGER)), 0) <> 0)
+                       AS maybe_dup
+            FROM probe p LEFT JOIN bitmap b ON b.word = p.pos // 32
+            GROUP BY p.doc_id, p.dig
+        ),
+        truth AS (
+            SELECT pr.doc_id, pr.maybe_dup,
+                   EXISTS (SELECT 1 FROM seen s WHERE s.dig = pr.dig)
+                       AS is_true_dup
+            FROM probed pr
+        )
+        SELECT COUNT(*)::BIGINT AS n_incoming,
+               SUM(CASE WHEN maybe_dup THEN 1 ELSE 0 END)::BIGINT
+                   AS n_maybe_dup,
+               SUM(CASE WHEN maybe_dup THEN 0 ELSE 1 END)::BIGINT
+                   AS n_definitely_new,
+               SUM(CASE WHEN is_true_dup THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true_dup,
+               SUM(CASE WHEN maybe_dup AND NOT is_true_dup THEN 1 ELSE 0 END)::BIGINT
+                   AS n_false_positive
+        FROM truth
+    """,
     "epoch_shuffle_plan": """
         WITH ex AS (
             SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents

@@ -698,6 +698,77 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRIPLET_ANCHORS = 20
+
+
+def q_train_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet construction: for each anchor vector
+    (vec_id < 20), the most-similar SAME-label vector as the positive
+    and the most-similar DIFFERENT-label vector as the hard negative —
+    the standard hard-negative mining step before contrastive /
+    metric-learning fine-tuning.
+
+    Same execution shape as `sim_search_topk` (anchors broadcast against
+    one corpus scan, cosine on a 1e-9 rounding grid, argmax via
+    row_number with id tiebreak); at full scale the anchor set is the
+    training batch and the corpus scan is the candidate pool — mine
+    positives/negatives per batch with ANN pre-bucketing upstream."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    corpus = em.select("vec_id", "label", "emb", norm.alias("nrm"))
+    anchors = corpus.where(F.col("vec_id") < _TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    ).select(
+        "anchor_id",
+        "a_label",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.round(
+            _dot(F.col("emb"), F.col("a_emb"))
+            / (F.col("nrm") * F.col("a_nrm")),
+            9,
+        ).alias("cos_r9"),
+    )
+    w = Window.partitionBy("anchor_id", "is_pos").orderBy(
+        F.col("cos_r9").desc(), F.col("cand_id").asc()
+    )
+    ranked = (
+        scored.withColumn(
+            "is_pos", (F.col("c_label") == F.col("a_label")).cast("int")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    pos = ranked.where(F.col("is_pos") == 1).select(
+        "anchor_id",
+        F.col("cand_id").alias("positive_id"),
+        F.col("cos_r9").alias("pos_cos"),
+    )
+    neg = ranked.where(F.col("is_pos") == 0).select(
+        F.col("anchor_id").alias("anchor_id_n"),
+        F.col("cand_id").alias("negative_id"),
+        F.col("cos_r9").alias("neg_cos"),
+    )
+    return pos.join(
+        neg, F.col("anchor_id") == F.col("anchor_id_n")
+    ).select(
+        "anchor_id",
+        "positive_id",
+        "pos_cos",
+        "negative_id",
+        "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+    )
+
+
 QUERIES = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "embed_kmeans_lloyd": q_embed_kmeans_lloyd,
@@ -712,6 +783,7 @@ QUERIES = {
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_arrow": q_multimodal_decode_arrow,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "train_triplet_mining": q_train_triplet_mining,
 }
 
 _DOT_DUCK = (
@@ -889,6 +961,37 @@ _HYBRID_RRF_SQL = f"""
 """
 
 ORACLES = {
+    "train_triplet_mining": f"""
+        WITH corpus AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), anchors AS (
+            SELECT vec_id AS anchor_id, label AS a_label,
+                   embedding AS a_emb, nrm AS a_nrm
+            FROM corpus WHERE vec_id < {_TRIPLET_ANCHORS}
+        ), scored AS (
+            SELECT a.anchor_id, a.a_label, c.vec_id AS cand_id,
+                   CASE WHEN c.label = a.a_label THEN 1 ELSE 0 END AS is_pos,
+                   round({_dot_duck('c.embedding', 'a.a_emb')}
+                         / (c.nrm * a.a_nrm), 9) AS cos_r9
+            FROM corpus c CROSS JOIN anchors a
+            WHERE c.vec_id != a.anchor_id
+        ), ranked AS (
+            SELECT anchor_id, cand_id, is_pos, cos_r9,
+                   row_number() OVER (PARTITION BY anchor_id, is_pos
+                        ORDER BY cos_r9 DESC, cand_id ASC) AS rk
+            FROM scored
+        )
+        SELECT p.anchor_id,
+               p.cand_id AS positive_id, p.cos_r9 AS pos_cos,
+               n.cand_id AS negative_id, n.cos_r9 AS neg_cos,
+               p.cos_r9 - n.cos_r9 AS margin
+        FROM ranked p JOIN ranked n
+          ON p.anchor_id = n.anchor_id
+         AND p.is_pos = 1 AND n.is_pos = 0
+         AND p.rk = 1 AND n.rk = 1
+    """,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "ann_pq_topk": _pq_oracle(),
     "ann_lsh_topk": _ANN_LSH_SQL,
