@@ -751,3 +751,37 @@ def test_jaccard_neighbors_no_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_triplet_mining_broadcasts_anchors(spark):
+    """Hard-negative mining scans the corpus once against broadcast
+    anchors — shuffling the corpus against 20 anchor rows would be the
+    wrong plan at any scale."""
+    plan = plan_of(spark, "train_triplet_mining")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_dedup_broadcasts_bitmap(spark):
+    """The Bloom probe joins incoming docs to the 128-word bitmap — the
+    bitmap side must broadcast; the exact verify join is the only
+    shuffle allowed on the digest key."""
+    plan = plan_of(spark, "corpus_bloom_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_closes_over_bins_no_window(spark):
+    """PSI is aggregation all the way down: bins -> counts -> one
+    closing sum. No window function should appear."""
+    plan = plan_of(spark, "ml_psi_drift")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_auc_rank_window_over_score_domain(spark):
+    """The AUC rank accumulation must run over the distinct-score
+    aggregate, not raw documents."""
+    plan = plan_of(spark, "ml_auc_roc")
+    before_window = plan.split("Window", 1)[0]
+    assert "HashAggregate" in before_window
