@@ -225,6 +225,35 @@ def q_stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 6-hour tumbling window by count (ties by
+    type name) — the "trending topics" streaming staple. Batch form is
+    window-agg + row_number; the streaming form
+    (streaming/jobs.py:windowed_topk_foreach_batch) computes the same
+    window aggregate under a watermark and ranks inside ``foreachBatch``
+    — ranking is not an incremental aggregate, so the standard pattern
+    is agg-in-stream, rank-at-sink. One shuffle on (window, type); the
+    rank window runs per emitted window, bounded by the type domain."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "6 hours")
+    counts = (
+        e.groupBy(w, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    rankw = Window.partitionBy("win_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(rankw).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
 QUERIES = {
     "stream_tws_totals": q_stream_tws_totals,
     "stream_static_join": q_stream_static_join,
@@ -235,9 +264,24 @@ QUERIES = {
     "stream_dedup": q_stream_dedup,
     "stream_late_data": q_stream_late_data,
     "stream_stateful": q_stream_stateful,
+    "stream_topk_window": q_stream_topk_window,
 }
 
 ORACLES = {
+    "stream_topk_window": """
+        WITH counts AS (
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,
+                   event_type,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT win_start, event_type, n_events,
+               CAST(row_number() OVER (PARTITION BY win_start
+                    ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rnk
+        FROM counts
+        QUALIFY rnk <= 3
+    """,
     "stream_tws_totals": """
         SELECT user_id,
                COUNT(*) AS n_events,

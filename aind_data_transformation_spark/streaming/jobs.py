@@ -311,6 +311,56 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def windowed_topk_foreach_batch(
+    events: DataFrame, out: list, k: int = 3
+) -> "object":
+    """Streaming twin of q_stream_topk_window: the per-window type counts
+    aggregate incrementally under the watermark (complete mode keeps all
+    windows addressable for ranking); ``foreachBatch`` ranks each
+    emitted snapshot and appends the top-k rows per window to ``out``.
+
+    Ranking (row_number) is not an incremental aggregate — the standard
+    streaming pattern is aggregate-in-stream, rank-at-sink, which this
+    implements. Returns the started query; callers await termination."""
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def rank_batch(batch_df: DataFrame, batch_id: int) -> None:
+        w = W.partitionBy("win_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+        rows = (
+            batch_df.withColumn(
+                "rnk", F.row_number().over(w).cast("bigint")
+            )
+            .where(F.col("rnk") <= k)
+            .collect()
+        )
+        out.clear()
+        out.extend(rows)
+
+    ckpt = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_ckpt_"), "topk"
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(df: DataFrame, *, mode: str) -> list:
     """Drain a stream built on a bounded source with AvailableNow into a
     memory sink; returns the collected rows. Test/dev helper — production

@@ -258,3 +258,30 @@ def test_incremental_corpus_ingest_dedups_across_batches(spark, tmp_path):
     assert got.select("text_sha").distinct().count() == 80
     drain()  # restart: no-op
     assert spark.read.parquet(corpus).count() == 80
+
+
+def test_windowed_topk_stream_matches_batch(spark):
+    """The foreachBatch-ranked streaming top-k must equal the batch twin
+    exactly once the bounded source drains."""
+    from aind_data_transformation_spark.queries.streaming_batch import (
+        q_stream_topk_window,
+    )
+    from aind_data_transformation_spark.streaming.jobs import (
+        read_events_stream,
+        windowed_topk_foreach_batch,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    out: list = []
+    q = windowed_topk_foreach_batch(
+        read_events_stream(spark, TEST_SF_DIR), out
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.win_start, r.event_type, r.n_events, r.rnk) for r in out
+    )
+    want = sorted(
+        (r.win_start, r.event_type, r.n_events, r.rnk)
+        for r in q_stream_topk_window(spark, TEST_SF_DIR).collect()
+    )
+    assert got == want
