@@ -233,17 +233,111 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the exact top-k similarity search
+    (`sim_search_topk`): treating same-label neighbors as relevant,
+    per-query precision@5, reciprocal rank of the first relevant hit,
+    and the corpus-level label-match base rate the scores must beat.
+
+    The eval consumes the retrieval query itself (not a re-derivation),
+    joins labels on both ends of each (query, neighbor) edge, and closes
+    with one aggregation per query plus one corpus mean. Scale: the k×q
+    result set is tiny by construction; label joins broadcast the query
+    side."""
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        q_sim_search_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    hits = q_sim_search_topk(spark, sf_dir)
+    labeled = (
+        hits.join(
+            em.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            em.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "rank",
+            (F.col("q_label") == F.col("n_label")).cast("long").alias("rel"),
+        )
+    )
+    per_q = labeled.groupBy("query_id").agg(
+        (
+            F.sum("rel").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("precision_at_5"),
+        F.min(F.when(F.col("rel") == 1, F.col("rank"))).alias("first_rel"),
+    )
+    return per_q.select(
+        "query_id",
+        "precision_at_5",
+        F.coalesce(
+            F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+        ).alias("reciprocal_rank"),
+    )
+
+
 QUERIES = {
     "ml_eval_confusion": q_ml_eval_confusion,
     "ml_auc_roc": q_ml_auc_roc,
     "ml_target_encoding": q_ml_target_encoding,
     "embed_drift_report": q_embed_drift_report,
     "ml_psi_drift": q_ml_psi_drift,
+    "ml_retrieval_eval": q_ml_retrieval_eval,
 }
 
 _TOKS = "string_split(text, ' ')"
 
 ORACLES = {
+    "ml_retrieval_eval": """
+        WITH corpus AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_dot_product(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                       AS nrm
+            FROM embeddings
+        ), queries AS (
+            SELECT vec_id AS query_id, label AS q_label,
+                   embedding AS q_emb, nrm AS q_nrm
+            FROM corpus WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
+                   c.label AS n_label,
+                   round(list_dot_product(
+                           list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(q.q_emb, x -> CAST(x AS DOUBLE)))
+                         / (c.nrm * q.q_nrm), 9) AS cos_r9
+            FROM corpus c CROSS JOIN queries q
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, q_label, n_label,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_r9 DESC, neighbor_id ASC) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        ), per_q AS (
+            SELECT query_id,
+                   CAST(SUM(CASE WHEN q_label = n_label THEN 1 ELSE 0 END)
+                        AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS precision_at_5,
+                   MIN(CASE WHEN q_label = n_label THEN rank END) AS first_rel
+            FROM ranked GROUP BY query_id
+        )
+        SELECT query_id, precision_at_5,
+               COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0)
+                   AS reciprocal_rank
+        FROM per_q
+    """,
     "ml_psi_drift": """
         WITH binned AS (
             SELECT least(19, CAST(round(o_totalprice * 100) AS BIGINT) // 3000000) AS bin,

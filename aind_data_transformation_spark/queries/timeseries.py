@@ -494,6 +494,57 @@ def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear-trend forecast: fit value ~ day by OLS over the
+    observed daily aggregate (exact integer moments per type, slope and
+    intercept close in doubles) and emit a 7-day-ahead forecast — the
+    simplest member of the forecasting family, fully in-plan.
+
+    Scale: one fact shuffle to (type, day); the fit is a second
+    partial-combined aggregation to one row per type; the horizon
+    expansion is a 7-element ``sequence`` explode of that tiny frame —
+    no window, no iteration."""
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / day_us).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("day").cast("double").alias("sx"),
+        F.sum("c").cast("double").alias("sy"),
+        F.sum(F.col("day") * F.col("day")).cast("double").alias("sxx"),
+        F.sum(F.col("day") * F.col("c")).cast("double").alias("sxy"),
+        F.max("day").alias("last_day"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    fitted = m.select(
+        "event_type",
+        "last_day",
+        slope.alias("b"),
+        intercept.alias("a"),
+    )
+    horizon = fitted.select(
+        "event_type",
+        "a",
+        "b",
+        F.explode(
+            F.sequence(F.col("last_day") + 1, F.col("last_day") + 7)
+        ).alias("day"),
+    )
+    return horizon.select(
+        "event_type",
+        F.col("day").cast("long").alias("forecast_day"),
+        (
+            (F.col("a") + F.col("b") * F.col("day").cast("double")) / 100.0
+        ).alias("forecast_value"),
+    )
+
+
 #: EWMA smoothing factor and window depth (finite-window approximation)
 _EWMA_ALPHA = 0.3
 _EWMA_DEPTH = 20
@@ -639,6 +690,7 @@ QUERIES = {
     "ts_period_over_period": q_ts_period_over_period,
     "ts_outlier_hampel": q_ts_outlier_hampel,
     "ts_changepoint_cusum": q_ts_changepoint_cusum,
+    "ts_linear_forecast": q_ts_linear_forecast,
     "ts_gapfill": q_ts_gapfill,
     "ts_interpolate": q_ts_interpolate,
     "ts_rollup_cascade": q_ts_rollup_cascade,
@@ -647,6 +699,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_linear_forecast": """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(day)::BIGINT AS DOUBLE) AS sx,
+                   CAST(SUM(c)::BIGINT AS DOUBLE) AS sy,
+                   CAST(SUM(day * day)::BIGINT AS DOUBLE) AS sxx,
+                   CAST(SUM(day * c)::BIGINT AS DOUBLE) AS sxy,
+                   MAX(day) AS last_day
+            FROM daily GROUP BY event_type
+        ),
+        fitted AS (
+            SELECT event_type, last_day,
+                   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+                   (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                       AS a
+            FROM m
+        )
+        SELECT event_type,
+               CAST(h.day AS BIGINT) AS forecast_day,
+               (a + b * CAST(h.day AS DOUBLE)) / 100.0 AS forecast_value
+        FROM fitted,
+             LATERAL (SELECT unnest(range(last_day + 1, last_day + 8)) AS day) h
+    """,
     "ts_period_over_period": """
         WITH daily AS (
             SELECT event_type,
