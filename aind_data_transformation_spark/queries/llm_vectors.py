@@ -769,6 +769,38 @@ def q_train_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest for binary training samples:
+    within each source, samples pack sequentially into ~32 KiB shards by
+    cumulative payload bytes (offset-based assignment: a sample belongs
+    to the shard its start offset falls in, so shard boundaries are
+    deterministic and shards may overflow by at most one sample — the
+    standard tar-shard layout rule). Emits per-shard sample counts, byte
+    totals, and id ranges — the manifest a downstream dataloader mounts.
+
+    Scale: the running-offset window partitions by source (the shard
+    namespace), so state is per-source and the plan has exactly one
+    shuffle; the manifest aggregation partial-combines."""
+    d = load_table(spark, sf_dir, "documents")
+    payload_bytes = F.octet_length("text") + F.lit(8)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum = F.sum(payload_bytes).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    assigned = d.select(
+        "source",
+        "doc_id",
+        payload_bytes.alias("nb"),
+        ((cum - payload_bytes) / F.lit(32768)).cast("long").alias("shard_idx"),
+    )
+    return assigned.groupBy("source", "shard_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("nb").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "embed_kmeans_lloyd": q_embed_kmeans_lloyd,
@@ -784,6 +816,7 @@ QUERIES = {
     "multimodal_decode_arrow": q_multimodal_decode_arrow,
     "ann_lsh_topk": q_ann_lsh_topk,
     "train_triplet_mining": q_train_triplet_mining,
+    "multimodal_shard_plan": q_multimodal_shard_plan,
 }
 
 _DOT_DUCK = (
@@ -961,6 +994,27 @@ _HYBRID_RRF_SQL = f"""
 """
 
 ORACLES = {
+    "multimodal_shard_plan": """
+        WITH sized AS (
+            SELECT source, doc_id,
+                   CAST(octet_length(encode(text)) + 8 AS BIGINT) AS nb
+            FROM documents
+        ),
+        assigned AS (
+            SELECT source, doc_id, nb,
+                   (SUM(nb) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - nb) // 32768 AS shard_idx
+            FROM sized
+        )
+        SELECT source, CAST(shard_idx AS BIGINT) AS shard_idx,
+               COUNT(*)::BIGINT AS n_samples,
+               SUM(nb)::BIGINT AS total_bytes,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM assigned
+        GROUP BY source, shard_idx
+    """,
     "train_triplet_mining": f"""
         WITH corpus AS (
             SELECT vec_id, label, embedding,
