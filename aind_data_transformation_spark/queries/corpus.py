@@ -416,7 +416,42 @@ def q_corpus_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source document-length quantiles (p50/p90/p99, lower
+    interpolation) via the distribution-aggregate shape: value counts
+    per (source, n_chars), one cumulative window per source over the
+    compact length domain, then the first length whose cumulative count
+    reaches ⌈q·n⌉ — never a per-group sort of raw documents.
+
+    Scale: the corpus shuffles once down to its (source × distinct
+    length) domain; the quantile windows run over that bounded frame —
+    the same discipline as agg_percentiles / quantile_bins."""
+    d = load_table(spark, sf_dir, "documents")
+    vc = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    tot = vc.groupBy("source").agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(w)).join(tot, "source")
+
+    def pick(q: float, name: str):
+        target = F.ceil(F.col("n").cast("double") * F.lit(q)).cast("long")
+        return F.min(
+            F.when(F.col("cum") >= target, F.col("n_chars"))
+        ).alias(name)
+
+    return cum.groupBy("source").agg(
+        F.max("n").alias("n_docs"),
+        pick(0.5, "p50_chars"),
+        pick(0.9, "p90_chars"),
+        pick(0.99, "p99_chars"),
+    )
+
+
 QUERIES = {
+    "corpus_length_quantiles": q_corpus_length_quantiles,
     "corpus_bloom_dedup": q_corpus_bloom_dedup,
     "doc_chunk_overlap": q_doc_chunk_overlap,
     "epoch_shuffle_plan": q_epoch_shuffle_plan,
@@ -431,6 +466,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_length_quantiles": """
+        WITH vc AS (
+            SELECT source, n_chars, COUNT(*)::BIGINT AS c
+            FROM documents GROUP BY 1, 2
+        ),
+        tot AS (SELECT source, SUM(c)::BIGINT AS n FROM vc GROUP BY source),
+        cum AS (
+            SELECT v.source, v.n_chars, t.n,
+                   SUM(v.c) OVER (PARTITION BY v.source ORDER BY v.n_chars
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM vc v JOIN tot t ON v.source = t.source
+        )
+        SELECT source,
+               MAX(n) AS n_docs,
+               MIN(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * 0.5) AS BIGINT)
+                        THEN n_chars END) AS p50_chars,
+               MIN(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * 0.9) AS BIGINT)
+                        THEN n_chars END) AS p90_chars,
+               MIN(CASE WHEN cum >= CAST(ceil(CAST(n AS DOUBLE) * 0.99) AS BIGINT)
+                        THEN n_chars END) AS p99_chars
+        FROM cum
+        GROUP BY source
+    """,
     "corpus_bloom_dedup": """
         WITH d AS (
             SELECT doc_id, md5(text) AS dig FROM documents
