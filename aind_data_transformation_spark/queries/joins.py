@@ -524,7 +524,7 @@ ORACLES = {
         WITH e AS (
             SELECT user_id, event_id, epoch_us(ts) AS us FROM events
         ), marked AS (
-            SELECT user_id, us,
+            SELECT user_id, event_id, us,
                    CASE WHEN lag(us) OVER w IS NULL
                              OR us - lag(us) OVER w > 1800000000
                         THEN 1 ELSE 0 END AS is_new
@@ -533,7 +533,7 @@ ORACLES = {
         ), sess AS (
             SELECT user_id,
                    SUM(is_new) OVER (
-                       PARTITION BY user_id ORDER BY us
+                       PARTITION BY user_id ORDER BY us, event_id
                        ROWS UNBOUNDED PRECEDING
                    ) AS sidx,
                    us

@@ -28,27 +28,44 @@ def q_ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the documents' true ``lang`` label (which includes fr/zh the
     classifier never predicts — realistic open-set conditions).
 
-    tp/fp/fn come from ONE conditional aggregation per predicted class
-    over the (true, predicted) pairs; ratios close in doubles. The
-    confusion source is the langid query itself, so the eval follows the
-    model, not a copy of its logic."""
+    ONE scan: the fact table aggregates once down to the tiny
+    (true, predicted) contingency domain; per-class tp/fp/fn then close
+    by exploding the literal class list over that compact frame (no
+    re-scan, no union of single-row aggregates); ratios close in
+    doubles. The confusion source is the langid query itself, so the
+    eval follows the model, not a copy of its logic."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     pred = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
     joined = d.join(pred, "doc_id").select(
         F.col("lang").alias("t"), F.col("predicted_lang").alias("p")
     )
-    rows = []
-    for cls in ("en", "es", "de"):
-        c = F.lit(cls)
-        rows.append(
-            joined.agg(
-                c.alias("cls"),
-                F.sum(((F.col("t") == c) & (F.col("p") == c)).cast("long")).alias("tp"),
-                F.sum(((F.col("t") != c) & (F.col("p") == c)).cast("long")).alias("fp"),
-                F.sum(((F.col("t") == c) & (F.col("p") != c)).cast("long")).alias("fn"),
-            )
+    cont = joined.groupBy("t", "p").agg(F.count(F.lit(1)).alias("n"))
+    cls = F.col("cls")
+    m = (
+        cont.select(
+            "t",
+            "p",
+            "n",
+            F.explode(
+                F.array(*[F.lit(c) for c in ("en", "es", "de")])
+            ).alias("cls"),
         )
-    m = rows[0].unionAll(rows[1]).unionAll(rows[2])
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when((F.col("t") == cls) & (F.col("p") == cls), F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("tp"),
+            F.sum(
+                F.when((F.col("t") != cls) & (F.col("p") == cls), F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("fp"),
+            F.sum(
+                F.when((F.col("t") == cls) & (F.col("p") != cls), F.col("n"))
+                .otherwise(F.lit(0))
+            ).alias("fn"),
+        )
+    )
     prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")
     rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double")
     return m.select(

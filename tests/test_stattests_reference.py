@@ -148,10 +148,39 @@ def test_kaplan_meier_matches_numpy(spark):
     assert set(rows) == {int(t) for t in np.unique(dur) if event[dur == t].sum() > 0}
 
 
-def test_auc_bounds_and_numpy(spark):
+def test_auc_matches_numpy(spark):
+    # independent third implementation: recompute the quality score from
+    # the raw parquet and the AUC via the tie-corrected rank-sum identity
+    docs = pd.read_parquet(f"{TEST_SF_DIR}/documents.parquet")
+    toks = docs.text.str.split(" ")
+    n = toks.map(len).to_numpy(dtype=float)
+    nd = toks.map(lambda t: len(set(t))).to_numpy(dtype=float)
+    nthe = toks.map(lambda t: sum(1 for x in t if x == "the")).to_numpy(
+        dtype=float
+    )
+    quality = (
+        0.4 * np.minimum(1.0, n / 50.0) + 0.3 * (nd / n) + 0.3 * (1.0 - nthe / n)
+    )
+    s = np.round(quality * 1e6).astype(np.int64)
+    is_pos = (docs.lang == "en").to_numpy()
+    # average ranks with ties over the discretized scores
+    order = np.argsort(s, kind="mergesort")
+    sorted_s = s[order]
+    ranks = np.empty(len(s), dtype=float)
+    i = 0
+    while i < len(sorted_s):
+        j = i
+        while j < len(sorted_s) and sorted_s[j] == sorted_s[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n_pos = int(is_pos.sum())
+    n_neg = len(s) - n_pos
+    u1 = ranks[is_pos].sum() - n_pos * (n_pos + 1) / 2.0
+    auc_ref = u1 / (n_pos * n_neg)
     row = q_ml_auc_roc(spark, TEST_SF_DIR).collect()[0]
-    assert 0.0 <= row.auc <= 1.0
-    assert row.n_pos > 0 and row.n_neg > 0
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert math.isclose(row.auc, auc_ref, rel_tol=1e-9)
 
 
 def test_psi_matches_numpy(spark):
