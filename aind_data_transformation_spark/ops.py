@@ -347,6 +347,92 @@ def pack_sequences(
     )
 
 
+def series_row_number(
+    df: DataFrame,
+    part_cols: list,
+    order_cols: list,
+    coarse_expr: str,
+    rn_name: str = "rn",
+) -> DataFrame:
+    """Dense global per-series row number WITHOUT a whole-series window
+    sort — the prerequisite for halo-segmented rolling windows.
+
+    A plain ``row_number() OVER (PARTITION BY series ORDER BY ts)`` sorts
+    the entire series in one task, so parallelism is capped at the series
+    cardinality (fatal when the series key is a schema-bounded enum like
+    ``event_type``). This is the two-phase cumsum applied to row counts:
+
+    1. ``row_number`` inside (series, coarse-bucket) partitions —
+       parallelism ∝ series × buckets;
+    2. per-bucket row counts (a frame ~|buckets| rows) take their own
+       running total per series and broadcast back as bucket offsets.
+
+    ``coarse_expr`` must be a monotone function of the order columns
+    (e.g. an hour bucket of the timestamp) so bucket order == row order.
+    """
+    grouped = df.withColumn("__cg", F.expr(coarse_expr).cast("long"))
+    w_in = Window.partitionBy(*part_cols, "__cg").orderBy(*order_cols)
+    local = grouped.withColumn("__lrn", F.row_number().over(w_in))
+    w_g = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__cg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        grouped.groupBy(*part_cols, "__cg")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .withColumn(
+            "__off", F.coalesce(F.sum("__ct").over(w_g), F.lit(0)).cast("long")
+        )
+        .select(*part_cols, "__cg", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__cg"])
+        .withColumn(rn_name, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__cg", "__lrn", "__off")
+    )
+
+
+def halo_blocks(
+    df: DataFrame,
+    rn_col: str,
+    block: int,
+    before: int,
+    after: int,
+) -> DataFrame:
+    """Split a dense per-series row number into fixed-size blocks and
+    duplicate boundary rows into the neighbor blocks whose rolling
+    windows need them as context (the halo / ghost-cell pattern).
+
+    Adds ``__blk`` (window the downstream rolling computation by
+    (series, __blk)) and ``__own`` (true on the single copy that owns
+    the row — filter on it after the windowed computation). Because
+    ``rn_col`` is dense, block *b* plus its halos holds exactly rows
+    ``[b·block-before+1, (b+1)·block+after]``, so every owner row sees
+    its full ±frame and the segmented result is bit-identical to the
+    global window while parallelism scales ∝ rows/block instead of
+    being capped at the series-key cardinality.
+
+    Row duplication is (before+after)/block — e.g. 10/4096 ≈ 0.2 %.
+    Requires ``block >= max(before, after)``.
+    """
+    if block < max(before, after):
+        raise ValueError("block must be >= max(before, after)")
+    own = F.expr(f"({rn_col} - 1) div {block}")
+    pos = (F.col(rn_col) - 1) % F.lit(block)
+    empty = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    targets = F.concat(
+        F.array(own),
+        # first `after` rows of a block are FOLLOWING context for b-1
+        F.when((pos < after) & (own > 0), F.array(own - 1)).otherwise(empty),
+        # last `before` rows of a block are PRECEDING context for b+1
+        F.when(pos >= block - before, F.array(own + 1)).otherwise(empty),
+    )
+    return df.withColumn("__blk", F.explode(targets)).withColumn(
+        "__own", F.col("__blk") == own
+    )
+
+
 def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
     """Deterministic consistent sample: keep rows whose Knuth
     multiplicative hash of ``key_expr`` falls below ``fraction`` of the

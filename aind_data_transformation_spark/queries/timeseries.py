@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import halo_blocks, series_row_number
 
 
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -344,13 +345,18 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(lags))
         .join(b, F.col("day_b") == F.col("day") + F.col("lag"))
     )
+    # daily totals are unbounded at scale: cast operands to decimal(19,0)
+    # so second-moment products accumulate exactly in decimal(38,0)
+    # (mirrors q_ml_ols_multifeat) instead of silently wrapping int64
+    d19 = "decimal(19,0)"
+    xd, yd = F.col("x").cast(d19), F.col("y").cast(d19)
     m = shifted.groupBy("lag").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
     )
     r = (
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
@@ -398,6 +404,14 @@ def q_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hampel rolling half-width (window = ±_HAMPEL_K rows, full windows only)
+_HAMPEL_K = 5
+_HAMPEL_W = 2 * _HAMPEL_K + 1
+_HAMPEL_MID = _HAMPEL_K + 1  # 1-based index of the lower median
+#: rows per halo block — the scale knob: parallelism = series_rows / block
+_HALO_BLOCK = 4096
+
+
 def q_ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hampel filter: flag event values deviating from their rolling
     window median by more than 3 scaled rolling MADs (window = ±5 rows
@@ -407,28 +421,40 @@ def q_ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines agree bit-for-bit; the 3·1.4826·MAD threshold compares on a
     micro-scaled integer.
 
-    Scale: one window sort per event type; state per row is the bounded
-    11-element window — the standard distributed rolling-robust filter."""
+    Scale: a raw ``Window.partitionBy(event_type)`` would sort the whole
+    fact in ≤|event_type| tasks. Instead the rolling window runs
+    halo-segmented (ops.series_row_number + ops.halo_blocks): a dense
+    per-series row number from the two-phase cumsum (hour-bucket local
+    sorts + broadcast offsets), rows cut into 4096-row blocks with ±5
+    ghost rows duplicated across block edges, the ±5 frame computed per
+    (event_type, block) partition, and only owner rows emitted — output
+    bit-identical to the global window (pinned by
+    tests/test_properties.py::test_hampel_partition_invariant), with
+    parallelism ∝ rows/4096 instead of ≤5."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("c"),
     )
-    w = Window.partitionBy("event_type").orderBy("us", "event_id").rowsBetween(-5, 5)
+    rn = series_row_number(
+        e, ["event_type"], ["us", "event_id"], "us div 3600000000"
+    )
+    halo = halo_blocks(rn, "rn", _HALO_BLOCK, _HAMPEL_K, _HAMPEL_K)
+    w = (
+        Window.partitionBy("event_type", "__blk")
+        .orderBy("rn")
+        .rowsBetween(-_HAMPEL_K, _HAMPEL_K)
+    )
     win = F.array_sort(F.collect_list("c").over(w))
-    n = F.size(win)
-    # exact lower median of the 11-element window
-    med = F.element_at(win, ((n + 1) / 2).cast("int"))
     dev_sorted = F.array_sort(
         F.expr("transform(win_arr, x -> abs(x - med_v))")
     )
     out = (
-        e.withColumn("win_arr", win)
-        .withColumn("n_win", n)
-        .where(F.col("n_win") == 11)
-        .withColumn("med_v", F.element_at("win_arr", 6))
-        .withColumn("mad_v", F.element_at(dev_sorted, 6))
+        halo.withColumn("win_arr", win)
+        .where(F.col("__own") & (F.size("win_arr") == _HAMPEL_W))
+        .withColumn("med_v", F.element_at("win_arr", _HAMPEL_MID))
+        .withColumn("mad_v", F.element_at(dev_sorted, _HAMPEL_MID))
         .withColumn(
             "is_outlier",
             # |x - med| > 3 * 1.4826 * MAD, on a 1e4-scaled integer grid
@@ -510,12 +536,16 @@ def q_ts_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.unix_micros("ts") / day_us).cast("long").alias("day"),
     ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    # day*c mixes a bounded key with an unbounded daily total: decimal
+    # operands keep the moment sums exact at any scale (cf. ml_ols_multifeat)
+    d19 = "decimal(19,0)"
+    dayd, cd = F.col("day").cast(d19), F.col("c").cast(d19)
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("day").cast("double").alias("sx"),
         F.sum("c").cast("double").alias("sy"),
-        F.sum(F.col("day") * F.col("day")).cast("double").alias("sxx"),
-        F.sum(F.col("day") * F.col("c")).cast("double").alias("sxy"),
+        F.sum(dayd * dayd).cast("double").alias("sxx"),
+        F.sum(dayd * cd).cast("double").alias("sxy"),
         F.max("day").alias("last_day"),
     )
     slope = (
@@ -564,24 +594,34 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical literals x identical operands in both engines; the sum of
     integers is order-independent), so it distributes AND hash-matches.
 
-    Scale: one window shuffle on event_type; 20 lags share the single
-    sort. Weights are plan literals — no state, no join."""
+    Scale: the 20 lags run halo-segmented (ops.series_row_number +
+    ops.halo_blocks) — dense per-series row numbers from the two-phase
+    cumsum, 4096-row blocks with a 19-row preceding ghost margin, lags
+    computed per (event_type, block) partition, owner rows only —
+    bit-identical to the per-type global sort while parallelism scales
+    ∝ rows/4096 instead of being capped at the event-type cardinality.
+    Weights are plan literals — no state, no unbounded window."""
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
         F.unix_micros("ts").alias("us"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    w = Window.partitionBy("event_type").orderBy("us", "event_id")
-    lagged = e.select(
+    rn = series_row_number(
+        e, ["event_type"], ["us", "event_id"], "us div 3600000000"
+    )
+    halo = halo_blocks(rn, "rn", _HALO_BLOCK, _EWMA_DEPTH - 1, 0)
+    w = Window.partitionBy("event_type", "__blk").orderBy("rn")
+    lagged = halo.select(
         "event_id",
         "event_type",
-        F.row_number().over(w).alias("rn"),
+        "rn",
+        "__own",
         *[
             F.lag("cents", i).over(w).alias(f"l{i}")
             for i in range(_EWMA_DEPTH)
         ],
-    )
+    ).where("__own")
     terms = " + ".join(
         f"CAST(round(CAST(l{i} AS DOUBLE) * CAST('{w_!r}' AS DOUBLE)"
         f" * 1000000.0D) AS BIGINT)"
@@ -711,8 +751,10 @@ ORACLES = {
                    CAST(COUNT(*) AS DOUBLE) AS n,
                    CAST(SUM(day)::BIGINT AS DOUBLE) AS sx,
                    CAST(SUM(c)::BIGINT AS DOUBLE) AS sy,
-                   CAST(SUM(day * day)::BIGINT AS DOUBLE) AS sxx,
-                   CAST(SUM(day * c)::BIGINT AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(day AS DECIMAL(19,0))
+                            * CAST(day AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(day AS DECIMAL(19,0))
+                            * CAST(c AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
                    MAX(day) AS last_day
             FROM daily GROUP BY event_type
         ),
@@ -840,9 +882,12 @@ ORACLES = {
                    CAST(COUNT(*) AS DOUBLE) AS n,
                    CAST(SUM(x)::BIGINT AS DOUBLE) AS sx,
                    CAST(SUM(y)::BIGINT AS DOUBLE) AS sy,
-                   CAST(SUM(x * x)::BIGINT AS DOUBLE) AS sxx,
-                   CAST(SUM(y * y)::BIGINT AS DOUBLE) AS syy,
-                   CAST(SUM(x * y)::BIGINT AS DOUBLE) AS sxy
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
             FROM shifted GROUP BY lag
         )
         SELECT CAST(lag AS BIGINT) AS lag,

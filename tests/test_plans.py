@@ -785,3 +785,16 @@ def test_auc_rank_window_over_score_domain(spark):
     plan = plan_of(spark, "ml_auc_roc")
     before_window = plan.split("Window", 1)[0]
     assert "HashAggregate" in before_window
+
+
+@pytest.mark.parametrize("key", ["ts_outlier_hampel", "ts_ewma"])
+def test_halo_segmented_windows_not_series_key_bound(spark, key):
+    """The rolling hampel/ewma computations must window by the halo
+    block key, never by event_type alone — parallelism has to scale with
+    rows/block, not the schema-bounded event_type enum. The two-phase
+    bucket-offset table joins back as a broadcast, and no stage may
+    collapse to a single partition."""
+    plan = plan_of(spark, key)
+    assert "__blk" in plan, "rolling window is not halo-segmented"
+    assert "BroadcastHashJoin" in plan  # bucket offsets join back broadcast
+    assert "Exchange SinglePartition" not in plan

@@ -12,6 +12,8 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F, types as T
 
+from tests.conftest import TEST_SF_DIR
+
 from aind_data_transformation_spark.ops import (
     asof_join,
     dedup_keep_first,
@@ -337,3 +339,99 @@ def test_chunker_covers_every_token(spark):
         assert len(got) * _CHUNK_STRIDE >= len(toks)
         checked += 1
     assert checked > 0
+
+
+def _hampel_global_reference(spark):
+    """The pre-halo implementation: one global window sort per
+    event_type. Semantically the spec the segmented rewrite must match
+    bit-for-bit."""
+    from pyspark.sql import Window
+    from aind_data_transformation_spark.io.sources import load_table
+
+    e = load_table(spark, TEST_SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "event_id")
+        .rowsBetween(-5, 5)
+    )
+    win = F.array_sort(F.collect_list("c").over(w))
+    dev_sorted = F.array_sort(F.expr("transform(win_arr, x -> abs(x - med_v))"))
+    out = (
+        e.withColumn("win_arr", win)
+        .where(F.size("win_arr") == 11)
+        .withColumn("med_v", F.element_at("win_arr", 6))
+        .withColumn("mad_v", F.element_at(dev_sorted, 6))
+        .where((F.abs(F.col("c") - F.col("med_v")) * 10000) > (F.col("mad_v") * 44478))
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        (F.col("c").cast("double") / 100.0).alias("value"),
+        (F.col("med_v").cast("double") / 100.0).alias("rolling_median"),
+        (F.col("mad_v").cast("double") / 100.0).alias("rolling_mad"),
+    )
+
+
+def _ewma_global_reference(spark):
+    from pyspark.sql import Window
+    from aind_data_transformation_spark.io.sources import load_table
+    from aind_data_transformation_spark.queries.timeseries import (
+        _EWMA_DEPTH,
+        _EWMA_WEIGHTS,
+    )
+
+    e = load_table(spark, TEST_SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    lagged = e.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        *[F.lag("cents", i).over(w).alias(f"l{i}") for i in range(_EWMA_DEPTH)],
+    )
+    terms = " + ".join(
+        f"CAST(round(CAST(l{i} AS DOUBLE) * CAST('{w_!r}' AS DOUBLE)"
+        f" * 1000000.0D) AS BIGINT)"
+        for i, w_ in enumerate(_EWMA_WEIGHTS)
+    )
+    inv = 1.0 / (1e6 * sum(_EWMA_WEIGHTS) * 100.0)
+    return lagged.where(F.col("rn") >= _EWMA_DEPTH).select(
+        "event_id",
+        "event_type",
+        (
+            F.expr(f"CAST(({terms}) AS DOUBLE)")
+            * F.expr(f"CAST('{inv!r}' AS DOUBLE)")
+        ).alias("ewma_value"),
+    )
+
+
+@pytest.mark.parametrize("shuffle_partitions", ["1", "7"])
+def test_halo_windows_partition_invariant(spark, shuffle_partitions):
+    """The halo-segmented hampel/ewma must be byte-identical to the
+    global-window spec under ANY parallelism (1 task vs many) — the
+    ghost-row margins make segment boundaries invisible."""
+    from aind_data_transformation_spark.queries.timeseries import (
+        q_ts_ewma,
+        q_ts_outlier_hampel,
+    )
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+        got_h = sorted(map(tuple, q_ts_outlier_hampel(spark, TEST_SF_DIR).collect()))
+        ref_h = sorted(map(tuple, _hampel_global_reference(spark).collect()))
+        assert got_h == ref_h
+        got_e = sorted(map(tuple, q_ts_ewma(spark, TEST_SF_DIR).collect()))
+        ref_e = sorted(map(tuple, _ewma_global_reference(spark).collect()))
+        assert got_e == ref_e
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
