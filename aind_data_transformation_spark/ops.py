@@ -393,6 +393,52 @@ def series_row_number(
     )
 
 
+def partitioned_cum_before(
+    df: DataFrame,
+    part_cols: list,
+    order_col: str,
+    size_col: str,
+    coarse: int = 4096,
+    out_name: str = "cum_before",
+) -> DataFrame:
+    """EXCLUSIVE running total of ``size_col`` in ``order_col`` order
+    within each ``part_cols`` group, via the two-phase cumsum (the
+    per-partition generalization of ``pack_sequences``): local running
+    totals inside (group, order div coarse) buckets, per-bucket totals
+    take their own running sum over the tiny bucket domain and broadcast
+    back. Avoids the per-group unbounded window whose parallelism is
+    capped at the group-key cardinality."""
+    grouped = df.withColumn("__g", F.expr(f"{order_col} div {coarse}"))
+    w_in = (
+        Window.partitionBy(*part_cols, "__g")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = grouped.withColumn(
+        "__local_before",
+        F.coalesce(F.sum(size_col).over(w_in), F.lit(0)).cast("long"),
+    )
+    w_g = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        grouped.groupBy(*part_cols, "__g")
+        .agg(F.sum(size_col).alias("__gtot"))
+        .withColumn(
+            "__off",
+            F.coalesce(F.sum("__gtot").over(w_g), F.lit(0)).cast("long"),
+        )
+        .select(*part_cols, "__g", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), [*part_cols, "__g"])
+        .withColumn(out_name, F.col("__local_before") + F.col("__off"))
+        .drop("__g", "__local_before", "__off")
+    )
+
+
 def halo_blocks(
     df: DataFrame,
     rn_col: str,

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import partitioned_cum_before
 
 _N_QUERIES = 5
 _TOP_K = 5
@@ -778,20 +779,23 @@ def q_multimodal_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard tar-shard layout rule). Emits per-shard sample counts, byte
     totals, and id ranges — the manifest a downstream dataloader mounts.
 
-    Scale: the running-offset window partitions by source (the shard
-    namespace), so state is per-source and the plan has exactly one
-    shuffle; the manifest aggregation partial-combines."""
+    Scale: the per-source running byte offset uses the two-phase cumsum
+    (ops.partitioned_cum_before, same machinery as pack_sequences) —
+    local running totals inside (source, doc_id-block) buckets plus a
+    broadcast of the tiny per-bucket offsets — so shard assignment
+    parallelism scales with rows/coarse instead of serializing into one
+    task per source; the manifest aggregation partial-combines."""
     d = load_table(spark, sf_dir, "documents")
     payload_bytes = F.octet_length("text") + F.lit(8)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    cum = F.sum(payload_bytes).over(
-        w.rowsBetween(Window.unboundedPreceding, 0)
+    sized = d.select("source", "doc_id", payload_bytes.alias("nb"))
+    cum = partitioned_cum_before(
+        sized, ["source"], "doc_id", "nb", coarse=4096, out_name="start_off"
     )
-    assigned = d.select(
+    assigned = cum.select(
         "source",
         "doc_id",
-        payload_bytes.alias("nb"),
-        ((cum - payload_bytes) / F.lit(32768)).cast("long").alias("shard_idx"),
+        "nb",
+        (F.col("start_off") / F.lit(32768)).cast("long").alias("shard_idx"),
     )
     return assigned.groupBy("source", "shard_idx").agg(
         F.count(F.lit(1)).cast("long").alias("n_samples"),

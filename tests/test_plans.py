@@ -798,3 +798,18 @@ def test_halo_segmented_windows_not_series_key_bound(spark, key):
     assert "__blk" in plan, "rolling window is not halo-segmented"
     assert "BroadcastHashJoin" in plan  # bucket offsets join back broadcast
     assert "Exchange SinglePartition" not in plan
+
+
+def test_shard_plan_two_phase_cumsum_not_per_source_window(spark):
+    """Shard-offset assignment must use the two-phase cumsum: per-block
+    local windows plus a broadcast of the tiny block-offset table —
+    never an unbounded running-sum window partitioned by `source` alone
+    (one task per source at scale)."""
+    plan = plan_of(spark, "multimodal_shard_plan")
+    assert "BroadcastHashJoin" in plan  # block offsets join back broadcast
+    assert "Exchange SinglePartition" not in plan
+    # every window partition spec must include the coarse block key
+    detail = plan.split("== Physical Plan ==")[-1]
+    for frag in detail.split("windowspecdefinition(")[1:]:
+        spec = frag.split("specifiedwindowframe", 1)[0]
+        assert "__g" in spec, f"window not block-partitioned: {spec[:120]}"
