@@ -27,7 +27,7 @@ import json
 import time
 from abc import ABC, abstractmethod
 from pathlib import Path
-from typing import Generic, Optional, TypeVar, Union
+from typing import Generic, Literal, Optional, TypeVar, Union
 
 from pydantic import ConfigDict, BaseModel
 from pydantic_settings import BaseSettings, SettingsConfigDict
@@ -86,6 +86,19 @@ class SparkJobSettings(BaseSettings):
     compression: str = "zstd"
     partition_by: list[str] = []
     target_partitions: Optional[int] = None
+
+    # Runtime session knobs (SCALE.md "What changes on a real cluster"):
+    #: shuffle-partition count — on a cluster, ~2-3x total cores (AQE
+    #: coalesces down); None keeps the session's existing setting
+    shuffle_partitions: Optional[int] = None
+    #: streaming state-store backend: "hdfs" (default on-heap provider) or
+    #: "rocksdb" (spills to local disk + changelog checkpointing — the
+    #: production choice when key cardinality makes state exceed heap)
+    streaming_state_store: Literal["hdfs", "rocksdb"] = "hdfs"
+    #: durable directory for iterative-op stage materialization and
+    #: pipeline stage boundaries (HDFS/S3 on a cluster). Job subclasses
+    #: with their own materialize/staging knobs fall back to this.
+    checkpoint_dir: Optional[str] = None
 
     @classmethod
     def from_config_file(cls, config_file_location: PathLike):
@@ -148,13 +161,39 @@ class GenericSparkEtl(ABC, Generic[_T]):
         self.job_settings: _T = settings
         self._spark = spark
 
+    #: JVM classes behind the `streaming_state_store` settings knob
+    _STATE_STORE_PROVIDERS = {
+        "rocksdb": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+    }
+
+    def apply_session_settings(self, spark):
+        """Apply the runtime session knobs from the settings (all
+        runtime-settable confs — safe on an externally-owned session):
+        ``shuffle_partitions`` and ``streaming_state_store``."""
+        s = self.job_settings
+        if s.shuffle_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(s.shuffle_partitions)
+            )
+        provider = self._STATE_STORE_PROVIDERS.get(s.streaming_state_store)
+        if provider:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+        return spark
+
     @property
     def spark(self):
         if self._spark is None:
             from aind_data_transformation_spark.session import build_session
 
-            self._spark = build_session()
-        return self._spark
+            self._spark = build_session(
+                shuffle_partitions=self.job_settings.shuffle_partitions
+            )
+        return self.apply_session_settings(self._spark)
 
     @abstractmethod
     def run_job(self) -> JobResponse:

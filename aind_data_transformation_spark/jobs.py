@@ -239,11 +239,10 @@ class NearDupResolveJob(GenericSparkEtl[NearDupResolveJobSettings]):
         docs = self.spark.read.parquet(str(s.input_source))
         n_in = docs.count()
 
-        mat = (
-            parquet_materializer(s.materialize_dir)
-            if s.materialize_dir
-            else None
+        mat_dir = s.materialize_dir or (
+            str(s.checkpoint_dir) if s.checkpoint_dir else None
         )
+        mat = parquet_materializer(mat_dir) if mat_dir else None
         edges = verified_near_dups(
             docs,
             "doc_id",
@@ -318,9 +317,12 @@ class TrainingCorpusPipelineJob(
 
     def _stage(self, df: DataFrame, name: str) -> DataFrame:
         s = self.job_settings
-        if not s.staging_dir:
+        staging = s.staging_dir or (
+            str(s.checkpoint_dir) if s.checkpoint_dir else None
+        )
+        if not staging:
             return df
-        path = f"{s.staging_dir}/{name}"
+        path = f"{staging}/{name}"
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)
 
@@ -349,9 +351,12 @@ class TrainingCorpusPipelineJob(
         n_gated = exact.count()
 
         # stage 2: near-dup clusters -> one survivor per cluster
+        staging = s.staging_dir or (
+            str(s.checkpoint_dir) if s.checkpoint_dir else None
+        )
         mat = (
-            parquet_materializer(f"{s.staging_dir}/neardup_work")
-            if s.staging_dir
+            parquet_materializer(f"{staging}/neardup_work")
+            if staging
             else None
         )
         edges = verified_near_dups(

@@ -325,3 +325,56 @@ def test_training_corpus_pipeline_end_to_end(spark, tmp_path):
         for r in spark.read.parquet(str(out2)).select("doc_id").collect()
     )
     assert ids1 == ids2
+
+
+def test_session_knobs_shuffle_partitions_and_state_store(spark, tmp_path):
+    """The SCALE.md cluster knobs are real settings: shuffle_partitions
+    and streaming_state_store apply to the session (runtime confs, safe
+    on an externally-owned session); checkpoint_dir feeds the parquet
+    materializer fallback."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        job = FormatConversionJob(
+            FormatConversionJobSettings(
+                input_source=f"{TEST_SF_DIR}/nation.parquet",
+                output_directory=str(tmp_path / "out"),
+                shuffle_partitions=7,
+                streaming_state_store="rocksdb",
+            ),
+            spark=spark,
+        )
+        s = job.spark  # applies the knobs
+        assert s.conf.get("spark.sql.shuffle.partitions") == "7"
+        assert "RocksDBStateStoreProvider" in s.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        resp = job.run_job()
+        assert resp.status_code == 200
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_checkpoint_dir_fallback_feeds_materializer(spark, tmp_path):
+    """NearDupResolveJob with only the base checkpoint_dir set must
+    stage its iterative work as parquet under that directory."""
+    import os
+
+    from aind_data_transformation_spark.jobs import (
+        NearDupResolveJob,
+        NearDupResolveJobSettings,
+    )
+
+    ck = tmp_path / "ck"
+    job = NearDupResolveJob(
+        NearDupResolveJobSettings(
+            input_source=f"{TEST_SF_DIR}/documents.parquet",
+            output_directory=str(tmp_path / "out"),
+            checkpoint_dir=str(ck),
+        ),
+        spark=spark,
+    )
+    resp = job.run_job()
+    assert resp.status_code == 200
+    staged = os.listdir(ck)
+    assert staged, "no parquet stage materialized under checkpoint_dir"

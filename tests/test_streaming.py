@@ -285,3 +285,53 @@ def test_windowed_topk_stream_matches_batch(spark):
         for r in q_stream_topk_window(spark, TEST_SF_DIR).collect()
     )
     assert got == want
+
+
+def test_stateful_totals_under_rocksdb_state_store(spark):
+    """The streaming_state_store='rocksdb' settings knob end-to-end: the
+    same applyInPandasWithState job runs under RocksDBStateStoreProvider
+    (the at-scale state backend — disk-spilling, changelog-checkpointed)
+    and produces the same final per-user totals as the batch twin."""
+    from aind_data_transformation_spark.core import (
+        GenericSparkEtl,
+        JobResponse,
+        SparkJobSettings,
+    )
+
+    class _Probe(GenericSparkEtl[SparkJobSettings]):
+        def run_job(self) -> JobResponse:  # pragma: no cover - not used
+            return JobResponse(status_code=200)
+
+    job = _Probe(
+        SparkJobSettings(
+            input_source=TEST_SF_DIR,
+            output_directory=TEST_SF_DIR,
+            streaming_state_store="rocksdb",
+        ),
+        spark=spark,
+    )
+    try:
+        s = job.spark
+        assert "RocksDBStateStoreProvider" in s.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        events = jobs.read_events_stream(s, TEST_SF_DIR)
+        rows = jobs.run_available_now(
+            jobs.stateful_user_totals(events), mode="update"
+        )
+        final = {}
+        for r in rows:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+        batch = sb.q_stream_stateful(s, TEST_SF_DIR).toPandas()
+        last = (
+            batch.sort_values(["user_id", "n_events_so_far"])
+            .groupby("user_id")
+            .tail(1)
+        )
+        want = {
+            int(r.user_id): (int(r.n_events_so_far), float(r.value_so_far))
+            for r in last.itertuples()
+        }
+        assert final == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
