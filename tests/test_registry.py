@@ -80,3 +80,23 @@ def test_driver_window_is_all_oracle_checkable_part_b():
     assert keys[-len(no_oracle):] == no_oracle, (
         "rows-only keys must sort to the end of the registry"
     )
+
+
+def test_bench_snapshot_covers_registry():
+    """The committed bench snapshot may not lag the registry: every
+    registered key has a timing entry in bench_full.json and vice versa
+    (a missing key means bench.py wasn't re-run after adding an
+    operator; a stale key means a rename left a ghost)."""
+    import json
+    import pathlib
+
+    from aind_data_transformation_spark.queries import registry
+
+    snap = json.loads(
+        (pathlib.Path(__file__).parent.parent / "bench_full.json").read_text()
+    )
+    queries, _ = registry()
+    missing = sorted(set(queries) - set(snap["queries"]))
+    stale = sorted(set(snap["queries"]) - set(queries))
+    assert not missing, f"bench_full.json lags the registry: {missing}"
+    assert not stale, f"bench_full.json has ghost keys: {stale}"
