@@ -510,7 +510,70 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event-type segments ("users who
+    viewed AND purchased") computed on EXACT mergeable bitmaps: each
+    segment's user set packs into 64-bit words (word = user_id div 64,
+    bit = user_id mod 64, ``bit_or`` aggregate), segment pairs meet on
+    the word index, and the intersection is Σ ``bit_count(a & b)`` —
+    the roaring-bitmap audience-analytics pattern, exact (oracle =
+    naive COUNT(DISTINCT) self-join) with state ∝ |users|/64 per
+    segment instead of the user list itself.
+
+    Scale: membership dedups in one (segment, word) shuffle whose
+    key-space is segments × users/64; the pair join is word-aligned
+    (equi-join, never user×user); per-segment sizes ride the same
+    bitmaps. Output: overlap count + Jaccard per segment pair."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = (
+        e.groupBy(
+            "event_type",
+            F.expr("user_id div 64").alias("w_idx"),
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
+            ).alias("bits")
+        )
+    )
+    sizes = words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).alias("n_users")
+    )
+    a = words.select(
+        F.col("event_type").alias("seg_a"),
+        F.col("w_idx").alias("wa"),
+        F.col("bits").alias("ba"),
+    )
+    b = words.select(
+        F.col("event_type").alias("seg_b"),
+        F.col("w_idx").alias("wb"),
+        F.col("bits").alias("bb"),
+    )
+    inter = (
+        a.join(b, (F.col("wa") == F.col("wb")) & (F.col("seg_a") < F.col("seg_b")))
+        .groupBy("seg_a", "seg_b")
+        .agg(
+            F.sum(F.bit_count(F.expr("ba & bb"))).cast("long").alias("n_overlap")
+        )
+    )
+    sa = sizes.select(F.col("event_type").alias("seg_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("seg_b"), F.col("n_users").alias("n_b"))
+    out = inter.join(F.broadcast(sa), "seg_a").join(F.broadcast(sb), "seg_b")
+    union = F.col("n_a") + F.col("n_b") - F.col("n_overlap")
+    return out.select(
+        "seg_a",
+        "seg_b",
+        "n_overlap",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.col("n_overlap").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
 QUERIES = {
+    "audience_overlap_bitmap": q_audience_overlap_bitmap,
     "diag_key_skew": q_diag_key_skew,
     "rfm_segments": q_rfm_segments,
     "stats_winsorized": q_stats_winsorized,
@@ -535,6 +598,30 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "audience_overlap_bitmap": """
+        WITH m AS (
+            SELECT DISTINCT event_type, user_id FROM events
+        ),
+        sizes AS (
+            SELECT event_type, COUNT(*)::BIGINT AS n_users
+            FROM m GROUP BY event_type
+        ),
+        inter AS (
+            SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+                   COUNT(*)::BIGINT AS n_overlap
+            FROM m a JOIN m b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT seg_a, seg_b, n_overlap,
+               sa.n_users AS n_a, sb.n_users AS n_b,
+               CAST(n_overlap AS DOUBLE)
+                   / CAST(sa.n_users + sb.n_users - n_overlap AS DOUBLE)
+                   AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.event_type = seg_a
+        JOIN sizes sb ON sb.event_type = seg_b
+    """,
     "stats_winsorized": """
         WITH c AS (
             SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

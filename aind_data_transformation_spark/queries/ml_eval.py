@@ -170,10 +170,11 @@ def q_embed_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", "v"
         ),
     )
+    d38 = "decimal(38,0)"  # int64 second-moment sums wrap at ~1e12 rows
     agg = x.groupBy(F.col("dim").cast("long").alias("dim"), "half").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.sum(F.col("v").cast(d38)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(d38)).alias("ss"),
     )
     nd = F.col("n").cast("double")
     mean = F.col("s").cast("double") / nd
@@ -250,6 +251,138 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact precision-recall curve of the quality scorer for predicting
+    English documents — one point per distinct threshold (descending
+    score), with running average precision (AP = Σ Δrecall·precision,
+    the PR-AUC estimator every retrieval eval reports).
+
+    Same scale shape as `ml_auc_roc`: the corpus reduces to its
+    1e6-grid score histogram in ONE shuffle; the cumulative tp/fp
+    window and AP cumsum run over the compact distinct-score domain.
+    tp/fp are exact integers; precision/recall close in identical
+    double trees; each AP increment Δrecall·precision nano-rounds to a
+    1e-9-grid BIGINT before the cumulative sum (module doctrine —
+    engine SUM(double) accumulation strategies differ in the last ulp
+    even at identical order), so ap_cum is engine-exact."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = q_text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    per = (
+        d.join(scored, "doc_id")
+        .select(
+            F.round(F.col("quality") * 1.0e6).cast("long").alias("s"),
+            (F.col("lang") == "en").cast("long").alias("is_pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.sum("is_pos").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("is_pos")).alias("c0"),
+        )
+    )
+    w = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per.agg(F.sum("c1").alias("n_pos"))
+    cum = per.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "n_pos",
+        F.sum("c1").over(w).alias("tp"),
+        F.sum("c0").over(w).alias("fp"),
+        (F.col("c1").cast("double") / F.col("n_pos").cast("double")).alias(
+            "d_recall"
+        ),
+    )
+    prec = F.col("tp").cast("double") / (
+        F.col("tp") + F.col("fp")
+    ).cast("double")
+    rec = F.col("tp").cast("double") / F.col("n_pos").cast("double")
+    w_ap = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ap_term_nano = F.round(F.col("d_recall") * prec * F.lit(1.0e9)).cast(
+        "long"
+    )
+    return cum.select(
+        "s",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+        (
+            F.sum(ap_term_nano).over(w_ap).cast("double") / 1.0e9
+        ).alias("ap_cum"),
+    )
+
+
+def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) report of the quality scorer against
+    the is-English label: 10 fixed-width confidence bins, each with its
+    exact mean predicted score (1e6-grid integer sum / n), observed
+    positive rate, gap, and the bin's contribution to Expected
+    Calibration Error (n_b/N·|acc−conf|).
+
+    Scale: one hash aggregation to ≤10 rows (bin sums are exact
+    integers, map-side-combinable) + a broadcast 1-row total — the
+    whole eval is a single reduce over any corpus size."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = q_text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    rows = d.join(scored, "doc_id").select(
+        F.least(
+            F.lit(9), (F.round(F.col("quality") * 1.0e6) / 100000).cast("long")
+        ).alias("bin"),
+        F.round(F.col("quality") * 1.0e6).cast("long").alias("s"),
+        (F.col("lang") == "en").cast("long").alias("is_pos"),
+    )
+    per = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("s_sum"),
+        F.sum("is_pos").alias("n_pos"),
+    )
+    tot = per.agg(F.sum("n").alias("n_total"))
+    conf = F.col("s_sum").cast("double") / F.col("n").cast("double") / 1.0e6
+    acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n").cast("long").alias("n"),
+        conf.alias("mean_predicted"),
+        acc.alias("observed_rate"),
+        F.abs(acc - conf).alias("gap"),
+        (
+            F.col("n").cast("double")
+            / F.col("n_total").cast("double")
+            * F.abs(acc - conf)
+        ).alias("ece_term"),
+    )
+
+
+def q_ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold split assignment via the portable md5 hash
+    (engine-independent, reshuffle-proof — the split survives
+    repartitioning, appends, and engine swaps), reported as per
+    (fold, lang) counts with the fold's share of that language — the
+    balance check run before any cross-validation.
+
+    Scale: fold id is a pure row expression (no shuffle to assign);
+    the report is one hash aggregation over a ≤ 5×|langs| domain."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = F.expr(
+        "conv(substr(md5(cast(doc_id AS STRING)), 1, 7), 16, 10) % 5"
+    ).cast("long")
+    per = d.select(fold.alias("fold"), "lang").groupBy("fold", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_lang = Window.partitionBy("lang")
+    return per.select(
+        "fold",
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w_lang).cast("double")
+        ).alias("lang_share"),
+    )
+
+
 def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation of the exact top-k similarity search
     (`sim_search_topk`): treating same-label neighbors as relevant,
@@ -304,6 +437,9 @@ def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ml_pr_curve": q_ml_pr_curve,
+    "ml_calibration_bins": q_ml_calibration_bins,
+    "ml_kfold_assign": q_ml_kfold_assign,
     "ml_eval_confusion": q_ml_eval_confusion,
     "ml_auc_roc": q_ml_auc_roc,
     "ml_target_encoding": q_ml_target_encoding,
@@ -314,7 +450,91 @@ QUERIES = {
 
 _TOKS = "string_split(text, ' ')"
 
+#: shared oracle fragment: the quality score on the 1e6 integer grid with
+#: the is-English label (mirrors q_text_quality_score + the grid round)
+_QUALITY_GRID = f"""
+        t AS (
+            SELECT doc_id, lang,
+                   CAST(len({_TOKS}) AS DOUBLE) AS n,
+                   CAST(len(list_distinct({_TOKS})) AS DOUBLE) AS nd,
+                   CAST(len(list_filter({_TOKS}, x -> x = 'the')) AS DOUBLE) AS nthe
+            FROM documents
+        ),
+        q AS (
+            SELECT CAST(round((0.4 * least(1.0, n / 50.0) + 0.3 * (nd / n)
+                               + 0.3 * (1.0 - nthe / n)) * 1e6) AS BIGINT) AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_pos
+            FROM t
+        )
+"""
+
 ORACLES = {
+    "ml_pr_curve": f"""
+        WITH {_QUALITY_GRID},
+        per AS (
+            SELECT s, SUM(is_pos)::BIGINT AS c1,
+                   (COUNT(*) - SUM(is_pos))::BIGINT AS c0
+            FROM q GROUP BY s
+        ),
+        tot AS (SELECT SUM(c1)::BIGINT AS n_pos FROM per),
+        cum AS (
+            SELECT s, n_pos,
+                   SUM(c1) OVER w AS tp,
+                   SUM(c0) OVER w AS fp,
+                   CAST(c1 AS DOUBLE) / CAST(n_pos AS DOUBLE) AS d_recall
+            FROM per CROSS JOIN tot
+            WINDOW w AS (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT s, tp::BIGINT AS tp, fp::BIGINT AS fp,
+               CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+               CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) AS recall,
+               CAST(SUM(CAST(round(d_recall
+                        * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                        * 1e9) AS BIGINT))
+                   OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+                   AS DOUBLE) / 1e9 AS ap_cum
+        FROM cum
+    """,
+    "ml_calibration_bins": f"""
+        WITH {_QUALITY_GRID},
+        rows_b AS (
+            SELECT least(9, s // 100000) AS bin, s, is_pos FROM q
+        ),
+        per AS (
+            SELECT bin, COUNT(*)::BIGINT AS n, SUM(s)::BIGINT AS s_sum,
+                   SUM(is_pos)::BIGINT AS n_pos
+            FROM rows_b GROUP BY bin
+        ),
+        tot AS (SELECT SUM(n)::BIGINT AS n_total FROM per)
+        SELECT bin, n,
+               CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                   AS mean_predicted,
+               CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS observed_rate,
+               abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6) AS gap,
+               CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   * abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                         - CAST(s_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6)
+                   AS ece_term
+        FROM per CROSS JOIN tot
+    """,
+    "ml_kfold_assign": """
+        WITH f AS (
+            SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                        AS BIGINT) % 5 AS fold,
+                   lang
+            FROM documents
+        ),
+        per AS (
+            SELECT fold, lang, COUNT(*)::BIGINT AS n_docs
+            FROM f GROUP BY fold, lang
+        )
+        SELECT fold, lang, n_docs,
+               CAST(n_docs AS DOUBLE)
+                   / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE)
+                   AS lang_share
+        FROM per
+    """,
     "ml_retrieval_eval": """
         WITH corpus AS (
             SELECT vec_id, label, embedding,

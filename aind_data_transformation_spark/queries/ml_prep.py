@@ -82,8 +82,11 @@ def q_embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = F.count(F.lit(1))
-    sx = F.sum("xi")
-    sxx = F.sum(F.col("xi") * F.col("xi"))
+    # decimal accumulators: xi is 1e6-grid per row, so int64 sums wrap
+    # past ~1e12 rows; DuckDB SUM(BIGINT) widens to HUGEINT on its own
+    d38 = "decimal(38,0)"
+    sx = F.sum(F.col("xi").cast(d38))
+    sxx = F.sum((F.col("xi") * F.col("xi")).cast(d38))
     nd = n.cast("double")
     sxd = sx.cast("double")
     sxxd = sxx.cast("double")

@@ -382,7 +382,39 @@ def q_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    a scalar price-band function declared IN SQL — no Python, no JVM
+    jar — then used like a built-in in an aggregation. Because the body
+    is a SQL expression, Catalyst inlines it into the plan: full
+    codegen, pushdown through it, zero serialization boundary — the
+    answer to 'UDFs are the slow path' whenever the logic is
+    expressible as SQL. The oracle inlines the same CASE by hand."""
+    from aind_data_transformation_spark.io.sources import register_tables
+
+    register_tables(spark, sf_dir, suffix="_cf", tables=("orders",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band_cf(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 100000 THEN 'low'
+                    WHEN p < 250000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT price_band_cf(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders_cf
+        GROUP BY price_band_cf(o_totalprice)
+        """
+    )
+
+
 QUERIES = {
+    "sql_create_function": q_sql_create_function,
     "sql_in_subquery": q_sql_in_subquery,
     "sql_exec_immediate_vars": q_sql_exec_immediate_vars,
     "sql_pipe_syntax": q_sql_pipe_syntax,
@@ -401,6 +433,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_create_function": """
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                    WHEN o_totalprice < 250000 THEN 'mid'
+                    ELSE 'high' END AS band,
+               COUNT(*) AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        FROM orders
+        GROUP BY 1
+    """,
     "sql_in_subquery": """
         SELECT
             (SELECT COUNT(*) FROM orders

@@ -254,7 +254,45 @@ def q_stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store audit via the Spark 4 State Data Source
+    (``spark.read.format("statestore")``): run a complete-mode daily
+    tumbling aggregation over the event stream (availableNow, noop
+    sink), then read the aggregation's OWN state files back as a
+    DataFrame. The state of a complete-mode agg holds every group, so
+    the inspected state must equal the batch daily rollup exactly —
+    which is what the oracle checks. This is the production debugging
+    workflow for stuck/oversized streaming state (what keys live in the
+    store? how big is each?) without touching the running query.
+
+    Scale: the state read is partition-parallel over the checkpoint's
+    shuffle partitions; nothing is collected. The streaming pass itself
+    is one watermark-free shuffle on (window, type) — bounded keys."""
+    import tempfile
+
+    from aind_data_transformation_spark.streaming import jobs as sjobs
+
+    events = sjobs.read_events_stream(spark, sf_dir)
+    agg = events.groupBy(F.window("ts", "1 day"), "event_type").count()
+    ckpt = tempfile.mkdtemp(prefix="state_inspect_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.window.start").alias("win_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+    )
+
+
 QUERIES = {
+    "stream_state_inspect": q_stream_state_inspect,
     "stream_tws_totals": q_stream_tws_totals,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
@@ -268,6 +306,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_state_inspect": """
+        SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+               event_type,
+               COUNT(*)::BIGINT AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
     "stream_topk_window": """
         WITH counts AS (
             SELECT time_bucket(INTERVAL '6 hours', ts) AS win_start,

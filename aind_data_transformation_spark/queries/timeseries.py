@@ -676,6 +676,160 @@ def _ewma_oracle() -> str:
     """
 
 
+def q_ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (the error-free line-chart reduction: per pixel
+    bucket keep min, max, first, and last — provably sufficient to
+    render the exact pixel-perfect line): per (event_type, day) emit
+    min/max value and the first/last observation by (ts, event_id).
+
+    first/last are ``min_by``/``max_by`` over the (us, event_id) struct
+    key — one hash aggregation, fully map-side-combinable (each partial
+    keeps 4 scalars per group), so a 100-TB series downsamples in one
+    shuffle of |type × day| rows. Values stay on the integer-cent grid
+    until the final division."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    day_us = 86_400_000_000
+    key = F.struct(F.col("us"), F.col("event_id"))
+    agg = e.groupBy(
+        "event_type",
+        (F.col("us") / day_us).cast("long").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.min("c").alias("vmin"),
+        F.max("c").alias("vmax"),
+        F.min_by("c", key).alias("vfirst"),
+        F.max_by("c", key).alias("vlast"),
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        "n_points",
+        (F.col("vmin").cast("double") / 100.0).alias("v_min"),
+        (F.col("vmax").cast("double") / 100.0).alias("v_max"),
+        (F.col("vfirst").cast("double") / 100.0).alias("v_first"),
+        (F.col("vlast").cast("double") / 100.0).alias("v_last"),
+    )
+
+
+#: Holt's linear (double-exponential) smoothing, truncated to a bounded
+#: lag window like the EWMA: level/trend are a linear recurrence
+#: s_t = A s_{t-1} + v x_t with constant A, v, so the truncated state is
+#: a weighted sum of the last K inputs with PLAN-LITERAL weights A^i v —
+#: computed here once in Python and inlined identically in both dialects.
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_DEPTH = 24
+
+
+def _holt_weights() -> tuple[list, list]:
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    # A = [[1-a, 1-a], [-a*b, 1-a*b]], v = (a, a*b)
+    m = ((1.0 - a, 1.0 - a), (-a * b, 1.0 - a * b))
+    cur = (a, a * b)  # A^0 v
+    wl, wb = [], []
+    for _ in range(_HOLT_DEPTH):
+        wl.append(cur[0])
+        wb.append(cur[1])
+        cur = (
+            m[0][0] * cur[0] + m[0][1] * cur[1],
+            m[1][0] * cur[0] + m[1][1] * cur[1],
+        )
+    return wl, wb
+
+
+def _holt_terms(weights: list) -> str:
+    # the 1e6 grid scale folds into the weight literal so ONE builder
+    # serves both dialects (bare decimal literals parse as DECIMAL in
+    # both engines; the string-cast double is correctly-rounded in both)
+    return " + ".join(
+        f"CAST(round(CAST(l{i} AS DOUBLE)"
+        f" * CAST('{w * 1e6!r}' AS DOUBLE)) AS BIGINT)"
+        for i, w in enumerate(weights)
+    )
+
+
+def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level + trend double-exponential) smoothing per
+    event type, truncated to the last 24 observations, with the h=1
+    forecast level+trend. The coupled recurrence is linear with constant
+    coefficients, so the truncated state is two weighted lag-sums whose
+    weights (A^i·v) are computed once driver-side and inlined as
+    IDENTICAL literals in both engines; each term integer-rounds on a
+    1e-6 grid before the order-independent integer sum (module
+    doctrine), so it distributes AND hash-matches.
+
+    Scale: same halo-segmented shape as `ts_ewma` — two-phase row
+    numbers, 4096-row blocks with a 23-row ghost margin, all 24 lags on
+    one block-partition sort; parallelism ∝ rows/4096."""
+    wl, wb = _holt_weights()
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rn = series_row_number(
+        e, ["event_type"], ["us", "event_id"], "us div 3600000000"
+    )
+    halo = halo_blocks(rn, "rn", _HALO_BLOCK, _HOLT_DEPTH - 1, 0)
+    w = Window.partitionBy("event_type", "__blk").orderBy("rn")
+    lagged = halo.select(
+        "event_id",
+        "event_type",
+        "rn",
+        "__own",
+        *[
+            F.lag("cents", i).over(w).alias(f"l{i}")
+            for i in range(_HOLT_DEPTH)
+        ],
+    ).where("__own")
+    inv = "CAST('1e-08' AS DOUBLE)"  # 1e-6 grid x cents
+    lvl = f"CAST(({_holt_terms(wl)}) AS DOUBLE) * {inv}"
+    trd = f"CAST(({_holt_terms(wb)}) AS DOUBLE) * {inv}"
+    return lagged.where(F.col("rn") >= _HOLT_DEPTH).select(
+        "event_id",
+        "event_type",
+        F.expr(lvl).alias("level"),
+        F.expr(trd).alias("trend"),
+        F.expr(f"({lvl}) + ({trd})").alias("forecast_1"),
+    )
+
+
+def _holt_oracle() -> str:
+    wl, wb = _holt_weights()
+    lags = ",\n                   ".join(
+        f"lag(cents, {i}) OVER w AS l{i}" for i in range(_HOLT_DEPTH)
+    )
+    inv = "CAST('1e-08' AS DOUBLE)"
+    lvl = f"CAST(({_holt_terms(wl)}) AS DOUBLE) * {inv}"
+    trd = f"CAST(({_holt_terms(wb)}) AS DOUBLE) * {inv}"
+    return f"""
+        WITH e AS (
+            SELECT event_id, event_type, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        lagged AS (
+            SELECT event_id, event_type,
+                   row_number() OVER w AS rn,
+                   {lags}
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+        )
+        SELECT event_id, event_type,
+               {lvl} AS level,
+               {trd} AS trend,
+               ({lvl}) + ({trd}) AS forecast_1
+        FROM lagged
+        WHERE rn >= {_HOLT_DEPTH}
+    """
+
+
 def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average (the TimescaleDB ``time_weight``
     op): each observation's value is held until the next observation, so
@@ -723,6 +877,8 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ts_m4_downsample": q_ts_m4_downsample,
+    "ts_holt_linear": q_ts_holt_linear,
     "ts_ewma": q_ts_ewma,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
     "ts_seasonal_dow": q_ts_seasonal_dow,
@@ -897,6 +1053,25 @@ ORACLES = {
         FROM m
     """,
     "ts_ewma": _ewma_oracle(),
+    "ts_holt_linear": _holt_oracle(),
+    "ts_m4_downsample": """
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) AS us, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        )
+        SELECT event_type,
+               us // 86400000000 AS day,
+               COUNT(*)::BIGINT AS n_points,
+               CAST(MIN(c) AS DOUBLE) / 100.0 AS v_min,
+               CAST(MAX(c) AS DOUBLE) / 100.0 AS v_max,
+               CAST(first(c ORDER BY us, event_id) AS DOUBLE) / 100.0
+                   AS v_first,
+               CAST(last(c ORDER BY us, event_id) AS DOUBLE) / 100.0
+                   AS v_last
+        FROM e
+        GROUP BY 1, 2
+    """,
     "ts_time_weighted_avg": """
         WITH e AS (
             SELECT user_id, event_id, epoch_us(ts) AS us,

@@ -813,3 +813,34 @@ def test_shard_plan_two_phase_cumsum_not_per_source_window(spark):
     for frag in detail.split("windowspecdefinition(")[1:]:
         spec = frag.split("specifiedwindowframe", 1)[0]
         assert "__g" in spec, f"window not block-partitioned: {spec[:120]}"
+
+
+def test_holt_linear_halo_segmented(spark):
+    """Holt level/trend lags must ride the halo-block partitioning like
+    ewma — never a per-type-only window."""
+    plan = plan_of(spark, "ts_holt_linear")
+    assert "__blk" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_audience_overlap_word_aligned_equi_join(spark):
+    """Segment-pair intersection must meet on the bitmap word index (a
+    hash equi-join) — never a user-level or nested-loop pairing."""
+    plan = plan_of(spark, "audience_overlap_bitmap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_m4_single_aggregation_no_window(spark):
+    """M4 is one map-side-combinable aggregation: min/max/min_by/max_by
+    per (type, day) — no window function, two HashAggregates
+    (partial+final)."""
+    plan = plan_of(spark, "ts_m4_downsample")
+    assert "Window" not in plan
+    # struct-keyed min_by/max_by lower to SortAggregate, still with a
+    # map-side partial before the single (type, day) exchange
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    # formatted explain prints each operator twice (tree + detail):
+    # count == 2 means exactly ONE Exchange in the plan
+    assert plan.count("Exchange") == 2

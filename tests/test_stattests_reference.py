@@ -200,3 +200,48 @@ def test_psi_matches_numpy(spark):
     row = q_ml_psi_drift(spark, TEST_SF_DIR).collect()[0]
     assert math.isclose(row.psi, psi_ref, rel_tol=0, abs_tol=1e-6)
     assert row.is_stable == (psi_ref < 0.1)
+
+
+def test_pr_curve_ap_matches_numpy(spark):
+    """Independent third implementation of the PR curve's final average
+    precision: recompute scores + AP in NumPy from the raw parquet."""
+    from aind_data_transformation_spark.queries.ml_eval import q_ml_pr_curve
+
+    docs = pd.read_parquet(f"{TEST_SF_DIR}/documents.parquet")
+    toks = docs.text.str.split(" ")
+    n = toks.map(len).to_numpy(dtype=float)
+    nd = toks.map(lambda t: len(set(t))).to_numpy(dtype=float)
+    nthe = toks.map(lambda t: sum(1 for x in t if x == "the")).to_numpy(
+        dtype=float
+    )
+    # floor(x+0.5): Spark/DuckDB round() is HALF_UP; np.round is HALF_EVEN
+    s = np.floor(
+        (0.4 * np.minimum(1.0, n / 50.0) + 0.3 * (nd / n) + 0.3 * (1.0 - nthe / n))
+        * 1e6
+        + 0.5
+    ).astype(np.int64)
+    is_pos = (docs.lang == "en").to_numpy().astype(np.int64)
+    n_pos = int(is_pos.sum())
+    ap_nano = 0  # the engine nano-rounds each AP increment (1e-9 grid)
+    tp = fp = 0
+    rows = {}
+    for sv in sorted(set(s), reverse=True):
+        mask = s == sv
+        c1 = int(is_pos[mask].sum())
+        c0 = int((mask & (is_pos == 0)).sum())
+        tp += c1
+        fp += c0
+        prec = tp / (tp + fp)
+        ap_nano += int(np.floor((c1 / n_pos) * prec * 1e9 + 0.5))
+        rows[int(sv)] = (tp, fp, prec, tp / n_pos, ap_nano / 1e9)
+    got = {
+        int(r.s): (r.tp, r.fp, r.precision, r.recall, r.ap_cum)
+        for r in q_ml_pr_curve(spark, TEST_SF_DIR).collect()
+    }
+    assert set(got) == set(rows)
+    for sv, (tp_r, fp_r, prec_r, rec_r, ap_r) in rows.items():
+        g = got[sv]
+        assert g[0] == tp_r and g[1] == fp_r
+        assert math.isclose(g[2], prec_r, rel_tol=1e-9)
+        assert math.isclose(g[3], rec_r, rel_tol=1e-9)
+        assert math.isclose(g[4], ap_r, rel_tol=1e-9)
