@@ -22,6 +22,7 @@ from aind_data_transformation_spark.io.sources import load_table
 from aind_data_transformation_spark.texthash import (
     TOKS_DUCK as _TOKS_DUCK,
     TOKS_SPARK as _TOKS_SPARK,
+    candidate_tris_cte,
     lsh_candidate_pairs,
     minhash_from_shingles as _minhash_from_shingles,
     minhash_signatures,
@@ -271,6 +272,43 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality report of the LSH candidate tier itself: of all pairs the
+    2-band/8-hash banding surfaces, what fraction verify at trigram
+    Jaccard >= 0.7 (tier precision), plus the candidate count and the
+    exact micro-grid mean Jaccard — the numbers that drive band/row
+    tuning before a 100-TB dedup run (low precision = wasted verify
+    compute; tune bands up). The eval consumes the SAME pipeline
+    (texthash.candidate_jaccard) the production dedup runs — not a
+    re-derivation — so banding regressions surface here.
+
+    Scale: identical shape to the verified pipeline (band equi-joins,
+    candidate-bounded verification) closing into one 1-row aggregate."""
+    from aind_data_transformation_spark.texthash import candidate_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    cj = candidate_jaccard(d, "doc_id", "text")
+    jac_micro = F.round(F.col("jaccard") * 1.0e6).cast("long")
+    agg = cj.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum((F.col("jaccard") >= 0.7).cast("long")).alias("n_verified"),
+        F.sum(jac_micro).alias("jac_sum_micro"),
+    )
+    return agg.select(
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_verified").cast("long").alias("n_verified"),
+        (
+            F.col("n_verified").cast("double")
+            / F.col("n_candidates").cast("double")
+        ).alias("precision"),
+        (
+            F.col("jac_sum_micro").cast("double")
+            / F.col("n_candidates").cast("double")
+            / 1.0e6
+        ).alias("mean_jaccard"),
+    )
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment verification of the LSH candidate pairs:
     containment_ab = |A ∩ B| / |A| over trigram sets (and the b-in-a
@@ -515,6 +553,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_fuzzy_minhash": q_dedup_minhash,
     "dedup_minhash_verified": q_dedup_minhash_verified,
+    "dedup_lsh_precision": q_dedup_lsh_precision,
     "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -693,6 +732,26 @@ ORACLES = {
         )
     """,
     "dedup_minhash_verified": verified_pairs_sql(0.7),
+    "dedup_lsh_precision": f"""{candidate_tris_cte()},
+        cj AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN len(list_distinct(list_concat(ta.tri, tb.tri))) > 0
+                        THEN CAST(len(list_intersect(ta.tri, tb.tri)) AS DOUBLE)
+                             / CAST(len(list_distinct(list_concat(ta.tri, tb.tri))) AS DOUBLE)
+                        ELSE 0.0 END AS jaccard
+            FROM cands
+            JOIN tris ta ON ta.doc_id = doc_a
+            JOIN tris tb ON tb.doc_id = doc_b
+        )
+        SELECT COUNT(*)::BIGINT AS n_candidates,
+               SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_verified,
+               CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS precision,
+               CAST(SUM(CAST(round(jaccard * 1e6) AS BIGINT))::BIGINT AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1e6 AS mean_jaccard
+        FROM cj
+    """,
     "dedup_containment": _containment_oracle(),
     "dedup_simhash": f"""
         WITH sketches AS (

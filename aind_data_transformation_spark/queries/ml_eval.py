@@ -383,6 +383,92 @@ def q_ml_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-set-size sweep (the learning/stability curve): langid
+    accuracy measured on NESTED deterministic subsets (25% ⊂ 50% ⊂
+    100%) carved by the Knuth multiplicative hash of doc_id — the
+    sample-size sensitivity check run before trusting a metric. Nesting
+    matters: each fraction's docs are a superset of the smaller one, so
+    the curve shows metric convergence, not resample noise.
+
+    Scale: ONE scan — the (true==pred) bit and the hash land in a
+    single projection; each fraction is a conditional aggregation over
+    the same pass (no per-fraction re-scan)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    h = F.expr("pmod(doc_id * 2654435761, 4294967296)")
+    rows = d.join(pred, "doc_id").select(
+        h.alias("h"),
+        (F.col("lang") == F.col("predicted_lang")).cast("long").alias("ok"),
+    )
+    fracs = [(25, 1073741824), (50, 2147483648), (100, 4294967296)]
+    aggs = []
+    for pct, thr in fracs:
+        in_f = F.col("h") < F.lit(thr)
+        aggs += [
+            F.sum(in_f.cast("long")).alias(f"n_{pct}"),
+            F.sum(F.when(in_f, F.col("ok")).otherwise(F.lit(0))).alias(
+                f"ok_{pct}"
+            ),
+        ]
+    one = rows.agg(*aggs)
+    parts = [
+        one.select(
+            F.lit(pct).cast("long").alias("sample_pct"),
+            F.col(f"n_{pct}").cast("long").alias("n_docs"),
+            (
+                F.col(f"ok_{pct}").cast("double")
+                / F.col(f"n_{pct}").cast("double")
+            ).alias("accuracy"),
+        )
+        for pct, _ in fracs
+    ]
+    return parts[0].unionAll(parts[1]).unionAll(parts[2])
+
+
+def q_ml_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-bucketed ANN tier against the exact
+    brute-force top-k, per query — the eval consumes BOTH retrieval
+    queries (`ann_ivf_topk`, `sim_search_topk`) rather than
+    re-deriving either, so a regression in the probe logic shows up
+    here, not just in the recall property test.
+
+    Scale: both inputs are k×queries-row frames by construction; the
+    overlap is a tiny semi-join + one aggregation."""
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        q_ann_ivf_topk,
+        q_sim_search_topk,
+    )
+
+    exact = q_sim_search_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    approx = q_ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("q2"))
+        & (F.col("neighbor_id") == F.col("n2")),
+        "left_semi",
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    hits = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("k").cast("double")
+            ).alias("recall_at_5"),
+        )
+    )
+
+
 def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation of the exact top-k similarity search
     (`sim_search_topk`): treating same-label neighbors as relevant,
@@ -437,6 +523,8 @@ def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "ml_learning_curve": q_ml_learning_curve,
+    "ml_ann_recall": q_ml_ann_recall,
     "ml_pr_curve": q_ml_pr_curve,
     "ml_calibration_bins": q_ml_calibration_bins,
     "ml_kfold_assign": q_ml_kfold_assign,
@@ -468,7 +556,66 @@ _QUALITY_GRID = f"""
         )
 """
 
+def _ann_recall_oracle() -> str:
+    # compose from the retrieval oracles themselves (nested WITH is fine
+    # in DuckDB subqueries) so this eval can never drift from them
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        ORACLES as _VEC,
+    )
+
+    return f"""
+        WITH ex AS ({_VEC["sim_search_topk"]}),
+        ap AS ({_VEC["ann_ivf_topk"]}),
+        per_q AS (
+            SELECT query_id, COUNT(*)::BIGINT AS k FROM ex GROUP BY query_id
+        ),
+        hits AS (
+            SELECT e.query_id, COUNT(*)::BIGINT AS n_hit
+            FROM ex e
+            WHERE EXISTS (SELECT 1 FROM ap a
+                          WHERE a.query_id = e.query_id
+                            AND a.neighbor_id = e.neighbor_id)
+            GROUP BY e.query_id
+        )
+        SELECT p.query_id,
+               COALESCE(h.n_hit, 0) AS n_hit,
+               CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(p.k AS DOUBLE)
+                   AS recall_at_5
+        FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+    """
+
+
 ORACLES = {
+    "ml_ann_recall": _ann_recall_oracle(),
+    "ml_learning_curve": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_intersect({_TOKS}, ['the','a','fast','small'])) AS BIGINT) AS score_en,
+                   CAST(len(list_intersect({_TOKS}, ['data','table','row','column'])) AS BIGINT) AS score_es,
+                   CAST(len(list_intersect({_TOKS}, ['merge','join','sort','filter'])) AS BIGINT) AS score_de
+            FROM documents
+        ),
+        pairs AS (
+            SELECT (doc_id * 2654435761) % 4294967296 AS h,
+                   CASE WHEN lang = (CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                                          WHEN score_es >= score_de THEN 'es'
+                                          ELSE 'de' END)
+                        THEN 1 ELSE 0 END AS ok
+            FROM scored
+        ),
+        fr AS (
+            SELECT * FROM (VALUES (25, 1073741824),
+                                  (50, 2147483648),
+                                  (100, 4294967296)) AS t(sample_pct, thr)
+        )
+        SELECT CAST(sample_pct AS BIGINT) AS sample_pct,
+               SUM(CASE WHEN h < thr THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+               CAST(SUM(CASE WHEN h < thr THEN ok ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN h < thr THEN 1 ELSE 0 END) AS DOUBLE)
+                   AS accuracy
+        FROM pairs CROSS JOIN fr
+        GROUP BY sample_pct
+    """,
     "ml_pr_curve": f"""
         WITH {_QUALITY_GRID},
         per AS (

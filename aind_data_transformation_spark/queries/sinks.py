@@ -510,7 +510,54 @@ def q_scan_with_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout (SCALE.md cluster item 2 as a first-class
+    operator): write orders and lineitem ``bucketBy(8, orderkey)`` +
+    ``sortBy``, then join the bucketed tables and aggregate lines per
+    order. Because both sides are bucketed AND sorted on the join key,
+    Spark plans a SortMergeJoin with ZERO Exchange operators on either
+    side (asserted in tests/test_plans.py AND tests/test_bucketing.py)
+    — the co-located-join layout that turns the fact-fact shuffle, the
+    single biggest cost of a repeatedly-joined 100-TB table pair, into
+    a scan-local merge. The oracle is the plain join: bucketing must be
+    invisible to results."""
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_buckets_{sf_tag}"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    for name, df, key in (
+        (f"orders_bkt_{sf_tag}", o, "o_orderkey"),
+        (f"lineitem_bkt_{sf_tag}", li, "l_orderkey"),
+    ):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, name))
+            .saveAsTable(name)
+        )
+    # MERGE hint: at toy scale AQE would broadcast the small side and
+    # never exercise the bucketed path; at fact-fact scale SMJ is what
+    # the planner picks anyway. With both sides bucketed+sorted the SMJ
+    # needs no Exchange AND the downstream groupBy (a superset of the
+    # bucket key) reuses the bucket partitioning — zero shuffles total
+    # (plan-asserted in tests/test_plans.py).
+    return (
+        spark.table(f"orders_bkt_{sf_tag}")
+        .hint("merge")
+        .join(
+            spark.table(f"lineitem_bkt_{sf_tag}"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+
+
 QUERIES = {
+    "sink_bucketed_join": q_sink_bucketed_join,
     "scan_partition_pruned": q_scan_partition_pruned,
     "scan_with_lineage": q_scan_with_lineage,
     "join_dpp": q_join_dpp,
@@ -527,6 +574,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_bucketed_join": """
+        SELECT o_orderkey, o_orderstatus,
+               COUNT(*)::BIGINT AS n_lines
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    """,
     "scan_with_lineage": """
         -- the driver layout is one file per table named <table>.parquet,
         -- so the expected lineage is the literal basename; the Spark side

@@ -372,6 +372,59 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's daily value series
+    at lags 1..7 — the seasonality/memory diagnostic run before any
+    forecasting model choice. Daily sums accumulate in exact integer
+    cents on the epoch-day key; each lag is an equi-join of the compact
+    daily frame against itself shifted, per (type, lag); Pearson r
+    closes from exact decimal moments in one identical double tree.
+
+    Scale: one fact shuffle down to (type, day); the 7 lag joins run
+    over that bounded aggregate (days × types, not rows)."""
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / day_us).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("lag"))
+    a = daily.select("event_type", "day", F.col("c").alias("x"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("day_b"),
+        F.col("c").alias("y"),
+    )
+    shifted = a.crossJoin(F.broadcast(lags)).join(
+        b,
+        (F.col("et_b") == F.col("event_type"))
+        & (F.col("day_b") == F.col("day") + F.col("lag")),
+    )
+    d19 = "decimal(19,0)"
+    xd, yd = F.col("x").cast(d19), F.col("y").cast(d19)
+    m = shifted.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        r.alias("acf"),
+    )
+
+
 def q_ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-over-day and week-over-week growth of daily event value per
     event type — the dashboard staple. Daily sums in exact integer cents
@@ -878,6 +931,7 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ts_m4_downsample": q_ts_m4_downsample,
+    "ts_acf": q_ts_acf,
     "ts_holt_linear": q_ts_holt_linear,
     "ts_ewma": q_ts_ewma,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
@@ -1054,6 +1108,40 @@ ORACLES = {
     """,
     "ts_ewma": _ewma_oracle(),
     "ts_holt_linear": _holt_oracle(),
+    "ts_acf": """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        shifted AS (
+            SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+            FROM daily a
+            CROSS JOIN lags l
+            JOIN daily b ON b.event_type = a.event_type
+                        AND b.day = a.day + l.lag
+        ),
+        m AS (
+            SELECT event_type, lag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(x)::BIGINT AS DOUBLE) AS sx,
+                   CAST(SUM(y)::BIGINT AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,0))
+                            * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+            FROM shifted GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS acf
+        FROM m
+    """,
     "ts_m4_downsample": """
         WITH e AS (
             SELECT event_type, epoch_us(ts) AS us, event_id,

@@ -213,15 +213,15 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
-def verified_near_dups(
+def candidate_jaccard(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.7,
     materializer=None,
 ) -> DataFrame:
-    """The full production near-dup pipeline: LSH candidates -> exact
-    trigram-Jaccard verification -> pairs >= threshold.
+    """Every LSH candidate pair with its exact trigram Jaccard —
+    UNFILTERED (``verified_near_dups`` is the >= threshold view of this;
+    the LSH-tier precision eval consumes it whole).
 
     Columns: id_a, id_b, jaccard. The verify join brings the trigram sets
     to the (small) candidate set, not the other way around: trigram sets
@@ -262,7 +262,19 @@ def verified_near_dups(
     inter = F.size(F.array_intersect("tri_a", "tri_b")).cast("double")
     union = F.size(F.array_union("tri_a", "tri_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return joined.select("id_a", "id_b", jac.alias("jaccard"))
+
+
+def verified_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    materializer=None,
+) -> DataFrame:
+    """The full production near-dup pipeline: LSH candidates -> exact
+    trigram-Jaccard verification -> pairs >= threshold (see
+    :func:`candidate_jaccard` for the pipeline shape)."""
+    return candidate_jaccard(
+        df, id_col, text_col, materializer=materializer
+    ).where(F.col("jaccard") >= threshold)

@@ -32,8 +32,12 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
             .saveAsTable(name)
         )
 
+    # MERGE hint: at toy scale the planner would broadcast the small side
+    # and never exercise the bucketed path (and the old split-based
+    # assertion was vacuous — it only inspected the plan header)
     joined = (
         spark.table(f"orders_b_{tag}")
+        .hint("merge")
         .join(
             spark.table(f"lineitem_b_{tag}"),
             F.col("o_orderkey") == F.col("l_orderkey"),
@@ -45,9 +49,10 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         joined.explain("formatted")
     plan = buf.getvalue()
-    join_section = plan.split("HashAggregate")[0]
-    assert "Exchange" not in join_section, (
-        "bucketed-on-key join must not shuffle either side"
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed-on-key join + bucket-key groupBy must not shuffle"
     )
 
     # and it is still correct

@@ -844,3 +844,15 @@ def test_m4_single_aggregation_no_window(spark):
     # formatted explain prints each operator twice (tree + detail):
     # count == 2 means exactly ONE Exchange in the plan
     assert plan.count("Exchange") == 2
+
+
+def test_sink_bucketed_join_zero_shuffles(spark):
+    """The bucketed-table join key: both sides bucketed+sorted on the
+    join key -> SortMergeJoin with NO shuffle, and the downstream
+    groupBy (a superset of the bucket key) reuses the bucket
+    partitioning — the whole plan has zero hash-partitioning
+    exchanges."""
+    plan = plan_of(spark, "sink_bucketed_join")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Bucketed: true" in plan
