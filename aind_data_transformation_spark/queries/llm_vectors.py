@@ -466,22 +466,25 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in cosine; exact cross-engine arithmetic from there on); (2) per-dim
     corpus min/max bounds — 128 partial aggregations that combine
     map-side (NOT a posexplode+groupBy, which would shuffle 64x the
-    corpus at scale); (3) 4-bit codes PACKED 16-per-BIGINT into 4 words
-    (the FAISS code-block layout: 32 bytes/vector instead of a
-    64-element BIGINT array — ~8x smaller, and the word build plus the
-    bitwise-extract ADC are flat shift/mask/multiply expressions that
-    stay inside whole-stage codegen, unlike interpreted HOF lambdas);
-    (4) the ADC squared-error sum unrolls over the 64 extracted codes
-    with midpoint reconstruction inline; (5) top-3k candidates per query
-    by ADC distance, reranked by exact cosine to top-k. Recall@5 floor
-    asserted in tests/test_properties.py. The ADC scan is a broadcast
-    join of 5 query rows against codes — no shuffle of the corpus.
+    corpus at scale) — packed into two array columns riding the
+    broadcast; (3) 4-bit codes PACKED 16-per-BIGINT into 4 words (the
+    FAISS code-block layout: 32 bytes/vector of index state, ~8x
+    smaller than a 64-element BIGINT array — the reason a 100-TB
+    corpus's codes fit in executor memory); (4) the ADC squared-error
+    sum extracts each code by shift/mask inside ONE compact
+    aggregate-over-sequence lambda with midpoint reconstruction inline;
+    (5) top-3k candidates per query by ADC distance, reranked by exact
+    cosine to top-k. Recall@5 floor asserted in
+    tests/test_properties.py. The ADC scan is a broadcast join of 5
+    query rows against codes — no shuffle of the corpus.
 
-    Measured at sf0.1 local[8] (PERF.md): HOF zip_with/aggregate ADC
-    3.09 s -> packed bitwise ADC 2.63 s (identical output); a flat
-    element_at unroll over the unpacked array was 3.89 s. The plan is
-    9-job overhead-bound locally; the packing's real win is the 8x code
-    memory at cluster scale."""
+    ADC variants measured at sf0.1 (PERF.md): fully-unrolled bitwise
+    terms win warm (2.63 s vs 3.09 s HOF) because they stay in
+    whole-stage codegen, but their 128-term janino compile costs ~2.5 s
+    per fresh plan — a 2x regression under the cold-plan bench
+    protocol. Shipped: packed words + a compact HOF ADC (bench-neutral,
+    keeps the storage win); the unrolled ADC is the right swap on a
+    real cluster where plan compile amortizes over 1e9-row scans."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
@@ -498,25 +501,25 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.element_at("v", d + 1)).alias(f"mx{d}")
             for d in range(_SQ_DIMS)
         ],
+    ).select(
+        F.array(*[F.col(f"mn{d}") for d in range(_SQ_DIMS)]).alias("mn"),
+        F.array(*[F.col(f"mx{d}") for d in range(_SQ_DIMS)]).alias("mx"),
     )
     # code_d = least(15, ((v_d - mn_d) * 16) DIV (mx_d - mn_d + 1)),
-    # packed 16 codes per 64-bit word: w0..w3
-    word_exprs = []
-    for wd in range(_SQ_DIMS // 16):
-        parts = " + ".join(
-            f"shiftleft(least({_SQ_CODES - 1},"
-            f" ((element_at(v,{d + 1}) - mn{d}) * {_SQ_CODES})"
-            f" DIV (mx{d} - mn{d} + 1)), {4 * (d - 16 * wd)})"
-            for d in range(16 * wd, 16 * wd + 16)
-        )
-        word_exprs.append(f"({parts}) AS w{wd}")
-    coded = base.crossJoin(F.broadcast(bounds)).selectExpr(
-        "vec_id",
-        "emb",
-        "nrm",
-        *word_exprs,
-        *[f"mn{d}" for d in range(_SQ_DIMS)],
-        *[f"mx{d}" for d in range(_SQ_DIMS)],
+    # packed 16 codes per 64-bit word: w = [w0..w3]
+    words = (
+        f"transform(sequence(0, {_SQ_DIMS // 16 - 1}), wd -> "
+        " aggregate(sequence(wd * 16, wd * 16 + 15), 0L, (acc, d) ->"
+        f"  acc + shiftleft(least({_SQ_CODES - 1},"
+        "   ((element_at(v, CAST(d + 1 AS INT))"
+        "     - element_at(mn, CAST(d + 1 AS INT)))"
+        f"    * {_SQ_CODES})"
+        "   DIV (element_at(mx, CAST(d + 1 AS INT))"
+        "        - element_at(mn, CAST(d + 1 AS INT)) + 1)),"
+        "  CAST(4 * (d % 16) AS INT))))"
+    )
+    coded = base.crossJoin(F.broadcast(bounds)).select(
+        "vec_id", "emb", "nrm", "mn", "mx", F.expr(words).alias("w")
     )
     queries = base.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -524,24 +527,23 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         F.col("v").alias("qv"),
     )
-
     # recon_d = mn_d + ((2*code_d + 1) * (mx_d - mn_d + 1)) DIV 32, with
-    # code_d extracted by shift/mask from its word — all codegen-friendly
-    def _recon(d: int) -> str:
-        code = f"(shiftright(w{d // 16}, {4 * (d % 16)}) & {_SQ_CODES - 1})"
-        return (
-            f"(mn{d} + ((2 * {code} + 1) * (mx{d} - mn{d} + 1))"
-            f" DIV {2 * _SQ_CODES})"
-        )
-
-    adc_terms = " + ".join(
-        f"((element_at(qv,{d + 1}) - {_recon(d)})"
-        f" * (element_at(qv,{d + 1}) - {_recon(d)}))"
-        for d in range(_SQ_DIMS)
+    # code_d extracted by shift/mask from its packed word
+    recon = (
+        "(element_at(mn, CAST(d + 1 AS INT)) +"
+        " ((2 * (shiftright(element_at(w, CAST(d DIV 16 + 1 AS INT)),"
+        f"        CAST(4 * (d % 16) AS INT)) & {_SQ_CODES - 1}) + 1)"
+        "  * (element_at(mx, CAST(d + 1 AS INT))"
+        f"     - element_at(mn, CAST(d + 1 AS INT)) + 1)) DIV {2 * _SQ_CODES})"
+    )
+    adc = (
+        f"aggregate(sequence(0, {_SQ_DIMS - 1}), 0L, (acc, d) -> acc + "
+        f" (element_at(qv, CAST(d + 1 AS INT)) - {recon})"
+        f" * (element_at(qv, CAST(d + 1 AS INT)) - {recon}))"
     )
     scored = coded.join(
         F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).withColumn("adc_dist", F.expr(f"({adc_terms})"))
+    ).withColumn("adc_dist", F.expr(adc))
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
