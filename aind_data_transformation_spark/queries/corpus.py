@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-from aind_data_transformation_spark.ops import connected_components, pack_sequences
+from aind_data_transformation_spark.ops import (
+    connected_components,
+    pack_sequences,
+    series_row_number,
+)
 from aind_data_transformation_spark.texthash import (
     verified_near_dups,
     verified_pairs_sql,
@@ -67,13 +71,23 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified sample: 10 documents per language, chosen by the
     deterministic Knuth hash order (reproducible across runs, engines, and
-    partitionings — unlike df.sample). One shuffle on the stratum key;
-    per-stratum top-k never globally sorts."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(F.expr(_HASH_SPARK), "doc_id")
+    partitionings — unlike df.sample).
+
+    Scale: the per-stratum rank comes from ops.series_row_number (local
+    row_numbers inside (lang, hash-bucket) partitions + broadcast bucket
+    offsets — the hash IS the order key, so its high bits are a monotone
+    coarse bucket), not a raw per-lang window whose parallelism would be
+    capped at the language count."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_HASH_SPARK).alias("__h")
+    )
+    ranked = series_row_number(
+        d, ["lang"], ["__h", "doc_id"], "__h div 16777216",
+        rn_name="sample_rank",
+    )
     return (
-        d.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .where(F.col("sample_rank") <= 10)
+        ranked.where(F.col("sample_rank") <= 10)
+        .select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
     )
 
 
@@ -225,20 +239,20 @@ def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample. Returns per-language before/after counts plus the kept rows'
     char sum (proves the *selection identity*, not just the count).
 
-    Scale: one per-language count (6 rows, broadcast), one window rank
-    per language (partitions on lang — at extreme per-class cardinality
-    you'd pre-filter by a hash threshold ~ target/size before ranking,
-    same plan), one final aggregation."""
+    Scale: one per-language count (6 rows, broadcast); the per-language
+    hash rank comes from ops.series_row_number — local row_numbers
+    inside (lang, hash-bucket) partitions plus broadcast bucket offsets
+    (the hash is the order key, so its high bits are a monotone coarse
+    bucket) — parallelism ∝ hash buckets, never capped at the class
+    count; one final aggregation."""
     d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
+        "doc_id", "lang", "n_chars", F.expr(_HASH_SPARK).alias("__h")
     )
     sizes = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
     target = sizes.agg(F.min("n_before").alias("n_target"))
-    h = F.expr("pmod(doc_id * 2654435761, 4294967296)")
-    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
-    ranked = d.withColumn("rk", F.row_number().over(w)).crossJoin(
-        F.broadcast(target)
-    )
+    ranked = series_row_number(
+        d, ["lang"], ["__h", "doc_id"], "__h div 16777216", rn_name="rk"
+    ).crossJoin(F.broadcast(target))
     kept = ranked.where(F.col("rk") <= F.col("n_target"))
     return (
         kept.groupBy("lang")

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import series_row_number
 
 #: string-sim join: prefix-band width, length-difference cap, distance cap.
 #: A true edit-distance join needs |len(a)-len(b)| <= tau to match, so the
@@ -224,11 +225,12 @@ def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity tercile to keep head-quality web text for LM training.
 
     Scale: the LM passes are the ``text_bigram_lm_score`` shape (hash
-    aggregations + equi-joins on bigram keys); the tercile is one window
-    per language — at 100 TB you'd replace ntile with precomputed
-    per-language quantile cut-points (one small aggregate, broadcast
-    back) to avoid the per-language global sort; the tercile semantics
-    are unchanged."""
+    aggregations + equi-joins on bigram keys); the tercile rank comes
+    from ops.series_row_number over (lang, score-bucket) partitions
+    (broadcast bucket offsets; the score's integer part is the monotone
+    coarse bucket) with the tile closed arithmetically as
+    ((rn-1)·3) DIV n + 1 — exactly ntile's tie-free semantics, but
+    parallelism ∝ score buckets instead of the language count."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -267,14 +269,22 @@ def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lp_micro").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("avg_lp")
     )
-    scored = toks.select("doc_id", "lang").join(scores, "doc_id")
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_lp").desc(), F.col("doc_id").asc()
+    scored = (
+        toks.select("doc_id", "lang")
+        .join(scores, "doc_id")
+        # series_row_number orders ascending: negate for score-DESC rank
+        .withColumn("__neglp", -F.col("avg_lp"))
     )
-    bucket = F.element_at(
-        F.expr("array('head', 'middle', 'tail')"), F.ntile(3).over(w)
-    )
-    return scored.select(
+    sizes = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("__n"))
+    ranked = series_row_number(
+        scored,
+        ["lang"],
+        ["__neglp", "doc_id"],
+        "CAST(__neglp AS BIGINT) div 1048576",
+    ).join(F.broadcast(sizes), "lang")
+    tile = (F.expr("((rn - 1) * 3) DIV __n") + 1).cast("int")
+    bucket = F.element_at(F.expr("array('head', 'middle', 'tail')"), tile)
+    return ranked.select(
         "lang",
         "doc_id",
         (F.col("avg_lp") / 1e6).alias("avg_logprob"),

@@ -207,22 +207,23 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands) is bit-identical across engines and the per-bucket argmax
     (area DESC NULLS LAST, x ASC) cannot drift.
 
-    Scale: one window shuffle on the series key for numbering, one
+    Scale: point numbering uses ops.series_row_number (two-phase: local
+    ranks in (type, hour-bucket) partitions + broadcast bucket offsets)
+    and the per-type point count is a broadcast aggregate — parallelism
+    ∝ rows/bucket, never capped at the series-key cardinality; then one
     bucket-keyed aggregation, a 20-row-per-series broadcast-sized
     neighbor join back, and a per-bucket top-1 window — no global sort,
-    no cross product. At 100 TB the series key (metric/entity) is the
-    partitioner; per-task state is one partition's rows."""
+    no cross product."""
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.unix_micros("ts").alias("x"),
         F.round(F.col("value") * 100).cast("long").alias("yc"),
     )
     pts = e.groupBy("event_type", "x").agg(F.max("yc").alias("yc"))
-    w = Window.partitionBy("event_type").orderBy("x")
-    wall = Window.partitionBy("event_type")
-    numbered = pts.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wall)
-    )
+    counts = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    numbered = series_row_number(
+        pts, ["event_type"], ["x"], "x div 3600000000"
+    ).join(F.broadcast(counts), "event_type")
     bucketed = numbered.withColumn(
         "bucket", F.expr("CAST(((rn - 1) * 20) DIV n AS BIGINT)")
     )
@@ -844,12 +845,17 @@ def q_ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = "CAST('1e-08' AS DOUBLE)"  # 1e-6 grid x cents
     lvl = f"CAST(({_holt_terms(wl)}) AS DOUBLE) * {inv}"
     trd = f"CAST(({_holt_terms(wb)}) AS DOUBLE) * {inv}"
-    return lagged.where(F.col("rn") >= _HOLT_DEPTH).select(
-        "event_id",
-        "event_type",
-        F.expr(lvl).alias("level"),
-        F.expr(trd).alias("trend"),
-        F.expr(f"({lvl}) + ({trd})").alias("forecast_1"),
+    # forecast derives from the computed columns — inlining the 24-term
+    # strings a second time doubles plan-compile cost for nothing
+    return (
+        lagged.where(F.col("rn") >= _HOLT_DEPTH)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(lvl).alias("level"),
+            F.expr(trd).alias("trend"),
+        )
+        .withColumn("forecast_1", F.col("level") + F.col("trend"))
     )
 
 

@@ -694,12 +694,13 @@ def test_naive_bayes_model_join_is_equi(spark):
     assert "BroadcastHashJoin LeftOuter" in plan or "LeftOuter" in plan
 
 
-def test_perplexity_buckets_windows_partition_on_lang(spark):
-    """The tercile split must window per-language (bounded partitions),
-    and the LM joins stay equi — no corpus-sized nested loop."""
+def test_perplexity_buckets_no_cartesian(spark):
+    """The LM joins stay equi — no corpus-sized nested loop. (The
+    tercile itself is bucket-segmented since r3: see
+    test_per_class_ranks_are_bucket_segmented — the arithmetic
+    ((rn-1)*3) DIV n + 1 replaced the ntile window.)"""
     plan = plan_of(spark, "corpus_perplexity_buckets")
     assert "CartesianProduct" not in plan
-    assert "ntile" in plan
 
 
 def test_interval_overlap_is_banded_equi_join(spark):
@@ -856,3 +857,33 @@ def test_sink_bucketed_join_zero_shuffles(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Bucketed: true" in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    ["sample_stratified", "sample_class_balance", "corpus_perplexity_buckets"],
+)
+def test_per_class_ranks_are_bucket_segmented(spark, key):
+    """Per-language ranks/terciles must come from the two-phase
+    series_row_number — every window partition spec carries the coarse
+    bucket key (or partitions the tiny offsets frame), never a raw
+    per-lang sort of the corpus."""
+    plan = plan_of(spark, key)
+    detail = plan.split("== Physical Plan ==")[-1]
+    specs = [
+        frag.split("specifiedwindowframe", 1)[0]
+        for frag in detail.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "no window found — did the implementation change?"
+    for spec in specs:
+        assert "__cg" in spec, f"window not bucket-segmented: {spec[:120]}"
+    assert "BroadcastHashJoin" in plan  # bucket offsets join back broadcast
+
+
+def test_lttb_numbering_is_bucket_segmented(spark):
+    """LTTB's point numbering must ride series_row_number; the remaining
+    windows partition by (type, bucket) — a 20-value bounded domain."""
+    plan = plan_of(spark, "ts_downsample_lttb")
+    assert "__cg" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
