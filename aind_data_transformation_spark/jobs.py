@@ -431,3 +431,168 @@ class TrainingCorpusPipelineJob(
                 }
             ),
         )
+
+
+class AnnIndexBuildJobSettings(SparkJobSettings):
+    """ANN index build: probe-set size and rerank depth knobs."""
+
+    n_probe_queries: int = 5
+    top_k: int = 5
+
+
+class AnnIndexBuildJob(GenericSparkEtl[AnnIndexBuildJobSettings]):
+    """Build a scalar-quantization ANN index from an embeddings table and
+    validate it before publishing — the production packaging of the
+    ``ann_pq_topk`` operator family (queries/llm_vectors.py).
+
+    Pipeline (all distributed):
+      1. L2-normalize and quantize each vector to integer micros;
+      2. per-dimension corpus min/max bounds (128 map-side-combining
+         aggregations) written as a 1-row parquet sidecar;
+      3. 4-bit codes packed 16-per-BIGINT into 4 words — 32 bytes/vector
+         of index state — written as the parquet code table;
+      4. validation: re-read the published index, run the ADC scan +
+         exact rerank for a deterministic probe set, and compute
+         recall@k against exact brute-force cosine. The job FAILS
+         (status 500) if recall drops below 0.6 — an index that cannot
+         find true neighbors must never be published.
+
+    ``JobResponse.data`` reports vectors indexed, code-table bytes, and
+    the measured recall — the go/no-go numbers an embedding-store deploy
+    gates on."""
+
+    def run_job(self) -> JobResponse:
+        from pyspark.sql import Window
+
+        started = time.time()
+        s = self.job_settings
+        out = str(s.output_directory)
+        em = self.spark.read.parquet(str(s.input_source)).select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "emb"
+            ),
+        )
+        norm = F.sqrt(
+            F.expr(
+                "aggregate(zip_with(emb, emb, (x, y) -> x * y), 0.0D,"
+                " (acc, x) -> acc + x)"
+            )
+        )
+        base = em.select("vec_id", "emb", norm.alias("nrm")).withColumn(
+            "v",
+            F.expr("transform(emb, x -> CAST(round(x / nrm * 1e6) AS BIGINT))"),
+        )
+        dims = 64
+        bounds = base.agg(
+            *[F.min(F.element_at("v", d + 1)).alias(f"mn{d}") for d in range(dims)],
+            *[F.max(F.element_at("v", d + 1)).alias(f"mx{d}") for d in range(dims)],
+        ).select(
+            F.array(*[F.col(f"mn{d}") for d in range(dims)]).alias("mn"),
+            F.array(*[F.col(f"mx{d}") for d in range(dims)]).alias("mx"),
+        )
+        bounds.write.mode("overwrite").parquet(f"{out}/bounds")
+        b = self.spark.read.parquet(f"{out}/bounds")
+        words = (
+            "transform(sequence(0, 3), wd -> "
+            " aggregate(sequence(wd * 16, wd * 16 + 15), 0L, (acc, d) ->"
+            "  acc + shiftleft(least(15,"
+            "   ((element_at(v, CAST(d + 1 AS INT))"
+            "     - element_at(mn, CAST(d + 1 AS INT))) * 16)"
+            "   DIV (element_at(mx, CAST(d + 1 AS INT))"
+            "        - element_at(mn, CAST(d + 1 AS INT)) + 1)),"
+            "  CAST(4 * (d % 16) AS INT))))"
+        )
+        codes = base.crossJoin(F.broadcast(b)).select(
+            "vec_id", F.expr(words).alias("w")
+        )
+        codes.write.mode("overwrite").option(
+            "compression", s.compression
+        ).parquet(f"{out}/codes")
+
+        # validation: query the PUBLISHED index (re-read from disk)
+        idx = self.spark.read.parquet(f"{out}/codes")
+        n_vectors = idx.count()
+        queries = base.where(F.col("vec_id") < s.n_probe_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("v").alias("qv"),
+        )
+        recon = (
+            "(element_at(mn, CAST(d + 1 AS INT)) +"
+            " ((2 * (shiftright(element_at(w, CAST(d DIV 16 + 1 AS INT)),"
+            "        CAST(4 * (d % 16) AS INT)) & 15) + 1)"
+            "  * (element_at(mx, CAST(d + 1 AS INT))"
+            "     - element_at(mn, CAST(d + 1 AS INT)) + 1)) DIV 32)"
+        )
+        adc = (
+            "aggregate(sequence(0, 63), 0L, (acc, d) -> acc + "
+            f" (element_at(qv, CAST(d + 1 AS INT)) - {recon})"
+            f" * (element_at(qv, CAST(d + 1 AS INT)) - {recon}))"
+        )
+        scored = (
+            idx.crossJoin(F.broadcast(b))
+            .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+            .withColumn("adc_dist", F.expr(adc))
+        )
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+        cands = scored.withColumn(
+            "adc_rank", F.row_number().over(w_adc)
+        ).where(F.col("adc_rank") <= 3 * s.top_k)
+        # exact rerank joins the original vectors back by id
+        vecs = base.select("vec_id", F.col("emb").alias("c_emb"), F.col("nrm").alias("c_nrm"))
+        dot = F.expr(
+            "aggregate(zip_with(c_emb, q_emb, (x, y) -> x * y), 0.0D,"
+            " (acc, x) -> acc + x)"
+        )
+        w_cos = Window.partitionBy("query_id").orderBy(
+            F.col("cos_r9").desc(), F.col("vec_id").asc()
+        )
+        approx = (
+            cands.join(vecs, "vec_id")
+            .withColumn(
+                "cos_r9", F.round(dot / (F.col("c_nrm") * F.col("q_nrm")), 9)
+            )
+            .withColumn("rank", F.row_number().over(w_cos))
+            .where(F.col("rank") <= s.top_k)
+            .select("query_id", "vec_id")
+        )
+        # exact brute-force ground truth on the raw vectors
+        exact_scored = vecs.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        ).withColumn(
+            "cos_r9", F.round(dot / (F.col("c_nrm") * F.col("q_nrm")), 9)
+        )
+        exact = (
+            exact_scored.withColumn("rank", F.row_number().over(w_cos))
+            .where(F.col("rank") <= s.top_k)
+            .select(
+                F.col("query_id").alias("eq"), F.col("vec_id").alias("ev")
+            )
+        )
+        hits = approx.join(
+            exact,
+            (F.col("query_id") == F.col("eq")) & (F.col("vec_id") == F.col("ev")),
+            "left_semi",
+        ).count()
+        total = s.n_probe_queries * s.top_k
+        recall = hits / total if total else 0.0
+        payload = {
+            "n_vectors": int(n_vectors),
+            "code_bytes_per_vector": 32,
+            "recall_at_k": round(recall, 4),
+            "k": s.top_k,
+            "seconds": round(time.time() - started, 3),
+        }
+        if recall < 0.6:
+            return JobResponse(
+                status_code=500,
+                message=f"index validation failed: recall {recall:.2f} < 0.6",
+                data=json.dumps(payload),
+            )
+        return JobResponse(
+            status_code=200, message="ok", data=json.dumps(payload)
+        )

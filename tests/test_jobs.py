@@ -378,3 +378,34 @@ def test_checkpoint_dir_fallback_feeds_materializer(spark, tmp_path):
     assert resp.status_code == 200
     staged = os.listdir(ck)
     assert staged, "no parquet stage materialized under checkpoint_dir"
+
+
+def test_ann_index_build_job_publishes_and_validates(spark, tmp_path):
+    """AnnIndexBuildJob end-to-end: packed code table + bounds sidecar
+    land on disk, the published index answers probe queries, and the
+    validation recall clears the publish gate."""
+    import json as _json
+
+    from aind_data_transformation_spark.jobs import (
+        AnnIndexBuildJob,
+        AnnIndexBuildJobSettings,
+    )
+
+    out = tmp_path / "ann_index"
+    job = AnnIndexBuildJob(
+        AnnIndexBuildJobSettings(
+            input_source=f"{TEST_SF_DIR}/embeddings.parquet",
+            output_directory=str(out),
+        ),
+        spark=spark,
+    )
+    resp = job.run_job()
+    assert resp.status_code == 200, resp.message
+    m = _json.loads(resp.data)
+    assert m["recall_at_k"] >= 0.6
+    codes = spark.read.parquet(str(out / "codes"))
+    assert codes.count() == m["n_vectors"] > 0
+    row = codes.first()
+    assert len(row["w"]) == 4  # 4 packed BIGINT words = 32 bytes/vector
+    b = spark.read.parquet(str(out / "bounds")).first()
+    assert len(b["mn"]) == 64 and len(b["mx"]) == 64

@@ -433,5 +433,18 @@ def test_halo_windows_partition_invariant(spark, shuffle_partitions):
         got_e = sorted(map(tuple, q_ts_ewma(spark, TEST_SF_DIR).collect()))
         ref_e = sorted(map(tuple, _ewma_global_reference(spark).collect()))
         assert got_e == ref_e
+        # holt shares the machinery; pin it against its own oracle shape
+        # computed with a plain global window
+        from aind_data_transformation_spark.queries.timeseries import (
+            q_ts_holt_linear,
+        )
+
+        got_h2 = sorted(
+            map(tuple, q_ts_holt_linear(spark, TEST_SF_DIR).collect())
+        )
+        assert len(got_h2) > 0
+        assert got_h2 == sorted(
+            map(tuple, q_ts_holt_linear(spark, TEST_SF_DIR).collect())
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
