@@ -4,6 +4,7 @@ property suite: salted joins (skew defense) and the SQL catalog surface."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -118,3 +119,64 @@ def test_asof_join_tolerance_rejects_stale_matches(spark):
     }
     # "a": matched 4 (delta 1 <= 5); "b": nearest is 10 (delta 10 > 5) -> stale
     assert got == {"a": 40, "b": None, "c": None}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # series key
+            st.integers(0, 500),    # order value (collides often)
+            st.integers(0, 99),     # payload
+        ),
+        min_size=0,
+        max_size=60,
+    ),
+    block=st.sampled_from([4, 8, 16]),
+)
+def test_series_row_number_and_halo_blocks_match_global_window(
+    spark, rows, block
+):
+    """The halo machinery vs the naive global window, on adversarial
+    shapes (empty series, heavy order-key ties, blocks smaller than the
+    frame headroom): series_row_number must equal the global
+    row_number, and a ±2 rolling sum over halo blocks must equal the
+    global rolling sum exactly."""
+    from pyspark.sql import Window
+
+    from aind_data_transformation_spark.ops import (
+        halo_blocks,
+        series_row_number,
+    )
+
+    uniq = [(k, o, i, p) for i, (k, o, p) in enumerate(rows)]
+    df = spark.createDataFrame(
+        uniq, "k long, o long, uid long, p long"
+    )
+    got_rn = series_row_number(df, ["k"], ["o", "uid"], "o div 7")
+    w = Window.partitionBy("k").orderBy("o", "uid")
+    want_rn = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert sorted(map(tuple, got_rn.collect())) == sorted(
+        map(tuple, want_rn.collect())
+    )
+
+    halo = halo_blocks(got_rn, "rn", block, 2, 2)
+    wb = (
+        Window.partitionBy("k", "__blk").orderBy("rn").rowsBetween(-2, 2)
+    )
+    got = (
+        halo.withColumn("rsum", F.sum("p").over(wb))
+        .where("__own")
+        .select("k", "uid", "rsum")
+    )
+    wg = w.rowsBetween(-2, 2)
+    want = want_rn.select(
+        "k", "uid", F.sum("p").over(wg).alias("rsum")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
