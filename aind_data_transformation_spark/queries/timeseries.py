@@ -373,6 +373,62 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of each event type's daily
+    series (the moving-average STL variant): trend = centered 7-day
+    moving average (full windows only), seasonal = day-of-week mean of
+    the detrended series, residual = what remains. The before-modeling
+    diagnostic every forecasting pipeline runs.
+
+    Exactness: daily values are integer cents; the trend window sum and
+    the 7x-scaled detrended value (7·c − Σ₇c) stay exact integers, the
+    seasonal component is one integer-sum division per dow group, and
+    trend/seasonal/residual close in identical double trees — no double
+    is ever summed across rows.
+
+    Scale: one fact shuffle to (type, day); the ±3 trend window and the
+    dow aggregation run over the bounded day domain (days × types, not
+    rows)."""
+    e = load_table(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / day_us).cast("long").alias("day"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    trended = (
+        daily.withColumn("t7", F.sum("c").over(w7))
+        .withColumn("nw", F.count(F.lit(1)).over(w7))
+        .where(F.col("nw") == 7)
+        # detr7 = 7*c - Σ₇c : the detrended value scaled by 7, exact int
+        .withColumn("detr7", 7 * F.col("c") - F.col("t7"))
+        .withColumn("dow", F.pmod(F.col("day") + 4, F.lit(7)).cast("long"))
+    )
+    seas = trended.groupBy("event_type", "dow").agg(
+        F.sum("detr7").alias("s7_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    joined = trended.join(F.broadcast(seas), ["event_type", "dow"])
+    seasonal = (
+        F.col("s7_sum").cast("double")
+        / F.col("s_n").cast("double")
+        / F.lit(700.0)
+    )
+    detr = F.col("detr7").cast("double") / F.lit(700.0)
+    return joined.select(
+        "event_type",
+        "day",
+        "dow",
+        (F.col("c").cast("double") / 100.0).alias("value"),
+        (F.col("t7").cast("double") / 700.0).alias("trend"),
+        seasonal.alias("seasonal"),
+        (detr - seasonal).alias("residual"),
+    )
+
+
 def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation function of each event type's daily value series
     at lags 1..7 — the seasonality/memory diagnostic run before any
@@ -938,6 +994,7 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ts_m4_downsample": q_ts_m4_downsample,
     "ts_acf": q_ts_acf,
+    "ts_stl_decompose": q_ts_stl_decompose,
     "ts_holt_linear": q_ts_holt_linear,
     "ts_ewma": q_ts_ewma,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
@@ -1114,6 +1171,44 @@ ORACLES = {
     """,
     "ts_ewma": _ewma_oracle(),
     "ts_holt_linear": _holt_oracle(),
+    "ts_stl_decompose": """
+        WITH daily AS (
+            SELECT event_type,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS c
+            FROM events GROUP BY 1, 2
+        ),
+        trended AS (
+            SELECT event_type, day, c,
+                   SUM(c) OVER w AS t7,
+                   COUNT(*) OVER w AS nw,
+                   (day + 4) % 7 AS dow
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        full_w AS (
+            SELECT event_type, day, dow, c,
+                   t7, 7 * c - t7 AS detr7
+            FROM trended WHERE nw = 7
+        ),
+        seas AS (
+            SELECT event_type, dow,
+                   SUM(detr7)::BIGINT AS s7_sum, COUNT(*)::BIGINT AS s_n
+            FROM full_w GROUP BY 1, 2
+        )
+        SELECT f.event_type, CAST(f.day AS BIGINT) AS day,
+               CAST(f.dow AS BIGINT) AS dow,
+               CAST(f.c AS DOUBLE) / 100.0 AS value,
+               CAST(f.t7 AS DOUBLE) / 700.0 AS trend,
+               CAST(s.s7_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE) / 700.0
+                   AS seasonal,
+               CAST(f.detr7 AS DOUBLE) / 700.0
+                 - CAST(s.s7_sum AS DOUBLE) / CAST(s.s_n AS DOUBLE) / 700.0
+                   AS residual
+        FROM full_w f
+        JOIN seas s ON s.event_type = f.event_type AND s.dow = f.dow
+    """,
     "ts_acf": """
         WITH daily AS (
             SELECT event_type,
