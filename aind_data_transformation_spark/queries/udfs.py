@@ -291,6 +291,60 @@ def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-argument Python UDTF (Spark 4 ``TABLE(...) PARTITION BY``):
+    the UDTF consumes a whole relation, Spark shuffles it so each UDTF
+    instance sees exactly one partition key's rows, and ``terminate()``
+    emits the per-group summary — the user-defined-aggregation-over-
+    tables surface (the API Spark gives Python for custom per-group
+    logic that doesn't fit applyInPandas' one-DataFrame-per-call model).
+
+    Cross-engine exactness: the accumulator is integer cents (addition
+    order inside the partition cannot change the sum); ratios close in
+    one double division. Scale: PARTITION BY is a hash shuffle; one
+    UDTF instance per key — same distribution shape as any groupBy."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import Row
+
+    @udtf(
+        returnType=(
+            "o_orderstatus string, n_orders bigint, total_cents bigint,"
+            " avg_price double"
+        )
+    )
+    class StatusRollup:
+        def __init__(self):
+            self._key = None
+            self._n = 0
+            self._cents = 0
+
+        def eval(self, row: Row):
+            self._key = row["o_orderstatus"]
+            self._n += 1
+            self._cents += int(round(row["o_totalprice"] * 100))
+
+        def terminate(self):
+            if self._n:
+                yield (
+                    self._key,
+                    self._n,
+                    self._cents,
+                    self._cents / self._n / 100.0,
+                )
+
+    spark.udtf.register("status_rollup_ta", StatusRollup)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_ta_orders"
+    )
+    return spark.sql(
+        """
+        SELECT * FROM status_rollup_ta(
+            TABLE(_ta_orders) PARTITION BY o_orderstatus
+        )
+        """
+    )
+
+
 def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-optimized scalar Python UDF (Spark 4 ``useArrow=True``): the
     third UDF tier — row-signature ergonomics with Arrow batch transfer.
@@ -317,6 +371,7 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_LIT = "[" + ", ".join([str(_QUERY_WEIGHT)] * _DIMS) + "]"
 
 QUERIES = {
+    "udtf_table_arg": q_udtf_table_arg,
     "udtf_polymorphic": q_udtf_polymorphic,
     "cogroup_asof_pandas": q_cogroup_asof_pandas,
     "udaf_arrow_grouped": q_udaf_arrow_grouped,
@@ -329,6 +384,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "udtf_table_arg": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS total_cents,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                    AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 100.0 AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     "udtf_python_class": """
         WITH toks AS (
             SELECT doc_id,
