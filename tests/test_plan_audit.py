@@ -1,0 +1,86 @@
+"""Registry-wide physical-plan audit: the global scale guarantees the
+per-key plan tests cannot give — compiled for EVERY registered key.
+
+* ZERO CartesianProduct anywhere (no exceptions — even join_cross plans
+  as a broadcast nested loop of a bounded side);
+* ZERO single-partition exchanges (no stage ever collapses the data to
+  one task; the tiny offset/aggregate frames all broadcast instead);
+* BroadcastNestedLoopJoin only where the build side is a bounded
+  broadcast (1-row aggregates, k-row query/centroid/anchor sets, the
+  non-equi band contract keys) — the allowlist below; a NEW key
+  acquiring a BNLJ fails this test until its broadcast side is argued
+  and the key added here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import TEST_SF_DIR
+
+from aind_data_transformation_spark.queries import registry
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+from plan_audit import audit_plan  # noqa: E402
+
+_QUERIES, _ = registry()
+
+#: keys whose BroadcastNestedLoopJoin is a bounded broadcast by design
+_BNLJ_BROADCAST_TINY = {
+    "ann_pq_topk",
+    "basket_assoc_rules",
+    "corpus_perplexity_buckets",
+    "dau_wau_mau",
+    "embed_kmeans_lloyd",
+    "embed_pca_project",
+    "fn_levenshtein",
+    "funnel_steps",
+    "graph_degree_distribution",
+    "graph_triangle_count",
+    "hybrid_search_rrf",
+    "join_cross",
+    "join_theta_range",
+    "ml_ann_recall",
+    "ml_calibration_bins",
+    "ml_knn_classify",
+    "ml_logreg_gd",
+    "ml_naive_bayes_score",
+    "ml_pr_curve",
+    "ml_psi_drift",
+    "ml_retrieval_eval",
+    "ml_target_encoding",
+    "ngram_pmi",
+    "quantile_bins",
+    "rank_bm25",
+    "rfm_segments",
+    "sample_class_balance",
+    "sample_temperature",
+    "sim_search_topk",
+    "sql_recursive_cte",
+    "stats_chi2",
+    "stats_ks_twosample",
+    "stats_winsorized",
+    "stream_late_data",
+    "survival_kaplan_meier",
+    "text_bigram_lm_score",
+    "text_unigram_logprob",
+    "tpch_q22",
+    "train_triplet_mining",
+    "ts_acf",
+    "ts_cross_correlation",
+}
+
+
+@pytest.mark.parametrize("key", sorted(_QUERIES))
+def test_plan_audit_global_invariants(spark, key):
+    a = audit_plan(_QUERIES[key](spark, TEST_SF_DIR))
+    assert a["cartesian"] == 0, f"{key}: CartesianProduct in plan"
+    assert a["single_partition"] == 0, (
+        f"{key}: single-partition exchange in plan"
+    )
+    if key not in _BNLJ_BROADCAST_TINY:
+        assert a["bnlj"] == 0, (
+            f"{key}: unexpected BroadcastNestedLoopJoin — argue the"
+            " broadcast side is bounded, then allowlist"
+        )
