@@ -98,6 +98,36 @@ def tumbling_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def m4_downsample_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_ts_m4_downsample: per-day M4 chart reduction
+    (min/max plus first/last by (ts, event_id) via struct-keyed
+    min_by/max_by — all mergeable aggregates, so they run in a
+    watermarked streaming aggregation unchanged). The live-dashboard
+    form of the error-free line-chart downsample."""
+    key = F.struct(F.unix_micros("ts").alias("us"), F.col("event_id"))
+    c = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", WATERMARK_DELAY)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            (F.min(c).cast("double") / 100.0).alias("v_min"),
+            (F.max(c).cast("double") / 100.0).alias("v_max"),
+            (F.min_by(c, key).cast("double") / 100.0).alias("v_first"),
+            (F.max_by(c, key).cast("double") / 100.0).alias("v_last"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n_points",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+
+
 def sliding_counts(events: DataFrame) -> DataFrame:
     """Streaming twin of q_stream_sliding."""
     return (

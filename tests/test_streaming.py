@@ -335,3 +335,37 @@ def test_stateful_totals_under_rocksdb_state_store(spark):
         assert final == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_m4_stream_matches_batch(spark):
+    """Streaming M4 (struct-keyed min_by/max_by in a watermarked agg)
+    == the batch ts_m4_downsample twin, mapping window.start to the
+    epoch-day key."""
+    from aind_data_transformation_spark.queries.timeseries import (
+        q_ts_m4_downsample,
+    )
+
+    events = jobs.read_events_stream(spark, TEST_SF_DIR)
+    rows = jobs.run_available_now(
+        jobs.m4_downsample_stream(events), mode="append"
+    )
+    got = {
+        (int(r["win_start"].timestamp() // 86400), r["event_type"]): (
+            r["n_points"], r["v_min"], r["v_max"], r["v_first"], r["v_last"]
+        )
+        for r in rows
+    }
+    batch = q_ts_m4_downsample(spark, TEST_SF_DIR).collect()
+    want = {
+        (int(r["day"]), r["event_type"]): (
+            r["n_points"], r["v_min"], r["v_max"], r["v_first"], r["v_last"]
+        )
+        for r in batch
+    }
+    # append mode drops windows still open at end-of-stream (watermark):
+    # every emitted window must match the batch value exactly, and most
+    # windows must have been emitted
+    assert got
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) >= len(want) - 2 * 5  # ≤2 trailing days × 5 types open
