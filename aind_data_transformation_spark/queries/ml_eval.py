@@ -469,6 +469,44 @@ def q_ml_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the langid classifier: per-fold
+    accuracy over the deterministic portable-hash folds
+    (`ml_kfold_assign`'s split), plus each fold's deviation from the
+    overall accuracy — the variance check that says whether a measured
+    accuracy is stable or fold-luck.
+
+    Exactness: counts are integers; accuracies and deviations close in
+    identical double trees (the overall accuracy is derived from the
+    same integer totals, not averaged doubles). Scale: ONE scan — fold
+    id and the correctness bit are row expressions; the report is a
+    5-row aggregation plus a broadcast 1-row total."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    fold = F.expr(
+        "conv(substr(md5(cast(doc_id AS STRING)), 1, 7), 16, 10) % 5"
+    ).cast("long")
+    rows = d.join(pred, "doc_id").select(
+        fold.alias("fold"),
+        (F.col("lang") == F.col("predicted_lang")).cast("long").alias("ok"),
+    )
+    per = rows.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ok").alias("n_ok")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tn"), F.sum("n_ok").alias("tok")
+    )
+    acc = F.col("n_ok").cast("double") / F.col("n_docs").cast("double")
+    overall = F.col("tok").cast("double") / F.col("tn").cast("double")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        acc.alias("fold_accuracy"),
+        overall.alias("overall_accuracy"),
+        (acc - overall).alias("deviation"),
+    )
+
+
 def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation of the exact top-k similarity search
     (`sim_search_topk`): treating same-label neighbors as relevant,
@@ -524,6 +562,7 @@ def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ml_learning_curve": q_ml_learning_curve,
+    "ml_cross_validation": q_ml_cross_validation,
     "ml_ann_recall": q_ml_ann_recall,
     "ml_pr_curve": q_ml_pr_curve,
     "ml_calibration_bins": q_ml_calibration_bins,
@@ -587,6 +626,39 @@ def _ann_recall_oracle() -> str:
 
 ORACLES = {
     "ml_ann_recall": _ann_recall_oracle(),
+    "ml_cross_validation": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_intersect({_TOKS}, ['the','a','fast','small'])) AS BIGINT) AS score_en,
+                   CAST(len(list_intersect({_TOKS}, ['data','table','row','column'])) AS BIGINT) AS score_es,
+                   CAST(len(list_intersect({_TOKS}, ['merge','join','sort','filter'])) AS BIGINT) AS score_de
+            FROM documents
+        ),
+        rows_f AS (
+            SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)
+                        AS BIGINT) % 5 AS fold,
+                   CASE WHEN lang = (CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+                                          WHEN score_es >= score_de THEN 'es'
+                                          ELSE 'de' END)
+                        THEN 1 ELSE 0 END AS ok
+            FROM scored
+        ),
+        per AS (
+            SELECT fold, COUNT(*)::BIGINT AS n_docs, SUM(ok)::BIGINT AS n_ok
+            FROM rows_f GROUP BY fold
+        ),
+        tot AS (
+            SELECT SUM(n_docs)::BIGINT AS tn, SUM(n_ok)::BIGINT AS tok
+            FROM per
+        )
+        SELECT fold, n_docs,
+               CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS fold_accuracy,
+               CAST(tok AS DOUBLE) / CAST(tn AS DOUBLE) AS overall_accuracy,
+               CAST(n_ok AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 - CAST(tok AS DOUBLE) / CAST(tn AS DOUBLE) AS deviation
+        FROM per CROSS JOIN tot
+    """,
     "ml_learning_curve": f"""
         WITH scored AS (
             SELECT doc_id, lang,

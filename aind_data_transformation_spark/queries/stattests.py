@@ -104,6 +104,53 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of order value across the five order priorities:
+    F = (SSB/(k−1)) / (SSW/(N−k)) plus the η² effect size — the
+    did-the-group-means-really-differ test that follows every A/B/n
+    segmentation.
+
+    Exactness: per-group n/Σ/Σ² accumulate as integer cents with
+    decimal(38,0) squared sums (order-free); SSB/SSW derive from those
+    exact moments in one identical double tree per engine. Scale: ONE
+    map-side-combinable aggregation to k rows, then a k-row reduce —
+    the whole test is two tiny aggregations over one fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    x = cents("o_totalprice")
+    d38 = "decimal(38,0)"
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(d38)).alias("s"),
+        F.sum((x * x).cast(d38)).alias("ss"),
+    )
+    # s_g²/n_g rounds to an integer before the cross-group sum (identical
+    # double operands -> identical rounding in both engines; summing raw
+    # doubles across rows would be accumulation-order-dependent)
+    term = F.expr(
+        "CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS DECIMAL(38,0))"
+    )
+    m = per.select("n", "s", "ss", term.alias("sq_over_n")).agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("nt"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("ss").cast("double").alias("sst"),
+        F.sum("sq_over_n").cast("double").alias("sum_sq_over_n"),
+    )
+    # SSB = Σ s_g²/n_g − s_t²/N ; SSW = Σss − Σ s_g²/n_g (exact moments)
+    ssb = F.col("sum_sq_over_n") - (
+        F.col("st") * F.col("st") / F.col("nt")
+    )
+    ssw = F.col("sst") - F.col("sum_sq_over_n")
+    fstat = (ssb / (F.col("k") - 1.0)) / (ssw / (F.col("nt") - F.col("k")))
+    return m.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_rows"),
+        fstat.alias("f_stat"),
+        (ssb / (ssb + ssw)).alias("eta_squared"),
+    )
+
+
 def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence statistic for the o_orderstatus ×
     o_orderpriority contingency table. Marginals come from window sums
@@ -381,6 +428,7 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stats_anova": q_stats_anova,
     "stats_ks_twosample": q_stats_ks_twosample,
     "stats_mannwhitney": q_stats_mannwhitney,
     "stats_chi2": q_stats_chi2,
@@ -393,6 +441,37 @@ QUERIES = {
 _V = sql_cents("o_totalprice")
 
 ORACLES = {
+    "stats_anova": f"""
+        WITH per AS (
+            SELECT o_orderpriority,
+                   COUNT(*)::BIGINT AS n,
+                   SUM(CAST({sql_cents('o_totalprice')} AS DECIMAL(38,0))) AS s,
+                   SUM(CAST({sql_cents('o_totalprice')} * {sql_cents('o_totalprice')} AS DECIMAL(38,0))) AS ss
+            FROM orders GROUP BY o_orderpriority
+        ),
+        terms AS (
+            SELECT n, s, ss,
+                   CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS DECIMAL(38,0)) AS sq_over_n
+            FROM per
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                   CAST(SUM(n)::BIGINT AS DOUBLE) AS nt,
+                   CAST(SUM(s) AS DOUBLE) AS st,
+                   CAST(SUM(ss) AS DOUBLE) AS sst,
+                   CAST(SUM(sq_over_n) AS DOUBLE) AS sum_sq_over_n
+            FROM terms
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(nt AS BIGINT) AS n_rows,
+               ((sum_sq_over_n - st * st / nt) / (k - 1.0))
+                 / ((sst - sum_sq_over_n) / (nt - k)) AS f_stat,
+               (sum_sq_over_n - st * st / nt)
+                 / ((sum_sq_over_n - st * st / nt) + (sst - sum_sq_over_n))
+                   AS eta_squared
+        FROM m
+    """,
     "stats_ks_twosample": f"""
         WITH per AS (
             SELECT {_V} AS v,

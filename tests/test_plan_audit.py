@@ -43,6 +43,7 @@ _BNLJ_BROADCAST_TINY = {
     "join_theta_range",
     "ml_ann_recall",
     "ml_calibration_bins",
+    "ml_cross_validation",
     "ml_knn_classify",
     "ml_logreg_gd",
     "ml_naive_bayes_score",

@@ -245,3 +245,23 @@ def test_pr_curve_ap_matches_numpy(spark):
         assert math.isclose(g[2], prec_r, rel_tol=1e-9)
         assert math.isclose(g[3], rec_r, rel_tol=1e-9)
         assert math.isclose(g[4], ap_r, rel_tol=1e-9)
+
+
+def test_anova_matches_numpy(spark):
+    from aind_data_transformation_spark.queries.stattests import q_stats_anova
+
+    o = _orders()
+    cents = _cents(o.o_totalprice).astype(float)
+    groups = [cents[(o.o_orderpriority == g).to_numpy()]
+              for g in sorted(o.o_orderpriority.unique())]
+    k = len(groups)
+    nt = sum(len(g) for g in groups)
+    grand = cents.mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (nt - k))
+    row = q_stats_anova(spark, TEST_SF_DIR).collect()[0]
+    assert row.k_groups == k and row.n_rows == nt
+    # the engine integer-rounds each s_g^2/n_g term (±0.5 per group)
+    assert math.isclose(row.f_stat, f_ref, rel_tol=1e-6)
+    assert math.isclose(row.eta_squared, ssb / (ssb + ssw), rel_tol=1e-6)
