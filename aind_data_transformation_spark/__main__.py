@@ -21,6 +21,8 @@ import sys
 
 from aind_data_transformation_spark.core import get_parser
 from aind_data_transformation_spark.jobs import (
+    AnnIndexBuildJob,
+    AnnIndexBuildJobSettings,
     CompactionJob,
     CompactionJobSettings,
     CorpusCleanJob,
@@ -29,6 +31,8 @@ from aind_data_transformation_spark.jobs import (
     FormatConversionJobSettings,
     NearDupResolveJob,
     NearDupResolveJobSettings,
+    TrainingCorpusPipelineJob,
+    TrainingCorpusPipelineJobSettings,
 )
 from aind_data_transformation_spark.session import build_session
 
@@ -37,6 +41,11 @@ JOBS = {
     "compaction": (CompactionJob, CompactionJobSettings),
     "corpus_clean": (CorpusCleanJob, CorpusCleanJobSettings),
     "near_dup_resolve": (NearDupResolveJob, NearDupResolveJobSettings),
+    "training_corpus_pipeline": (
+        TrainingCorpusPipelineJob,
+        TrainingCorpusPipelineJobSettings,
+    ),
+    "ann_index_build": (AnnIndexBuildJob, AnnIndexBuildJobSettings),
 }
 
 

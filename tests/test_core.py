@@ -155,3 +155,30 @@ def test_cli_main_rejects_unknown_job():
     from aind_data_transformation_spark.__main__ import main
 
     assert main(["not_a_job"]) == 2
+
+
+def test_cli_runs_ann_index_build(spark, tmp_path):
+    """The CLI exposes the full job tier: ann_index_build end-to-end
+    through the reference's EP1 (JSON-string) entry point."""
+    import json as _json
+
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.__main__ import main
+
+    out = tmp_path / "idx"
+    code = main(
+        [
+            "ann_index_build",
+            "-j",
+            _json.dumps(
+                {
+                    "input_source": f"{TEST_SF_DIR}/embeddings.parquet",
+                    "output_directory": str(out),
+                }
+            ),
+        ],
+        spark=spark,
+    )
+    assert code == 0
+    assert (out / "codes").exists() and (out / "bounds").exists()

@@ -448,3 +448,29 @@ def test_halo_windows_partition_invariant(spark, shuffle_partitions):
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "sample_stratified",
+        "sample_class_balance",
+        "corpus_perplexity_buckets",
+        "ts_downsample_lttb",
+    ],
+)
+def test_bucket_segmented_ranks_partition_invariant(spark, key):
+    """The series_row_number-based rewrites must produce identical rows
+    under 1-task and default parallelism — rank assignment cannot depend
+    on physical partitioning."""
+    from aind_data_transformation_spark.queries import registry
+
+    queries, _ = registry()
+    base = sorted(map(tuple, queries[key](spark, TEST_SF_DIR).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = sorted(map(tuple, queries[key](spark, TEST_SF_DIR).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == one
