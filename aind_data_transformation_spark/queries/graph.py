@@ -299,6 +299,120 @@ def q_graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bellman-Ford relaxation rounds (covers paths of <= BF_ROUNDS hops; the
+#: round count is the hop bound, exactly like BFS_ROUNDS)
+BF_ROUNDS = 4
+
+
+def q_graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford single-source WEIGHTED shortest paths
+    on the co-purchase graph: edge cost = max(1, 6 − shared-order
+    count), so strong co-purchase ties are cheap to traverse — the
+    cost-propagation upgrade of `graph_bfs_frontier`'s hop counts
+    (routing, influence cost, supply-chain distance all run this
+    relaxation). Each round is dist' = min(dist, min over in-edges
+    (dist_u + w)) — one equi-join + min-groupBy, the Pregel round
+    lowered to DataFrames. All-integer distances: partial-aggregation
+    order cannot change a min, so the unrolled-CTE DuckDB oracle
+    matches exactly.
+
+    Scale: per round one shuffle of (frontier ⋈ edges); edges and
+    round frames stage-materialize exactly like BFS/CC (each round
+    frame feeds two branches; parquet materializer on a cluster)."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .select(
+            "u",
+            "v",
+            F.greatest(F.lit(1), F.lit(6) - F.col("n_orders")).alias("w"),
+        )
+    )
+    edges = mat(
+        half.unionByName(
+            half.select(
+                F.col("v").alias("u"), F.col("u").alias("v"), "w"
+            )
+        ),
+        "bf_edges",
+    )
+    seed = edges.agg(F.min("u").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = seed
+    for r in range(BF_ROUNDS):
+        relaxed = dist.join(edges, dist.node == edges.u).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = mat(
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist")),
+            f"bf_round_{r}",
+        )
+    return dist.select(
+        F.col("node").cast("long").alias("part"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
+def _bellman_ford_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for r in range(1, BF_ROUNDS + 1):
+        rounds.append(
+            f"d{r} AS (\n"
+            f"            SELECT node, MIN(dist) AS dist FROM (\n"
+            f"                SELECT node, dist FROM {prev}\n"
+            f"                UNION ALL\n"
+            f"                SELECT e.v AS node, d.dist + e.w AS dist\n"
+            f"                FROM {prev} d JOIN edges e ON e.u = d.node\n"
+            f"            ) GROUP BY node\n"
+            f"        )"
+        )
+        prev = f"d{r}"
+    chain = ",\n        ".join(rounds)
+    return f"""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), half AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v,
+                   greatest(1, 6 - COUNT(*)) AS w
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        ), edges AS (
+            SELECT u, v, w FROM half
+            UNION ALL
+            SELECT v AS u, u AS v, w FROM half
+        ), d0 AS (
+            SELECT MIN(u) AS node, 0 AS dist FROM edges
+        ),
+        {chain}
+        SELECT CAST(node AS BIGINT) AS part, CAST(dist AS BIGINT) AS dist
+        FROM {prev}
+    """
+
+
 def _bfs_oracle() -> str:
     rounds = []
     prev = "d0"
@@ -695,6 +809,7 @@ QUERIES = {
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
     "graph_bfs_frontier": q_graph_bfs_frontier,
+    "graph_bellman_ford": q_graph_bellman_ford,
     "basket_assoc_rules": q_basket_assoc_rules,
 }
 
@@ -758,6 +873,7 @@ ORACLES = {
     "graph_k_core": _k_core_oracle(),
     "graph_label_propagation": _lpa_oracle(),
     "graph_bfs_frontier": _bfs_oracle(),
+    "graph_bellman_ford": _bellman_ford_oracle(),
     "basket_assoc_rules": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
