@@ -151,6 +151,83 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe test (Levene's test with group medians) for equal
+    variances of order value across the five priorities — the
+    homoscedasticity check that validates `stats_anova`'s assumption.
+    W = ANOVA-F computed on z = |x − median_g|.
+
+    Exactness end-to-end: group medians are the exact LOWER median
+    (smallest value whose cumulative count reaches ⌈n/2⌉ over the
+    per-group value distribution — no interpolation, stays integer);
+    deviations are integers WEIGHTED BY VALUE COUNTS (the fact table is
+    scanned once — z-moments come from the same distribution frame, not
+    a second scan); moment sums are decimal(38,0); the per-group z̄²·n
+    terms integer-round before the cross-group sum (the stats_anova
+    discipline).
+
+    Scale: one fact shuffle to the (group × distinct value) domain; the
+    median windows and moment aggregation run over that compact
+    frame."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        "o_orderpriority", cents("o_totalprice").alias("v")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("o_orderpriority")
+    dist = counts.select(
+        "o_orderpriority",
+        "v",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    target = F.expr("(n + 1) DIV 2")
+    meds = dist.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("cum") >= target, F.col("v"))).alias("med")
+    )
+    d19 = "decimal(19,0)"
+    z = F.abs(F.col("v") - F.col("med"))
+    # operands cast to decimal BEFORE multiplying: cnt·z² wraps int64
+    # once per-value counts grow (the ts_cross_correlation discipline)
+    per = (
+        counts.join(F.broadcast(meds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(z.cast(d19) * F.col("cnt")).alias("s"),
+            F.sum(z.cast(d19) * z.cast(d19) * F.col("cnt")).alias("ss"),
+        )
+    )
+    term = F.expr(
+        "CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) AS DECIMAL(38,0))"
+    )
+    m = per.select("n", "s", "ss", term.alias("sq_over_n")).agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("nt"),
+        F.sum("s").cast("double").alias("st"),
+        F.sum("ss").cast("double").alias("sst"),
+        F.sum("sq_over_n").cast("double").alias("sum_sq_over_n"),
+    )
+    ssb = F.col("sum_sq_over_n") - (
+        F.col("st") * F.col("st") / F.col("nt")
+    )
+    ssw = F.col("sst") - F.col("sum_sq_over_n")
+    w_stat = (ssb / (F.col("k") - 1.0)) / (
+        ssw / (F.col("nt") - F.col("k"))
+    )
+    return m.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_rows"),
+        w_stat.alias("bf_stat"),
+    )
+
+
 def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence statistic for the o_orderstatus ×
     o_orderpriority contingency table. Marginals come from window sums
@@ -429,6 +506,7 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stats_anova": q_stats_anova,
+    "stats_levene": q_stats_levene,
     "stats_ks_twosample": q_stats_ks_twosample,
     "stats_mannwhitney": q_stats_mannwhitney,
     "stats_chi2": q_stats_chi2,
@@ -441,6 +519,53 @@ QUERIES = {
 _V = sql_cents("o_totalprice")
 
 ORACLES = {
+    "stats_levene": f"""
+        WITH counts AS (
+            SELECT o_orderpriority, {sql_cents('o_totalprice')} AS v,
+                   COUNT(*)::BIGINT AS cnt
+            FROM orders GROUP BY 1, 2
+        ),
+        dist AS (
+            SELECT o_orderpriority, v, cnt,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+            FROM counts
+        ),
+        meds AS (
+            SELECT o_orderpriority,
+                   MIN(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+            FROM dist GROUP BY o_orderpriority
+        ),
+        per AS (
+            SELECT c.o_orderpriority,
+                   SUM(cnt)::BIGINT AS n,
+                   SUM(CAST(abs(c.v - m.med) AS HUGEINT) * cnt) AS s,
+                   SUM(CAST(abs(c.v - m.med) AS HUGEINT)
+                       * abs(c.v - m.med) * cnt) AS ss
+            FROM counts c JOIN meds m USING (o_orderpriority)
+            GROUP BY c.o_orderpriority
+        ),
+        terms AS (
+            SELECT n, s, ss,
+                   CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) AS HUGEINT) AS sq_over_n
+            FROM per
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+                   CAST(SUM(n)::BIGINT AS DOUBLE) AS nt,
+                   CAST(SUM(s) AS DOUBLE) AS st,
+                   CAST(SUM(ss) AS DOUBLE) AS sst,
+                   CAST(SUM(sq_over_n) AS DOUBLE) AS sum_sq_over_n
+            FROM terms
+        )
+        SELECT CAST(k AS BIGINT) AS k_groups,
+               CAST(nt AS BIGINT) AS n_rows,
+               ((sum_sq_over_n - st * st / nt) / (k - 1.0))
+                 / ((sst - sum_sq_over_n) / (nt - k)) AS bf_stat
+        FROM m
+    """,
     "stats_anova": f"""
         WITH per AS (
             SELECT o_orderpriority,

@@ -265,3 +265,25 @@ def test_anova_matches_numpy(spark):
     # the engine integer-rounds each s_g^2/n_g term (±0.5 per group)
     assert math.isclose(row.f_stat, f_ref, rel_tol=1e-6)
     assert math.isclose(row.eta_squared, ssb / (ssb + ssw), rel_tol=1e-6)
+
+
+def test_levene_brown_forsythe_matches_numpy(spark):
+    from aind_data_transformation_spark.queries.stattests import q_stats_levene
+
+    o = _orders()
+    cents = _cents(o.o_totalprice)
+    prios = sorted(o.o_orderpriority.unique())
+    zs = []
+    for g in prios:
+        vals = np.sort(cents[(o.o_orderpriority == g).to_numpy()])
+        med = vals[(len(vals) + 1) // 2 - 1]  # exact lower median
+        zs.append(np.abs(vals - med).astype(float))
+    k = len(zs)
+    nt = sum(len(z) for z in zs)
+    grand = np.concatenate(zs).mean()
+    ssb = sum(len(z) * (z.mean() - grand) ** 2 for z in zs)
+    ssw = sum(((z - z.mean()) ** 2).sum() for z in zs)
+    w_ref = (ssb / (k - 1)) / (ssw / (nt - k))
+    row = q_stats_levene(spark, TEST_SF_DIR).collect()[0]
+    assert row.k_groups == k and row.n_rows == nt
+    assert math.isclose(row.bf_stat, w_ref, rel_tol=1e-6)
