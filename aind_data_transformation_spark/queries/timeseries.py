@@ -581,6 +581,50 @@ def q_ts_outlier_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima (peak) detection per event type: a point is a peak
+    when its value strictly exceeds all four ±2 neighbors in time order
+    (full neighborhoods only) — the alerting primitive behind spike
+    detection, with prominence = value − max(neighbors) reported on the
+    exact cent grid.
+
+    Scale: same halo-segmented machinery as hampel — two-phase row
+    numbers, 4096-row blocks with ±2 ghost rows, the neighbor lags/leads
+    on one (event_type, block) partition sort, owner rows only;
+    parallelism ∝ rows/block, never the type cardinality."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    rn = series_row_number(
+        e, ["event_type"], ["us", "event_id"], "us div 3600000000"
+    )
+    halo = halo_blocks(rn, "rn", _HALO_BLOCK, 2, 2)
+    w = Window.partitionBy("event_type", "__blk").orderBy("rn")
+    nb = [
+        F.lag("c", 2).over(w).alias("m2"),
+        F.lag("c", 1).over(w).alias("m1"),
+        F.lead("c", 1).over(w).alias("p1"),
+        F.lead("c", 2).over(w).alias("p2"),
+    ]
+    cand = halo.select("event_id", "event_type", "c", "__own", *nb).where(
+        F.col("__own")
+        & F.col("m2").isNotNull()
+        & F.col("m1").isNotNull()
+        & F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+    )
+    nmax = F.greatest("m2", "m1", "p1", "p2")
+    return cand.where(F.col("c") > nmax).select(
+        "event_id",
+        "event_type",
+        (F.col("c").cast("double") / 100.0).alias("value"),
+        ((F.col("c") - nmax).cast("double") / 100.0).alias("prominence"),
+    )
+
+
 def q_ts_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint scan per event type: cumulative sum of
     deviations from the series mean over the daily aggregate; the day
@@ -995,6 +1039,7 @@ QUERIES = {
     "ts_m4_downsample": q_ts_m4_downsample,
     "ts_acf": q_ts_acf,
     "ts_stl_decompose": q_ts_stl_decompose,
+    "ts_peak_detect": q_ts_peak_detect,
     "ts_holt_linear": q_ts_holt_linear,
     "ts_ewma": q_ts_ewma,
     "ts_time_weighted_avg": q_ts_time_weighted_avg,
@@ -1170,6 +1215,28 @@ ORACLES = {
         FROM m
     """,
     "ts_ewma": _ewma_oracle(),
+    "ts_peak_detect": """
+        WITH e AS (
+            SELECT event_id, event_type, epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS c
+            FROM events
+        ),
+        nb AS (
+            SELECT event_id, event_type, c,
+                   lag(c, 2) OVER w AS m2, lag(c, 1) OVER w AS m1,
+                   lead(c, 1) OVER w AS p1, lead(c, 2) OVER w AS p2
+            FROM e
+            WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+        )
+        SELECT event_id, event_type,
+               CAST(c AS DOUBLE) / 100.0 AS value,
+               CAST(c - greatest(m2, m1, p1, p2) AS DOUBLE) / 100.0
+                   AS prominence
+        FROM nb
+        WHERE m2 IS NOT NULL AND m1 IS NOT NULL
+          AND p1 IS NOT NULL AND p2 IS NOT NULL
+          AND c > greatest(m2, m1, p1, p2)
+    """,
     "ts_holt_linear": _holt_oracle(),
     "ts_stl_decompose": """
         WITH daily AS (

@@ -887,3 +887,10 @@ def test_lttb_numbering_is_bucket_segmented(spark):
     assert "__cg" in plan
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_peak_detect_halo_segmented(spark):
+    """Peak detection must ride the halo-block partitioning."""
+    plan = plan_of(spark, "ts_peak_detect")
+    assert "__blk" in plan
+    assert "Exchange SinglePartition" not in plan
