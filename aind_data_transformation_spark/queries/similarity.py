@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-from aind_data_transformation_spark.ops import series_row_number
+from aind_data_transformation_spark.ops import attach_broadcast, series_row_number
 
 #: string-sim join: prefix-band width, length-difference cap, distance cap.
 #: A true edit-distance join needs |len(a)-len(b)| <= tau to match, so the
@@ -302,13 +302,17 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax (score DESC, source ASC) cannot flip across engines.
 
     Scale shape: the model is two hash aggregations (per-(source, term)
-    counts, per-source totals); scoring is doc-token occurrences × the
-    20-row class list (broadcast) LEFT-joined to the model on
-    (term, source) — unseen (term, source) pairs coalesce to the
-    smoothing floor, so the model matrix is stored sparse (only observed
-    pairs), which is what makes NB trainable on a 100-TB corpus: model
-    size is observed-vocabulary-sized, scoring is one equi-join keyed on
-    the high-cardinality term column, and no step is quadratic."""
+    counts, per-source totals); scoring joins doc-term frequencies to
+    the sparse model on the high-cardinality ``term`` key ONLY, so the
+    expansion is proportional to OBSERVED (term, class) matches — not a
+    hard ×|classes| blowup of the largest relation. The unseen-term mass
+    is closed arithmetically per (doc, class) as
+    ``(doc_tf_total − matched_tf_c) · floor_c`` where
+    ``floor_c = round(ln(1/(tot_c+V))·1e6)`` comes from the 20-row class
+    frame, attached to the per-doc totals via a constant-key broadcast
+    HASH join (``ops.attach_broadcast``) — no BroadcastNestedLoopJoin
+    anywhere in the plan. Every term is integer on the 1e-6 grid, so the
+    sums are exact and hash-identical to the naive all-classes oracle."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -326,48 +330,75 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus term appears in at least one class
     vocab = class_term.agg(F.countDistinct("term").alias("vs"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n"))
-    priors = (
-        d.groupBy(F.col("source").alias("cls"))
-        .agg(F.count(F.lit(1)).alias("dc"))
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "cls",
-            F.expr(
-                "CAST(round(ln(CAST(dc AS DOUBLE) / CAST(n AS DOUBLE))"
-                " * 1000000.0D) AS BIGINT)"
-            ).alias("prior_u"),
-        )
+    priors = attach_broadcast(
+        d.groupBy(F.col("source").alias("cls")).agg(
+            F.count(F.lit(1)).alias("dc")
+        ),
+        n_docs,
+    ).select(
+        "cls",
+        F.expr(
+            "CAST(round(ln(CAST(dc AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("prior_u"),
     )
-    classes = priors.join(class_tot, "cls").crossJoin(F.broadcast(vocab))
-    # score distinct (doc, term) pairs weighted by tf — identical sum
-    # (tf * lp_u is the occurrence sum, exact integers) at a fraction of
-    # the expansion: the × classes blowup applies to per-doc DISTINCT
-    # terms, not every token occurrence. Unseen terms take the add-1
-    # floor ln(1 / (tot + V)) via coalesce(cnt, 0).
+    # bounded per-class frame: prior, observed-token total, vocab size,
+    # and the add-1 smoothing floor ln(1/(tot+V)) on the 1e-6 grid
+    classes = attach_broadcast(priors.join(class_tot, "cls"), vocab).select(
+        "cls",
+        "prior_u",
+        "tot",
+        "vs",
+        F.expr(
+            "CAST(round(ln(1.0D / (CAST(tot AS DOUBLE)"
+            " + CAST(vs AS DOUBLE))) * 1000000.0D) AS BIGINT)"
+        ).alias("floor_u"),
+    )
+    # sparse scored model: per observed (class, term), the smoothed
+    # log-probability on the integer grid
+    model = class_term.join(F.broadcast(classes), "cls").select(
+        "cls",
+        "term",
+        F.expr(
+            "CAST(round(ln((CAST(cnt AS DOUBLE) + 1.0D)"
+            " / (CAST(tot AS DOUBLE) + CAST(vs AS DOUBLE)))"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("lp_u"),
+    )
     doc_term = toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    scored_terms = (
-        doc_term.crossJoin(F.broadcast(classes))
-        .join(class_term, ["cls", "term"], "left")
+    doc_tot = doc_term.groupBy("doc_id").agg(
+        F.sum("tf").alias("tf_total")
+    )
+    # observed mass only: equi-join on term alone, then per-(doc, cls)
+    # integer sums of tf·lp_u and the matched token count
+    obs = (
+        doc_term.join(model, "term")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.sum(F.col("tf") * F.col("lp_u")).alias("obs_sum"),
+            F.sum("tf").alias("matched_tf"),
+        )
+    )
+    # full doc × class grid (constant-key broadcast hash join, 20 rows)
+    # with the unseen mass closed arithmetically
+    doc_cls = (
+        attach_broadcast(doc_tot, classes.select("cls", "prior_u", "floor_u"))
+        .join(obs, ["doc_id", "cls"], "left")
         .select(
             "doc_id",
             "cls",
-            "prior_u",
             (
-                F.col("tf")
-                * F.expr(
-                    "CAST(round(ln((CAST(coalesce(cnt, 0) AS DOUBLE) + 1.0D)"
-                    " / (CAST(tot AS DOUBLE) + CAST(vs AS DOUBLE)))"
-                    " * 1000000.0D) AS BIGINT)"
+                F.col("prior_u")
+                + F.coalesce(F.col("obs_sum"), F.lit(0))
+                + (
+                    F.col("tf_total")
+                    - F.coalesce(F.col("matched_tf"), F.lit(0))
                 )
-            ).alias("lp_u"),
+                * F.col("floor_u")
+            ).alias("score_u"),
         )
-    )
-    doc_cls = scored_terms.groupBy("doc_id", "cls", "prior_u").agg(
-        F.sum("lp_u").alias("sum_lp")
-    ).select(
-        "doc_id", "cls", (F.col("prior_u") + F.col("sum_lp")).alias("score_u")
     )
     best = doc_cls.groupBy("doc_id").agg(
         F.min(

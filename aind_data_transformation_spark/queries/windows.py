@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast, series_row_number
 from aind_data_transformation_spark.queries.numeric import cents
 
 
@@ -82,15 +83,48 @@ def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_win_ntile_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4), cume_dist, percent_rank over a unique ordering."""
+    """ntile(4), cume_dist, percent_rank over a unique global ordering —
+    WITHOUT the single-partition global window.
+
+    A plain ``Window.orderBy(...)`` funnels every raw row through one
+    task (Exchange SinglePartition over the scan — the one genuinely
+    unbounded single-partition plan the registry audit flagged). All
+    three functions are pure arithmetic in (rn, n) once the ordering is
+    unique: the global row number comes from the two-phase
+    ``series_row_number`` (parallelism ∝ acctbal buckets; the coarse key
+    ``floor(c_acctbal)`` is monotone in the leading order column), and n
+    attaches via a constant-key broadcast hash join. ntile's
+    larger-buckets-first split is reproduced exactly: with q = n div 4,
+    r = n mod 4, rows 1..(q+1)·r land in buckets of size q+1, the rest
+    in buckets of size q. cume_dist = rn/n and percent_rank =
+    (rn−1)/(n−1) hold exactly because the custkey tiebreak makes the
+    ordering tie-free; the divisions are single correctly-rounded double
+    ops, so values hash-match the oracle's real window functions."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
-    return c.select(
+    numbered = series_row_number(
+        c.select("c_custkey", "c_acctbal"),
+        [],
+        [F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        "CAST(floor(c_acctbal) AS BIGINT) div 64",
+    )
+    n_rows = c.agg(F.count(F.lit(1)).alias("__n"))
+    rn, n = F.col("rn"), F.col("__n")
+    # integer ntile arithmetic: q/r via `div`/`%`, bucket index via
+    # integer division (never floor-of-double — off-by-one risk)
+    quartile = F.expr(
+        "CASE WHEN rn <= (__n div 4 + 1) * (__n % 4)"
+        " THEN (rn - 1) div (__n div 4 + 1) + 1"
+        " ELSE (__n % 4) + (rn - (__n div 4 + 1) * (__n % 4) - 1)"
+        "      div (__n div 4) + 1 END"
+    )
+    return attach_broadcast(numbered, n_rows).select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
-        F.cume_dist().over(w).alias("cume"),
-        F.percent_rank().over(w).alias("pct_rank"),
+        quartile.cast("bigint").alias("quartile"),
+        (rn.cast("double") / n.cast("double")).alias("cume"),
+        F.when(n > 1, (rn - 1).cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
     )
 
 

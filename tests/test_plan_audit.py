@@ -3,8 +3,16 @@ per-key plan tests cannot give — compiled for EVERY registered key.
 
 * ZERO CartesianProduct anywhere (no exceptions — even join_cross plans
   as a broadcast nested loop of a bounded side);
-* ZERO single-partition exchanges (no stage ever collapses the data to
-  one task; the tiny offset/aggregate frames all broadcast instead);
+* ZERO UNBOUNDED single-partition exchanges: no stage ever funnels raw
+  rows through one task. Global scalar aggregates inherently merge
+  through a 1-partition exchange, but map-side combine has collapsed
+  each task to one row first, and compact pre-aggregated domains (value
+  distributions, day grids) flowing through Project/broadcast-attach
+  nodes are equally bounded — the audit classifies by the exchange's
+  leftmost feed (tools/plan_audit.py::_single_partition_unbounded)
+  rather than naively counting every SinglePartition, and the ONE key
+  that genuinely collapsed a raw scan (win_ntile_cume) was rewritten
+  onto the two-phase row-number machinery instead of allowlisted;
 * BroadcastNestedLoopJoin only where the build side is a bounded
   broadcast (1-row aggregates, k-row query/centroid/anchor sets, the
   non-equi band contract keys) — the allowlist below; a NEW key
@@ -46,7 +54,6 @@ _BNLJ_BROADCAST_TINY = {
     "ml_cross_validation",
     "ml_knn_classify",
     "ml_logreg_gd",
-    "ml_naive_bayes_score",
     "ml_pr_curve",
     "ml_psi_drift",
     "ml_retrieval_eval",
@@ -77,8 +84,9 @@ _BNLJ_BROADCAST_TINY = {
 def test_plan_audit_global_invariants(spark, key):
     a = audit_plan(_QUERIES[key](spark, TEST_SF_DIR))
     assert a["cartesian"] == 0, f"{key}: CartesianProduct in plan"
-    assert a["single_partition"] == 0, (
-        f"{key}: single-partition exchange in plan"
+    assert a["single_partition_unbounded"] == 0, (
+        f"{key}: single-partition exchange over a raw (non-aggregated)"
+        " input in plan"
     )
     if key not in _BNLJ_BROADCAST_TINY:
         assert a["bnlj"] == 0, (

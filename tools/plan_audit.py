@@ -9,6 +9,7 @@ import contextlib
 import io
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -17,20 +18,101 @@ from aind_data_transformation_spark.queries import registry
 from aind_data_transformation_spark.session import build_session
 
 
+_TREE_NODE = re.compile(r"^([ :|+*\-]*)(\S[^(]*?) \((\d+)\)\s*$")
+
+
+#: per-row nodes that do not change the boundedness of their (streamed,
+#: leftmost) input — walked through when classifying an exchange's feed
+_TRANSPARENT = (
+    "Project",
+    "Filter",
+    "BroadcastHashJoin",
+    "BroadcastNestedLoopJoin",
+    "ColumnarToRow",
+    "AQEShuffleRead",
+    "Coalesce",
+)
+
+
+def _single_partition_unbounded(plan: str, tree: str) -> int:
+    """Count SinglePartition exchanges whose INPUT is not (a per-row
+    transform of) a partial aggregate. A global scalar aggregate
+    inherently merges through a 1-partition exchange, but map-side
+    combine has already collapsed each task to one row, so the exchange
+    moves O(#tasks) rows — benign at any scale; likewise a compact
+    aggregated domain (value distribution, day grid) flowing through
+    Project/broadcast-attach nodes. A SinglePartition exchange fed by a
+    raw Scan/Sort/Window/shuffle join funnels RAW rows through one
+    task: the scale-killer class this audit exists to catch."""
+    sp_ids = {
+        m.group(1)
+        for m in re.finditer(r"\((\d+)\) Exchange", plan)
+        if "SinglePartition"
+        in plan.split(f"({m.group(1)}) Exchange", 1)[1].split("\n\n", 1)[0]
+    }
+    if not sp_ids:
+        return 0
+    lines = tree.split("\n")
+    parsed = []
+    for ln in lines:
+        m = _TREE_NODE.match(ln)
+        parsed.append(
+            (len(m.group(1)), m.group(2).strip(), m.group(3)) if m else None
+        )
+    unbounded = 0
+    for i, node in enumerate(parsed):
+        if node is None or node[1] != "Exchange" or node[2] not in sp_ids:
+            continue
+        # walk the leftmost (streamed-side) spine through transparent
+        # per-row nodes until a boundedness-determining operator
+        depth, j, feed = node[0], i, None
+        while True:
+            child = None
+            for k in range(j + 1, len(parsed)):
+                p = parsed[k]
+                if p is None:
+                    continue
+                if p[0] <= depth:
+                    break
+                child, j = p, k
+                break
+            if child is None:
+                break
+            if child[1].startswith(_TRANSPARENT):
+                depth = child[0]
+                continue
+            feed = child[1]
+            break
+        if feed is None or "Aggregate" not in feed:
+            unbounded += 1
+    return unbounded
+
+
 def audit_plan(df) -> dict:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
     tree = plan.split("\n\n", 1)[0]
+    # formatted mode renders a single-partition shuffle as a bare
+    # "Exchange" tree node whose DETAIL section says
+    # "Arguments: SinglePartition"; the detail section prints each
+    # exchange exactly once, so the substring count IS the node count
+    # (counting "Exchange SinglePartition" — simple-mode syntax — was
+    # always 0 and made the audit vacuous)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     return {
+        "single_partition_unbounded": _single_partition_unbounded(plan, tree),
         "cartesian": tree.count("CartesianProduct"),
         "bnlj": tree.count("BroadcastNestedLoopJoin"),
         "exchanges": tree.count("Exchange"),
-        "single_partition": plan.count("Exchange SinglePartition"),
+        "single_partition": plan.count("SinglePartition"),
         "windows": tree.count("Window"),
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
+        # per-scan pushdown: one entry per file scan; a multi-scan plan
+        # where only some scans push filters used to misreport as False
+        "pushed_scans": sum(1 for p in pushed if p.strip()),
+        "scan_filter_slots": len(pushed),
+        "pushed_filters": any(p.strip() for p in pushed),
     }
 
 
