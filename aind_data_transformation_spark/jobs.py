@@ -578,8 +578,20 @@ class AnnIndexBuildJob(GenericSparkEtl[AnnIndexBuildJobSettings]):
             (F.col("query_id") == F.col("eq")) & (F.col("vec_id") == F.col("ev")),
             "left_semi",
         ).count()
-        total = s.n_probe_queries * s.top_k
-        recall = hits / total if total else 0.0
+        # denominator = the ACTUAL exact ground-truth pair count, not
+        # n_probe_queries * top_k: on a sparse / non-zero-based vec_id
+        # domain (or a corpus smaller than top_k+1) the assumed product
+        # overstates the attainable hits and a perfect index would
+        # spuriously fail validation
+        total = exact.count()
+        if total == 0:
+            return JobResponse(
+                status_code=500,
+                message="index validation failed: empty probe ground"
+                " truth (no probe query ids present in the corpus)",
+                data=json.dumps({"n_vectors": int(n_vectors)}),
+            )
+        recall = hits / total
         payload = {
             "n_vectors": int(n_vectors),
             "code_bytes_per_vector": 32,

@@ -14,6 +14,8 @@ UDF policy for 100 TB (and for this engine):
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -321,7 +323,13 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row: Row):
             self._key = row["o_orderstatus"]
             self._n += 1
-            self._cents += int(round(row["o_totalprice"] * 100))
+            # half-away-from-zero to match SQL round() everywhere else —
+            # Python's round() is half-to-even and would silently diverge
+            # on any price grid where v*100 lands exactly on .5
+            v = row["o_totalprice"] * 100
+            self._cents += int(math.floor(v + 0.5)) if v >= 0 else -int(
+                math.floor(-v + 0.5)
+            )
 
         def terminate(self):
             if self._n:

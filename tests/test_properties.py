@@ -414,38 +414,114 @@ def _ewma_global_reference(spark):
     )
 
 
-@pytest.mark.parametrize("shuffle_partitions", ["1", "7"])
-def test_halo_windows_partition_invariant(spark, shuffle_partitions):
-    """The halo-segmented hampel/ewma must be byte-identical to the
-    global-window spec under ANY parallelism (1 task vs many) — the
-    ghost-row margins make segment boundaries invisible."""
+def _holt_global_reference(spark):
+    """Plain global-window Holt: one row_number + 24 unrolled lag terms
+    over Window.partitionBy(event_type) — the naive spec the
+    halo-segmented query must reproduce byte-identically."""
+    from pyspark.sql import Window
+    from aind_data_transformation_spark.io.sources import load_table
     from aind_data_transformation_spark.queries.timeseries import (
-        q_ts_ewma,
-        q_ts_outlier_hampel,
+        _HOLT_DEPTH,
+        _holt_terms,
+        _holt_weights,
     )
 
+    wl, wb = _holt_weights()
+    e = load_table(spark, TEST_SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    lagged = e.select(
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        *[
+            F.lag("cents", i).over(w).alias(f"l{i}")
+            for i in range(_HOLT_DEPTH)
+        ],
+    )
+    inv = "CAST('1e-08' AS DOUBLE)"
+    return (
+        lagged.where(F.col("rn") >= _HOLT_DEPTH)
+        .select(
+            "event_id",
+            "event_type",
+            F.expr(f"CAST(({_holt_terms(wl)}) AS DOUBLE) * {inv}").alias(
+                "level"
+            ),
+            F.expr(f"CAST(({_holt_terms(wb)}) AS DOUBLE) * {inv}").alias(
+                "trend"
+            ),
+        )
+        .withColumn("forecast_1", F.col("level") + F.col("trend"))
+    )
+
+
+def _peak_global_reference(spark):
+    """Plain global-window ±2-neighbor peak detection."""
+    from pyspark.sql import Window
+    from aind_data_transformation_spark.io.sources import load_table
+
+    e = load_table(spark, TEST_SF_DIR, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    cand = e.select(
+        "event_id",
+        "event_type",
+        "c",
+        F.lag("c", 2).over(w).alias("m2"),
+        F.lag("c", 1).over(w).alias("m1"),
+        F.lead("c", 1).over(w).alias("p1"),
+        F.lead("c", 2).over(w).alias("p2"),
+    ).where(
+        F.col("m2").isNotNull()
+        & F.col("m1").isNotNull()
+        & F.col("p1").isNotNull()
+        & F.col("p2").isNotNull()
+    )
+    nmax = F.greatest("m2", "m1", "p1", "p2")
+    return cand.where(F.col("c") > nmax).select(
+        "event_id",
+        "event_type",
+        (F.col("c").cast("double") / 100.0).alias("value"),
+        ((F.col("c") - nmax).cast("double") / 100.0).alias("prominence"),
+    )
+
+
+@pytest.mark.parametrize("shuffle_partitions", ["1", "7"])
+def test_halo_windows_partition_invariant(spark, shuffle_partitions):
+    """Every halo-segmented rolling query must be byte-identical to its
+    naive global-window spec under ANY parallelism (1 task vs many) —
+    the ghost-row margins make segment boundaries invisible. Covers all
+    four keys riding the machinery: hampel, ewma, holt, peak-detect."""
+    from aind_data_transformation_spark.queries.timeseries import (
+        q_ts_ewma,
+        q_ts_holt_linear,
+        q_ts_outlier_hampel,
+        q_ts_peak_detect,
+    )
+
+    pairs = [
+        (q_ts_outlier_hampel, _hampel_global_reference),
+        (q_ts_ewma, _ewma_global_reference),
+        (q_ts_holt_linear, _holt_global_reference),
+        (q_ts_peak_detect, _peak_global_reference),
+    ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
-        got_h = sorted(map(tuple, q_ts_outlier_hampel(spark, TEST_SF_DIR).collect()))
-        ref_h = sorted(map(tuple, _hampel_global_reference(spark).collect()))
-        assert got_h == ref_h
-        got_e = sorted(map(tuple, q_ts_ewma(spark, TEST_SF_DIR).collect()))
-        ref_e = sorted(map(tuple, _ewma_global_reference(spark).collect()))
-        assert got_e == ref_e
-        # holt shares the machinery; pin it against its own oracle shape
-        # computed with a plain global window
-        from aind_data_transformation_spark.queries.timeseries import (
-            q_ts_holt_linear,
-        )
-
-        got_h2 = sorted(
-            map(tuple, q_ts_holt_linear(spark, TEST_SF_DIR).collect())
-        )
-        assert len(got_h2) > 0
-        assert got_h2 == sorted(
-            map(tuple, q_ts_holt_linear(spark, TEST_SF_DIR).collect())
-        )
+        for query, reference in pairs:
+            got = sorted(map(tuple, query(spark, TEST_SF_DIR).collect()))
+            ref = sorted(map(tuple, reference(spark).collect()))
+            assert len(got) > 0, query.__name__
+            assert got == ref, query.__name__
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
