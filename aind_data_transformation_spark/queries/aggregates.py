@@ -285,21 +285,33 @@ _CORR_FORMULAS = """
 
 def q_agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + covariance (pop/samp) of account balance vs
-    customer key per market segment. The five power sums are exact int64
-    aggregates (associative, order-free); the closed-form combination is
-    the verbatim same SQL text on both engines, so the doubles are
-    bit-identical. This is also the scalable shape: one partial+final
-    hash agg, no second pass for the means."""
+    customer key per market segment. The five power sums are exact
+    integer aggregates (associative, order-free); the closed-form
+    combination is the verbatim same SQL text on both engines, so the
+    doubles are bit-identical. This is also the scalable shape: one
+    partial+final hash agg, no second pass for the means.
+
+    int64 headroom: c_custkey is UNBOUNDED (∝ table size), so
+    sum(y·y) ≈ n³/3 blows int64 past n ≈ 3e6 — each product operand is
+    cast to decimal(19,0) so the products accumulate in decimal(38,0)
+    (exact to 1e38; n ≈ 1e12 rows of worst-case 1e14 products fit), and
+    sum(y) itself (≈ n²/2, int64-dead past n ≈ 4e9) accumulates in
+    decimal too. Consumers read the sums through CAST(.. AS DOUBLE), so
+    the widened accumulator changes no output bit (guarded
+    registry-wide by tests/test_plan_audit.py's bigint-product-sum
+    audit)."""
     c = load_table(spark, sf_dir, "customer")
     x = cents("c_acctbal")
     y = F.col("c_custkey")
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     sums = c.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
     return sums.selectExpr("c_mktsegment", *_CORR_FORMULAS.split(",\n"))
 
@@ -548,10 +560,13 @@ ORACLES = {
             SELECT c_mktsegment,
                    COUNT(*) AS n,
                    SUM({sql_cents('c_acctbal')}) AS sx,
-                   SUM(c_custkey) AS sy,
-                   SUM({sql_cents('c_acctbal')} * c_custkey) AS sxy,
-                   SUM({sql_cents('c_acctbal')} * {sql_cents('c_acctbal')}) AS sxx,
-                   SUM(c_custkey * c_custkey) AS syy
+                   SUM(CAST(c_custkey AS DECIMAL(19,0))) AS sy,
+                   SUM(CAST({sql_cents('c_acctbal')} AS DECIMAL(19,0))
+                       * CAST(c_custkey AS DECIMAL(19,0))) AS sxy,
+                   SUM(CAST({sql_cents('c_acctbal')} AS DECIMAL(19,0))
+                       * CAST({sql_cents('c_acctbal')} AS DECIMAL(19,0))) AS sxx,
+                   SUM(CAST(c_custkey AS DECIMAL(19,0))
+                       * CAST(c_custkey AS DECIMAL(19,0))) AS syy
             FROM customer GROUP BY c_mktsegment
         )
         SELECT c_mktsegment, {_CORR_FORMULAS}

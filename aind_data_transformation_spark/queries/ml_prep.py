@@ -110,9 +110,15 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     data producing O(d'^2) numbers; the eigensolve on the tiny d' x d'
     matrix is driver work by design.
 
-    Exactness: micro-scaled BIGINT sums (order-independent); covariance
+    Exactness: micro-scaled integer sums (order-independent); covariance
     recovered as (Sxy - Sx*Sy/n)/n with the identical double sequence in
-    both engines, then de-scaled by 1e12."""
+    both engines, then de-scaled by 1e12.
+
+    int64 headroom: a micro-scaled product is ≤1e12 per row, so a BIGINT
+    product sum dies past ~9e6 rows — each operand casts to
+    decimal(19,0) and the products accumulate exactly in decimal(38,0)
+    (read back through CAST(.. AS DOUBLE), so no output bit changes);
+    the linear sums s_i (≤1e6/row) keep int64 headroom to 9e12 rows."""
     e = load_table(spark, sf_dir, "embeddings")
     cols = [
         F.expr(
@@ -130,7 +136,10 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(f"x{i}").alias(f"s{i}"))
     for i, j in pairs:
         aggs.append(
-            F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"p_{i}_{j}")
+            F.sum(
+                F.col(f"x{i}").cast("decimal(19,0)")
+                * F.col(f"x{j}").cast("decimal(19,0)")
+            ).alias(f"p_{i}_{j}")
         )
     row = w.agg(*aggs)
     cov_terms = ", ".join(
@@ -704,9 +713,9 @@ _COV_MOMENTS = ", ".join(
     ]
     + [
         f"sum(CAST(round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000.0)"
-        f" AS BIGINT)"
+        f" AS DECIMAL(19,0))"
         f" * CAST(round(CAST(embedding[{j + 1}] AS DOUBLE) * 1000000.0)"
-        f" AS BIGINT)) AS p_{i}_{j}"
+        f" AS DECIMAL(19,0))) AS p_{i}_{j}"
         for i, j in _COV_PAIRS
     ]
 )

@@ -80,6 +80,19 @@ _BNLJ_BROADCAST_TINY = {
 }
 
 
+#: keys whose sum-over-BIGINT-product is argued bounded — headroom math
+#: per key; everything else with the pattern must widen to decimal
+#: (agg_corr_covar and embed_covariance did, r4)
+_BIGINT_PRODUCT_SUM_BOUNDED = {
+    # tf ≤ doc length (~1e4) × lp_u ≤ 2e7 → ≤2e11/row, summed over a
+    # doc's distinct terms (~1e4) → ≤2e15 per (doc, cls) group
+    "ml_naive_bayes_score",
+    # cents ≤ 1e6 × dt_s ≤ 3e7 (a year in seconds) → ≤3e13/row, summed
+    # per user over ≤1e5 observations → ≤3e18, inside int64
+    "ts_time_weighted_avg",
+}
+
+
 @pytest.mark.parametrize("key", sorted(_QUERIES))
 def test_plan_audit_global_invariants(spark, key):
     a = audit_plan(_QUERIES[key](spark, TEST_SF_DIR))
@@ -92,4 +105,13 @@ def test_plan_audit_global_invariants(spark, key):
         assert a["bnlj"] == 0, (
             f"{key}: unexpected BroadcastNestedLoopJoin — argue the"
             " broadcast side is bounded, then allowlist"
+        )
+    if key not in _BIGINT_PRODUCT_SUM_BOUNDED:
+        assert a["bigint_product_sums"] == [], (
+            f"{key}: raw BIGINT sum over a column product"
+            f" {a['bigint_product_sums']} — int64 dies once"
+            " sum(|a*b|) can exceed 9.2e18. Either argue BOTH operands"
+            " are bounded (so the sum stays in headroom at 1e12 rows)"
+            " and allowlist, or cast each operand to decimal(19,0) so"
+            " the accumulator is decimal(38,0) (see agg_corr_covar)"
         )

@@ -369,3 +369,129 @@ def test_m4_stream_matches_batch(spark):
     for k, v in got.items():
         assert want[k] == v
     assert len(got) >= len(want) - 2 * 5  # ≤2 trailing days × 5 types open
+
+
+def test_stateful_checkpoint_recovery_across_restart(spark, tmp_path):
+    """The capability the settings knobs promise but no other test
+    proves: a RocksDB-backed STATEFUL streaming aggregation is killed
+    mid-stream (q.stop() after the first committed micro-batch, unread
+    source files still pending), late data arrives, and a NEW query
+    restarted from the SAME checkpoint must resume the recovered state
+    and land on exactly-once totals — every per-user (count, cent-sum)
+    equal to one batch aggregation over the full source, nothing dropped
+    from the killed run, nothing double-counted on replay."""
+    import time as _time
+
+    from aind_data_transformation_spark.core import (
+        GenericSparkEtl,
+        JobResponse,
+        SparkJobSettings,
+    )
+    from aind_data_transformation_spark.io.sources import normalize_event_ts
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    class _Probe(GenericSparkEtl[SparkJobSettings]):
+        def run_job(self) -> JobResponse:  # pragma: no cover - not used
+            return JobResponse(status_code=200)
+
+    job = _Probe(
+        SparkJobSettings(
+            input_source=src,
+            output_directory=src,
+            streaming_state_store="rocksdb",
+            checkpoint_dir=ckpt,
+        ),
+        spark=spark,
+    )
+    try:
+        s = job.spark
+        assert "RocksDBStateStoreProvider" in s.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+        ev = s.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+        first = ev.limit(400)
+        # 8 source files + maxFilesPerTrigger=1 so the kill lands with
+        # files still unprocessed (the assertion holds wherever it lands)
+        first.repartition(8).write.mode("overwrite").parquet(src)
+        schema = s.read.parquet(src).schema
+
+        def totals_stream(max_files=None):
+            reader = s.readStream.schema(schema)
+            if max_files:
+                reader = reader.option("maxFilesPerTrigger", max_files)
+            stream = normalize_event_ts(reader.parquet(src))
+            return stream.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("cents"),
+            )
+
+        ckpt_loc = str(job.job_settings.checkpoint_dir)
+
+        # foreachBatch is a checkpoint-recoverable sink (memory is not);
+        # each micro-batch appends its update rows to a driver-side list
+        run1, run2 = [], []
+
+        def collector(into):
+            def apply(batch_df, batch_id):
+                into.extend(batch_df.collect())
+
+            return apply
+
+        # run 1: kill after the first committed micro-batch
+        q1 = (
+            totals_stream(max_files=1)
+            .writeStream.foreachBatch(collector(run1))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_loc)
+            .start()
+        )
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            p = q1.lastProgress
+            if p and p["batchId"] >= 1:
+                break
+            _time.sleep(0.2)
+        q1.stop()
+        q1.awaitTermination()
+        assert run1, "no micro-batch committed before the kill"
+
+        # late data lands while the query is down
+        late = ev.limit(460).exceptAll(first)
+        late.write.mode("append").parquet(src)
+
+        # run 2: new query object, SAME checkpoint — must recover state
+        q2 = (
+            totals_stream()
+            .writeStream.foreachBatch(collector(run2))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt_loc)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+
+        # a user's FINAL state is its max-n update across both runs
+        # (n is monotone; the accompanying cent-sum rides along)
+        final = {}
+        for r in list(run1) + list(run2):
+            if r["user_id"] not in final or r["n"] > final[r["user_id"]][0]:
+                final[r["user_id"]] = (r["n"], r["cents"])
+        batch = (
+            s.read.parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).alias("cents"),
+            )
+            .collect()
+        )
+        want = {r["user_id"]: (r["n"], r["cents"]) for r in batch}
+        assert final == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

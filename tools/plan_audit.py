@@ -101,8 +101,23 @@ def audit_plan(df) -> dict:
     # (counting "Exchange SinglePartition" — simple-mode syntax — was
     # always 0 and made the audit vacuous)
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # raw-BIGINT sums of a product of two column refs: the int64-overflow
+    # class ADVICE r3 caught (squared cent totals). A key carrying one
+    # must either bound both operands (argued allowlist in
+    # tests/test_plan_audit.py) or cast the operands to decimal(19,0) so
+    # the accumulator is decimal(38,0).
+    product_sums = sorted(
+        {
+            f"{a}*{b}"
+            for a, b in re.findall(
+                r"sum\(\(([A-Za-z0-9_]+#\d+L) \* ([A-Za-z0-9_]+#\d+L)\)\)",
+                plan,
+            )
+        }
+    )
     return {
         "single_partition_unbounded": _single_partition_unbounded(plan, tree),
+        "bigint_product_sums": product_sums,
         "cartesian": tree.count("CartesianProduct"),
         "bnlj": tree.count("BroadcastNestedLoopJoin"),
         "exchanges": tree.count("Exchange"),
