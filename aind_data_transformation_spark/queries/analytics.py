@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 from aind_data_transformation_spark.queries.numeric import cents, sql_cents
 
 
@@ -572,7 +573,86 @@ def q_audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the star schema's three FK
+    edges (lineitem→orders, orders→customer, customer→nation): per
+    relationship, the child row count and the orphan count (child keys
+    with no parent) — the first data-quality gate after any ingest.
+
+    Scale: each orphan check is ONE left-anti equi-join on the FK (AQE
+    broadcasts the small parents; the lineitem→orders leg shuffles both
+    sides hash-partitioned on the key); the three scalar results union
+    into a 3-row frame. No window, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def leg(name, child, child_key, parent, parent_key):
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return attach_broadcast(total, orphans).select(
+            F.lit(name).alias("relationship"), "n_child", "n_orphans"
+        )
+
+    return (
+        leg("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(leg("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(leg("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
+
+
+_HIST_B = 20
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of order totals: 20 buckets spanning
+    [min, max], exact integer bucket assignment
+    ``((x−mn)·B) div (mx−mn+1)`` on the cent grid (no float boundary —
+    a value can never flip buckets across engines), with per-bucket
+    count and double bounds for plotting.
+
+    Scale: one scalar min/max aggregate broadcasts back (constant-key
+    hash join), then one partial+final hash agg on the bounded bucket
+    domain."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc")
+    )
+    span = o.agg(F.min("xc").alias("mn"), F.max("xc").alias("mx"))
+    b = attach_broadcast(o, span).select(
+        F.expr(
+            f"CAST(((xc - mn) * {_HIST_B}) div (mx - mn + 1) AS BIGINT)"
+        ).alias("bucket"),
+        "mn",
+        "mx",
+    )
+    return (
+        b.groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            F.expr(
+                f"round((CAST(mn AS DOUBLE) + CAST(bucket AS DOUBLE)"
+                f" * (CAST(mx - mn + 1 AS DOUBLE) / {_HIST_B}.0D))"
+                " / 100.0, 6)"
+            ).alias("lo"),
+            F.expr(
+                f"round((CAST(mn AS DOUBLE) + CAST(bucket + 1 AS DOUBLE)"
+                f" * (CAST(mx - mn + 1 AS DOUBLE) / {_HIST_B}.0D))"
+                " / 100.0, 6)"
+            ).alias("hi"),
+            "cnt",
+        )
+    )
+
+
 QUERIES = {
+    "dq_referential_integrity": q_dq_referential_integrity,
+    "agg_histogram": q_agg_histogram,
     "audience_overlap_bitmap": q_audience_overlap_bitmap,
     "diag_key_skew": q_diag_key_skew,
     "rfm_segments": q_rfm_segments,
@@ -598,6 +678,48 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "dq_referential_integrity": """
+        SELECT 'lineitem->orders' AS relationship,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'orders->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    """,
+    "agg_histogram": """
+        WITH o AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+            FROM orders
+        ), span AS (
+            SELECT min(xc) AS mn, max(xc) AS mx FROM o
+        ), b AS (
+            SELECT CAST(((xc - mn) * 20) // (mx - mn + 1) AS BIGINT)
+                       AS bucket,
+                   mn, mx
+            FROM o CROSS JOIN span
+        )
+        SELECT bucket,
+               round((CAST(mn AS DOUBLE) + CAST(bucket AS DOUBLE)
+                      * (CAST(mx - mn + 1 AS DOUBLE) / 20.0))
+                     / 100.0, 6) AS lo,
+               round((CAST(mn AS DOUBLE) + CAST(bucket + 1 AS DOUBLE)
+                      * (CAST(mx - mn + 1 AS DOUBLE) / 20.0))
+                     / 100.0, 6) AS hi,
+               count(*) AS cnt
+        FROM b GROUP BY bucket, mn, mx
+    """,
     "audience_overlap_bitmap": """
         WITH m AS (
             SELECT DISTINCT event_type, user_id FROM events

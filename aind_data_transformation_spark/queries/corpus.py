@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
 from aind_data_transformation_spark.ops import (
+    attach_broadcast,
     connected_components,
     pack_sequences,
     series_row_number,
@@ -464,6 +465,48 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix allocation planner: given per-source token counts
+    and a token budget of half the corpus, allocate the budget uniformly
+    across sources and report each source's sampling rate and epoch
+    count — the driver table a weighted pretraining dataloader consumes
+    (sources below their allocation repeat for ⌈alloc/tokens⌉ epochs,
+    over-represented sources downsample to rate alloc/tokens).
+
+    Exactness: budget and per-source allocation stay in integer
+    arithmetic (`div`); the rate is ONE bigint/bigint double division
+    rounded to 6 dp; the epoch ceiling is pure integer
+    (alloc + tokens − 1) div tokens. Scale: one hash aggregation to the
+    source domain (~20 rows) + a constant-key broadcast hash join for
+    the totals — nothing else touches the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).cast(
+                "bigint"
+            )
+        ).alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("__tot"),
+        F.count(F.lit(1)).alias("__n_src"),
+    )
+    out = attach_broadcast(per_src, totals).selectExpr(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "CAST((__tot div 2) div __n_src AS BIGINT) AS alloc_tokens",
+        "round(CAST((__tot div 2) div __n_src AS DOUBLE)"
+        " / CAST(n_tokens AS DOUBLE), 6) AS sample_rate",
+        "CAST(((__tot div 2) div __n_src + n_tokens - 1) div n_tokens"
+        " AS BIGINT) AS n_epochs",
+    )
+    return out
+
+
 QUERIES = {
     "corpus_length_quantiles": q_corpus_length_quantiles,
     "corpus_bloom_dedup": q_corpus_bloom_dedup,
@@ -477,9 +520,29 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "corpus_mixture": q_corpus_mixture,
+    "corpus_mix_weights": q_corpus_mix_weights,
 }
 
 ORACLES = {
+    "corpus_mix_weights": """
+        WITH per_src AS (
+            SELECT source, count(*) AS n_docs,
+                   SUM(len(list_filter(string_split(text, ' '),
+                                       x -> x <> ''))) AS n_tokens
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT SUM(n_tokens) AS tot, count(*) AS n_src FROM per_src
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((tot // 2) // n_src AS BIGINT) AS alloc_tokens,
+               round(CAST((tot // 2) // n_src AS DOUBLE)
+                     / CAST(n_tokens AS DOUBLE), 6) AS sample_rate,
+               CAST(((tot // 2) // n_src + n_tokens - 1) // n_tokens
+                    AS BIGINT) AS n_epochs
+        FROM per_src CROSS JOIN totals
+    """,
     "corpus_length_quantiles": """
         WITH vc AS (
             SELECT source, n_chars, COUNT(*)::BIGINT AS c

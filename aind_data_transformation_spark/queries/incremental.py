@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
 
@@ -154,12 +154,73 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from a change stream: per
+    user, collapse consecutive events with the same ``event_type`` into
+    versioned validity intervals [valid_from, valid_to) with an
+    ``is_current`` flag on the open tail — the standard warehouse
+    dimension-history pattern (each attribute change closes the prior
+    version and opens a new one).
+
+    Exactness: boundaries are integer microseconds; version numbers come
+    from row_number over the change rows; the (us, event_id) tiebreak
+    makes every window deterministic.
+
+    Scale: both windows partition by ``user_id`` — high-cardinality, so
+    each task sorts only one user's short history; one hash shuffle
+    total (the second window reuses the first's partitioning). No
+    low-cardinality window anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = e.withColumn("prev", F.lag("status").over(w)).where(
+        F.col("prev").isNull() | (F.col("prev") != F.col("status"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        F.col("us").alias("valid_from_us"),
+        F.lead("us").over(w2).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+        F.lead("us").over(w2).isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
+    "scd2_build": q_scd2_build,
 }
 
 ORACLES = {
+    "scd2_build": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type AS status,
+                   epoch_us(ts) AS us
+            FROM events
+        ), marked AS (
+            SELECT *, lag(status) OVER w AS prev
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), changes AS (
+            SELECT * FROM marked
+            WHERE prev IS NULL OR prev <> status
+        )
+        SELECT user_id, status,
+               us AS valid_from_us,
+               lead(us) OVER w2 AS valid_to_us,
+               CAST(row_number() OVER w2 AS BIGINT) AS version,
+               lead(us) OVER w2 IS NULL AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
     "mv_incremental_refresh": """
         SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
                o_orderpriority,

@@ -405,6 +405,50 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+_CHUNK_W = 64  #: tokens per chunk (the model context-window unit)
+_CHUNK_S = 48  #: stride — 16-token overlap between consecutive chunks
+
+
+def q_text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for context-window packing: each
+    document is split on whitespace and emitted as overlapping
+    ``_CHUNK_W``-token chunks starting every ``_CHUNK_S`` tokens (16-token
+    overlap carries context across boundaries — the standard RAG /
+    pretraining chunker). Chunk starts are ``sequence(0, n-1, stride)``
+    so every document emits ≥1 chunk and the tail chunk may run short.
+
+    Scale: pure per-row expression work — tokenize, explode the bounded
+    start list, slice — NO shuffle anywhere in the plan; at 100 TB this
+    is a map-only pass whose output lands straight in the downstream
+    shard writer. No UDF: `slice`/`array_join` stay in codegen."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("filter(split(text, ' '), x -> x <> '')").alias("toks"),
+        )
+        .where(F.size("toks") > 0)
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, size(toks) - 1, {_CHUNK_S})")
+        ).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(p div {_CHUNK_S} AS BIGINT)").alias("chunk_id"),
+        F.expr(f"CAST(size(slice(toks, p + 1, {_CHUNK_W})) AS BIGINT)").alias(
+            "n_tokens"
+        ),
+        F.expr(f"array_join(slice(toks, p + 1, {_CHUNK_W}), ' ')").alias(
+            "chunk_text"
+        ),
+    )
+
+
 QUERIES = {
     "sessionize_gap": q_sessionize_gap,
     "rank_bm25": q_rank_bm25,
@@ -415,6 +459,7 @@ QUERIES = {
     "corpus_shuffle_shard": q_corpus_shuffle_shard,
     "fn_levenshtein": q_fn_levenshtein,
     "agg_skew_kurt": q_agg_skew_kurt,
+    "text_chunk_sliding": q_text_chunk_sliding,
 }
 
 ORACLES = {
@@ -638,5 +683,23 @@ ORACLES = {
                round(m3 / (m2 * sqrt(m2)), 6) AS skew,
                round(m4 / (m2 * m2) - 3.0, 6) AS kurt
         FROM cm
+    """,
+"text_chunk_sliding": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {_CHUNK_S})) AS p
+            FROM d WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(p // {_CHUNK_S} AS BIGINT) AS chunk_id,
+               CAST(len(list_slice(toks, p + 1, p + {_CHUNK_W})) AS BIGINT)
+                   AS n_tokens,
+               array_to_string(list_slice(toks, p + 1, p + {_CHUNK_W}), ' ')
+                   AS chunk_text
+        FROM c
     """,
 }
