@@ -650,7 +650,44 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a quasi-identifier tuple (nation, market
+    segment, account balance rounded to hundreds): the distribution of
+    equivalence-class sizes bucketed as k=1 / 2–4 / 5–9 / 10+ with group
+    and row counts — the privacy gate run before releasing or training
+    on user-adjacent records (k=1 rows are directly re-identifiable).
+
+    Scale: one hash agg to the QI domain, one more to the 4-bucket
+    domain; integer arithmetic end-to-end."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        # explicit floor: Spark `div` truncates toward zero but DuckDB
+        # `//` floors, and balances go negative — floor(x/100.0) is the
+        # same op in both engines
+        F.expr(
+            "CAST(floor(CAST(round(c_acctbal) AS BIGINT) / 100.0D)"
+            " AS BIGINT)"
+        ).alias("bal_hundreds"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, "1")
+        .when(F.col("k") <= 4, "2-4")
+        .when(F.col("k") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return (
+        qi.groupBy(bucket.alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_rows"),
+        )
+    )
+
+
 QUERIES = {
+    "privacy_k_anonymity": q_privacy_k_anonymity,
     "dq_referential_integrity": q_dq_referential_integrity,
     "agg_histogram": q_agg_histogram,
     "audience_overlap_bitmap": q_audience_overlap_bitmap,
@@ -678,6 +715,23 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "privacy_k_anonymity": """
+        WITH qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(CAST(round(c_acctbal) AS BIGINT) / 100.0)
+                        AS BIGINT) AS bal_hundreds,
+                   count(*) AS k
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CASE WHEN k = 1 THEN '1'
+                    WHEN k <= 4 THEN '2-4'
+                    WHEN k <= 9 THEN '5-9'
+                    ELSE '10+' END AS k_bucket,
+               count(*) AS n_groups,
+               SUM(k) AS n_rows
+        FROM qi GROUP BY 1
+    """,
     "dq_referential_integrity": """
         SELECT 'lineitem->orders' AS relationship,
                (SELECT count(*) FROM lineitem) AS n_child,

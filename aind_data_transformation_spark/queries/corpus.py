@@ -507,7 +507,62 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_LINE_MIN_CHARS = 30  #: ignore short fragments (C4 used 3+ words / line)
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line audit: split every document into
+    sentence-level lines, find lines repeated across ≥2 DISTINCT
+    documents (navigation chrome, license footers, cookie banners), and
+    report per document its line count, boilerplate line count, and
+    boilerplate ratio in ppm — the input to the "drop repeated lines /
+    drop mostly-boilerplate docs" cleaning pass every web-corpus
+    pipeline runs.
+
+    Scale: lines explode linearly; the repeated-line table is one
+    (line → distinct-doc count) hash aggregation; membership flows back
+    over an equi-join on the line string (at 100 TB you'd key on a
+    64-bit line hash — same plan). Counts are exact integers; the ratio
+    is integer ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(split(text, '\\\\. '), x -> trim(x)),"
+                f" x -> length(x) >= {_LINE_MIN_CHARS})"
+            )
+        ).alias("line"),
+    )
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("line")
+    )
+    flagged = lines.join(
+        boiler.withColumn("is_boiler", F.lit(1)), "line", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).alias(
+                "n_boiler_lines"
+            ),
+        )
+        .withColumn(
+            "boiler_ppm",
+            F.expr(
+                "CAST(round(CAST(n_boiler_lines AS DOUBLE)"
+                " / CAST(n_lines AS DOUBLE) * 1000000.0D) AS BIGINT)"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "corpus_line_dedup": q_corpus_line_dedup,
     "corpus_length_quantiles": q_corpus_length_quantiles,
     "corpus_bloom_dedup": q_corpus_bloom_dedup,
     "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -524,6 +579,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_line_dedup": f"""
+        WITH lines AS (
+            SELECT doc_id, line
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, '. '),
+                                             x -> trim(x))) AS line
+                FROM documents
+            )
+            WHERE length(line) >= {_LINE_MIN_CHARS}
+        ), boiler AS (
+            SELECT line FROM lines
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2
+        ), flagged AS (
+            SELECT l.doc_id,
+                   CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_boiler
+            FROM lines l LEFT JOIN boiler b ON l.line = b.line
+        )
+        SELECT doc_id,
+               count(*) AS n_lines,
+               SUM(is_boiler) AS n_boiler_lines,
+               CAST(round(CAST(SUM(is_boiler) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
+                   AS boiler_ppm
+        FROM flagged GROUP BY doc_id
+    """,
     "corpus_mix_weights": """
         WITH per_src AS (
             SELECT source, count(*) AS n_docs,

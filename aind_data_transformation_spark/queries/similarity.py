@@ -412,7 +412,69 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SN_WINDOW = 5  #: sorted-neighborhood window (compare to next w-1 rows)
+_SN_BLOCK = 16  #: rn-block size for the banded neighbor equi-join
+_SN_TAU = 8
+
+
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo 1995):
+    sort the corpus by a normalized blocking key (lowercased 40-char
+    head), then compare each record only to its next ``w−1 = 4``
+    neighbors in sort order — the classic alternative to LSH banding
+    when near-duplicates share a prefix (crawl re-fetches, versioned
+    titles). Survivor pairs are scored with exact Levenshtein ≤ 8.
+
+    Scale: the global sort position comes from the two-phase
+    ``series_row_number`` (coarse bucket = first-two-char code, monotone
+    in the binary string order — NO single-partition sort), and the
+    neighbor pairing is an EQUI-join on rn-blocks: the left row fans out
+    to the (≤2) blocks its window can reach, the right row joins on its
+    own block, and ``1 ≤ rn_b − rn_a ≤ 4`` trims inside the join. Cost
+    is w·|docs| candidate pairs exactly — linear, never quadratic."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.substring("text", 1, _SIM_HEAD)).alias("head"),
+    )
+    rn = series_row_number(
+        d,
+        [],
+        [F.col("head").asc(), F.col("doc_id").asc()],
+        "ascii(substr(head, 1, 1)) * 256 + ascii(substr(head, 2, 1))",
+    )
+    left = rn.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("head").alias("head_a"),
+        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"rn div {_SN_BLOCK}"),
+                    F.expr(f"(rn + {_SN_WINDOW - 1}) div {_SN_BLOCK}"),
+                )
+            )
+        ).alias("blk"),
+    )
+    right = rn.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("head").alias("head_b"),
+        F.col("rn").alias("rn_b"),
+        F.expr(f"rn div {_SN_BLOCK}").alias("blk"),
+    )
+    pairs = left.join(right, "blk").where(
+        (F.col("rn_b") - F.col("rn_a") >= 1)
+        & (F.col("rn_b") - F.col("rn_a") <= _SN_WINDOW - 1)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.col("rn_b") - F.col("rn_a")).alias("neighbor_offset"),
+        F.levenshtein("head_a", "head_b").cast("bigint").alias("lev_head"),
+    ).where(F.col("lev_head") <= _SN_TAU)
+
+
 QUERIES = {
+    "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "join_string_sim": q_join_string_sim,
     "ml_knn_classify": q_ml_knn_classify,
     "spatial_grid_join": q_spatial_grid_join,
@@ -421,6 +483,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_sorted_neighborhood": f"""
+        WITH d AS (
+            SELECT doc_id, lower(substr(text, 1, {_SIM_HEAD})) AS head
+            FROM documents
+        ), numbered AS (
+            SELECT doc_id, head,
+                   row_number() OVER (ORDER BY head, doc_id) AS rn
+            FROM d
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               b.rn - a.rn AS neighbor_offset,
+               CAST(levenshtein(a.head, b.head) AS BIGINT) AS lev_head
+        FROM numbered a JOIN numbered b
+          ON b.rn - a.rn BETWEEN 1 AND {_SN_WINDOW - 1}
+        WHERE levenshtein(a.head, b.head) <= {_SN_TAU}
+    """,
     "join_string_sim": f"""
         WITH d AS (
             SELECT doc_id,

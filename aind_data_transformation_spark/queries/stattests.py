@@ -17,9 +17,12 @@ or at-risk cumsum viable at 100 TB.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 from aind_data_transformation_spark.queries.numeric import cents, sql_cents
 
 _G1 = "1-URGENT"
@@ -504,7 +507,86 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Poisson(1) CDF thresholds quantized to the 32-bit hash space — the
+#: SAME integer literals serve both dialects, so the resample weight of
+#: every row is engine-exact
+_BOOT_B = 64
+_BOOT_THRESH = [
+    int(sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1))
+        * 4294967296.0)
+    for k in range(7)
+]
+
+
+def _boot_weight_case(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order total —
+    the cluster-scale bootstrap (Chamandy et al., Google 2012): instead
+    of resampling n rows WITH replacement (impossible distributed), each
+    row enters resample b with weight ~ Poisson(1), drawn
+    DETERMINISTICALLY by quantizing a Knuth multiplicative hash of
+    (orderkey, b) against integer CDF thresholds. 64 resample means →
+    order-statistic 5%/95% envelope.
+
+    Exactness: weights are pure integer comparisons on the shared
+    32-bit hash; each resample mean is ONE double division of exact
+    integer sums; the envelope picks ranked means via row_number (ties
+    on b), so every byte matches DuckDB.
+
+    Scale: the explode is ×B=64 but collapses immediately through a
+    partial hash agg to 64 rows/task before the one shuffle; the
+    ranking window runs on the 64-row aggregate domain. At 100 TB,
+    B=64 resamples of a mean is the textbook production shape."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    u = f"pmod((o_orderkey * {_BOOT_B} + b) * 2654435761, 4294967296)"
+    res = (
+        o.select(
+            "o_orderkey",
+            "c",
+            F.explode(F.expr(f"sequence(0, {_BOOT_B - 1})")).alias("b"),
+        )
+        .select(
+            "b", "c", F.expr(_boot_weight_case(u)).alias("w")
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("sc"),
+            F.sum("w").alias("n"),
+        )
+        .select(
+            "b",
+            F.expr("CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean_c"),
+        )
+    )
+    w_rank = Window.orderBy("mean_c", "b")
+    ranked = res.withColumn("rn", F.row_number().over(w_rank))
+    env = ranked.agg(
+        F.min(F.when(F.col("rn") == 4, F.col("mean_c"))).alias("lo_c"),
+        F.min(F.when(F.col("rn") == 61, F.col("mean_c"))).alias("hi_c"),
+    )
+    full = o.agg(
+        F.expr(
+            "CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+        ).alias("mean_full_c")
+    )
+    return attach_broadcast(env, full).select(
+        F.expr("round(mean_full_c / 100.0, 6)").alias("mean_value"),
+        F.expr("round(lo_c / 100.0, 6)").alias("ci_lo"),
+        F.expr("round(hi_c / 100.0, 6)").alias("ci_hi"),
+    )
+
+
 QUERIES = {
+    "ml_bootstrap_ci": q_ml_bootstrap_ci,
     "stats_anova": q_stats_anova,
     "stats_levene": q_stats_levene,
     "stats_ks_twosample": q_stats_ks_twosample,
@@ -519,6 +601,43 @@ QUERIES = {
 _V = sql_cents("o_totalprice")
 
 ORACLES = {
+    "ml_bootstrap_ci": f"""
+        WITH o AS (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ), ex AS (
+            SELECT o_orderkey, c, unnest(range(0, {_BOOT_B})) AS b
+            FROM o
+        ), wt AS (
+            SELECT b, c,
+                   {_boot_weight_case(
+                       f"((o_orderkey * {_BOOT_B} + b) * 2654435761)"
+                       " % 4294967296"
+                   )} AS w
+            FROM ex
+        ), res AS (
+            SELECT b,
+                   CAST(SUM(w * c) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+                       AS mean_c
+            FROM wt GROUP BY b
+        ), ranked AS (
+            SELECT mean_c, row_number() OVER (ORDER BY mean_c, b) AS rn
+            FROM res
+        ), env AS (
+            SELECT min(CASE WHEN rn = 4 THEN mean_c END) AS lo_c,
+                   min(CASE WHEN rn = 61 THEN mean_c END) AS hi_c
+            FROM ranked
+        ), tot AS (
+            SELECT CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                       AS mean_full_c
+            FROM o
+        )
+        SELECT round(mean_full_c / 100.0, 6) AS mean_value,
+               round(lo_c / 100.0, 6) AS ci_lo,
+               round(hi_c / 100.0, 6) AS ci_hi
+        FROM env CROSS JOIN tot
+    """,
     "stats_levene": f"""
         WITH counts AS (
             SELECT o_orderpriority, {sql_cents('o_totalprice')} AS v,

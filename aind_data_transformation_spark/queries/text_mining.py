@@ -161,66 +161,14 @@ def q_corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-
-
-def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First BPE merge iteration: count adjacent character pairs inside
-    whitespace tokens across the corpus and rank the top 50 merge
-    candidates — the statistic a byte-pair-encoding tokenizer trainer
-    computes every round (the container has no tokenizer lib; this IS
-    the algorithm, not a stub).
-
-    Scale: two nested explodes (token, then character offset) are linear
-    in corpus bytes and map-side; the pair count aggregates with partial
-    combine on the bounded pair domain (≤ alphabet², tiny), and the
-    top-50 is a TakeOrderedAndProject over that domain — no unbounded
-    sort. A full BPE trainer is this query iterated with a merge-table
-    broadcast re-tokenization between rounds."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(
-            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
-        ).alias("tok")
-    ).where(F.length("tok") >= 2)
-    pairs = toks.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(tok) - 1),"
-                " i -> substr(tok, i, 2))"
-            )
-        ).alias("pair")
-    )
-    return (
-        pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-        .limit(50)
-    )
-
-
 QUERIES = {
     "corpus_inverted_index": q_corpus_inverted_index,
     "tfidf_keywords": q_tfidf_keywords,
     "ngram_topk": q_ngram_topk,
     "ngram_pmi": q_ngram_pmi,
-    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 ORACLES = {
-    "bpe_pair_stats": """
-        WITH toks AS (
-            SELECT unnest(list_filter(string_split(lower(text), ' '),
-                          x -> x <> '')) AS tok
-            FROM documents
-        ), pairs AS (
-            SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
-            FROM toks, unnest(generate_series(1, length(tok) - 1)) AS t(i)
-            WHERE length(tok) >= 2
-        )
-        SELECT pair, count(*) AS cnt
-        FROM pairs GROUP BY pair
-        ORDER BY cnt DESC, pair ASC LIMIT 50
-    """,
     "corpus_inverted_index": """
         WITH terms AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -1058,80 +1058,7 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ts_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled hourly series per event type: average value per present
-    hour, missing hours linearly interpolated between the neighboring
-    present hours (no extrapolation — the grid spans each type's own
-    [first, last] present hour). The time-grid regularization every
-    downstream forecaster assumes.
-
-    Exactness: present averages are ONE double division of exact integer
-    sums; the interpolation ``pa + (na − pa)·((hr−ph)/(nh−ph))`` is the
-    IDENTICAL literal double sequence in both engines over identical
-    inputs, and only the final value rounds (6 dp).
-
-    Scale: the facts collapse to the (type, hour) domain in one partial+
-    final hash agg; the grid explode, the IGNORE-NULLS carry windows and
-    the interpolation all run on that bounded pre-aggregated domain
-    (hours × types), never on raw rows — the house day-grid window
-    pattern."""
-    e = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("hr"),
-        F.round(F.col("value") * 100).cast("long").alias("c"),
-    )
-    present = e.groupBy("event_type", "hr").agg(
-        F.sum("c").alias("sc"), F.count(F.lit(1)).alias("n")
-    )
-    span = present.groupBy("event_type").agg(
-        F.min("hr").alias("h0"), F.max("hr").alias("h1")
-    )
-    grid = span.select(
-        "event_type", F.explode(F.expr("sequence(h0, h1)")).alias("hr")
-    )
-    g = grid.join(present, ["event_type", "hr"], "left").withColumn(
-        "avg_c", F.expr("CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)")
-    )
-    w_prev = (
-        Window.partitionBy("event_type")
-        .orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_next = (
-        Window.partitionBy("event_type")
-        .orderBy("hr")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    filled = (
-        g.withColumn("pa", F.last("avg_c", ignorenulls=True).over(w_prev))
-        .withColumn(
-            "ph",
-            F.last(
-                F.when(F.col("sc").isNotNull(), F.col("hr")), ignorenulls=True
-            ).over(w_prev),
-        )
-        .withColumn("na", F.first("avg_c", ignorenulls=True).over(w_next))
-        .withColumn(
-            "nh",
-            F.first(
-                F.when(F.col("sc").isNotNull(), F.col("hr")), ignorenulls=True
-            ).over(w_next),
-        )
-    )
-    return filled.select(
-        "event_type",
-        "hr",
-        F.expr(
-            "round((CASE WHEN sc IS NOT NULL THEN avg_c"
-            " ELSE pa + (na - pa) * (CAST(hr - ph AS DOUBLE)"
-            " / CAST(nh - ph AS DOUBLE)) END) / 100.0, 6)"
-        ).alias("value"),
-        F.col("sc").isNull().alias("is_gap"),
-    )
-
-
 QUERIES = {
-    "ts_gap_fill_interpolate": q_ts_gap_fill_interpolate,
     "ts_m4_downsample": q_ts_m4_downsample,
     "ts_acf": q_ts_acf,
     "ts_stl_decompose": q_ts_stl_decompose,
@@ -1153,47 +1080,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "ts_gap_fill_interpolate": """
-        WITH e AS (
-            SELECT event_type,
-                   CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
-                   CAST(round(value * 100) AS BIGINT) AS c
-            FROM events
-        ), present AS (
-            SELECT event_type, hr, SUM(c) AS sc, count(*) AS n
-            FROM e GROUP BY event_type, hr
-        ), span AS (
-            SELECT event_type, min(hr) AS h0, max(hr) AS h1
-            FROM present GROUP BY event_type
-        ), grid AS (
-            SELECT event_type, unnest(generate_series(h0, h1)) AS hr
-            FROM span
-        ), g AS (
-            SELECT gr.event_type, gr.hr, p.sc, p.n,
-                   CAST(p.sc AS DOUBLE) / CAST(p.n AS DOUBLE) AS avg_c
-            FROM grid gr LEFT JOIN present p
-              ON gr.event_type = p.event_type AND gr.hr = p.hr
-        ), filled AS (
-            SELECT *,
-                   last_value(avg_c IGNORE NULLS) OVER wp AS pa,
-                   last_value(CASE WHEN sc IS NOT NULL THEN hr END
-                              IGNORE NULLS) OVER wp AS ph,
-                   first_value(avg_c IGNORE NULLS) OVER wn AS na,
-                   first_value(CASE WHEN sc IS NOT NULL THEN hr END
-                               IGNORE NULLS) OVER wn AS nh
-            FROM g
-            WINDOW wp AS (PARTITION BY event_type ORDER BY hr
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                   wn AS (PARTITION BY event_type ORDER BY hr
-                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-        )
-        SELECT event_type, hr,
-               round((CASE WHEN sc IS NOT NULL THEN avg_c
-                      ELSE pa + (na - pa) * (CAST(hr - ph AS DOUBLE)
-                      / CAST(nh - ph AS DOUBLE)) END) / 100.0, 6) AS value,
-               sc IS NULL AS is_gap
-        FROM filled
-    """,
     "ts_linear_forecast": """
         WITH daily AS (
             SELECT event_type,
