@@ -413,7 +413,46 @@ def q_sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query: the set of order days not
+    dominated in (recency, max order value) — a later day with an equal
+    or higher max price dominates. The classic multi-criteria
+    optimization operator (Börzsönyi et al., ICDE 2001) that SQL engines
+    lack natively.
+
+    Shape: a naive skyline is an all-pairs anti-join; for a 2-D skyline
+    the frontier falls out of ONE running max — aggregate the facts to
+    the day domain (max price + its order count via max_by), then a
+    strictly-later cumulative max over the bounded day grid; a day
+    survives iff its price beats every later day's. Integer cents
+    end-to-end; the day key is the ISO date string (chronological in
+    binary order on both engines)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    )
+    pc = o.groupBy("day", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    daily = pc.groupBy("day").agg(
+        F.max("c").alias("mx"),
+        F.expr("max_by(cnt, c)").alias("n_at_max"),
+    )
+    w_later = (
+        Window.orderBy(F.col("day").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        daily.withColumn("bl", F.max("mx").over(w_later))
+        .where(F.col("mx") > F.coalesce(F.col("bl"), F.lit(-1)))
+        .select(
+            "day",
+            (F.col("mx").cast("double") / 100.0).alias("best_price"),
+            F.col("n_at_max").cast("bigint").alias("n_orders"),
+        )
+    )
+
+
 QUERIES = {
+    "sql_skyline_pareto": q_sql_skyline_pareto,
     "sql_create_function": q_sql_create_function,
     "sql_in_subquery": q_sql_in_subquery,
     "sql_exec_immediate_vars": q_sql_exec_immediate_vars,
@@ -433,6 +472,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_skyline_pareto": """
+        WITH o AS (
+            SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+            FROM orders
+        ), pc AS (
+            SELECT day, c, count(*) AS cnt FROM o GROUP BY day, c
+        ), daily AS (
+            SELECT day, max(c) AS mx, arg_max(cnt, c) AS n_at_max
+            FROM pc GROUP BY day
+        ), marked AS (
+            SELECT *,
+                   max(mx) OVER (ORDER BY day DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS bl
+            FROM daily
+        )
+        SELECT day,
+               CAST(mx AS DOUBLE) / 100.0 AS best_price,
+               CAST(n_at_max AS BIGINT) AS n_orders
+        FROM marked
+        WHERE mx > coalesce(bl, -1)
+    """,
     "sql_create_function": """
         SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
                     WHEN o_totalprice < 250000 THEN 'mid'

@@ -180,3 +180,47 @@ def test_series_row_number_and_halo_blocks_match_global_window(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_attach_broadcast_is_hash_join_not_nested_loop(spark):
+    """ops.attach_broadcast must plan a BroadcastHashJoin (the whole
+    point: a fold-proof constant equi-key) and produce exactly the
+    cross-join semantics. A regression to a literal key would be
+    constant-folded by Catalyst into a BroadcastNestedLoopJoin."""
+    import io
+    import contextlib
+
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.ops import attach_broadcast
+
+    a = spark.range(100).toDF("x")
+    tiny = spark.createDataFrame(
+        [(1, "p"), (2, "q"), (3, "r")], "k int, tag string"
+    )
+    out = attach_broadcast(a, tiny)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = out.collect()
+    assert len(rows) == 300
+    assert sorted({r["tag"] for r in rows}) == ["p", "q", "r"]
+    assert out.columns == ["x", "k", "tag"]
+
+
+def test_attach_broadcast_null_first_column(spark):
+    """The xxhash64 key must tolerate nulls in the key-derivation column
+    (xxhash64 of null returns the seed, never null — no rows drop)."""
+    from pyspark.sql import Row
+
+    from aind_data_transformation_spark.ops import attach_broadcast
+
+    a = spark.createDataFrame(
+        [Row(x=None), Row(x=1), Row(x=2)], "x int"
+    )
+    tiny = spark.createDataFrame([(7,)], "y int")
+    assert attach_broadcast(a, tiny).count() == 3

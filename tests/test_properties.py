@@ -533,6 +533,9 @@ def test_halo_windows_partition_invariant(spark, shuffle_partitions):
         "sample_class_balance",
         "corpus_perplexity_buckets",
         "ts_downsample_lttb",
+        # r4: global two-phase row numbers (empty part_cols)
+        "win_ntile_cume",
+        "dedup_sorted_neighborhood",
     ],
 )
 def test_bucket_segmented_ranks_partition_invariant(spark, key):
