@@ -729,7 +729,7 @@ ORACLES = {
                     WHEN k <= 9 THEN '5-9'
                     ELSE '10+' END AS k_bucket,
                count(*) AS n_groups,
-               SUM(k) AS n_rows
+               CAST(SUM(k) AS BIGINT) AS n_rows
         FROM qi GROUP BY 1
     """,
     "dq_referential_integrity": """

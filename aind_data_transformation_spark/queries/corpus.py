@@ -600,7 +600,7 @@ ORACLES = {
         )
         SELECT doc_id,
                count(*) AS n_lines,
-               SUM(is_boiler) AS n_boiler_lines,
+               CAST(SUM(is_boiler) AS BIGINT) AS n_boiler_lines,
                CAST(round(CAST(SUM(is_boiler) AS DOUBLE)
                     / CAST(count(*) AS DOUBLE) * 1000000.0) AS BIGINT)
                    AS boiler_ppm

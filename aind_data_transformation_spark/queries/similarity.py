@@ -473,7 +473,101 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("lev_head") <= _SN_TAU)
 
 
+_TFIDF_MAX_DF_FRAC = 4  #: retain terms with df <= N/4 (stopword prune)
+_TFIDF_COS_TAU = 0.3
+
+
+def q_join_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join: document pairs scoring
+    cos ≥ 0.3 on their stopword-pruned TF-IDF vectors (terms with
+    df > N/4 are dropped from the vectors — the standard prune that both
+    sharpens the metric and bounds the join). The third member of the
+    similarity-join family: token-set (minhash), bit-sketch (simhash),
+    and now weighted-vector cosine.
+
+    Shape: dot products come STRAIGHT from the term equi-join — a pair's
+    non-shared terms contribute zero, so Σ w_a·w_b over the join's
+    matched rows IS the full dot product. Cost is Σ df² over RETAINED
+    terms only (the prune caps df at N/4; at 100 TB you lower the cap
+    and/or add ppjoin prefix filtering — same plan shape). Norms join
+    back per doc; no all-pairs stage exists.
+
+    Exactness: weights are 1e-3-grid integers round(tf·ln(N/df)·1e3), so
+    dots are exact integer sums; each norm is one sqrt of an exact
+    integer; cos closes in the identical double tree and rounds to
+    6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        attach_broadcast(tf.join(df_t, "term"), n_docs)
+        .where(
+            F.col("df") * _TFIDF_MAX_DF_FRAC <= F.col("n")
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                "CAST(round(tf * ln(CAST(n AS DOUBLE)"
+                " / CAST(df AS DOUBLE)) * 1000.0D) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    # decimal operands: worst-case w ≈ tf_max·ln(N) · 1e3 can reach 1e8,
+    # so w² sums can pass int64 — the registry-wide product-sum audit
+    # demands the decimal(38,0) accumulator (exact, reads back as double)
+    norms = w.groupBy("doc_id").agg(
+        F.expr(
+            "sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))"
+            " * CAST(w AS DECIMAL(19,0))) AS DOUBLE))"
+        ).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.sum(
+                F.col("a.w").cast("decimal(19,0)")
+                * F.col("b.w").cast("decimal(19,0)")
+            ).alias("dot")
+        )
+    )
+    na = norms.select(
+        F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")
+    )
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "round(CAST(dot AS DOUBLE) / (na * nb), 6)"
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= _TFIDF_COS_TAU)
+    )
+
+
 QUERIES = {
+    "join_tfidf_cosine": q_join_tfidf_cosine,
     "dedup_sorted_neighborhood": q_dedup_sorted_neighborhood,
     "join_string_sim": q_join_string_sim,
     "ml_knn_classify": q_ml_knn_classify,
@@ -483,6 +577,46 @@ QUERIES = {
 }
 
 ORACLES = {
+    "join_tfidf_cosine": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                          x -> x <> '')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks GROUP BY doc_id, term
+        ), df_t AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), w AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(round(tf.tf * ln(CAST(n.n AS DOUBLE)
+                        / CAST(df_t.df AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+            FROM tf
+            JOIN df_t ON tf.term = df_t.term
+            CROSS JOIN (SELECT count(*) AS n FROM documents) n
+            WHERE df_t.df * {_TFIDF_MAX_DF_FRAC} <= n.n
+        ), norms AS (
+            SELECT doc_id,
+                   sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))
+                        * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+            FROM w GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   SUM(CAST(a.w AS DECIMAL(19,0))
+                       * CAST(b.w AS DECIMAL(19,0))) AS dot
+            FROM w a JOIN w b
+              ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON dots.id_a = na.doc_id
+        JOIN norms nb ON dots.id_b = nb.doc_id
+        WHERE round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6)
+              >= {_TFIDF_COS_TAU}
+    """,
     "dedup_sorted_neighborhood": f"""
         WITH d AS (
             SELECT doc_id, lower(substr(text, 1, {_SIM_HEAD})) AS head

@@ -585,7 +585,52 @@ def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test on order value between
+    URGENT and LOW priority orders: t statistic plus the
+    Welch–Satterthwaite effective degrees of freedom — the default
+    two-group mean comparison (does not assume equal variances, unlike
+    Student's t).
+
+    Exactness: per-group moments (n, Σx, Σx²) accumulate as integer
+    cents with decimal(38,0) squared sums (order-free); t and df close
+    in one identical double expression tree per engine. Scale: ONE
+    map-side-combinable aggregation to 2 rows — a single fact scan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin(_G1, _G2)
+    )
+    x = cents("o_totalprice")
+    per = o.groupBy(
+        (F.col("o_orderpriority") == _G1).alias("g1")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(19,0)")).alias("s"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("ss"),
+    )
+    m = per.agg(
+        F.min(F.when(F.col("g1"), F.col("n"))).cast("double").alias("n1"),
+        F.min(F.when(F.col("g1"), F.col("s"))).cast("double").alias("s1"),
+        F.min(F.when(F.col("g1"), F.col("ss"))).cast("double").alias("ss1"),
+        F.min(F.when(~F.col("g1"), F.col("n"))).cast("double").alias("n2"),
+        F.min(F.when(~F.col("g1"), F.col("s"))).cast("double").alias("s2"),
+        F.min(F.when(~F.col("g1"), F.col("ss"))).cast("double").alias("ss2"),
+    )
+    # sample variances from exact moments; vi = var_i / n_i (the same
+    # subexpression text in both engines — identical double sequence)
+    v1 = "(((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)"
+    v2 = "(((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)"
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n1",
+        "CAST(n2 AS BIGINT) AS n2",
+        f"round((s1 / n1 - s2 / n2) / sqrt({v1} + {v2}) / 100.0 * 100.0, 6)"
+        " AS t_stat",
+        f"round(pow({v1} + {v2}, 2) / (pow({v1}, 2) / (n1 - 1)"
+        f" + pow({v2}, 2) / (n2 - 1)), 6) AS welch_df",
+    )
+
+
 QUERIES = {
+    "stats_welch_ttest": q_stats_welch_ttest,
     "ml_bootstrap_ci": q_ml_bootstrap_ci,
     "stats_anova": q_stats_anova,
     "stats_levene": q_stats_levene,
@@ -601,6 +646,40 @@ QUERIES = {
 _V = sql_cents("o_totalprice")
 
 ORACLES = {
+    "stats_welch_ttest": f"""
+        WITH per AS (
+            SELECT (o_orderpriority = '{_G1}') AS g1,
+                   count(*) AS n,
+                   SUM(CAST({sql_cents('o_totalprice')} AS DECIMAL(19,0)))
+                       AS s,
+                   SUM(CAST({sql_cents('o_totalprice')}
+                            * {sql_cents('o_totalprice')} AS DECIMAL(38,0)))
+                       AS ss
+            FROM orders
+            WHERE o_orderpriority IN ('{_G1}', '{_G2}')
+            GROUP BY 1
+        ), m AS (
+            SELECT CAST(min(CASE WHEN g1 THEN n END) AS DOUBLE) AS n1,
+                   CAST(min(CASE WHEN g1 THEN s END) AS DOUBLE) AS s1,
+                   CAST(min(CASE WHEN g1 THEN ss END) AS DOUBLE) AS ss1,
+                   CAST(min(CASE WHEN NOT g1 THEN n END) AS DOUBLE) AS n2,
+                   CAST(min(CASE WHEN NOT g1 THEN s END) AS DOUBLE) AS s2,
+                   CAST(min(CASE WHEN NOT g1 THEN ss END) AS DOUBLE) AS ss2
+            FROM per
+        )
+        SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               round((s1 / n1 - s2 / n2)
+               / sqrt((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                      + (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2)) / 100.0
+               * 100.0, 6) AS t_stat,
+               round(pow((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                         + (((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 2)
+               / (pow((((ss1 - s1 * s1 / n1) / (n1 - 1)) / n1), 2) / (n1 - 1)
+                  + pow((((ss2 - s2 * s2 / n2) / (n2 - 1)) / n2), 2)
+                    / (n2 - 1)),
+               6) AS welch_df
+        FROM m
+    """,
     "ml_bootstrap_ci": f"""
         WITH o AS (
             SELECT o_orderkey,

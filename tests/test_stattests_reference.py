@@ -287,3 +287,24 @@ def test_levene_brown_forsythe_matches_numpy(spark):
     row = q_stats_levene(spark, TEST_SF_DIR).collect()[0]
     assert row.k_groups == k and row.n_rows == nt
     assert math.isclose(row.bf_stat, w_ref, rel_tol=1e-6)
+
+
+def test_welch_ttest_matches_scipy_formula(spark):
+    """Independent NumPy recomputation of Welch's t and the
+    Welch-Satterthwaite df from the raw parquet."""
+    from aind_data_transformation_spark.queries.stattests import (
+        _G1,
+        _G2,
+        q_stats_welch_ttest,
+    )
+
+    got = q_stats_welch_ttest(spark, TEST_SF_DIR).collect()[0]
+    o = _orders()
+    a = _cents(o.loc[o.o_orderpriority == _G1, "o_totalprice"]) / 100.0
+    b = _cents(o.loc[o.o_orderpriority == _G2, "o_totalprice"]) / 100.0
+    v1, v2 = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(v1 + v2)
+    df = (v1 + v2) ** 2 / (v1**2 / (len(a) - 1) + v2**2 / (len(b) - 1))
+    assert got["n1"] == len(a) and got["n2"] == len(b)
+    assert got["t_stat"] == pytest.approx(t, rel=1e-6)
+    assert got["welch_df"] == pytest.approx(df, rel=1e-6)
