@@ -392,7 +392,66 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seq_markov_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence scoring under the learned first-order Markov model: each
+    user's event stream gets its transition count and average
+    per-transition negative log-likelihood under P(next|cur) trained on
+    the SAME corpus (`events_transition_matrix`) — the behavioral
+    anomaly score (improbable navigation = high NLL), and the same
+    model-scoring shape as corpus perplexity but over event sequences.
+
+    Exactness: the model is exact integer (n, tot) per cell; each
+    transition's −ln(n/tot) rounds to a 1e-6 integer BEFORE the per-user
+    sum (module doctrine), so user sums are exact and the closing
+    division is one double op.
+
+    Scale: the lead window partitions by high-cardinality user_id; the
+    scored join keys on the bounded |types|² cell domain (broadcast);
+    one more hash agg back to users."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    trans = e.withColumn("nxt", F.lead("event_type").over(w)).where(
+        F.col("nxt").isNotNull()
+    )
+    cells = trans.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    model = cells.join(
+        F.broadcast(cells.groupBy("cur").agg(F.sum("n").alias("tot"))),
+        "cur",
+    ).select(
+        "cur",
+        "nxt",
+        F.expr(
+            "CAST(round(-ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("nll_u"),
+    )
+    return (
+        trans.select(
+            "user_id", F.col("event_type").alias("cur"), "nxt"
+        )
+        .join(F.broadcast(model), ["cur", "nxt"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("nll_u").alias("sum_nll_u"),
+        )
+        .select(
+            "user_id",
+            "n_transitions",
+            F.expr(
+                "round(CAST(sum_nll_u AS DOUBLE)"
+                " / CAST(n_transitions AS DOUBLE) / 1000000.0D, 6)"
+            ).alias("avg_nll"),
+        )
+    )
+
+
 QUERIES = {
+    "seq_markov_score": q_seq_markov_score,
     "events_transition_matrix": q_events_transition_matrix,
     "anomaly_mad": q_anomaly_mad,
     "seq_pattern_match": q_seq_pattern_match,
@@ -406,6 +465,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "seq_markov_score": """
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ), trans AS (
+            SELECT user_id, event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id) AS nxt
+            FROM e
+        ), t2 AS (
+            SELECT * FROM trans WHERE nxt IS NOT NULL
+        ), cells AS (
+            SELECT cur, nxt, count(*) AS n FROM t2 GROUP BY cur, nxt
+        ), model AS (
+            SELECT c.cur, c.nxt,
+                   CAST(round(-ln(CAST(c.n AS DOUBLE)
+                        / CAST(t.tot AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       AS nll_u
+            FROM cells c
+            JOIN (SELECT cur, SUM(n) AS tot FROM cells GROUP BY cur) t
+              ON c.cur = t.cur
+        )
+        SELECT t2.user_id,
+               count(*) AS n_transitions,
+               round(CAST(SUM(m.nll_u) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_nll
+        FROM t2 JOIN model m ON t2.cur = m.cur AND t2.nxt = m.nxt
+        GROUP BY t2.user_id
+    """,
     "events_transition_matrix": """
         WITH e AS (
             SELECT user_id, event_id, event_type, epoch_us(ts) AS us

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 from aind_data_transformation_spark.queries.llm_text import (
     q_text_langid,
     q_text_quality_score,
@@ -560,7 +561,61 @@ def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ml_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump learning: the best ``n_chars ≤ t`` split for
+    predicting ``lang = 'en'`` by minimum weighted Gini impurity — the
+    inner loop of every tree/GBDT trainer, done the distributed way:
+    candidate thresholds are the DISTINCT feature values (aggregated
+    first), cumulative class counts give each threshold's left/right
+    composition in one window pass, and the argmin closes on a 1e-9
+    integer grid so ties break identically on the smaller threshold.
+
+    Scale: one hash agg to the value domain, one cumulative window over
+    that bounded domain, one 1-row reduce. The fact table is scanned
+    once; no per-threshold pass exists (the naive trainer's O(values ×
+    rows) rescan is the thing this shape eliminates)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "n_chars", (F.col("lang") == "en").cast("long").alias("pos")
+    )
+    per_v = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("p").over(w).alias("pl"),
+    )
+    tot = per_v.agg(
+        F.sum("n").alias("nt"), F.sum("p").alias("pt")
+    )
+    gini = (
+        "(CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE))"
+        " * (1.0D - pow(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE), 2)"
+        "     - pow(CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE), 2))"
+        " + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE))"
+        " * (1.0D - pow(CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE), 2)"
+        "     - pow(CAST((nt - nl) - (pt - pl) AS DOUBLE)"
+        "           / CAST(nt - nl AS DOUBLE), 2))"
+    )
+    scored = attach_broadcast(cum, tot).where(F.col("nl") < F.col("nt")).select(
+        "v",
+        "nl",
+        "nt",
+        F.expr(
+            f"CAST(round(({gini}) * 1000000000.0D) AS BIGINT)"
+        ).alias("gini_u"),
+    )
+    best = scored.agg(F.min(F.struct("gini_u", "v")).alias("m"))
+    out = best.select(
+        F.col("m.v").alias("threshold"),
+        (F.col("m.gini_u").cast("double") / 1e9).alias("weighted_gini"),
+    )
+    return attach_broadcast(out, tot.select(F.col("nt").alias("n_rows")))
+
+
 QUERIES = {
+    "ml_gini_best_split": q_ml_gini_best_split,
     "ml_learning_curve": q_ml_learning_curve,
     "ml_cross_validation": q_ml_cross_validation,
     "ml_ann_recall": q_ml_ann_recall,
@@ -625,6 +680,38 @@ def _ann_recall_oracle() -> str:
 
 
 ORACLES = {
+    "ml_gini_best_split": """
+        WITH d AS (
+            SELECT n_chars AS v,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+            FROM documents
+        ), per_v AS (
+            SELECT v, count(*) AS n, SUM(pos) AS p FROM d GROUP BY v
+        ), cum AS (
+            SELECT v,
+                   SUM(n) OVER w AS nl,
+                   SUM(p) OVER w AS pl
+            FROM per_v
+            WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ), tot AS (
+            SELECT SUM(n) AS nt, SUM(p) AS pt FROM per_v
+        ), scored AS (
+            SELECT v, nl, nt,
+                   CAST(round(((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)) * (1.0 - pow(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE), 2)     - pow(CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE), 2)) + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE)) * (1.0 - pow(CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE), 2)     - pow(CAST((nt - nl) - (pt - pl) AS DOUBLE)           / CAST(nt - nl AS DOUBLE), 2))) * 1000000000.0) AS BIGINT)
+                       AS gini_u
+            FROM cum CROSS JOIN tot
+            WHERE nl < nt
+        ), best AS (
+            SELECT v, gini_u,
+                   row_number() OVER (ORDER BY gini_u, v) AS rk
+            FROM scored
+        )
+        SELECT b.v AS threshold,
+               CAST(b.gini_u AS DOUBLE) / 1e9 AS weighted_gini,
+               CAST(t.nt AS BIGINT) AS n_rows
+        FROM best b CROSS JOIN tot t WHERE b.rk = 1
+    """,
     "ml_ann_recall": _ann_recall_oracle(),
     "ml_cross_validation": f"""
         WITH scored AS (
