@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 from aind_data_transformation_spark.queries.numeric import money_sum, sql_money_sum
 
 #: Session gap / watermark delay shared with streaming/jobs.py.
@@ -291,11 +292,66 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, batch twin: every click —
+    converted or not — with its same-user purchases in the following 30
+    minutes, nulls for clicks that never converted. The batch side is
+    restricted to clicks with ``click_ts ≤ max(ts) − 90 min``
+    (watermark delay 1 h + join interval 30 min): that is exactly the
+    region where the streaming form (streaming/jobs.py:
+    click_purchase_left_join) has PROVABLY emitted the outer row —
+    beyond it a null result would still be buffered in state when the
+    stream ends, so only this region is batch/stream comparable (and
+    the test proves equality over it).
+
+    Scale: one equi+range shuffle join keyed on user; the cutoff is a
+    scalar aggregate attached via constant-key broadcast hash join."""
+    e = load_table(spark, sf_dir, "events")
+    maxts = e.agg(F.max("ts").alias("max_ts"))
+    clicks = attach_broadcast(
+        e.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_uid"),
+            F.col("ts").alias("click_ts"),
+        ),
+        maxts,
+    ).where(
+        F.col("click_ts") <= F.col("max_ts") - F.expr("INTERVAL 90 minutes")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+            "left",
+        )
+        .select(
+            "click_id",
+            F.col("c_uid").alias("user_id"),
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
 QUERIES = {
     "stream_state_inspect": q_stream_state_inspect,
     "stream_tws_totals": q_stream_tws_totals,
     "stream_static_join": q_stream_static_join,
     "stream_stream_join": q_stream_stream_join,
+    "stream_left_join": q_stream_left_join,
     "stream_tumbling": q_stream_tumbling,
     "stream_sliding": q_stream_sliding,
     "stream_session": q_stream_session,
@@ -306,6 +362,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_left_join": """
+        WITH cutoff AS (
+            SELECT max(ts) - INTERVAL '90 minutes' AS cut FROM events
+        )
+        SELECT c.event_id AS click_id,
+               c.user_id AS user_id,
+               c.ts AS click_ts,
+               p.event_id AS purchase_id,
+               p.ts AS purchase_ts,
+               p.value AS purchase_value
+        FROM events c
+        CROSS JOIN cutoff
+        LEFT JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL '30 minutes'
+         AND p.event_type = 'purchase'
+        WHERE c.event_type = 'click'
+          AND c.ts <= cutoff.cut
+    """,
     "stream_state_inspect": """
         SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
                event_type,

@@ -341,6 +341,49 @@ def click_purchase_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def click_purchase_left_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click with its
+    same-user purchases in the following 30 minutes, or nulls if none
+    arrive. Outer results cannot emit eagerly — Spark holds each click
+    in state until the purchase-side watermark passes
+    ``click_ts + 30 min`` (only then is "no purchase" provable), so null
+    rows trail the data by (watermark delay + interval); state stays
+    bounded exactly as in the inner form. Batch twin:
+    queries/streaming_batch.q_stream_left_join (restricted to the
+    provably-emitted region)."""
+    c = clicks.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", WATERMARK_DELAY)
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK_DELAY)
+    return c.join(
+        p,
+        F.expr(
+            """
+            c_uid = p_uid
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 30 minutes
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        F.col("c_uid").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def windowed_topk_foreach_batch(
     events: DataFrame, out: list, k: int = 3
 ) -> "object":

@@ -495,3 +495,100 @@ def test_stateful_checkpoint_recovery_across_restart(spark, tmp_path):
         assert final == want
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_stream_left_outer_join_matches_batch(spark, tmp_path):
+    """Outer stream-stream join equivalence over the provable region:
+    the time-sorted source is split into files so the watermark advances
+    across micro-batches, and every click older than (watermark delay +
+    join interval) must have its row — matched or null-padded — in the
+    drained output, byte-equal to the batch twin (which restricts itself
+    to the same region)."""
+    src = str(tmp_path / "events_sorted")
+    base = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+    # write the 6 time-range files SEQUENTIALLY: the file stream source
+    # orders by modification time, and a parallel repartitionByRange
+    # write lands in arbitrary mtime order — time-disordered processing
+    # would watermark-drop whole early files
+    import time as _t
+
+    ranged = base.repartitionByRange(6, "ts").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    for i in range(6):
+        ranged.where(F.col("__pid") == i).drop("__pid").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+
+    from aind_data_transformation_spark.io.sources import normalize_event_ts
+
+    def stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # ONE source feeding both join sides: two independent file sources
+    # can race (one side batches ahead, the global watermark passes the
+    # other side's rows and drops them as late); a single source keeps
+    # the two branches lockstep per micro-batch
+    ev = stream()
+    rows = jobs.run_available_now(
+        jobs.click_purchase_left_join(ev, ev), mode="append"
+    )
+    got = _rows_to_pdf(rows)
+    # the registry batch twin loads <sf_dir>/events.parquet; the source
+    # dir here differs, so rebuild the same twin against the sorted copy
+    import pandas as pd
+
+    # provable region: during the LAST data batch (file 6) the watermark
+    # is max(files 1..5) - 1h, so every click with click_ts + 30min
+    # below that has provably emitted. The theoretical max(all) - 90min
+    # bound additionally relies on a trailing no-data batch whose
+    # watermark folds the last file in - empirically it lags one sliver,
+    # so anchor the cutoff to the second-to-last file instead.
+    cutoff = (
+        ranged.where(F.col("__pid") <= 4)
+        .agg(F.expr("max(ts) - INTERVAL 90 minutes").alias("cut"))
+        .collect()[0]["cut"]
+    )
+    got = got[pd.to_datetime(got["click_ts"]) <= cutoff]
+    ev = normalize_event_ts(spark.read.parquet(src))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    ).where(F.col("click_ts") <= F.lit(cutoff))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        clicks.join(
+            purchases,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+            "left",
+        )
+        .select(
+            "click_id",
+            F.col("c_uid").alias("user_id"),
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+        .toPandas()
+    )
+    assert canon_frame(got) == canon_frame(want)
+    # outer semantics actually exercised: some clicks have no purchase
+    assert got["purchase_id"].isna().any()
