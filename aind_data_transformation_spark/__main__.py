@@ -31,6 +31,8 @@ from aind_data_transformation_spark.jobs import (
     FormatConversionJobSettings,
     NearDupResolveJob,
     NearDupResolveJobSettings,
+    StreamingIngestJob,
+    StreamingIngestJobSettings,
     TrainingCorpusPipelineJob,
     TrainingCorpusPipelineJobSettings,
 )
@@ -46,6 +48,7 @@ JOBS = {
         TrainingCorpusPipelineJobSettings,
     ),
     "ann_index_build": (AnnIndexBuildJob, AnnIndexBuildJobSettings),
+    "streaming_ingest": (StreamingIngestJob, StreamingIngestJobSettings),
 }
 
 

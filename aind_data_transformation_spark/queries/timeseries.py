@@ -1058,7 +1058,78 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BT_ORIGINS = 5  #: rolling-origin backtest: evaluate the last 5 days
+
+
+def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest: for each event type and each of
+    the last 5 days, fit an OLS linear trend on ALL daily totals strictly
+    before that origin day, forecast the origin, and report absolute and
+    percentage error — the honest evaluation protocol for any forecaster
+    (one train/test split per origin, never trained on the future).
+
+    Exactness: per-(type, origin) OLS moments (n, Σd, Σy, Σdy, Σd²)
+    accumulate exactly with decimal(38,0) product sums (day × cent
+    totals can pass int64 at cluster scale); slope/intercept/forecast
+    close in one identical double tree; errors round to 6 dp.
+
+    Scale: the fact table collapses to the (type, day) domain first; the
+    train-set expansion is (bounded days) × (5 origins) on that compact
+    frame — a banded self-join on the day domain, never on raw rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    w_last = Window.partitionBy("event_type").orderBy(F.col("d").desc())
+    origins = (
+        daily.withColumn("rk", F.row_number().over(w_last))
+        .where(F.col("rk") <= _BT_ORIGINS)
+        .select(
+            "event_type",
+            F.col("d").alias("origin_d"),
+            F.col("y").alias("actual_y"),
+        )
+    )
+    train = origins.join(
+        daily.select("event_type", "d", "y"), "event_type"
+    ).where(F.col("d") < F.col("origin_d"))
+    dd, dy = "CAST(d AS DECIMAL(19,0))", "CAST(y AS DECIMAL(19,0))"
+    m = train.groupBy("event_type", "origin_d", "actual_y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sd"),
+        F.sum("y").alias("sy"),
+        F.expr(f"SUM({dd} * {dy})").alias("sdy"),
+        F.expr(f"SUM({dd} * {dd})").alias("sdd"),
+    )
+    # b = (n·Σdy − Σd·Σy) / (n·Σd² − Σd²); a = (Σy − b·Σd)/n
+    b = (
+        "((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE)"
+        " - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)"
+        " - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))"
+    )
+    pred = (
+        f"((CAST(sy AS DOUBLE) - {b} * CAST(sd AS DOUBLE))"
+        f" / CAST(n AS DOUBLE) + {b} * CAST(origin_d AS DOUBLE))"
+    )
+    return m.where(F.col("n") >= 2).select(
+        "event_type",
+        "origin_d",
+        (F.col("actual_y").cast("double") / 100.0).alias("actual"),
+        F.expr(f"round({pred} / 100.0, 6)").alias("forecast"),
+        F.expr(
+            f"round(abs({pred} - CAST(actual_y AS DOUBLE)) / 100.0, 6)"
+        ).alias("abs_err"),
+        F.expr(
+            f"round(abs({pred} - CAST(actual_y AS DOUBLE))"
+            " / abs(CAST(actual_y AS DOUBLE)) * 100.0, 6)"
+        ).alias("pct_err"),
+    )
+
+
 QUERIES = {
+    "ts_forecast_backtest": q_ts_forecast_backtest,
     "ts_m4_downsample": q_ts_m4_downsample,
     "ts_acf": q_ts_acf,
     "ts_stl_decompose": q_ts_stl_decompose,
@@ -1080,6 +1151,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_forecast_backtest": f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ), origins AS (
+            SELECT event_type, d AS origin_d, y AS actual_y
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                              ORDER BY d DESC) AS rk
+                FROM daily
+            ) WHERE rk <= {_BT_ORIGINS}
+        ), m AS (
+            SELECT o.event_type, o.origin_d, o.actual_y,
+                   count(*) AS n,
+                   SUM(t.d) AS sd,
+                   SUM(t.y) AS sy,
+                   SUM(CAST(t.d AS DECIMAL(19,0))
+                       * CAST(t.y AS DECIMAL(19,0))) AS sdy,
+                   SUM(CAST(t.d AS DECIMAL(19,0))
+                       * CAST(t.d AS DECIMAL(19,0))) AS sdd
+            FROM origins o
+            JOIN daily t ON o.event_type = t.event_type
+                        AND t.d < o.origin_d
+            GROUP BY 1, 2, 3
+        )
+        SELECT event_type, origin_d,
+               CAST(actual_y AS DOUBLE) / 100.0 AS actual,
+               round(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * CAST(sd AS DOUBLE)) / CAST(n AS DOUBLE) + ((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * CAST(origin_d AS DOUBLE)) / 100.0, 6)
+                   AS forecast,
+               round(abs(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * CAST(sd AS DOUBLE)) / CAST(n AS DOUBLE) + ((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * CAST(origin_d AS DOUBLE)) - CAST(actual_y AS DOUBLE)) / 100.0, 6)
+                   AS abs_err,
+               round(abs(((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * CAST(sd AS DOUBLE)) / CAST(n AS DOUBLE) + ((CAST(n AS DOUBLE) * CAST(sdy AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))) * CAST(origin_d AS DOUBLE)) - CAST(actual_y AS DOUBLE)) / abs(CAST(actual_y AS DOUBLE)) * 100.0, 6)
+                   AS pct_err
+        FROM m WHERE n >= 2
+    """,
     "ts_linear_forecast": """
         WITH daily AS (
             SELECT event_type,

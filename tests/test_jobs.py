@@ -409,3 +409,79 @@ def test_ann_index_build_job_publishes_and_validates(spark, tmp_path):
     assert len(row["w"]) == 4  # 4 packed BIGINT words = 32 bytes/vector
     b = spark.read.parquet(str(out / "bounds")).first()
     assert len(b["mn"]) == 64 and len(b["mx"]) == 64
+
+
+def test_streaming_ingest_job_incremental(spark, tmp_path):
+    """Two CLI-level invocations of StreamingIngestJob over a growing
+    source dir: run 2 drains ONLY the new file (checkpointed offsets),
+    appends only newly-finalized windows, and the union of both runs'
+    sink rows equals the batch aggregation over the watermark-finalized
+    region — incremental, exactly-once."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.jobs import (
+        StreamingIngestJob,
+        StreamingIngestJobSettings,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet").orderBy("ts")
+    n = ev.count()
+    first, second = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        job = StreamingIngestJob(
+            StreamingIngestJobSettings(
+                input_source=src,
+                output_directory=out,
+                checkpoint_dir=ckpt,
+            ),
+            spark=spark,
+        )
+        resp = job.run_job()
+        assert resp.status_code == 200
+        return _json.loads(resp.data)["sink_rows_total"]
+
+    n1 = run()
+    second.coalesce(1).write.mode("append").parquet(src)
+    n2 = run()
+    assert n2 >= n1
+
+    sink = spark.read.parquet(out)
+    # exactly-once: no window/type appears twice
+    dup = (
+        sink.groupBy("win_start", "event_type")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+    # every sink row matches the batch aggregation over the full source
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+    )
+    got = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in sink.collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in batch.collect()
+    }
+    assert got, "no finalized windows written"
+    for k, v in got.items():
+        assert want.get(k) == v, k
