@@ -553,3 +553,42 @@ def test_bucket_segmented_ranks_partition_invariant(spark, key):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == one
+
+
+def test_text_chunk_sliding_reconstructs_documents(spark):
+    """Chunking invariants: chunk 0 starts at token 0; consecutive
+    chunks overlap by exactly window−stride tokens; concatenating each
+    chunk's first `stride` tokens (plus the final chunk's tail)
+    reconstructs every document's token stream exactly."""
+    from aind_data_transformation_spark.queries.training_prep import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_text_chunk_sliding,
+    )
+
+    pdf = (
+        q_text_chunk_sliding(spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{TEST_SF_DIR}/documents.parquet")
+    toks = {
+        r.doc_id: [t for t in r.text.split(" ") if t != ""]
+        for r in docs.itertuples()
+    }
+    for doc_id, grp in pdf.groupby("doc_id"):
+        want = toks[doc_id]
+        rebuilt = []
+        chunks = list(grp.itertuples())
+        for i, ch in enumerate(chunks):
+            ctoks = ch.chunk_text.split(" ") if ch.chunk_text else []
+            assert len(ctoks) == ch.n_tokens
+            assert len(ctoks) <= _CHUNK_W
+            if i < len(chunks) - 1:
+                rebuilt.extend(ctoks[:_CHUNK_S])
+            else:
+                rebuilt.extend(ctoks)
+        assert rebuilt == want, doc_id
+    assert set(pdf.doc_id) == {d for d, t in toks.items() if t}

@@ -308,3 +308,34 @@ def test_welch_ttest_matches_scipy_formula(spark):
     assert got["n1"] == len(a) and got["n2"] == len(b)
     assert got["t_stat"] == pytest.approx(t, rel=1e-6)
     assert got["welch_df"] == pytest.approx(df, rel=1e-6)
+
+
+def test_gini_best_split_matches_numpy(spark):
+    """Independent NumPy recomputation of the best decision-stump
+    threshold: exhaustive weighted-Gini scan over the distinct feature
+    values of the raw parquet."""
+    from aind_data_transformation_spark.queries.ml_eval import (
+        q_ml_gini_best_split,
+    )
+
+    got = q_ml_gini_best_split(spark, TEST_SF_DIR).collect()[0]
+    d = pd.read_parquet(f"{TEST_SF_DIR}/documents.parquet")
+    x = d["n_chars"].to_numpy()
+    y = (d["lang"] == "en").to_numpy().astype(np.int64)
+    vals = np.unique(x)
+    best = (np.inf, None)
+    nt, pt = len(x), int(y.sum())
+    for v in vals[:-1]:
+        m = x <= v
+        nl, pl = int(m.sum()), int(y[m].sum())
+        gl = 1 - (pl / nl) ** 2 - ((nl - pl) / nl) ** 2
+        nr, pr = nt - nl, pt - pl
+        gr = 1 - (pr / nr) ** 2 - ((nr - pr) / nr) ** 2
+        g = nl / nt * gl + nr / nt * gr
+        # match the query's 1e-9 integer grid + smaller-threshold ties
+        g = math.floor(g * 1e9 + 0.5) / 1e9
+        if g < best[0]:
+            best = (g, v)
+    assert got["n_rows"] == nt
+    assert got["threshold"] == best[1]
+    assert got["weighted_gini"] == pytest.approx(best[0], abs=1e-9)
