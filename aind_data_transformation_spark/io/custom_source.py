@@ -22,6 +22,7 @@ import struct
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -199,6 +200,55 @@ class RecordWriter(DataSourceWriter):
                 pass
 
 
+class RecordStreamWriter(DataSourceStreamWriter):
+    """Streaming writer half (``df.writeStream.format('lenprefixed')``):
+    per micro-batch, each task streams its rows into a uniquely-named
+    ``.rec.tmp``; the driver-side ``commit(messages, batchId)`` renames
+    them to DETERMINISTIC epoch-keyed names
+    (``epoch-<batchId>-part-<k>.rec``) — so a replayed micro-batch (after
+    a crash between sink commit and checkpoint commit) overwrites the
+    SAME final files instead of duplicating records: idempotent-by-
+    naming, the standard exactly-once recipe for file-like streaming
+    sinks. ``abort`` removes the batch's temps."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("record stream sink requires a path option")
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = f"stream-{uuid.uuid4().hex}.rec.tmp"
+        n = 0
+        with open(os.path.join(self.dir, tmp), "wb") as f:
+            for row in iterator:
+                payload = bytes(row["payload"])
+                f.write(struct.pack("<I", len(payload)))
+                f.write(payload)
+                n += 1
+        return _RecCommit(tmp, n)
+
+    def commit(self, messages, batchId) -> None:
+        for k, m in enumerate(messages):
+            final = os.path.join(
+                self.dir, f"epoch-{batchId:010d}-part-{k:05d}.rec"
+            )
+            os.replace(os.path.join(self.dir, m.tmp_name), final)
+
+    def abort(self, messages, batchId) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.dir, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
 class RecordDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -220,6 +270,14 @@ class RecordDataSource(DataSource):
                 "record sink requires a 'payload' binary column"
             )
         return RecordWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        names = [f.name for f in schema.fields]
+        if "payload" not in names:
+            raise ValueError(
+                "record stream sink requires a 'payload' binary column"
+            )
+        return RecordStreamWriter(self.options)
 
 
 def register(spark) -> None:
