@@ -686,7 +686,49 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: the observed first-digit
+    distribution vs the expected log10(1 + 1/d) — the classic
+    fraud/fabrication screen for financial amounts (organically-grown
+    magnitudes follow Benford; invented ones don't).
+
+    Exactness: the first digit comes from the cent integer's decimal
+    string (no float log); shares are one double division; the expected
+    curve is the identical ln-expression in both engines rounded with
+    the output. Scale: one hash agg to 9 rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("xc")
+    ).where(F.col("xc") > 0)
+    per = (
+        o.select(
+            F.expr("CAST(substr(CAST(xc AS STRING), 1, 1) AS BIGINT)").alias(
+                "digit"
+            )
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = per.agg(F.sum("n_obs").alias("n"))
+    return attach_broadcast(per, tot).select(
+        "digit",
+        "n_obs",
+        F.expr(
+            "round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+        ).alias("share"),
+        F.expr(
+            "round(ln(1.0D + 1.0D / CAST(digit AS DOUBLE))"
+            " / ln(10.0D), 6)"
+        ).alias("benford_p"),
+        F.expr(
+            "CAST(round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)"
+            " - ln(1.0D + 1.0D / CAST(digit AS DOUBLE)) / ln(10.0D))"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("dev_ppm"),
+    )
+
+
 QUERIES = {
+    "dq_benford_check": q_dq_benford_check,
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "dq_referential_integrity": q_dq_referential_integrity,
     "agg_histogram": q_agg_histogram,
@@ -715,6 +757,27 @@ _X = sql_cents("l_quantity")
 _Y = sql_cents("l_discount")
 
 ORACLES = {
+    "dq_benford_check": """
+        WITH o AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+        ), per AS (
+            SELECT CAST(substr(CAST(xc AS VARCHAR), 1, 1) AS BIGINT)
+                       AS digit,
+                   count(*) AS n_obs
+            FROM o GROUP BY 1
+        ), tot AS (SELECT SUM(n_obs) AS n FROM per)
+        SELECT digit,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+               round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE))
+                     / ln(10.0), 6) AS benford_p,
+               CAST(round((CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+                    - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
+                    * 1000000.0) AS BIGINT) AS dev_ppm
+        FROM per CROSS JOIN tot
+    """,
     "privacy_k_anonymity": """
         WITH qi AS (
             SELECT c_nationkey, c_mktsegment,

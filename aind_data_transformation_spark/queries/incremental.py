@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import asof_join
 
 #: the "already materialized" period boundary — everything before it is
 #: the base, everything at/after is the newly-arrived delta
@@ -193,13 +194,82 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: enrich each 'purchase' event with the
+    user's SCD2 status (see `scd2_build`) VALID AT the event's own
+    timestamp — the point-in-time-correct warehouse join that prevents
+    feature leakage (a later status must never describe an earlier
+    fact).
+
+    Implementation: interval containment against an SCD2 table is
+    exactly an as-of join against its change rows (valid_from carries
+    the status forward until the next change), so this rides
+    `ops.asof_join`: union facts + change rows, ONE hash shuffle on
+    user, linear last(ignorenulls) carry — no per-row interval probe,
+    no range join. Status changes AT the event instant win (asof is
+    inclusive), matching valid_from ≤ ts < valid_to."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            F.col("user_id").alias("k"),
+            F.col("us").alias("ts"),
+            F.col("event_type").alias("status_at_event"),
+        )
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("k"), F.col("us").alias("ts")
+    )
+    looked = asof_join(
+        purchases, changes, on="k", ts="ts",
+        value_cols=["status_at_event"],
+    )
+    return looked.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("ts").alias("us"),
+        "status_at_event",
+    )
+
+
 QUERIES = {
+    "join_scd2_lookup": q_join_scd2_lookup,
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "cdc_snapshot_diff": q_cdc_snapshot_diff,
     "scd2_build": q_scd2_build,
 }
 
 ORACLES = {
+    "join_scd2_lookup": """
+        WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+            FROM events
+        ), marked AS (
+            SELECT *, lag(event_type) OVER w AS prev
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ), changes AS (
+            SELECT user_id AS k, us AS cts,
+                   event_type AS status_at_event
+            FROM marked
+            WHERE prev IS NULL OR prev <> event_type
+        ), purchases AS (
+            SELECT event_id, user_id AS k, us AS ts
+            FROM e WHERE event_type = 'purchase'
+        ), ranked AS (
+            SELECT p.event_id, p.k, p.ts, c.status_at_event,
+                   row_number() OVER (PARTITION BY p.event_id
+                        ORDER BY c.cts DESC) AS rk
+            FROM purchases p
+            JOIN changes c ON c.k = p.k AND c.cts <= p.ts
+        )
+        SELECT event_id, k AS user_id, ts AS us, status_at_event
+        FROM ranked WHERE rk = 1
+    """,
     "scd2_build": """
         WITH e AS (
             SELECT event_id, user_id, event_type AS status,
