@@ -339,3 +339,32 @@ def test_gini_best_split_matches_numpy(spark):
     assert got["n_rows"] == nt
     assert got["threshold"] == best[1]
     assert got["weighted_gini"] == pytest.approx(best[0], abs=1e-9)
+
+
+def test_bootstrap_ci_matches_numpy_exact(spark):
+    """The Poisson bootstrap is fully deterministic (hash-quantized
+    weights), so NumPy can reproduce the 64 resample means and the
+    order-statistic envelope EXACTLY — not just approximately."""
+    from aind_data_transformation_spark.queries.stattests import (
+        _BOOT_B,
+        _BOOT_THRESH,
+        q_ml_bootstrap_ci,
+    )
+
+    got = q_ml_bootstrap_ci(spark, TEST_SF_DIR).collect()[0]
+    o = _orders()
+    keys = o["o_orderkey"].to_numpy().astype(np.int64)
+    c = _cents(o["o_totalprice"])
+    means = []
+    for b in range(_BOOT_B):
+        u = ((keys * _BOOT_B + b) * 2654435761) % 4294967296
+        w = np.searchsorted(np.array(_BOOT_THRESH), u, side="right")
+        means.append((b, (w * c).sum() / w.sum()))
+    ranked = sorted(means, key=lambda t: (t[1], t[0]))
+    lo = math.floor(ranked[3][1] / 100 * 1e6 + 0.5) / 1e6
+    hi = math.floor(ranked[60][1] / 100 * 1e6 + 0.5) / 1e6
+    assert got["ci_lo"] == lo
+    assert got["ci_hi"] == hi
+    assert got["mean_value"] == math.floor(
+        c.sum() / len(c) / 100 * 1e6 + 0.5
+    ) / 1e6
