@@ -118,7 +118,47 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion via Spark 4's BUILT-IN xml data source (the
+    spark-xml package merged into core): round-trip the nation table
+    through an XML file with a ``rowTag``, read it back with an explicit
+    schema, and aggregate per region — the instrument-metadata format
+    conversion path (many acquisition systems emit XML manifests).
+
+    Schema-on-read is explicit (inferSchema on XML is an extra full
+    pass); the oracle recomputes from the parquet table, proving the
+    XML round-trip is lossless."""
+    scratch = os.path.join(
+        tempfile.gettempdir(), "spark_graft_scan_xml", str(os.getpid())
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").format("xml").option(
+        "rowTag", "nation"
+    ).save(f"{scratch}/nation_xml")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(f"{scratch}/nation_xml")
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
 QUERIES = {
+    "scan_xml": q_scan_xml,
     "scan_parquet": q_scan_parquet,
     "scan_csv_json": q_scan_csv_json,
     "project_filter": q_project_filter,
@@ -128,6 +168,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "scan_xml": """
+        SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+               count(*) AS n_nations,
+               min(n_name) AS first_nation
+        FROM nation GROUP BY n_regionkey
+    """,
     "scan_parquet": "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
     "scan_csv_json": """
         SELECT r_name, COUNT(*) AS n_nations
