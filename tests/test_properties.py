@@ -592,3 +592,36 @@ def test_text_chunk_sliding_reconstructs_documents(spark):
                 rebuilt.extend(ctoks)
         assert rebuilt == want, doc_id
     assert set(pdf.doc_id) == {d for d, t in toks.items() if t}
+
+
+def test_scd2_lookup_consistent_with_history(spark):
+    """Cross-operator consistency: for every purchase event,
+    `join_scd2_lookup`'s as-of status must equal the `scd2_build`
+    version whose [valid_from, valid_to) interval contains the event
+    timestamp — the same temporal truth through two different plans
+    (linear as-of carry vs interval containment)."""
+    from aind_data_transformation_spark.queries.incremental import (
+        q_join_scd2_lookup,
+        q_scd2_build,
+    )
+
+    looked = {
+        r["event_id"]: (r["user_id"], r["us"], r["status_at_event"])
+        for r in q_join_scd2_lookup(spark, TEST_SF_DIR).collect()
+    }
+    hist = {}
+    for r in q_scd2_build(spark, TEST_SF_DIR).collect():
+        hist.setdefault(r["user_id"], []).append(
+            (r["valid_from_us"], r["valid_to_us"], r["status"])
+        )
+    assert looked
+    for eid, (uid, us, status) in looked.items():
+        matches = [
+            s
+            for (f, t, s) in hist[uid]
+            if f <= us and (t is None or us < t)
+        ]
+        # boundary: a new version starting AT the event instant wins in
+        # the as-of (inclusive) — the containment check agrees because
+        # the closing version's valid_to == the new valid_from
+        assert matches == [status], (eid, uid, us, status, matches)
