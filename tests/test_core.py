@@ -182,3 +182,39 @@ def test_cli_runs_ann_index_build(spark, tmp_path):
     )
     assert code == 0
     assert (out / "codes").exists() and (out / "bounds").exists()
+
+
+def test_cli_runs_streaming_ingest(spark, tmp_path, capsys):
+    """The streaming job tier through the reference's EP1 entry point:
+    `streaming_ingest` with a JSON-string config drains the source via
+    AvailableNow and reports sink totals in JobResponse.data."""
+    import json as _json
+
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.__main__ import main
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    spark.read.parquet(f"{TEST_SF_DIR}/events.parquet").limit(
+        200
+    ).coalesce(1).write.parquet(str(src))
+    code = main(
+        [
+            "streaming_ingest",
+            "-j",
+            _json.dumps(
+                {
+                    "input_source": str(src),
+                    "output_directory": str(out),
+                    "checkpoint_dir": str(tmp_path / "ckpt"),
+                }
+            ),
+        ],
+        spark=spark,
+    )
+    assert code == 0
+    resp = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert resp["status_code"] == 200
+    assert _json.loads(resp["data"])["sink_rows_total"] >= 0
+    assert out.exists()
