@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
 from aind_data_transformation_spark.ops import attach_broadcast
+from aind_data_transformation_spark.queries.numeric import cents, sql_cents
 from aind_data_transformation_spark.queries.llm_text import (
     q_text_langid,
     q_text_quality_score,
@@ -614,7 +615,73 @@ def q_ml_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_broadcast(out, tot.select(F.col("nt").alias("n_rows")))
 
 
+def q_ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative lift & gain chart by score decile — the
+    targeting-model report (if I contact the top k% by score, what
+    fraction of the positives do I capture, and how much better than
+    random?). Score = order value ranking signal, positive = URGENT
+    priority.
+
+    Deciles are assigned on the DESCENDING score value domain by each
+    value-group's exact cumulative start position (``cum_before·10 div
+    n`` — ties stay together, deterministically), so no global
+    row-numbering of raw facts exists; gains/lifts close over the
+    ≤10-row decile frame. Integer counts end-to-end; two double
+    divisions per output row.
+
+    Scale: one hash agg to the score domain, cumulative windows on that
+    bounded domain, a ≤10-row reduce."""
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("pos"),
+    )
+    per = o.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tot = per.agg(
+        F.sum("c").alias("n"), F.sum("p").alias("tp")
+    )
+    binned = attach_broadcast(
+        per.withColumn(
+            "cb", F.coalesce(F.sum("c").over(w), F.lit(0))
+        ),
+        tot,
+    ).select(
+        F.expr("CAST(cb * 10 div n AS BIGINT)").alias("decile"),
+        "c",
+        "p",
+        "n",
+        "tp",
+    )
+    dec = binned.groupBy("decile", "n", "tp").agg(
+        F.sum("c").alias("n_d"), F.sum("p").alias("pos_d")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        dec.withColumn("cum_n", F.sum("n_d").over(w_cum))
+        .withColumn("cum_pos", F.sum("pos_d").over(w_cum))
+        .select(
+            "decile",
+            F.col("n_d").cast("bigint").alias("n_rows"),
+            F.col("pos_d").cast("bigint").alias("n_pos"),
+            F.expr(
+                "round(CAST(cum_pos AS DOUBLE) / CAST(tp AS DOUBLE), 6)"
+            ).alias("cum_gain"),
+            F.expr(
+                "round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))"
+                " / (CAST(tp AS DOUBLE) / CAST(n AS DOUBLE)), 6)"
+            ).alias("cum_lift"),
+        )
+    )
+
+
 QUERIES = {
+    "ml_lift_gain_deciles": q_ml_lift_gain_deciles,
     "ml_gini_best_split": q_ml_gini_best_split,
     "ml_learning_curve": q_ml_learning_curve,
     "ml_cross_validation": q_ml_cross_validation,
@@ -680,6 +747,39 @@ def _ann_recall_oracle() -> str:
 
 
 ORACLES = {
+    "ml_lift_gain_deciles": f"""
+        WITH o AS (
+            SELECT {sql_cents('o_totalprice')} AS v,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS pos
+            FROM orders
+        ), per AS (
+            SELECT v, count(*) AS c, SUM(pos) AS p FROM o GROUP BY v
+        ), tot AS (
+            SELECT SUM(c) AS n, SUM(p) AS tp FROM per
+        ), binned AS (
+            SELECT CAST(COALESCE(SUM(c) OVER (ORDER BY v DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) * 10 // t.n AS BIGINT) AS decile,
+                   c, p, t.n, t.tp
+            FROM per CROSS JOIN tot t
+        ), dec AS (
+            SELECT decile, n, tp, SUM(c) AS n_d, SUM(p) AS pos_d
+            FROM binned GROUP BY decile, n, tp
+        )
+        SELECT decile,
+               CAST(n_d AS BIGINT) AS n_rows,
+               CAST(pos_d AS BIGINT) AS n_pos,
+               round(CAST(SUM(pos_d) OVER wc AS DOUBLE)
+                     / CAST(tp AS DOUBLE), 6) AS cum_gain,
+               round((CAST(SUM(pos_d) OVER wc AS DOUBLE)
+                      / CAST(SUM(n_d) OVER wc AS DOUBLE))
+                     / (CAST(tp AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                   AS cum_lift
+        FROM dec
+        WINDOW wc AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW)
+    """,
     "ml_gini_best_split": """
         WITH d AS (
             SELECT n_chars AS v,

@@ -629,7 +629,78 @@ def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and order date —
+    the monotone-association test that Pearson misses (is spending
+    drifting over time, in ANY shape?). Exact tie handling via average
+    ranks on both variables.
+
+    Exactness: doubled average ranks are exact integers (the MWU
+    machinery) assigned from each variable's VALUE-DOMAIN cumulative
+    counts; the Pearson closing over ranks uses decimal(38,0) moment
+    sums (2r ≤ 2n, products ≈ 4n², summed ≈ 4n³ — int64-dead past
+    ~1e6 rows) read back through doubles.
+
+    Scale: two value-domain aggregations (distinct cents / distinct
+    days), two broadcast-scale rank joins, one moment reduce. The fact
+    table shuffles twice on value keys — never sorts globally."""
+    o = load_table(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("x"),
+        F.expr("datediff(o_orderdate, DATE '1970-01-01')")
+        .cast("long")
+        .alias("y"),
+    )
+
+    def ranks(col):
+        per = o.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.orderBy("v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        return per.select(
+            "v",
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).alias(f"r2_{col}"),
+        )
+    d19 = "decimal(19,0)"
+    joined = (
+        o.join(ranks("x").withColumnRenamed("v", "x"), "x")
+        .join(ranks("y").withColumnRenamed("v", "y"), "y")
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2_x").alias("sx"),
+        F.sum("r2_y").alias("sy"),
+        F.sum(
+            F.col("r2_x").cast(d19) * F.col("r2_y").cast(d19)
+        ).alias("sxy"),
+        F.sum(
+            F.col("r2_x").cast(d19) * F.col("r2_x").cast(d19)
+        ).alias("sxx"),
+        F.sum(
+            F.col("r2_y").cast(d19) * F.col("r2_y").cast(d19)
+        ).alias("syy"),
+    )
+    rho = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        "    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(f"round({rho}, 6)").alias("spearman_rho"),
+    )
+
+
 QUERIES = {
+    "stats_spearman_corr": q_stats_spearman_corr,
     "stats_welch_ttest": q_stats_welch_ttest,
     "ml_bootstrap_ci": q_ml_bootstrap_ci,
     "stats_anova": q_stats_anova,
@@ -646,6 +717,46 @@ QUERIES = {
 _V = sql_cents("o_totalprice")
 
 ORACLES = {
+    "stats_spearman_corr": f"""
+        WITH o AS (
+            SELECT {sql_cents('o_totalprice')} AS x,
+                   CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                        AS BIGINT) AS y
+            FROM orders
+        ), rx AS (
+            SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + c + 1 AS r2_x
+            FROM (SELECT x AS v, count(*) AS c FROM o GROUP BY x)
+        ), ry AS (
+            SELECT v, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) + c + 1 AS r2_y
+            FROM (SELECT y AS v, count(*) AS c FROM o GROUP BY y)
+        ), j AS (
+            SELECT r2_x, r2_y
+            FROM o JOIN rx ON o.x = rx.v JOIN ry ON o.y = ry.v
+        ), m AS (
+            SELECT count(*) AS n,
+                   SUM(r2_x) AS sx, SUM(r2_y) AS sy,
+                   SUM(CAST(r2_x AS DECIMAL(19,0))
+                       * CAST(r2_y AS DECIMAL(19,0))) AS sxy,
+                   SUM(CAST(r2_x AS DECIMAL(19,0))
+                       * CAST(r2_x AS DECIMAL(19,0))) AS sxx,
+                   SUM(CAST(r2_y AS DECIMAL(19,0))
+                       * CAST(r2_y AS DECIMAL(19,0))) AS syy
+            FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS spearman_rho
+        FROM m
+    """,
     "stats_welch_ttest": f"""
         WITH per AS (
             SELECT (o_orderpriority = '{_G1}') AS g1,

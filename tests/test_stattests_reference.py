@@ -368,3 +368,39 @@ def test_bootstrap_ci_matches_numpy_exact(spark):
     assert got["mean_value"] == math.floor(
         c.sum() / len(c) / 100 * 1e6 + 0.5
     ) / 1e6
+
+
+def test_spearman_matches_numpy_ranks(spark):
+    """Independent NumPy recomputation: average ranks (scipy-style) on
+    both variables, then Pearson over the ranks."""
+    from aind_data_transformation_spark.queries.stattests import (
+        q_stats_spearman_corr,
+    )
+
+    got = q_stats_spearman_corr(spark, TEST_SF_DIR).collect()[0]
+    o = _orders()
+    x = _cents(o["o_totalprice"]).astype(np.float64)
+    y = (
+        (pd.to_datetime(o["o_orderdate"]) - pd.Timestamp("1970-01-01"))
+        .dt.days.to_numpy()
+        .astype(np.float64)
+    )
+
+    def avg_rank(a):
+        order = np.argsort(a, kind="mergesort")
+        ranks = np.empty(len(a), dtype=np.float64)
+        sa = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j + 1 < len(a) and sa[j + 1] == sa[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    rho = np.corrcoef(rx, ry)[0, 1]
+    assert got["n_rows"] == len(x)
+    # the query emits round(rho, 6) — compare at half-grid tolerance
+    assert got["spearman_rho"] == pytest.approx(rho, abs=5.1e-7)
