@@ -161,7 +161,83 @@ def q_corpus_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAKE_STOP = (
+    "a an and are as at be but by for from has have he her his i in is it "
+    "its not of on or she that the their they this to was we were will with "
+    "you"
+).split()
+_RAKE_K = 30
+
+
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores deg/freq where
+    freq counts its occurrences and deg sums the lengths of the phrases
+    it appears in (co-occurrence degree, python-rake's Σ(len−1)+freq);
+    a phrase scores the sum of its word scores. Top 30 phrases
+    corpus-wide — the classic unsupervised keyword miner, fully
+    relational (no NLP library).
+
+    Phrase segmentation is the gaps-islands trick: non-stopword tokens
+    keep their document position, and ``pos − row_number()`` is constant
+    exactly within a maximal run. Word scores integer-round to a 1e-6
+    grid BEFORE the per-phrase sum (order-free exactness doctrine).
+
+    Scale: token explode is linear; phrase assembly windows partition by
+    high-cardinality doc_id; word stats are one hash agg on the
+    vocabulary; the final rank is TakeOrdered-30."""
+    stop_sql = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("pos", "tok"),
+    ).where(F.expr(f"tok NOT IN ({stop_sql})"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    runs = toks.withColumn(
+        "island", F.col("pos") - F.row_number().over(w_doc)
+    )
+    w_run = Window.partitionBy("doc_id", "island")
+    occ = runs.withColumn(
+        "plen", F.count(F.lit(1)).over(w_run)
+    )
+    words = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).select(
+        "tok",
+        F.expr(
+            "CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)"
+            " * 1000000.0D) AS BIGINT)"
+        ).alias("wscore_u"),
+    )
+    phrases = (
+        occ.join(words, "tok")
+        .groupBy("doc_id", "island")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(pos, tok))), x -> x.tok), ' ')"
+            ).alias("phrase"),
+            F.sum("wscore_u").alias("score_u"),
+        )
+    )
+    return (
+        phrases.groupBy("phrase", "score_u")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            "phrase",
+            (F.col("score_u").cast("double") / 1e6).alias("rake_score"),
+            "n_occurrences",
+        )
+        .orderBy(F.col("score_u").desc(), F.col("phrase").asc())
+        .limit(_RAKE_K)
+    )
+
+
 QUERIES = {
+    "text_rake_keywords": q_text_rake_keywords,
     "corpus_inverted_index": q_corpus_inverted_index,
     "tfidf_keywords": q_tfidf_keywords,
     "ngram_topk": q_ngram_topk,
@@ -169,6 +245,48 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_rake_keywords": f"""
+        WITH lists AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '),
+                               x -> x <> '') AS l
+            FROM documents
+        ), raw AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, len(l))) - 1 AS pos,
+                   unnest(l) AS tok
+            FROM lists
+        ), toks AS (
+            SELECT doc_id, pos, tok FROM raw
+            WHERE tok NOT IN ({", ".join(f"'{w}'" for w in _RAKE_STOP)})
+        ), runs AS (
+            SELECT doc_id, pos, tok,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                        ORDER BY pos) AS island
+            FROM toks
+        ), occ AS (
+            SELECT *, count(*) OVER (PARTITION BY doc_id, island) AS plen
+            FROM runs
+        ), words AS (
+            SELECT tok,
+                   CAST(round(CAST(SUM(plen) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) * 1000000.0)
+                        AS BIGINT) AS wscore_u
+            FROM occ GROUP BY tok
+        ), phrases AS (
+            SELECT o.doc_id, o.island,
+                   string_agg(o.tok, ' ' ORDER BY o.pos) AS phrase,
+                   SUM(w.wscore_u) AS score_u
+            FROM occ o JOIN words w ON o.tok = w.tok
+            GROUP BY o.doc_id, o.island
+        )
+        SELECT phrase,
+               CAST(score_u AS DOUBLE) / 1e6 AS rake_score,
+               count(*) AS n_occurrences
+        FROM phrases
+        GROUP BY phrase, score_u
+        ORDER BY score_u DESC, phrase ASC LIMIT {_RAKE_K}
+    """,
     "corpus_inverted_index": """
         WITH terms AS (
             SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

@@ -1128,7 +1128,60 @@ def q_ts_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the LOWER MEDIAN of all
+    pairwise slopes between daily totals — the outlier-resistant
+    alternative to OLS (a few corrupted days cannot move it, unlike
+    `ts_linear_forecast`'s least squares).
+
+    Exactness: slopes are one double division of exact integer
+    (Δcents, Δdays) pairs — identical in both engines; the lower median
+    picks by row_number over (slope, day-pair) with a full tiebreak, so
+    no averaging and no float comparison ambiguity.
+
+    Scale: the fact table collapses to the (type, day) domain FIRST;
+    the pair explosion is the bounded day domain squared (~30²/2 per
+    type — thousands of rows, not facts²), and the median window runs
+    per type over that bounded pair set. The banded self-join is an
+    equi-join on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        F.expr(
+            "CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)"
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    counted = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).join(
+        F.broadcast(counted), "event_type"
+    )
+    # integer div, not `/` (double): an even pair count would make
+    # (n+1)/2 = x.5 and the equality silently match nothing
+    return ranked.where(
+        F.expr("rk = (n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        "n_pairs",
+        F.expr("round(slope / 100.0, 6)").alias("trend_per_day"),
+    )
+
+
 QUERIES = {
+    "ts_theil_sen_trend": q_ts_theil_sen_trend,
     "ts_forecast_backtest": q_ts_forecast_backtest,
     "ts_m4_downsample": q_ts_m4_downsample,
     "ts_acf": q_ts_acf,
@@ -1151,6 +1204,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ts_theil_sen_trend": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS y
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type, a.d AS d1, b.d AS d2,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+                       AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                        ORDER BY slope, d1, d2) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM pairs
+        )
+        SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               round(slope / 100.0, 6) AS trend_per_day
+        FROM ranked
+        WHERE rk = (n_pairs + 1) // 2
+    """,
     "ts_forecast_backtest": f"""
         WITH daily AS (
             SELECT event_type,
