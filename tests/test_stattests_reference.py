@@ -404,3 +404,38 @@ def test_spearman_matches_numpy_ranks(spark):
     assert got["n_rows"] == len(x)
     # the query emits round(rho, 6) — compare at half-grid tolerance
     assert got["spearman_rho"] == pytest.approx(rho, abs=5.1e-7)
+
+
+def test_hash32_matches_true_product_beyond_int64_range():
+    """_hash32 must equal (x*2654435761) mod 2^32 for x far past the
+    point where the naive int64 product overflows (~3.5e9), in BOTH
+    engines, byte-identically."""
+    import duckdb
+
+    from aind_data_transformation_spark.queries.stattests import _hash32
+
+    xs = [0, 1, 65535, 65536, 2**31, 2**32 - 1, 2**32, 10**12,
+          2**40 + 12345, 2**56 - 1]
+    expr = _hash32("x")
+    con = duckdb.connect()
+    for x in xs:
+        want = (x * 2654435761) % 2**32
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT CAST({x} AS BIGINT) AS x)"
+        ).fetchone()[0]
+        assert got == want, (x, got, want)
+
+
+def test_hash32_spark_duckdb_identical(spark):
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.queries.stattests import _hash32
+
+    xs = [1, 2**32 - 1, 10**12, 2**40 + 12345, 2**56 - 1]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {
+        r["x"]: r["h"]
+        for r in df.select("x", F.expr(_hash32("x")).alias("h")).collect()
+    }
+    for x in xs:
+        assert got[x] == (x * 2654435761) % 2**32, x
