@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-from aind_data_transformation_spark.ops import partitioned_cum_before
+from aind_data_transformation_spark.ops import (
+    attach_broadcast,
+    partitioned_cum_before,
+)
 
 _N_QUERIES = 5
 _TOP_K = 5
@@ -568,21 +571,157 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations of k-means (k=4) over the embedding corpus —
-    the iterative-ML-on-DataFrames showcase (same fixed-round shape as
-    PageRank: each round is one broadcast of the k-row centroid table +
-    one assignment pass + one dimension-wise mean shuffle; the corpus is
-    never shuffled on an unbounded key).
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the FAISS IVF+PQ composition (Jégou, Douze, Schmid,
+    TPAMI 2011) every real billion-vector deployment runs: a coarse
+    quantizer prunes the corpus to the query's inverted-list cells, an
+    ADC scan over compact quantization codes ranks ONLY those cells'
+    members, and exact cosine reranks the ADC survivors. Composes the
+    engine's two standalone tiers (`ann_ivf_topk` cell gating,
+    `ann_pq_topk` packed-code ADC) into the production architecture.
+
+    Stages: (1) coarse cell = sign bits of the leading 3 components (8
+    inverted lists; the same deterministic quantizer as `ann_ivf_topk`);
+    (2) per-dim scalar-quantization codes packed 16-per-BIGINT exactly
+    as in `ann_pq_topk` (corpus-global bounds — the residual-free SQ
+    flavor, so codes are reusable across cells and the oracle stays
+    closed-form); (3) each query probes its own cell + the 3 Hamming-1
+    neighbors (nprobe=4 — multi-probe recovers boundary-straddling
+    neighbors); the probe is an EQUI-join on cell, so the ADC scan
+    touches ~nprobe/8 of the corpus instead of all of it; (4) top-3k by
+    ADC distance per query; (5) exact-cosine rerank to top-k.
+
+    Scale: codes are 32 bytes/vector and the cell gate cuts the scanned
+    fraction to nprobe/n_cells — at 100 TB the inverted lists are the
+    partition layout (partitionBy(cell) at write time makes the probe a
+    partition-pruned scan) and the broadcast side is only the k-row
+    query set. No corpus shuffle anywhere; recall floor vs brute force
+    asserted in tests/test_properties.py and graded continuously by
+    `ml_ann_recall`.
+
+    Exactness: identical integer-micros SQ algebra as `ann_pq_topk`
+    (cross-engine-exact ADC sums), cell bits from double sign tests,
+    ranks tie-broken by neighbor id."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("emb")
+    )
+    norm = F.sqrt(_dot(F.col("emb"), F.col("emb")))
+    cell = (
+        (F.element_at("emb", 1) > 0).cast("long") * 4
+        + (F.element_at("emb", 2) > 0).cast("long") * 2
+        + (F.element_at("emb", 3) > 0).cast("long")
+    )
+    base = (
+        em.select("vec_id", "emb", norm.alias("nrm"), cell.alias("cell"))
+        .withColumn(
+            "v",
+            F.expr("transform(emb, x -> CAST(round(x / nrm * 1e6) AS BIGINT))"),
+        )
+    )
+    bounds = base.agg(
+        *[
+            F.min(F.element_at("v", d + 1)).alias(f"mn{d}")
+            for d in range(_SQ_DIMS)
+        ],
+        *[
+            F.max(F.element_at("v", d + 1)).alias(f"mx{d}")
+            for d in range(_SQ_DIMS)
+        ],
+    ).select(
+        F.array(*[F.col(f"mn{d}") for d in range(_SQ_DIMS)]).alias("mn"),
+        F.array(*[F.col(f"mx{d}") for d in range(_SQ_DIMS)]).alias("mx"),
+    )
+    words = (
+        f"transform(sequence(0, {_SQ_DIMS // 16 - 1}), wd -> "
+        " aggregate(sequence(wd * 16, wd * 16 + 15), 0L, (acc, d) ->"
+        f"  acc + shiftleft(least({_SQ_CODES - 1},"
+        "   ((element_at(v, CAST(d + 1 AS INT))"
+        "     - element_at(mn, CAST(d + 1 AS INT)))"
+        f"    * {_SQ_CODES})"
+        "   DIV (element_at(mx, CAST(d + 1 AS INT))"
+        "        - element_at(mn, CAST(d + 1 AS INT)) + 1)),"
+        "  CAST(4 * (d % 16) AS INT))))"
+    )
+    coded = attach_broadcast(base, bounds).select(
+        "vec_id", "emb", "nrm", "cell", "mn", "mx", F.expr(words).alias("w")
+    )
+    queries = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+        F.col("v").alias("qv"),
+    )
+    probes = queries.select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("q_cell"),
+                F.expr("q_cell ^ 4"),
+                F.expr("q_cell ^ 2"),
+                F.expr("q_cell ^ 1"),
+            )
+        ).alias("probe_cell"),
+    )
+    recon = (
+        "(element_at(mn, CAST(d + 1 AS INT)) +"
+        " ((2 * (shiftright(element_at(w, CAST(d DIV 16 + 1 AS INT)),"
+        f"        CAST(4 * (d % 16) AS INT)) & {_SQ_CODES - 1}) + 1)"
+        "  * (element_at(mx, CAST(d + 1 AS INT))"
+        f"     - element_at(mn, CAST(d + 1 AS INT)) + 1)) DIV {2 * _SQ_CODES})"
+    )
+    adc = (
+        f"aggregate(sequence(0, {_SQ_DIMS - 1}), 0L, (acc, d) -> acc + "
+        f" (element_at(qv, CAST(d + 1 AS INT)) - {recon})"
+        f" * (element_at(qv, CAST(d + 1 AS INT)) - {recon}))"
+    )
+    scored = (
+        coded.join(
+            F.broadcast(probes), F.col("cell") == F.col("probe_cell")
+        )
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    cands = scored.withColumn(
+        "adc_rank", F.row_number().over(w_adc)
+    ).where(F.col("adc_rank") <= 3 * _TOP_K)
+    cos = F.round(
+        _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            cos.alias("cos_r9"),
+        )
+        .withColumn("rank", F.row_number().over(w_cos).cast("bigint"))
+        .where(F.col("rank") <= _TOP_K)
+    )
+
+
+def _lloyd_rounds(spark: SparkSession, sf_dir: str):
+    """Shared 2-round Lloyd k-means core (k=4): returns
+    ``(em, a2, c2)`` — the double-cast corpus, the round-2 cluster
+    assignment (vec_id, cid), and the round-2 centroids. Consumed by
+    `embed_kmeans_lloyd` (cluster manifest) and `dedup_semantic`
+    (SemDeDup cell gate).
 
     Cross-engine determinism: init is the k smallest vec_ids; squared-L2
     distances are per-dimension 1e9-scaled BIGINT terms (order-free
     integer sums — argmin cannot flip on float accumulation order, ties
     break to the lowest centroid id); updated centroids are rounded to 6
-    decimals so the next round's inputs are identical in both engines.
-
-    Returns the round-2 cluster manifest: size + integer-scaled centroid
-    norm per cluster."""
+    decimals so the next round's inputs are identical in both engines."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("v")
     )
@@ -600,7 +739,9 @@ def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
-        scored = em.crossJoin(F.broadcast(cents)).withColumn("dist_u", dist_u)
+        # k-row centroid attach as a constant-key broadcast HASH join
+        # (same ×k fanout, but stays in codegen and off the BNLJ list)
+        scored = attach_broadcast(em, cents).withColumn("dist_u", dist_u)
         best = scored.groupBy("vec_id").agg(
             F.min(F.struct("dist_u", "cid")).alias("m")
         )
@@ -620,6 +761,20 @@ def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = update(assign(cents0))
     a2 = assign(c1)
     c2 = update(a2)
+    return em, a2, c2
+
+
+def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=4) over the embedding corpus —
+    the iterative-ML-on-DataFrames showcase (same fixed-round shape as
+    PageRank: each round is one broadcast of the k-row centroid table +
+    one assignment pass + one dimension-wise mean shuffle; the corpus is
+    never shuffled on an unbounded key). Core in `_lloyd_rounds` (shared
+    with `dedup_semantic`), incl. the cross-engine determinism story.
+
+    Returns the round-2 cluster manifest: size + integer-scaled centroid
+    norm per cluster."""
+    em, a2, c2 = _lloyd_rounds(spark, sf_dir)
     sizes = a2.groupBy("cid").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
@@ -631,6 +786,72 @@ def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_u6"),
     )
     return sizes.join(norms, "cid")
+
+
+_SEMDEDUP_TAU = 0.95  #: within-cell cosine prune threshold
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication — SemDeDup (Abbas et al. 2023): cluster
+    the embedding corpus with k-means, then prune near-duplicate pairs
+    by cosine WITHIN each cluster only, keeping the minimum vec_id — the
+    headline LLM-corpus dedup that catches *semantic* re-phrasings
+    exact/minhash text dedup can't see, at a within-cell cost instead of
+    all-pairs.
+
+    Rides the shared `_lloyd_rounds` trainer (same k=4, 2 Lloyd rounds,
+    integer-argmin assignment — so this key's cells ARE
+    `embed_kmeans_lloyd`'s clusters, not a lookalike). The prune is an
+    EQUI-join on the cell id: a pair is scored only if both members
+    landed in the same cell, never across cells — Σ|cell|² work, never
+    N². At 100 TB, k scales with the corpus (SemDeDup uses 50k clusters
+    for LAION) so |cell| ≈ N/k stays bounded and each cell's pairwise
+    block fits one task; the cell id is also the natural partition key
+    for the write.
+
+    Output: one row per pruned vector — its keeper (the SMALLEST
+    qualifying lower id in the cell), the shared cell, and the cosine to
+    that keeper. Exactness: cell assignment is the integer-scaled
+    argmin; cosines round to 9 dp with (keep_id) min-struct tiebreak."""
+    em, a2, _ = _lloyd_rounds(spark, sf_dir)
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    base = em.join(a2, "vec_id").select(
+        "vec_id", "cid", "v", norm.alias("nrm")
+    )
+    a = base.select(
+        F.col("vec_id").alias("keep_id"),
+        "cid",
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("dup_id"),
+        F.col("cid").alias("cid_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cos = F.round(
+        _dot(F.col("v_a"), F.col("v_b")) / (F.col("nrm_a") * F.col("nrm_b")),
+        9,
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("keep_id") < F.col("dup_id")),
+        )
+        .withColumn("cos_r9", cos)
+        .where(F.col("cos_r9") >= _SEMDEDUP_TAU)
+    )
+    best = pairs.groupBy("dup_id", "cid").agg(
+        F.min(F.struct("keep_id", "cos_r9")).alias("m")
+    )
+    return best.select(
+        "dup_id",
+        F.col("m.keep_id").alias("keep_id"),
+        F.col("cid").cast("bigint").alias("cell"),
+        F.col("m.cos_r9").alias("cos_r9"),
+    )
 
 
 #: hybrid search: candidates kept per leg before fusion, and the RRF
@@ -834,12 +1055,14 @@ QUERIES = {
     "embed_kmeans_lloyd": q_embed_kmeans_lloyd,
     "multimodal_audiofeat_stub": q_multimodal_audiofeat_stub,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "multimodal_resize_stub": q_multimodal_resize_stub,
     "multimodal_framesample_stub": q_multimodal_framesample_stub,
     "multimodal_join": q_multimodal_join,
     "sim_search_topk": q_sim_search_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_semantic": q_dedup_semantic,
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_arrow": q_multimodal_decode_arrow,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -923,6 +1146,87 @@ def _pq_oracle() -> str:
         SELECT query_id, neighbor_id, adc_dist, cos_r9, rank
         FROM reranked WHERE rank <= {_TOP_K}
     """
+
+def _ivfpq_oracle() -> str:
+    """ann_ivfpq_topk oracle: the `_pq_oracle` SQ/ADC algebra gated by
+    the sign-bit coarse cells and the 4-cell multi-probe, from the same
+    constants."""
+    vs = ", ".join(
+        f"CAST(round(emb[{d + 1}] / nrm * 1e6) AS BIGINT) AS v{d}"
+        for d in range(_SQ_DIMS)
+    )
+    mins = ", ".join(
+        f"MIN(v{d}) AS mn{d}, MAX(v{d}) AS mx{d}" for d in range(_SQ_DIMS)
+    )
+    recon = ", ".join(
+        f"mn{d} + ((2 * (least({_SQ_CODES - 1},"
+        f" ((v{d} - mn{d}) * {_SQ_CODES}) // (mx{d} - mn{d} + 1))) + 1)"
+        f" * (mx{d} - mn{d} + 1)) // {2 * _SQ_CODES} AS r{d}"
+        for d in range(_SQ_DIMS)
+    )
+    qs = ", ".join(f"v{d} AS qv{d}" for d in range(_SQ_DIMS))
+    keep_v = ", ".join(f"b.v{d}" for d in range(_SQ_DIMS))
+    adc = " + ".join(
+        f"(q.qv{d} - c.r{d}) * (q.qv{d} - c.r{d})" for d in range(_SQ_DIMS)
+    )
+    cell = (
+        "(CASE WHEN emb[1] > 0 THEN 4 ELSE 0 END"
+        " + CASE WHEN emb[2] > 0 THEN 2 ELSE 0 END"
+        " + CASE WHEN emb[3] > 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+        WITH nr AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+            FROM embeddings
+        ), base AS (
+            SELECT vec_id, emb, nrm, {cell} AS cell, {vs} FROM nr
+        ), bounds AS (
+            SELECT {mins} FROM base
+        ), coded AS (
+            SELECT b.vec_id, b.emb, b.nrm, b.cell,
+                   {keep_v},
+                   {recon}
+            FROM base b, bounds
+        ), q AS (
+            SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm,
+                   cell AS q_cell, {qs}
+            FROM coded WHERE vec_id < {_N_QUERIES}
+        ), probes AS (
+            SELECT *, unnest([q_cell, xor(q_cell, 4), xor(q_cell, 2),
+                              xor(q_cell, 1)]) AS probe_cell
+            FROM q
+        ), scored AS (
+            SELECT c.vec_id, c.emb, c.nrm, c.cell,
+                   q.query_id, q.q_emb, q.q_nrm,
+                   {adc} AS adc_dist
+            FROM coded c JOIN probes q ON c.cell = q.probe_cell
+            WHERE c.vec_id != q.query_id
+        ), cands AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+            ) AS adc_rank
+            FROM scored
+        ), reranked AS (
+            SELECT query_id,
+                   vec_id AS neighbor_id,
+                   CAST(cell AS BIGINT) AS cell,
+                   CAST(adc_dist AS BIGINT) AS adc_dist,
+                   round({_dot_duck('emb', 'q_emb')} / (nrm * q_nrm), 9)
+                       AS cos_r9,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY round({_dot_duck('emb', 'q_emb')}
+                                      / (nrm * q_nrm), 9) DESC,
+                                vec_id ASC
+                   ) AS BIGINT) AS rank
+            FROM cands WHERE adc_rank <= {3 * _TOP_K}
+        )
+        SELECT query_id, neighbor_id, cell, adc_dist, cos_r9, rank
+        FROM reranked WHERE rank <= {_TOP_K}
+    """
+
 
 def _plane_lit(plane: list) -> str:
     return "[" + ", ".join(repr(w) for w in plane) + "]"
@@ -1076,6 +1380,7 @@ ORACLES = {
     """,
     "hybrid_search_rrf": _HYBRID_RRF_SQL,
     "ann_pq_topk": _pq_oracle(),
+    "ann_ivfpq_topk": _ivfpq_oracle(),
     "ann_lsh_topk": _ANN_LSH_SQL,
     "multimodal_resize_stub": """
         WITH dims AS (
@@ -1241,6 +1546,40 @@ def _kmeans_round(cent_cte: str, tag: str) -> str:
             SELECT cid, list(cx ORDER BY d) AS cv FROM m{tag} GROUP BY cid
         )"""
 
+
+ORACLES["dedup_semantic"] = f"""
+        WITH emb AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), init AS (
+            SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT 4
+        ), c0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS cid,
+                   v AS cv
+            FROM init
+        ),{_kmeans_round("c0", "1")},{_kmeans_round("c1", "2")},
+        base AS (
+            SELECT e.vec_id, a.cid, e.v,
+                   sqrt(list_dot_product(e.v, e.v)) AS nrm
+            FROM emb e JOIN a2 a USING (vec_id)
+        ), pairs AS (
+            SELECT a.vec_id AS keep_id, b.vec_id AS dup_id, a.cid,
+                   round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 9)
+                       AS cos_r9
+            FROM base a JOIN base b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+        ), hits AS (
+            SELECT * FROM pairs WHERE cos_r9 >= {_SEMDEDUP_TAU}
+        )
+        SELECT dup_id, keep_id, CAST(cid AS BIGINT) AS cell, cos_r9
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY dup_id, cid ORDER BY keep_id ASC
+            ) AS rn
+            FROM hits
+        ) WHERE rn = 1
+    """
 
 ORACLES["embed_kmeans_lloyd"] = f"""
         WITH emb AS (

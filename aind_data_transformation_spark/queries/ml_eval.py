@@ -429,46 +429,57 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ml_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the IVF-bucketed ANN tier against the exact
-    brute-force top-k, per query — the eval consumes BOTH retrieval
-    queries (`ann_ivf_topk`, `sim_search_topk`) rather than
-    re-deriving either, so a regression in the probe logic shows up
-    here, not just in the recall property test.
+    """Recall@5 of BOTH ANN tiers — IVF cell-probe (`ann_ivf_topk`)
+    and IVFADC (`ann_ivfpq_topk`) — against the exact brute-force
+    top-k, per (tier, query): the eval consumes the retrieval queries
+    themselves rather than re-deriving them, so a regression in the
+    probe logic or the ADC algebra shows up here, not just in the
+    recall property tests.
 
-    Scale: both inputs are k×queries-row frames by construction; the
+    Scale: every input is a k×queries-row frame by construction; each
     overlap is a tiny semi-join + one aggregation."""
     from aind_data_transformation_spark.queries.llm_vectors import (
         q_ann_ivf_topk,
+        q_ann_ivfpq_topk,
         q_sim_search_topk,
     )
 
     exact = q_sim_search_topk(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    approx = q_ann_ivf_topk(spark, sf_dir).select(
-        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
-    )
-    hit = exact.join(
-        approx,
-        (F.col("query_id") == F.col("q2"))
-        & (F.col("neighbor_id") == F.col("n2")),
-        "left_semi",
-    )
+    tiers = {
+        "ivf": q_ann_ivf_topk(spark, sf_dir),
+        "ivfpq": q_ann_ivfpq_topk(spark, sf_dir),
+    }
     per_q = exact.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("k")
     )
-    hits = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    return (
-        per_q.join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double")
-                / F.col("k").cast("double")
-            ).alias("recall_at_5"),
+    out = None
+    for tier, approx_df in tiers.items():
+        approx = approx_df.select(
+            F.col("query_id").alias("q2"), F.col("neighbor_id").alias("n2")
         )
-    )
+        hit = exact.join(
+            approx,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("neighbor_id") == F.col("n2")),
+            "left_semi",
+        )
+        hits = hit.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+        rep = (
+            per_q.join(hits, "query_id", "left")
+            .select(
+                F.lit(tier).alias("tier"),
+                "query_id",
+                F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("k").cast("double")
+                ).alias("recall_at_5"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
 
 
 def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -724,26 +735,25 @@ def _ann_recall_oracle() -> str:
         ORACLES as _VEC,
     )
 
-    return f"""
-        WITH ex AS ({_VEC["sim_search_topk"]}),
-        ap AS ({_VEC["ann_ivf_topk"]}),
-        per_q AS (
-            SELECT query_id, COUNT(*)::BIGINT AS k FROM ex GROUP BY query_id
-        ),
-        hits AS (
-            SELECT e.query_id, COUNT(*)::BIGINT AS n_hit
-            FROM ex e
-            WHERE EXISTS (SELECT 1 FROM ap a
-                          WHERE a.query_id = e.query_id
-                            AND a.neighbor_id = e.neighbor_id)
-            GROUP BY e.query_id
-        )
-        SELECT p.query_id,
+    legs = []
+    for tier, key in (("ivf", "ann_ivf_topk"), ("ivfpq", "ann_ivfpq_topk")):
+        legs.append(f"""
+        SELECT '{tier}' AS tier, p.query_id,
                COALESCE(h.n_hit, 0) AS n_hit,
                CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / CAST(p.k AS DOUBLE)
                    AS recall_at_5
-        FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
-    """
+        FROM (
+            SELECT query_id, COUNT(*)::BIGINT AS k
+            FROM ({_VEC["sim_search_topk"]}) ex GROUP BY query_id
+        ) p LEFT JOIN (
+            SELECT e.query_id, COUNT(*)::BIGINT AS n_hit
+            FROM ({_VEC["sim_search_topk"]}) e
+            WHERE EXISTS (SELECT 1 FROM ({_VEC[key]}) a
+                          WHERE a.query_id = e.query_id
+                            AND a.neighbor_id = e.neighbor_id)
+            GROUP BY e.query_id
+        ) h ON h.query_id = p.query_id""")
+    return " UNION ALL ".join(legs)
 
 
 ORACLES = {

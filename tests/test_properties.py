@@ -163,6 +163,7 @@ def test_ann_variants_recall_vs_brute_force(spark):
 
     from aind_data_transformation_spark.queries.llm_vectors import (
         q_ann_ivf_topk,
+        q_ann_ivfpq_topk,
         q_ann_lsh_topk,
         q_ann_pq_topk,
         q_sim_search_topk,
@@ -179,6 +180,9 @@ def test_ann_variants_recall_vs_brute_force(spark):
         q_ann_ivf_topk: 0.4,  # nprobe=4 multi-probe
         q_ann_lsh_topk: 0.35,  # nprobe=5 Hamming-1 multi-probe
         q_ann_pq_topk: 0.6,  # PQ reranks exactly, should be closest
+        # IVFADC composition: bounded by the cell gate (same as IVF),
+        # measured 0.68 at sf0.001 — the ADC cut costs no recall here
+        q_ann_ivfpq_topk: 0.4,
     }
     for fn, floor in floors.items():
         approx = topsets(fn(spark, TEST_SF_DIR))
