@@ -31,6 +31,7 @@ from aind_data_transformation_spark.core import (
     SparkJobSettings,
 )
 from aind_data_transformation_spark.ops import (
+    attach_broadcast,
     connected_components,
     parquet_materializer,
 )
@@ -503,7 +504,7 @@ class AnnIndexBuildJob(GenericSparkEtl[AnnIndexBuildJobSettings]):
             "        - element_at(mn, CAST(d + 1 AS INT)) + 1)),"
             "  CAST(4 * (d % 16) AS INT))))"
         )
-        codes = base.crossJoin(F.broadcast(b)).select(
+        codes = base.transform(attach_broadcast, F.broadcast(b)).select(
             "vec_id", F.expr(words).alias("w")
         )
         codes.write.mode("overwrite").option(
@@ -532,7 +533,7 @@ class AnnIndexBuildJob(GenericSparkEtl[AnnIndexBuildJobSettings]):
             f" * (element_at(qv, CAST(d + 1 AS INT)) - {recon}))"
         )
         scored = (
-            idx.crossJoin(F.broadcast(b))
+            idx.transform(attach_broadcast, F.broadcast(b))
             .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
             .withColumn("adc_dist", F.expr(adc))
         )

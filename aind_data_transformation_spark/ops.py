@@ -502,17 +502,22 @@ def attach_broadcast(df: DataFrame, tiny: DataFrame) -> DataFrame:
     keys using it stay out of the BNLJ audit allowlist and the probe
     stays inside codegen at 100-TB scan widths.
 
-    The key must NOT be a plain literal: FoldablePropagation rewrites
+    The key must NOT be foldable: FoldablePropagation rewrites
     ``lit(1) == lit(1)`` to ``true`` and the join degrades straight back
     to a nested loop (so does ``col * 0`` — Spark 4 simplifies it for
-    non-nullable inputs). ``pmod(xxhash64(col), 1)`` evaluates to 0 on
-    every row (xxhash64 never returns null) and no Catalyst rule folds
-    it, so the equi-key survives to ExtractEquiJoinKeys — verified
-    empirically to plan as BroadcastHashJoin."""
+    non-nullable inputs; so does ``xxhash64(col)`` when the frame is a
+    pure-literal one-row relation, e.g. an initial weight vector).
+    ``pmod(xxhash64(spark_partition_id()), 1)`` evaluates to 0 on every
+    row of ANY frame (pmod(x, 1) is 0 for every bigint, xxhash64 never
+    returns null) and spark_partition_id's nondeterministic flag blocks
+    every folding rule while remaining legal in the projection feeding
+    the join — the equi-key survives to ExtractEquiJoinKeys regardless
+    of what the inputs are made of. Verified empirically to plan as
+    BroadcastHashJoin even over two literal relations."""
     key = "__attach_k"
 
     def _k(frame: DataFrame):
-        return F.pmod(F.xxhash64(F.col(frame.columns[0])), F.lit(1))
+        return F.pmod(F.xxhash64(F.spark_partition_id()), F.lit(1))
 
     return (
         df.withColumn(key, _k(df))

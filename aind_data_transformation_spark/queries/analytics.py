@@ -445,7 +445,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda col, b: f"CAST(1 + size(filter({b}, x -> CAST({col} AS DOUBLE) > x)) AS BIGINT)"
     )
     return (
-        per_cust.crossJoin(F.broadcast(bounds))
+        per_cust.transform(attach_broadcast, F.broadcast(bounds))
         .select(
             "o_custkey",
             "r_days",
@@ -480,7 +480,7 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.expr("b[0]").alias("lo"), F.expr("b[1]").alias("hi")
     )
-    clipped = o.crossJoin(F.broadcast(bounds)).select(
+    clipped = o.transform(attach_broadcast, F.broadcast(bounds)).select(
         "cents",
         "lo",
         "hi",

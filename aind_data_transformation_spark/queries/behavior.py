@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 
 
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,7 +57,7 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = t_view.agg(F.count(F.lit(1)).alias("n_view"))
     n2 = t_click.agg(F.count(F.lit(1)).alias("n_click"))
     n3 = t_purchase.agg(F.count(F.lit(1)).alias("n_purchase"))
-    return n1.crossJoin(n2).crossJoin(n3)
+    return attach_broadcast(attach_broadcast(n1, n2), n3)
 
 
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,7 +164,7 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
         return (
-            contrib.crossJoin(F.broadcast(bounds))
+            contrib.transform(attach_broadcast, F.broadcast(bounds))
             .where(F.col("day") <= F.col("d1"))
             .groupBy("day")
             .agg(F.count_distinct("user_id").alias(name))
@@ -193,7 +194,7 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ops.asof_join): union + ONE user_id shuffle + linear window scan —
     no per-purchase subquery. Views are deduped per (user, ts) with
     max_by(event_id) so the tie rule is explicit."""
-    from aind_data_transformation_spark.ops import asof_join
+    from aind_data_transformation_spark.ops import attach_broadcast, asof_join
 
     e = load_table(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(

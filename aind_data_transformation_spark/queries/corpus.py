@@ -184,7 +184,7 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
     n_min = counts.agg(F.min("n_s").alias("n_min"))
-    rates = counts.crossJoin(n_min).select(
+    rates = attach_broadcast(counts, n_min).select(
         "source",
         F.pow(
             F.col("n_min").cast("double") / F.col("n_s").cast("double"),
@@ -253,7 +253,7 @@ def q_sample_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = sizes.agg(F.min("n_before").alias("n_target"))
     ranked = series_row_number(
         d, ["lang"], ["__h", "doc_id"], "__h div 16777216", rn_name="rk"
-    ).crossJoin(F.broadcast(target))
+    ).transform(attach_broadcast, F.broadcast(target))
     kept = ranked.where(F.col("rk") <= F.col("n_target"))
     return (
         kept.groupBy("lang")

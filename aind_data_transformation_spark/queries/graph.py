@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 
 SCALE = 1_000_000_000_000
 ROUNDS = 8
@@ -221,8 +222,9 @@ def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    return edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
-        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    return attach_broadcast(
+        edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges")),
+        tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")),
     )
 
 
@@ -275,7 +277,7 @@ def q_graph_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops.connected_components shows the same pattern). Without that the
     plan doubles per round and the basket self-join that builds the
     edges re-executes 2^rounds times."""
-    from aind_data_transformation_spark.ops import local_materializer as mat
+    from aind_data_transformation_spark.ops import attach_broadcast, local_materializer as mat
 
     edges = mat(_copurchase_edges(spark, sf_dir), "bfs_edges")
     seed = edges.agg(F.min("u").alias("node")).select(
@@ -514,7 +516,7 @@ def q_basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "cons",
         )
-        .crossJoin(F.broadcast(n_orders))
+        .transform(attach_broadcast, F.broadcast(n_orders))
         .select(
             "ante",
             "cons",
@@ -630,7 +632,7 @@ def q_graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = dist.agg(F.sum("n_nodes").alias("n_total"))
     w = Window.orderBy("degree").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        dist.crossJoin(F.broadcast(tot))
+        dist.transform(attach_broadcast, F.broadcast(tot))
         .select(
             "degree",
             "n_nodes",

@@ -71,7 +71,9 @@ def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("q_nrm"),
         )
     )
-    scored = corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = attach_broadcast(corpus, queries).where(
+        F.col("vec_id") != F.col("query_id")
+    )
     cos = F.round(
         _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
     )
@@ -273,37 +275,104 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("cos_r9") > 0.95)
 
 
-def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing: text -> binary payload column,
-    then a mapInPandas "decode / feature-extract" stage.
+def _encode_image_batch(batches):
+    """Synthesize REAL image container bytes per doc: even doc_ids get a
+    PNG (8-byte signature + a spec-correct IHDR chunk), odd get a JPEG
+    (SOI + APP0/JFIF + a baseline SOF0 frame header). Dimensions derive
+    from doc_id so the oracle can predict what the parser must find."""
+    import struct
 
-    The decode itself is a deterministic stand-in (image/audio codecs are
-    not in this container — a real deployment drops its decoder into
-    ``decode_batch`` unchanged); the Spark-side contract — binary column,
-    Arrow batch iteration, explicit output schema, partition-parallel
-    execution — is real and oracle-checked.
-    """
     import pandas as pd
 
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            w = 64 + int(doc_id) % 512
+            h = 48 + int(doc_id) % 256
+            if doc_id % 2 == 0:
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", len(ihdr))
+                    + b"IHDR"
+                    + ihdr
+                    + b"\x00\x00\x00\x00"  # CRC (unchecked by parsers)
+                )
+            else:
+                app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+                sof0 = struct.pack(">BHHB", 8, h, w, 3)
+                payloads.append(
+                    b"\xff\xd8"  # SOI
+                    + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+                    + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+                    + b"\xff\xd9"  # EOI
+                )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_image_batch(batches):
+    """GENUINE binary image-header parsing (no codec libs needed for
+    container metadata): dispatch on magic bytes, then PNG = IHDR
+    big-endian width/height at offset 16, JPEG = a real marker-segment
+    scan walking length-prefixed segments to the first SOF frame header.
+    Unknown payloads degrade to format='unknown' with -1 dims instead of
+    failing the batch (the quarantine discipline of scan_bad_records)."""
+    import struct
+
+    import pandas as pd
+
+    def parse(b: bytes):
+        b = bytes(b)
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            return "png", w, h
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 4 <= len(b) and b[i] == 0xFF:
+                marker, seglen = b[i + 1], struct.unpack(">H", b[i + 2:i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return "jpeg", w, h
+                i += 2 + seglen
+            return "jpeg", -1, -1
+        return "unknown", -1, -1
+
+    for pdf in batches:
+        parsed = [parse(b) for b in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "format": [p[0] for p in parsed],
+                "width": pd.Series([p[1] for p in parsed], dtype="int64"),
+                "height": pd.Series([p[2] for p in parsed], dtype="int64"),
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+            }
+        )
+
+
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode tier with GENUINE binary parsing: an Arrow
+    encode stage synthesizes real PNG/JPEG container bytes per document
+    (spec-correct signatures, IHDR chunk, JFIF marker segments), and a
+    second mapInPandas stage parses them back — magic-byte dispatch,
+    big-endian IHDR unpack, a real JPEG marker-scan to SOF0 — exactly
+    the metadata pass a media pipeline runs before full decode. The
+    pixel-codec stage is the only remaining stand-in (libs not in this
+    container; a real decoder drops into ``_decode_image_batch``
+    unchanged).
+
+    Oracle-checked because dimensions derive from doc_id: DuckDB
+    predicts (format, width, height, n_bytes) arithmetically and the
+    parser must reproduce them from the BYTES — a corrupted encoder or
+    parser breaks the hash match. Scale: two map-only Arrow stages, no
+    shuffle; binary payloads never leave the executor."""
     d = load_table(spark, sf_dir, "documents")
-    with_payload = d.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    with_payload = d.select("doc_id").mapInPandas(
+        _encode_image_batch, "doc_id long, payload binary"
     )
-
-    def decode_batch(batches):
-        for pdf in batches:
-            payload = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payload.map(len).astype("int64"),
-                    "first_byte": payload.map(lambda b: b[0] if len(b) else -1).astype("int64"),
-                    "fake_feature": payload.map(len).astype("int64") % 7,
-                }
-            )
-
     return with_payload.mapInPandas(
-        decode_batch, "doc_id long, n_bytes long, first_byte long, fake_feature long"
+        _decode_image_batch,
+        "doc_id long, format string, width long, height long, n_bytes long",
     )
 
 
@@ -521,7 +590,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "        - element_at(mn, CAST(d + 1 AS INT)) + 1)),"
         "  CAST(4 * (d % 16) AS INT))))"
     )
-    coded = base.crossJoin(F.broadcast(bounds)).select(
+    coded = base.transform(attach_broadcast, F.broadcast(bounds)).select(
         "vec_id", "emb", "nrm", "mn", "mx", F.expr(words).alias("w")
     )
     queries = base.where(F.col("vec_id") < _N_QUERIES).select(
@@ -544,9 +613,11 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (element_at(qv, CAST(d + 1 AS INT)) - {recon})"
         f" * (element_at(qv, CAST(d + 1 AS INT)) - {recon}))"
     )
-    scored = coded.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).withColumn("adc_dist", F.expr(adc))
+    scored = (
+        attach_broadcast(coded, queries)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adc_dist", F.expr(adc))
+    )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
@@ -920,7 +991,8 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos_r9").desc(), F.col("cand_id").asc()
     )
     vec = (
-        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        attach_broadcast(corpus, queries)
+        .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"), cos.alias("cos_r9"))
         .withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
         .where(F.col("vec_rank") <= _RRF_CAND)
@@ -970,8 +1042,8 @@ def q_train_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
     )
-    scored = corpus.join(
-        F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")
+    scored = attach_broadcast(corpus, anchors).where(
+        F.col("vec_id") != F.col("anchor_id")
     ).select(
         "anchor_id",
         "a_label",
@@ -1497,10 +1569,17 @@ ORACLES = {
         WHERE round({_dot_duck('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 9) > 0.95
     """,
     "multimodal_decode_stub": """
+        -- predicts what the byte-level parser must recover: dimensions
+        -- are doc_id-derived, container sizes are the fixed header
+        -- layouts (PNG sig+IHDR+CRC = 33 B, JPEG SOI+APP0+SOF0+EOI =
+        -- 32 B)
         SELECT doc_id,
-               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
-               CAST(octet_length(encode(text)) AS BIGINT) % 7 AS fake_feature
+               CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                   AS format,
+               CAST(64 + doc_id % 512 AS BIGINT) AS width,
+               CAST(48 + doc_id % 256 AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 32 END
+                    AS BIGINT) AS n_bytes
         FROM documents
     """,
     "multimodal_decode_arrow": """

@@ -146,7 +146,7 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = (F.col("sc").cast("double") + m * gmean) / (
         F.col("n").cast("double") + m
     )
-    return per.crossJoin(F.broadcast(g)).select(
+    return per.transform(attach_broadcast, F.broadcast(g)).select(
         "o_orderpriority",
         "n",
         (enc / 100.0).alias("encoded_value"),
@@ -234,7 +234,7 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         bins.join(a, "bin", "left")
         .join(b, F.col("bin") == F.col("bin_b"), "left")
-        .crossJoin(F.broadcast(tot))
+        .transform(attach_broadcast, F.broadcast(tot))
         .select(
             "bin",
             F.coalesce("na", F.lit(0)).alias("na"),
@@ -285,7 +285,7 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     tot = per.agg(F.sum("c1").alias("n_pos"))
-    cum = per.crossJoin(F.broadcast(tot)).select(
+    cum = per.transform(attach_broadcast, F.broadcast(tot)).select(
         "s",
         "n_pos",
         F.sum("c1").over(w).alias("tp"),
@@ -343,7 +343,7 @@ def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = per.agg(F.sum("n").alias("n_total"))
     conf = F.col("s_sum").cast("double") / F.col("n").cast("double") / 1.0e6
     acc = F.col("n_pos").cast("double") / F.col("n").cast("double")
-    return per.crossJoin(F.broadcast(tot)).select(
+    return per.transform(attach_broadcast, F.broadcast(tot)).select(
         "bin",
         F.col("n").cast("long").alias("n"),
         conf.alias("mean_predicted"),
@@ -511,7 +511,7 @@ def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     acc = F.col("n_ok").cast("double") / F.col("n_docs").cast("double")
     overall = F.col("tok").cast("double") / F.col("tn").cast("double")
-    return per.crossJoin(F.broadcast(tot)).select(
+    return per.transform(attach_broadcast, F.broadcast(tot)).select(
         "fold",
         F.col("n_docs").cast("long").alias("n_docs"),
         acc.alias("fold_accuracy"),

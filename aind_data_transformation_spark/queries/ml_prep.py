@@ -43,6 +43,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from aind_data_transformation_spark.ops import attach_broadcast
+
 from aind_data_transformation_spark.io.sources import load_table
 
 #: leading dimensions covered by the covariance pass (the PCA front-end
@@ -386,7 +388,7 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = (
         big.join(bc, ["w1", "w2"])
         .join(uc, ["w1"])
-        .crossJoin(F.broadcast(v))
+        .transform(attach_broadcast, F.broadcast(v))
         .select(
             "doc_id",
             F.expr(
@@ -427,7 +429,7 @@ def q_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = o.agg(
         F.expr(f"percentile(cents, array({qs}))").alias("bs")
     )
-    binned = o.crossJoin(F.broadcast(bounds)).select(
+    binned = o.transform(attach_broadcast, F.broadcast(bounds)).select(
         "cents",
         F.expr(
             "CAST(size(filter(bs, x -> CAST(cents AS DOUBLE) >= x))"
@@ -520,6 +522,104 @@ def q_bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_ROUNDS = 4
+
+#: greedy left-to-right non-overlapping merge of the winning pair
+#: (pa, pb) inside a symbol array ``cs`` — a string FOLD with a
+#: chr(31)-delimited accumulator, because both engines can fold strings
+#: (Spark `aggregate`, DuckDB `list_reduce`) but neither can fold with a
+#: struct accumulator. Initial acc = first symbol; per element x: if the
+#: accumulator's LAST symbol equals pa and x = pb, replace that tail
+#: symbol with pa||pb (the merge — a freshly-merged tail can never
+#: re-trigger as pa because its string pa||pb ≠ pa, which is exactly the
+#: non-overlap rule), else append x. This reproduces Sennrich's re.sub
+#: left-to-right semantics without regex lookarounds (RE2/DuckDB has
+#: none).
+_BPE_MERGE_SPARK = (
+    "split(aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1),"
+    " (acc, x) -> CASE"
+    "  WHEN element_at(split(acc, char(31)), -1) = pa AND x = pb THEN"
+    "   CASE WHEN length(acc) = length(pa) THEN concat(pa, pb)"
+    "        ELSE concat(left(acc, length(acc) - length(pa) - 1),"
+    "                    char(31), pa, pb) END"
+    "  ELSE concat(acc, char(31), x) END), char(31))"
+)
+
+
+def q_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer training: 4 full merge rounds — each
+    round counts adjacent symbol pairs on the frequency-weighted
+    word-TYPE table (the `bpe_pair_merge_step` plan), picks THE winning
+    pair (max count, ties to the lexicographically smallest pair), and
+    rewrites every word with the greedy left-to-right non-overlapping
+    merge before the next round. This turns the single demo step into
+    the actual tokenizer-training pipeline stage; the output is the
+    learned merge table (round, pair, count) — exactly what a BPE
+    tokenizer ships as its merges.txt.
+
+    Scale: the `graph_bfs_frontier` bounded-round pattern — each round
+    is one pair-explode + hash agg over the word-type table (vocab-, not
+    corpus-sized), one 1-row TakeOrdered winner, one broadcast-attach
+    map rewrite; rounds are stage-materialized (ops.local_materializer;
+    parquet on a cluster) so the plan stays linear in rounds instead of
+    doubling (the word table feeds both the count and the rewrite).
+
+    Exactness: counts are integers; the merge is a deterministic string
+    fold with identical semantics in both engines (see _BPE_MERGE_SPARK)
+    and the oracle unrolls the same 4 rounds as chained CTEs."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("w") >= 2)
+    )
+    chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    words = mat(wc.select("cnt", F.expr(chars).alias("cs")), "bpe_w0")
+    out = None
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(cs, 1, size(cs) - 1),"
+                        " slice(cs, 2, size(cs) - 1),"
+                        " (a, b) -> struct(a AS pa, b AS pb))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+            .agg(F.sum("cnt").alias("n_occurrences"))
+        )
+        win = mat(
+            pairs.orderBy(
+                F.desc("n_occurrences"), F.asc("pa"), F.asc("pb")
+            ).limit(1),
+            f"bpe_win{r}",
+        )
+        rep = win.select(
+            F.lit(r).cast("bigint").alias("round"),
+            F.concat("pa", "pb").alias("pair"),
+            F.col("n_occurrences").cast("bigint").alias("n_occurrences"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+        if r < _BPE_ROUNDS:
+            words = mat(
+                attach_broadcast(words, win.select("pa", "pb")).select(
+                    "cnt", F.expr(_BPE_MERGE_SPARK).alias("cs")
+                ),
+                f"bpe_w{r}",
+            )
+    return out
+
+
 def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bag-of-words featurization (long form): every token
     maps to bucket = portable_hash(token) % 64 and per-document bucket
@@ -593,7 +693,7 @@ def q_ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     resid = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({_lr_z(wcols, xcols)}))) - y)"
     for _ in range(_LR_ROUNDS):
-        joined = feats.crossJoin(F.broadcast(wdf))
+        joined = feats.transform(attach_broadcast, F.broadcast(wdf))
         grads = joined.agg(
             *[
                 F.expr(
@@ -606,7 +706,7 @@ def q_ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gb"),
             F.count(F.lit(1)).alias("n"),
         )
-        wdf = grads.crossJoin(F.broadcast(wdf)).select(
+        wdf = grads.transform(attach_broadcast, F.broadcast(wdf)).select(
             *[
                 F.expr(
                     f"round({w} - {_LR_RATE} * CAST(g{i + 1} AS DOUBLE)"
@@ -620,14 +720,14 @@ def q_ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     pred = f"(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-({_lr_z(wcols, xcols)}))) > CAST(0.5 AS DOUBLE))"
-    scored = feats.crossJoin(F.broadcast(wdf)).agg(
+    scored = feats.transform(attach_broadcast, F.broadcast(wdf)).agg(
         F.expr(
             f"sum(CASE WHEN {pred} = (y = CAST(1.0 AS DOUBLE))"
             " THEN 1L ELSE 0L END)"
         ).alias("n_correct"),
         F.count(F.lit(1)).alias("n"),
     )
-    return wdf.crossJoin(scored)
+    return attach_broadcast(wdf, scored)
 
 
 def _logreg_oracle() -> str:
@@ -685,7 +785,61 @@ def _logreg_oracle() -> str:
     )
 
 
+def _bpe_train_oracle() -> str:
+    """Unrolled 4-round BPE-train CTE chain — the same per-round SQL
+    (pair count → 1-row winner → list_reduce merge fold) as the Spark
+    loop, initial fold value = first symbol in both engines."""
+    merge = (
+        "string_split(list_reduce(cs, (acc, x) -> CASE"
+        " WHEN string_split(acc, chr(31))[-1] = pa AND x = pb THEN"
+        "  CASE WHEN len(acc) = len(pa) THEN pa || pb"
+        "       ELSE left(acc, len(acc) - len(pa) - 1)"
+        "            || chr(31) || pa || pb END"
+        " ELSE acc || chr(31) || x END), chr(31))"
+    )
+    ctes = [
+        """wc AS (
+            SELECT w, count(*) AS cnt FROM (
+                SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ) GROUP BY w
+        )""",
+        """w0 AS (
+            SELECT cnt,
+                   list_transform(range(1, length(w) + 1),
+                                  i -> w[i]) AS cs
+            FROM wc WHERE length(w) >= 2
+        )""",
+    ]
+    legs = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        ctes.append(f"""p{r} AS (
+            SELECT cs[i] AS pa, cs[i + 1] AS pb, SUM(cnt) AS n
+            FROM w{r - 1}, unnest(generate_series(1, len(cs) - 1)) AS u(i)
+            GROUP BY 1, 2
+        )""")
+        ctes.append(f"""win{r} AS (
+            SELECT pa, pb, n FROM p{r}
+            ORDER BY n DESC, pa ASC, pb ASC LIMIT 1
+        )""")
+        legs.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, pa || pb AS pair,"
+            f" CAST(n AS BIGINT) AS n_occurrences FROM win{r}"
+        )
+        if r < _BPE_ROUNDS:
+            ctes.append(f"""w{r} AS (
+            SELECT cnt, {merge} AS cs
+            FROM w{r - 1} CROSS JOIN win{r}
+        )""")
+    return (
+        "WITH " + ",\n        ".join(ctes) + "\n        "
+        + " UNION ALL ".join(legs)
+    )
+
+
 QUERIES = {
+    "bpe_train_rounds": q_bpe_train_rounds,
     "bpe_pair_merge_step": q_bpe_pair_merge_step,
     "ml_logreg_gd": q_ml_logreg_gd,
     "embed_pca_power": q_embed_pca_power,
@@ -748,6 +902,7 @@ def _feature_hashing_oracle() -> str:
 
 
 ORACLES = {
+    "bpe_train_rounds": _bpe_train_oracle(),
     "ml_logreg_gd": _logreg_oracle(),
     "embed_pca_power": _pca_sql("embeddings", "duck"),
     "embed_pca_project": _pca_project_sql("embeddings", "duck"),

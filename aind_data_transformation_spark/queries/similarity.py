@@ -129,7 +129,7 @@ def q_ml_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist_u").asc(), F.col("vec_id").asc()
     )
     neigh = (
-        train.crossJoin(F.broadcast(queries))
+        train.transform(attach_broadcast, F.broadcast(queries))
         .select("query_id", "vec_id", "label", dist_u.alias("dist_u"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _KNN_K)
@@ -254,7 +254,7 @@ def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = (
         big.join(bc, ["w1", "w2"])
         .join(uc, ["w1"])
-        .crossJoin(F.broadcast(v))
+        .transform(attach_broadcast, F.broadcast(v))
         .select(
             "doc_id",
             F.expr(

@@ -25,6 +25,8 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from aind_data_transformation_spark.ops import attach_broadcast
 from pyspark.sql import types as T
 
 from aind_data_transformation_spark.io.sources import load_table, read_csv, read_json
@@ -201,7 +203,7 @@ def q_sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST((datediff(l_shipdate, dmin) * 255)"
         " DIV greatest(datediff(dmax, dmin), 1) AS INT)"
     )
-    coords = li.crossJoin(F.broadcast(bounds)).select(
+    coords = li.transform(attach_broadcast, F.broadcast(bounds)).select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",

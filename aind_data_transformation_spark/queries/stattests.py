@@ -66,7 +66,7 @@ def q_stats_ks_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = per.select(
         F.sum("c1").over(w).alias("cum1"),
         F.sum("c2").over(w).alias("cum2"),
-    ).crossJoin(F.broadcast(tot))
+    ).transform(attach_broadcast, F.broadcast(tot))
     diff = F.abs(
         F.col("cum1").cast("double") / F.col("n1").cast("double")
         - F.col("cum2").cast("double") / F.col("n2").cast("double")
@@ -268,7 +268,7 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderstatus").alias("r"),
         F.countDistinct("o_orderpriority").alias("c"),
     )
-    return stats.crossJoin(F.broadcast(dims)).select(
+    return stats.transform(attach_broadcast, F.broadcast(dims)).select(
         F.col("n").alias("n_orders"),
         (F.col("chi2_nano").cast("double") / F.lit(1.0e9)).alias("chi2"),
         ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof"),
@@ -365,7 +365,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
     )
     end = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("end_d"))
-    per_cust = life.crossJoin(F.broadcast(end)).select(
+    per_cust = life.transform(attach_broadcast, F.broadcast(end)).select(
         F.datediff("last_d", "first_d").cast("long").alias("dur"),
         (F.datediff("end_d", "last_d") > 90).cast("long").alias("event"),
     )
@@ -376,7 +376,7 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
     cumw = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
     tot = per_t.agg(F.sum("m").alias("n_total"))
-    t = per_t.crossJoin(F.broadcast(tot)).withColumn(
+    t = per_t.transform(attach_broadcast, F.broadcast(tot)).withColumn(
         "n_risk", F.col("n_total") - F.coalesce(F.sum("m").over(w), F.lit(0))
     )
     factor = F.lit(1.0) - F.col("d").cast("double") / F.col(

@@ -121,7 +121,7 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts") - F.expr(f"INTERVAL {WATERMARK_DELAY}")).alias("cutoff")
     )
     return (
-        e.crossJoin(F.broadcast(cutoff))
+        e.transform(attach_broadcast, F.broadcast(cutoff))
         .where(F.col("ts") >= F.col("cutoff"))
         .select("event_id", "ts", "user_id", "event_type", "value")
     )

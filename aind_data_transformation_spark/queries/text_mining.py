@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from aind_data_transformation_spark.ops import attach_broadcast
+
 from aind_data_transformation_spark.io.sources import load_table
 
 _TOKENS = "split(lower(text), ' ')"
@@ -114,14 +116,15 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
     )
-    totals = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
-        bi.agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    totals = attach_broadcast(
+        uni.agg(F.sum("c").cast("long").alias("n_uni")),
+        bi.agg(F.sum("c_xy").cast("long").alias("n_bi")),
     )
     scored = (
         bi.where(F.col("c_xy") >= 5)
         .join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
         .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
-        .crossJoin(F.broadcast(totals))
+        .transform(attach_broadcast, F.broadcast(totals))
         .withColumn(
             "pmi_u6",
             F.expr(

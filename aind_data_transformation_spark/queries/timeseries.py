@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-from aind_data_transformation_spark.ops import halo_blocks, series_row_number
+from aind_data_transformation_spark.ops import attach_broadcast, halo_blocks, series_row_number
 
 
 def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +343,7 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = daily.select("day", "x")
     b = daily.select(F.col("day").alias("day_b"), "y")
     shifted = (
-        a.crossJoin(F.broadcast(lags))
+        a.transform(attach_broadcast, F.broadcast(lags))
         .join(b, F.col("day_b") == F.col("day") + F.col("lag"))
     )
     # daily totals are unbounded at scale: cast operands to decimal(19,0)
@@ -452,7 +452,7 @@ def q_ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").alias("day_b"),
         F.col("c").alias("y"),
     )
-    shifted = a.crossJoin(F.broadcast(lags)).join(
+    shifted = a.transform(attach_broadcast, F.broadcast(lags)).join(
         b,
         (F.col("et_b") == F.col("event_type"))
         & (F.col("day_b") == F.col("day") + F.col("lag")),

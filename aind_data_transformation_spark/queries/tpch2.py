@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
+from aind_data_transformation_spark.ops import attach_broadcast
 from aind_data_transformation_spark.queries.numeric import cents, sql_cents
 from aind_data_transformation_spark.queries.tpch import _rev, _sql_rev
 
@@ -334,7 +335,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     recent = o.where(F.col("o_orderdate") >= _ts("1999-01-01"))
     return (
-        pool.join(F.broadcast(avg_))
+        attach_broadcast(pool, avg_)
         .where(cents("c_acctbal") * F.col("bal_cnt") > F.col("bal_sum_c"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy(F.col("c_nationkey").alias("cntrycode"))

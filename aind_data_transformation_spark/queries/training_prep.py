@@ -41,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from aind_data_transformation_spark.ops import attach_broadcast
+
 from aind_data_transformation_spark.io.sources import load_table
 
 #: session gap threshold, microseconds (30 minutes)
@@ -106,7 +108,7 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .transform(attach_broadcast, F.broadcast(stats))
         .withColumn(
             "score_u6",
             F.expr(
@@ -177,7 +179,7 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = vocab.agg(F.sum("cnt").cast("long").alias("t_total"))
     per_term = (
         tf.join(vocab, "term")
-        .crossJoin(F.broadcast(total))
+        .transform(attach_broadcast, F.broadcast(total))
         .withColumn(
             "u", F.expr("CAST(round(tf * ln(cnt / t_total) * 1e6) AS BIGINT)")
         )

@@ -384,6 +384,54 @@ def click_purchase_left_join(
     )
 
 
+def click_purchase_full_join(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the third member of the
+    interval-join family (inner `click_purchase_join`, left-outer
+    `click_purchase_left_join`): every click with its same-user
+    purchases in the following 30 minutes, PLUS null-padded rows for
+    clicks that provably attracted no purchase AND purchases that
+    provably followed no click. Matches emit eagerly; the null-padded
+    click emits when the watermark passes ``click_ts + 30 min`` (no
+    qualifying purchase can still arrive), the null-padded purchase when
+    it passes ``purchase_ts`` (no click whose window could cover it can
+    still arrive) — both sides' state stays bounded at
+    (watermark delay + interval), same as the inner form.
+
+    Batch twin restricted to the two provable regions is proven
+    equivalent in tests/test_streaming.py."""
+    c = clicks.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", WATERMARK_DELAY)
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", WATERMARK_DELAY)
+    return c.join(
+        p,
+        F.expr(
+            """
+            c_uid = p_uid
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL 30 minutes
+            """
+        ),
+        "fullOuter",
+    ).select(
+        "click_id",
+        F.coalesce("c_uid", "p_uid").alias("user_id"),
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def windowed_topk_foreach_batch(
     events: DataFrame, out: list, k: int = 3
 ) -> "object":

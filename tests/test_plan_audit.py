@@ -34,49 +34,20 @@ from plan_audit import audit_plan  # noqa: E402
 
 _QUERIES, _ = registry()
 
-#: keys whose BroadcastNestedLoopJoin is a bounded broadcast by design
+#: keys whose BroadcastNestedLoopJoin is a bounded broadcast by design.
+#: r5 shrank this from 41 keys to the 5 that genuinely cannot be a
+#: constant-key hash join: every 1-row-aggregate / k-row-set attach now
+#: rides ops.attach_broadcast (fold-proof constant-key BroadcastHashJoin)
 _BNLJ_BROADCAST_TINY = {
-    "ann_pq_topk",
-    "basket_assoc_rules",
-    "corpus_perplexity_buckets",
-    "dau_wau_mau",
-    "embed_kmeans_lloyd",
+    # generated-SQL keys: the 1-row component/seed attaches live in SQL
+    # text where attach_broadcast can't reach; broadcast side is 1 row
     "embed_pca_project",
-    "fn_levenshtein",
-    "funnel_steps",
-    "graph_degree_distribution",
-    "graph_triangle_count",
-    "hybrid_search_rrf",
+    "sql_recursive_cte",
+    # genuine non-equi joins over schema-bounded dimension pair spaces
+    "fn_levenshtein",  # 25x25 nation-name pairs, key_a < key_b
+    # contract keys whose POINT is the non-equi/cartesian shape
     "join_cross",
     "join_theta_range",
-    "ml_ann_recall",
-    "ml_calibration_bins",
-    "ml_cross_validation",
-    "ml_knn_classify",
-    "ml_logreg_gd",
-    "ml_pr_curve",
-    "ml_psi_drift",
-    "ml_retrieval_eval",
-    "ml_target_encoding",
-    "ngram_pmi",
-    "quantile_bins",
-    "rank_bm25",
-    "rfm_segments",
-    "sample_class_balance",
-    "sample_temperature",
-    "sim_search_topk",
-    "sql_recursive_cte",
-    "stats_chi2",
-    "stats_ks_twosample",
-    "stats_winsorized",
-    "stream_late_data",
-    "survival_kaplan_meier",
-    "text_bigram_lm_score",
-    "text_unigram_logprob",
-    "tpch_q22",
-    "train_triplet_mining",
-    "ts_acf",
-    "ts_cross_correlation",
 }
 
 

@@ -592,3 +592,96 @@ def test_stream_left_outer_join_matches_batch(spark, tmp_path):
     assert canon_frame(got) == canon_frame(want)
     # outer semantics actually exercised: some clicks have no purchase
     assert got["purchase_id"].isna().any()
+
+
+def test_stream_full_outer_join_matches_batch(spark, tmp_path):
+    """FULL OUTER stream-stream join equivalence over the provable
+    regions: time-split source files advance the watermark across
+    micro-batches; every click older than (delay + interval) must appear
+    matched-or-null-padded, and every purchase older than the same
+    cutoff that followed no click must appear null-padded — byte-equal
+    to the batch full join restricted to those regions."""
+    import time as _t
+
+    import pandas as pd
+
+    from aind_data_transformation_spark.io.sources import normalize_event_ts
+
+    src = str(tmp_path / "events_sorted")
+    base = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+    ranged = base.repartitionByRange(6, "ts").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    for i in range(6):
+        ranged.where(F.col("__pid") == i).drop("__pid").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+    schema = spark.read.parquet(src).schema
+
+    ev = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    rows = jobs.run_available_now(
+        jobs.click_purchase_full_join(ev, ev), mode="append"
+    )
+    got = _rows_to_pdf(rows)
+    cutoff = (
+        ranged.where(F.col("__pid") <= 4)
+        .agg(F.expr("max(ts) - INTERVAL 90 minutes").alias("cut"))
+        .collect()[0]["cut"]
+    )
+    # provable region: click rows (matched or padded) with click_ts <=
+    # cutoff; padded purchase rows with purchase_ts <= cutoff. Matched
+    # rows with a newer click emitted eagerly — outside the proof, drop.
+    keep = (pd.to_datetime(got["click_ts"]) <= cutoff) | (
+        got["click_id"].isna()
+        & (pd.to_datetime(got["purchase_ts"]) <= cutoff)
+    )
+    got = got[keep]
+    ev_b = normalize_event_ts(spark.read.parquet(src))
+    clicks = ev_b.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev_b.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = (
+        clicks.join(
+            purchases,
+            (F.col("c_uid") == F.col("p_uid"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+            "full",
+        )
+        .select(
+            "click_id",
+            F.coalesce("c_uid", "p_uid").alias("user_id"),
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+        .where(
+            (F.col("click_ts") <= F.lit(cutoff))
+            | (
+                F.col("click_id").isNull()
+                & (F.col("purchase_ts") <= F.lit(cutoff))
+            )
+        )
+        .toPandas()
+    )
+    assert canon_frame(got) == canon_frame(want)
+    # both outer directions actually exercised
+    assert got["purchase_id"].isna().any()
+    assert got["click_id"].isna().any()
