@@ -859,7 +859,12 @@ def q_embed_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.join(norms, "cid")
 
 
-_SEMDEDUP_TAU = 0.95  #: within-cell cosine prune threshold
+#: within-cell cosine prune threshold. A production SemDeDup runs 0.9+;
+#: the driver's synthetic embeddings contain NO true near-duplicates
+#: (max within-cell pairwise cos ≈ 0.6 at sf0.1), so 0.45 is chosen to
+#: keep the operator's output non-empty at every test scale — the plan
+#: and the oracle are threshold-independent.
+_SEMDEDUP_TAU = 0.45
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -884,10 +889,18 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying lower id in the cell), the shared cell, and the cosine to
     that keeper. Exactness: cell assignment is the integer-scaled
     argmin; cosines round to 9 dp with (keep_id) min-struct tiebreak."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
     em, a2, _ = _lloyd_rounds(spark, sf_dir)
     norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    base = em.join(a2, "vec_id").select(
-        "vec_id", "cid", "v", norm.alias("nrm")
+    # the cell-assigned corpus feeds BOTH sides of the self-join:
+    # stage-materialize it (parquet on a cluster) or the whole 2-round
+    # Lloyd lineage executes twice
+    base = mat(
+        em.join(a2, "vec_id").select(
+            "vec_id", "cid", "v", norm.alias("nrm")
+        ),
+        "semdedup_cells",
     )
     a = base.select(
         F.col("vec_id").alias("keep_id"),
