@@ -686,6 +686,70 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the companion gate to `privacy_k_anonymity`
+    (Machanavajjhala et al. 2007): k-anonymity alone still leaks when an
+    equivalence class is homogeneous in the SENSITIVE attribute, so this
+    reports how many distinct sensitive values (account-balance hundreds
+    bucket) each quasi-identifier class (nation, market segment) carries,
+    bucketed l=1 / 2–4 / 5–9 / 10+ with class and row counts — l=1
+    classes reveal every member's sensitive value exactly.
+
+    Scale: one hash agg to the (QI, sensitive) domain, one to the QI
+    domain, one to 4 buckets; integers end-to-end."""
+    c = load_table(spark, sf_dir, "customer")
+    sens = F.expr(
+        "CAST(floor(CAST(round(c_acctbal) AS BIGINT) / 100.0D) AS BIGINT)"
+    )
+    per_qi = (
+        c.groupBy("c_nationkey", "c_mktsegment", sens.alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("l"),
+            F.sum("n").alias("n_rows"),
+        )
+    )
+    bucket = (
+        F.when(F.col("l") == 1, "1")
+        .when(F.col("l") <= 4, "2-4")
+        .when(F.col("l") <= 9, "5-9")
+        .otherwise("10+")
+    )
+    return per_qi.groupBy(bucket.alias("l_bucket")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
+def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit over the event stream: per event type,
+    the newest record's lag behind the globally newest record, in whole
+    minutes, plus a 120-minute SLA breach flag — the staleness check a
+    warehouse runs per upstream feed before publishing derived tables
+    (a silently-stalled producer shows up as one type lagging).
+
+    Exactness: lags are integer microsecond differences floor-divided to
+    minutes. Scale: one hash agg to the type domain + a 1-row global max
+    attached via constant-key broadcast hash join."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    per = e.groupBy("event_type").agg(
+        F.max("us").alias("newest_us"), F.count(F.lit(1)).alias("n_events")
+    )
+    glob = per.agg(F.max("newest_us").alias("global_us"))
+    lag_min = F.expr(
+        "CAST(floor((global_us - newest_us) / 60000000.0D) AS BIGINT)"
+    )
+    return attach_broadcast(per, glob).select(
+        "event_type",
+        "n_events",
+        lag_min.alias("lag_minutes"),
+        (lag_min > 120).alias("sla_breach"),
+    )
+
+
 def q_dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law audit of order totals: the observed first-digit
     distribution vs the expected log10(1 + 1/d) — the classic
@@ -730,6 +794,8 @@ def q_dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dq_benford_check": q_dq_benford_check,
     "privacy_k_anonymity": q_privacy_k_anonymity,
+    "privacy_l_diversity": q_privacy_l_diversity,
+    "dq_freshness_sla": q_dq_freshness_sla,
     "dq_referential_integrity": q_dq_referential_integrity,
     "agg_histogram": q_agg_histogram,
     "audience_overlap_bitmap": q_audience_overlap_bitmap,
@@ -777,6 +843,39 @@ ORACLES = {
                     - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))
                     * 1000000.0) AS BIGINT) AS dev_ppm
         FROM per CROSS JOIN tot
+    """,
+    "privacy_l_diversity": """
+        WITH per_qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(DISTINCT CAST(floor(
+                       CAST(round(c_acctbal) AS BIGINT) / 100.0)
+                       AS BIGINT)) AS l,
+                   COUNT(*) AS n_rows
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT CASE WHEN l = 1 THEN '1'
+                    WHEN l <= 4 THEN '2-4'
+                    WHEN l <= 9 THEN '5-9'
+                    ELSE '10+' END AS l_bucket,
+               COUNT(*)::BIGINT AS n_groups,
+               SUM(n_rows)::BIGINT AS n_rows
+        FROM per_qi GROUP BY 1
+    """,
+    "dq_freshness_sla": """
+        WITH per AS (
+            SELECT event_type, max(epoch_us(ts)) AS newest_us,
+                   COUNT(*)::BIGINT AS n_events
+            FROM events GROUP BY event_type
+        ), gmax AS (
+            SELECT max(newest_us) AS global_us FROM per
+        )
+        SELECT event_type, n_events,
+               CAST(floor((global_us - newest_us) / 60000000.0) AS BIGINT)
+                   AS lag_minutes,
+               CAST(floor((global_us - newest_us) / 60000000.0) AS BIGINT)
+                   > 120 AS sla_breach
+        FROM per CROSS JOIN gmax
     """,
     "privacy_k_anonymity": """
         WITH qi AS (

@@ -510,6 +510,46 @@ def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_MIN_CHARS = 30  #: ignore short fragments (C4 used 3+ words / line)
 
 
+def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty report: the fraction (ppm) of 8-token
+    grams that first appear in that source's docs versus grams already
+    seen in any LOWER doc_id — the repetition/novelty diagnostic run on
+    a crawl snapshot before mixing it into a training corpus (a source
+    whose novelty collapses is re-crawling what you already have).
+
+    Shape: one (gram -> min doc_id) hash agg defines first sight; the
+    per-doc gram explode joins back on the gram key and a gram counts as
+    novel for its doc iff that doc IS the first sight. Both sides shuffle
+    on the gram key only — at 100 TB this is the decontaminate plan with
+    the broadcast replaced by a gram-keyed equi-join, and grams would be
+    8-byte hashes instead of strings (same plan).
+
+    Exactness: counts are integers; the ppm is one floor-divide."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        "transform(sequence(0, size(__toks) - 8),"
+        " i -> concat_ws(' ', slice(__toks, i + 1, 8)))"
+    )
+    dg = (
+        d.select("doc_id", "source", F.expr("split(text, ' ')").alias("__toks"))
+        .where(F.expr("size(__toks) >= 8"))
+        .select("doc_id", "source", F.explode(F.expr(grams)).alias("gram"))
+        .distinct()
+    )
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    marked = dg.join(first, "gram").select(
+        "source",
+        (F.col("doc_id") == F.col("first_doc")).cast("long").alias("novel"),
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+        F.expr(
+            "CAST(SUM(novel) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("novelty_ppm"),
+    )
+
+
 def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate line audit: split every document into
     sentence-level lines, find lines repeated across ≥2 DISTINCT
@@ -563,6 +603,7 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "corpus_line_dedup": q_corpus_line_dedup,
+    "corpus_ngram_novelty": q_corpus_ngram_novelty,
     "corpus_length_quantiles": q_corpus_length_quantiles,
     "corpus_bloom_dedup": q_corpus_bloom_dedup,
     "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -579,6 +620,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_ngram_novelty": """
+        WITH toks AS (
+            SELECT doc_id, source, string_split(text, ' ') AS t
+            FROM documents
+        ), dg AS (
+            SELECT DISTINCT doc_id, source,
+                   array_to_string(t[i + 1 : i + 8], ' ') AS gram
+            FROM toks, unnest(generate_series(0, len(t) - 8)) AS u(i)
+            WHERE len(t) >= 8
+        ), first AS (
+            SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY gram
+        )
+        SELECT source,
+               COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)::BIGINT
+                   AS n_novel,
+               CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM dg JOIN first USING (gram)
+        GROUP BY source
+    """,
     "corpus_line_dedup": f"""
         WITH lines AS (
             SELECT doc_id, line

@@ -165,20 +165,11 @@ _PLANES = [
 ]
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SimHash) LSH similarity search with multi-probe:
-    the 4 sign bits of the plane projections bucket the corpus into 16
-    cells; each query probes its own cell plus the 4 Hamming-1 flips
-    (nprobe=5 — single-probe recall@5 measured 0.04 because a near
-    neighbor flips one marginal plane sign with high probability; the
-    Hamming-1 probes are exactly the buckets those flips land in).
-
-    This is the classic cosine-LSH scale path: the bucket id is a pure
-    column expression (index build = free byproduct of the scan), the
-    probe is an equi-join on the bucket key, and recall is tuned by the
-    plane count / probe count — none of which changes the plan shape. The
-    projection is rounded to 9 decimals before the sign test so bucket
-    assignment is bit-identical across engines."""
+def _lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared SimHash-LSH probe pipeline: corpus bucketed by the 4 plane
+    sign bits, queries probe own + 4 Hamming-1 buckets, every probed
+    neighbor scored with exact cosine. Consumed by `ann_lsh_topk` (rank
+    window) and `ann_range_search` (radius filter)."""
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl("embedding").alias("emb")
     )
@@ -219,18 +210,57 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(
         _dot(F.col("emb"), F.col("q_emb")) / (F.col("nrm") * F.col("q_nrm")), 9
     )
+    return scored.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        cos.alias("cos_r9"),
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash) LSH similarity search with multi-probe:
+    the 4 sign bits of the plane projections bucket the corpus into 16
+    cells; each query probes its own cell plus the 4 Hamming-1 flips
+    (nprobe=5 — single-probe recall@5 measured 0.04 because a near
+    neighbor flips one marginal plane sign with high probability; the
+    Hamming-1 probes are exactly the buckets those flips land in).
+
+    This is the classic cosine-LSH scale path: the bucket id is a pure
+    column expression (index build = free byproduct of the scan), the
+    probe is an equi-join on the bucket key, and recall is tuned by the
+    plane count / probe count — none of which changes the plan shape. The
+    projection is rounded to 9 decimals before the sign test so bucket
+    assignment is bit-identical across engines. Probe/score pipeline in
+    `_lsh_scored` (shared with `ann_range_search`)."""
+    scored = _lsh_scored(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_r9").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("bucket").cast("bigint").alias("bucket"),
-            cos.alias("cos_r9"),
-        )
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= _TOP_K)
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).where(F.col("rank") <= _TOP_K)
+
+
+_RANGE_TAU = 0.3  #: radius-search cosine floor (see _SEMDEDUP_TAU note)
+
+
+def q_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RANGE (radius) search — the fixed-threshold sibling of top-k
+    retrieval: every probed neighbor scoring cos ≥ 0.3 of each query,
+    however many or few that is. The retrieval mode dedup and
+    recommendation pipelines actually want when 'how similar' matters
+    more than 'how many' (top-k returns k rows even when nothing is
+    close; range search returns nothing — or everything within radius).
+
+    Same `_lsh_scored` bucket-probe plan as `ann_lsh_topk` (equi-join on
+    the bucket key, no corpus shuffle) with the rank window replaced by
+    a pushed-down threshold filter — strictly cheaper: no per-query sort
+    at any scale. The 0.3 radius is tuned to the synthetic corpus's
+    similarity range (max pairwise cos ≈ 0.6) so all three test scales
+    produce rows."""
+    return _lsh_scored(spark, sf_dir).where(
+        F.col("cos_r9") >= _RANGE_TAU
     )
 
 
@@ -1151,6 +1181,7 @@ QUERIES = {
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_arrow": q_multimodal_decode_arrow,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_range_search": q_ann_range_search,
     "train_triplet_mining": q_train_triplet_mining,
     "multimodal_shard_plan": q_multimodal_shard_plan,
 }
@@ -1324,6 +1355,30 @@ _BUCKET_DUCK = " + ".join(
     for j, p in enumerate(_PLANES)
 )
 
+_ANN_LSH_BASE = f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding,
+               {_BUCKET_DUCK} AS bucket,
+               sqrt({_dot_duck('embedding', 'embedding')}) AS nrm
+        FROM embeddings
+    ), queries AS (
+        SELECT vec_id AS query_id, embedding AS q_emb,
+               bucket AS q_bucket, nrm AS q_nrm
+        FROM corpus WHERE vec_id < {_N_QUERIES}
+    ), probes AS (
+        SELECT query_id, q_emb, q_nrm,
+               unnest([q_bucket, xor(q_bucket, 8), xor(q_bucket, 4),
+                       xor(q_bucket, 2), xor(q_bucket, 1)]) AS probe_bucket
+        FROM queries
+    )
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           CAST(c.bucket AS BIGINT) AS bucket,
+           round({_dot_duck('c.embedding', 'q.q_emb')} / (c.nrm * q.q_nrm), 9)
+               AS cos_r9
+    FROM corpus c JOIN probes q ON c.bucket = q.probe_bucket
+    WHERE c.vec_id != q.query_id
+"""
+
 _ANN_LSH_SQL = f"""
     WITH corpus AS (
         SELECT vec_id, embedding,
@@ -1467,6 +1522,9 @@ ORACLES = {
     "ann_pq_topk": _pq_oracle(),
     "ann_ivfpq_topk": _ivfpq_oracle(),
     "ann_lsh_topk": _ANN_LSH_SQL,
+    "ann_range_search": f"""
+        SELECT * FROM ({_ANN_LSH_BASE}) s WHERE cos_r9 >= {_RANGE_TAU}
+    """,
     "multimodal_resize_stub": """
         WITH dims AS (
             SELECT doc_id,

@@ -346,7 +346,65 @@ def q_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join, batch twin of
+    streaming/jobs.click_purchase_full_join: every click matched-or-null
+    with following-30-min same-user purchases, PLUS null-padded rows for
+    purchases no click window covers. Restricted to the two PROVABLE
+    regions (click_ts ≤ max(ts) − 90 min for click rows; padded-purchase
+    rows with purchase_ts ≤ the same cutoff) — exactly where the
+    streaming form has provably emitted, per the equivalence proof in
+    tests/test_streaming.py::test_stream_full_outer_join_matches_batch.
+
+    Scale: one equi+range shuffle join keyed on user; the cutoff is a
+    scalar aggregate attached via constant-key broadcast hash join."""
+    e = load_table(spark, sf_dir, "events")
+    maxts = e.agg(
+        (F.max("ts") - F.expr("INTERVAL 90 minutes")).alias("cut")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+        ),
+        "full",
+    )
+    return (
+        attach_broadcast(joined, maxts)
+        .where(
+            (F.col("click_ts") <= F.col("cut"))
+            | (
+                F.col("click_id").isNull()
+                & (F.col("purchase_ts") <= F.col("cut"))
+            )
+        )
+        .select(
+            "click_id",
+            F.coalesce("c_uid", "p_uid").alias("user_id"),
+            "click_ts",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
 QUERIES = {
+    "stream_full_join": q_stream_full_join,
     "stream_state_inspect": q_stream_state_inspect,
     "stream_tws_totals": q_stream_tws_totals,
     "stream_static_join": q_stream_static_join,
@@ -362,6 +420,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_full_join": """
+        WITH cutoff AS (
+            SELECT max(ts) - INTERVAL '90 minutes' AS cut FROM events
+        ), c AS (
+            SELECT event_id AS click_id, user_id AS c_uid, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id AS p_uid,
+                   ts AS purchase_ts, value AS purchase_value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT click_id,
+               coalesce(c_uid, p_uid) AS user_id,
+               click_ts, purchase_id, purchase_ts, purchase_value
+        FROM c FULL OUTER JOIN p
+          ON c_uid = p_uid
+         AND purchase_ts >= click_ts
+         AND purchase_ts <= click_ts + INTERVAL '30 minutes'
+        CROSS JOIN cutoff
+        WHERE click_ts <= cut
+           OR (click_id IS NULL AND purchase_ts <= cut)
+    """,
     "stream_left_join": """
         WITH cutoff AS (
             SELECT max(ts) - INTERVAL '90 minutes' AS cut FROM events
