@@ -451,6 +451,70 @@ def q_seq_markov_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency report: exact p50 / p90 / max of the
+    click→purchase delay for purchases converting within 30 minutes of
+    the user's most recent click — the funnel-health number ("how fast
+    do converters convert") product analytics publishes next to the
+    conversion rate.
+
+    Built on the tolerance as-of join (ops.asof_join: union + ONE
+    user_id shuffle), carrying the click's own microsecond timestamp as
+    the joined value so the delay is a pure integer difference.
+    Percentiles are the exact LOWER percentile over the whole-second
+    delay DOMAIN (≤ 1801 rows after the tolerance cap): distribution
+    groupBy + one bounded cumulative window + threshold probes — never
+    a global sort of raw delays (the stats_levene discipline)."""
+    from aind_data_transformation_spark.ops import attach_broadcast, asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("p_us")
+    )
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.unix_micros("ts").alias("c_us"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("c_us").alias("c_us"))
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts="ts",
+        value_cols=["c_us"],
+        tolerance_seconds=1800,
+    ).where(F.col("c_us").isNotNull())
+    delays = matched.select(
+        F.expr("(p_us - c_us) DIV 1000000").alias("delay_s")
+    )
+    dist = delays.groupBy("delay_s").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("delay_s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select(
+        "delay_s", F.sum("c").over(w).alias("cum")
+    )
+    tot = dist.agg(F.sum("c").alias("n"))
+    return (
+        attach_broadcast(cum, tot)
+        .groupBy("n")
+        .agg(
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * 50, F.col("delay_s"))
+            ).alias("p50_s"),
+            F.min(
+                F.when(F.col("cum") * 100 >= F.col("n") * 90, F.col("delay_s"))
+            ).alias("p90_s"),
+            F.max("delay_s").alias("max_s"),
+        )
+        .select(
+            F.col("n").cast("bigint").alias("n_conversions"),
+            "p50_s",
+            "p90_s",
+            "max_s",
+        )
+    )
+
+
 QUERIES = {
     "seq_markov_score": q_seq_markov_score,
     "events_transition_matrix": q_events_transition_matrix,
@@ -458,6 +522,7 @@ QUERIES = {
     "seq_pattern_match": q_seq_pattern_match,
     "win_gaps_islands": q_win_gaps_islands,
     "attribution_last_touch": q_attribution_last_touch,
+    "funnel_latency_quantiles": q_funnel_latency_quantiles,
     "dau_wau_mau": q_dau_wau_mau,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
@@ -592,6 +657,39 @@ ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_streaks,
                CAST(MAX(len) AS BIGINT) AS longest_streak
         FROM islands GROUP BY user_id
+    """,
+    "funnel_latency_quantiles": """
+        WITH p AS (
+            SELECT user_id, epoch_us(ts) AS p_us
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT user_id, epoch_us(ts) AS c_us
+            FROM events WHERE event_type = 'click'
+            GROUP BY 1, 2
+        ), matched AS (
+            SELECT p.p_us,
+                   (SELECT max(c.c_us) FROM c
+                    WHERE c.user_id = p.user_id
+                      AND c.c_us <= p.p_us
+                      AND c.c_us >= p.p_us - 1800 * 1000000) AS c_us
+            FROM p
+        ), delays AS (
+            SELECT (p_us - c_us) // 1000000 AS delay_s
+            FROM matched WHERE c_us IS NOT NULL
+        ), dist AS (
+            SELECT delay_s, COUNT(*) AS c FROM delays GROUP BY delay_s
+        ), cum AS (
+            SELECT delay_s,
+                   SUM(c) OVER (ORDER BY delay_s
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM dist
+        ), tot AS (SELECT SUM(c) AS n FROM dist)
+        SELECT CAST(n AS BIGINT) AS n_conversions,
+               min(CASE WHEN cum * 100 >= n * 50 THEN delay_s END) AS p50_s,
+               min(CASE WHEN cum * 100 >= n * 90 THEN delay_s END) AS p90_s,
+               max(delay_s) AS max_s
+        FROM cum CROSS JOIN tot
+        GROUP BY n
     """,
     "attribution_last_touch": """
         WITH purchases AS (

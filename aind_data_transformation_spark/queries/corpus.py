@@ -550,6 +550,39 @@ def q_corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_quality_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite quality gate: every document gets ONE verdict —
+    the FIRST failing rule in a fixed precedence order (too_short <25
+    tokens, too_long >90, low_diversity: type/token ratio <0.35) or
+    'ok' — and the report is the per-source verdict census. This is the
+    kept/dropped accounting a corpus-filter run publishes next to its
+    output (the C4 paper's table 1 shape); precedence ordering is what
+    makes drop REASONS sum to the drop count.
+
+    Exactness: token and distinct-token counts are integers and the TTR
+    rule is the cross-multiplied integer comparison distinct*100 <
+    total*35 — no float anywhere. Scale: one map pass (two size() calls
+    over the token split) + one hash agg to source x verdict; zero
+    joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(lower(text), ' '), x -> x <> '')"
+    sized = d.select(
+        "source",
+        F.expr(f"size({toks})").alias("nt"),
+        F.expr(f"size(array_distinct({toks}))").alias("nd"),
+    )
+    verdict = (
+        F.when(F.col("nt") < 25, "too_short")
+        .when(F.col("nt") > 90, "too_long")
+        .when(F.col("nd") * 100 < F.col("nt") * 35, "low_diversity")
+        .otherwise("ok")
+    )
+    return (
+        sized.groupBy("source", verdict.alias("verdict"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style boilerplate line audit: split every document into
     sentence-level lines, find lines repeated across ≥2 DISTINCT
@@ -604,6 +637,7 @@ def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "corpus_line_dedup": q_corpus_line_dedup,
     "corpus_ngram_novelty": q_corpus_ngram_novelty,
+    "corpus_quality_composite": q_corpus_quality_composite,
     "corpus_length_quantiles": q_corpus_length_quantiles,
     "corpus_bloom_dedup": q_corpus_bloom_dedup,
     "doc_chunk_overlap": q_doc_chunk_overlap,
@@ -620,6 +654,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "corpus_quality_composite": """
+        WITH sized AS (
+            SELECT source,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> x <> '')) AS nt,
+                   len(list_distinct(list_filter(string_split(lower(text),
+                       ' '), x -> x <> ''))) AS nd
+            FROM documents
+        )
+        SELECT source,
+               CASE WHEN nt < 25 THEN 'too_short'
+                    WHEN nt > 90 THEN 'too_long'
+                    WHEN nd * 100 < nt * 35 THEN 'low_diversity'
+                    ELSE 'ok' END AS verdict,
+               COUNT(*)::BIGINT AS n_docs
+        FROM sized GROUP BY 1, 2
+    """,
     "corpus_ngram_novelty": """
         WITH toks AS (
             SELECT doc_id, source, string_split(text, ' ') AS t

@@ -185,6 +185,55 @@ def q_graph_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the co-purchase graph:
+    cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)) for deg ≥ 2 — the how-cliquish
+    diagnostic that separates hub-and-spoke neighborhoods from tight
+    communities (the input signal for SemDeDup-style cluster pruning on
+    graphs).
+
+    Shape: the node-ordered triangle chain of `graph_triangle_count`
+    enumerates each triangle once; exploding its 3 corners + a node
+    groupBy gives per-node triangle counts; degrees are one edge
+    explode + groupBy. Everything is an equi-join/hash agg on node keys
+    over the support-thresholded sparse edge set.
+
+    Exactness: cc is 1e6-gridded from integer t and deg; nodes without a
+    triangle still report (cc=0) via the left join."""
+    # node-ordered half of the symmetrized edge list: triangles must
+    # enumerate once per (a < b < c), degrees once per undirected edge
+    edges = _copurchase_edges(spark, sf_dir).where(F.col("u") < F.col("v"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tri_nodes = (
+        tri.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri_nodes, "node", "left")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("deg").cast("bigint").alias("deg"),
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                "CAST(round(2.0D * coalesce(n_tri, 0)"
+                " / (CAST(deg AS DOUBLE) * (deg - 1)) * 1e6) AS BIGINT)"
+            ).alias("cc_u6"),
+        )
+    )
+
+
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting on the co-purchase graph (edges = part pairs
     sharing >= 2 orders, from graph_copurchase's support mining). Edges
@@ -810,6 +859,7 @@ QUERIES = {
     "graph_label_propagation": q_graph_label_propagation,
     "graph_copurchase": q_graph_copurchase,
     "graph_triangle_count": q_graph_triangle_count,
+    "graph_clustering_coefficient": q_graph_clustering_coefficient,
     "graph_bfs_frontier": q_graph_bfs_frontier,
     "graph_bellman_ford": q_graph_bellman_ford,
     "basket_assoc_rules": q_basket_assoc_rules,
@@ -909,6 +959,39 @@ ORACLES = {
         CROSS JOIN n
         ORDER BY lift DESC, confidence DESC, ante, cons
         LIMIT 20
+    """,
+    "graph_clustering_coefficient": """
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        ), tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), tri_nodes AS (
+            SELECT node, COUNT(*) AS n_tri FROM (
+                SELECT unnest([a, b, c]) AS node FROM tri
+            ) GROUP BY node
+        ), deg AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT unnest([u, v]) AS node FROM edges
+            ) GROUP BY node
+        )
+        SELECT CAST(d.node AS BIGINT) AS node,
+               CAST(d.deg AS BIGINT) AS deg,
+               CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+               CAST(round(2.0 * coalesce(t.n_tri, 0)
+                    / (CAST(d.deg AS DOUBLE) * (d.deg - 1)) * 1e6)
+                    AS BIGINT) AS cc_u6
+        FROM deg d LEFT JOIN tri_nodes t USING (node)
+        WHERE d.deg >= 2
     """,
     "graph_triangle_count": """
         WITH items AS (

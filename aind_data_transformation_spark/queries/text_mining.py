@@ -239,10 +239,73 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHI2_TOPK = 5
+
+
+def q_ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square feature selection: the top-5 most label-discriminative
+    terms per language by the 2x2 presence/label chi2 statistic — the
+    classic supervised vocabulary pruner (Manning/Schutze IR ch.13) run
+    before training text classifiers at corpus scale. Only observed
+    (term, lang) presence pairs are ranked (a term absent from a class
+    is evidence AGAINST it, but selection wants positively
+    characteristic features).
+
+    Contingency per (term, lang): n11 = docs of the lang containing the
+    term; margins from the term's total df (term-keyed agg), the lang's
+    doc count (k-row attach), and N (1-row attach) — so the whole grid
+    derives from three hash aggs and two broadcast attaches, shuffling
+    only on the term key. At 100 TB that is one doc-term distinct + two
+    tiny joins: the canonical shape.
+
+    Exactness: the numerator N*(n11*n00 - n10*n01)^2 reaches ~N^5 and is
+    accumulated in decimal(38,0); chi2 closes in one identical double
+    tree and is 1e-6-integer-gridded before the rank window, ties to the
+    lexicographically smaller term."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("array_distinct(filter(split(lower(text), ' '),"
+                   " x -> x <> ''))")
+        ).alias("term"),
+    )
+    tl = dt.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("n11"))
+    tdf = tl.groupBy("term").agg(F.sum("n11").alias("n1x"))
+    ldf = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nx1"))
+    ntot = d.agg(F.count(F.lit(1)).alias("n"))
+    g = attach_broadcast(
+        tl.join(tdf, "term").join(F.broadcast(ldf), "lang"), ntot
+    )
+    chi2_u = F.expr(
+        """CAST(round(
+             CAST(n AS DOUBLE)
+             * CAST(CAST(n11 AS DECIMAL(38,0)) * (n - n1x - nx1 + n11)
+                    - CAST(n1x - n11 AS DECIMAL(38,0)) * (nx1 - n11)
+                    AS DOUBLE)
+             * CAST(CAST(n11 AS DECIMAL(38,0)) * (n - n1x - nx1 + n11)
+                    - CAST(n1x - n11 AS DECIMAL(38,0)) * (nx1 - n11)
+                    AS DOUBLE)
+             / CAST(n1x AS DOUBLE) / CAST(n - n1x AS DOUBLE)
+             / CAST(nx1 AS DOUBLE) / CAST(n - nx1 AS DOUBLE)
+             * 1e6) AS BIGINT)"""
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_u").desc(), F.col("term").asc()
+    )
+    return (
+        g.select("lang", "term", "n11", chi2_u.alias("chi2_u"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= _CHI2_TOPK)
+    )
+
+
 QUERIES = {
     "text_rake_keywords": q_text_rake_keywords,
     "corpus_inverted_index": q_corpus_inverted_index,
     "tfidf_keywords": q_tfidf_keywords,
+    "ml_chi2_feature_selection": q_ml_chi2_feature_selection,
     "ngram_topk": q_ngram_topk,
     "ngram_pmi": q_ngram_pmi,
 }
@@ -301,6 +364,45 @@ ORACLES = {
                list_sort(list(DISTINCT doc_id)) AS postings
         FROM t
         GROUP BY term
+    """,
+    "ml_chi2_feature_selection": f"""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, lang, t.term
+            FROM documents,
+                 unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS t(term)
+        ), tl AS (
+            SELECT term, lang, count(*) AS n11 FROM dt GROUP BY 1, 2
+        ), tdf AS (
+            SELECT term, SUM(n11) AS n1x FROM tl GROUP BY term
+        ), ldf AS (
+            SELECT lang, count(*) AS nx1 FROM documents GROUP BY lang
+        ), ntot AS (
+            SELECT count(*) AS n FROM documents
+        ), g AS (
+            SELECT tl.term, tl.lang, tl.n11, tdf.n1x, ldf.nx1, ntot.n
+            FROM tl JOIN tdf USING (term) JOIN ldf USING (lang)
+            CROSS JOIN ntot
+        ), scored AS (
+            SELECT lang, term, CAST(n11 AS BIGINT) AS n11,
+                   CAST(round(
+                     CAST(n AS DOUBLE)
+                     * CAST(CAST(n11 AS DECIMAL(38,0)) * (n - n1x - nx1 + n11)
+                            - CAST(n1x - n11 AS DECIMAL(38,0)) * (nx1 - n11)
+                            AS DOUBLE)
+                     * CAST(CAST(n11 AS DECIMAL(38,0)) * (n - n1x - nx1 + n11)
+                            - CAST(n1x - n11 AS DECIMAL(38,0)) * (nx1 - n11)
+                            AS DOUBLE)
+                     / CAST(n1x AS DOUBLE) / CAST(n - n1x AS DOUBLE)
+                     / CAST(nx1 AS DOUBLE) / CAST(n - nx1 AS DOUBLE)
+                     * 1e6) AS BIGINT) AS chi2_u
+            FROM g
+        )
+        SELECT lang, term, n11, chi2_u,
+               CAST(row_number() OVER (PARTITION BY lang
+                    ORDER BY chi2_u DESC, term ASC) AS BIGINT) AS rk
+        FROM scored
+        QUALIFY rk <= {_CHI2_TOPK}
     """,
     "tfidf_keywords": """
         WITH terms AS (
