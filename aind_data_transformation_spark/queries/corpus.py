@@ -22,6 +22,7 @@ from aind_data_transformation_spark.ops import (
     series_row_number,
 )
 from aind_data_transformation_spark.texthash import (
+    tokval,
     verified_near_dups,
     verified_pairs_sql,
 )
@@ -467,6 +468,92 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+#: DSIR: hashed-feature bucket count and documents kept. 64 buckets is
+#: the test-scale stand-in for the paper's 10k hashed n-gram buckets;
+#: the bucket count is a constant in both engines' generated SQL so any
+#: setting stays hash-checkable. Keep follows the paper's top-weight
+#: selection (their Gumbel-noise sampling step is replaced by the
+#: deterministic top-K so the operator is reproducible and
+#: oracle-checkable; a seeded Gumbel column drops in at production).
+_DSIR_BUCKETS = 64
+_DSIR_KEEP = 100
+
+
+def q_corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169), the standard pretraining-data selection pass:
+    score every document by how much more likely its hashed-token
+    features are under a TARGET distribution (here the 'en' slice — the
+    paper's high-quality-domain stand-in) than under the raw SOURCE pool
+    (all documents), then keep the top ``_DSIR_KEEP`` by log importance
+    weight.
+
+    Shape: one token explode -> 64-bucket hashed unigram counts (the
+    paper's hashed n-gram features via the portable ``tokval`` hash) ->
+    add-1-smoothed log-ratio per bucket, 1e6-scaled to BIGINT so
+    per-document weights are exact integer sums in any aggregation
+    order -> per-doc sum -> global top-K via orderBy+limit
+    (TakeOrderedAndProject: per-partition top-K then a K-row merge — no
+    full sort, no unbounded single-partition exchange; the rank window
+    after the limit sees only K rows). The bucket table is ~64 rows and
+    broadcasts; the corpus is scanned twice (count pass, score pass) and
+    shuffled only on the 64-key bucket agg and the doc_id agg. At 100 TB
+    the feature space grows to the paper's 10k buckets and everything
+    still broadcasts.
+
+    Exactness: counts are integers; the only float step is ln() of
+    exact-rounded divisions, nano-rounded to 1e-6 per bucket before any
+    summation, so both engines sum identical BIGINTs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.expr("split(text, ' ')")).alias("tok")
+    ).where(F.col("tok") != "")
+    bucketed = toks.withColumn(
+        "bucket", F.expr(f"({tokval('tok')}) % {_DSIR_BUCKETS}")
+    )
+    cnt = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("src_n"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("tgt_n"),
+    )
+    tot = cnt.agg(
+        F.sum("src_n").cast("long").alias("src_tot"),
+        F.sum("tgt_n").cast("long").alias("tgt_tot"),
+    )
+    lr = attach_broadcast(cnt, tot).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("tgt_n") + 1).cast("double")
+                    / (F.col("tgt_tot") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("src_n") + 1).cast("double")
+                    / (F.col("src_tot") + _DSIR_BUCKETS).cast("double")
+                )
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("lr_u6"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum("lr_u6").cast("long").alias("logw_u6"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("logw_u6").desc(), F.col("doc_id").asc()
+    ).limit(_DSIR_KEEP)
+    w = Window.orderBy(F.col("logw_u6").desc(), F.col("doc_id").asc())
+    return top.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+
+
 def q_corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix allocation planner: given per-source token counts
     and a token budget of half the corpus, allocate the budget uniformly
@@ -651,6 +738,7 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "corpus_mixture": q_corpus_mixture,
     "corpus_mix_weights": q_corpus_mix_weights,
+    "corpus_dsir_importance": q_corpus_dsir_importance,
 }
 
 ORACLES = {
@@ -998,5 +1086,46 @@ ORACLES = {
               CASE lang WHEN 'en' THEN 1073741824
                         WHEN 'zh' THEN 2147483648
                         ELSE 4294967296 END
+    """,
+    "corpus_dsir_importance": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, tok FROM (
+                SELECT doc_id, lang,
+                       unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), b AS (
+            SELECT doc_id, lang,
+                   ({tokval('tok')}) % {_DSIR_BUCKETS} AS bucket
+            FROM toks
+        ), cnt AS (
+            SELECT bucket,
+                   COUNT(*)::BIGINT AS src_n,
+                   count_if(lang = 'en')::BIGINT AS tgt_n
+            FROM b GROUP BY bucket
+        ), tot AS (
+            SELECT SUM(src_n)::BIGINT AS src_tot,
+                   SUM(tgt_n)::BIGINT AS tgt_tot
+            FROM cnt
+        ), lr AS (
+            SELECT bucket,
+                   CAST(round((ln(CAST(tgt_n + 1 AS DOUBLE)
+                                  / CAST(tgt_tot + {_DSIR_BUCKETS} AS DOUBLE))
+                             - ln(CAST(src_n + 1 AS DOUBLE)
+                                  / CAST(src_tot + {_DSIR_BUCKETS} AS DOUBLE)))
+                              * 1e6) AS BIGINT) AS lr_u6
+            FROM cnt CROSS JOIN tot
+        ), scored AS (
+            SELECT doc_id, lang,
+                   COUNT(*)::BIGINT AS n_toks,
+                   SUM(lr_u6)::BIGINT AS logw_u6
+            FROM b JOIN lr USING (bucket)
+            GROUP BY doc_id, lang
+        )
+        SELECT doc_id, lang, n_toks, logw_u6,
+               CAST(row_number() OVER (
+                    ORDER BY logw_u6 DESC, doc_id ASC) AS BIGINT) AS sel_rank
+        FROM scored
+        QUALIFY sel_rank <= {_DSIR_KEEP}
     """,
 }

@@ -177,12 +177,15 @@ def test_ann_variants_recall_vs_brute_force(spark):
 
     exact = topsets(q_sim_search_topk(spark, TEST_SF_DIR))
     floors = {
-        q_ann_ivf_topk: 0.4,  # nprobe=4 multi-probe
+        # k-means 64-cell quantizer, nprobe=4: measured 0.76 at sf0.001,
+        # 0.96 at sf0.1 — the r5 8-cell sign-bit gate scored 0.70 while
+        # scanning 50% of the corpus; this scans ~7%
+        q_ann_ivf_topk: 0.6,
         q_ann_lsh_topk: 0.35,  # nprobe=5 Hamming-1 multi-probe
         q_ann_pq_topk: 0.6,  # PQ reranks exactly, should be closest
-        # IVFADC composition: bounded by the cell gate (same as IVF),
-        # measured 0.68 at sf0.001 — the ADC cut costs no recall here
-        q_ann_ivfpq_topk: 0.4,
+        # IVFADC composition: bounded by the cell gate (same as IVF);
+        # the ADC cut costs little recall on top of it
+        q_ann_ivfpq_topk: 0.5,
     }
     for fn, floor in floors.items():
         approx = topsets(fn(spark, TEST_SF_DIR))
@@ -193,6 +196,63 @@ def test_ann_variants_recall_vs_brute_force(spark):
         recall = hits / total
         assert recall >= floor, (
             f"{fn.__name__}: recall@5 {recall:.2f} below floor {floor}"
+        )
+
+
+def test_ivf_scan_fraction_bounded(spark):
+    """The IVF probe must actually prune: the number of (query,
+    candidate) pairs the exact-cosine scan touches is bounded by
+    2.5 × (nprobe / n_cells) × N × n_queries — the nominal scan
+    fraction with headroom for cell-size skew. The r5 8-cell sign-bit
+    quantizer scanned 50% of the corpus per query and would fail this
+    at ~8× the bound (r5 verdict item #3)."""
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        _IVF_CELLS,
+        _IVF_NPROBE,
+        _N_QUERIES,
+        _ivf_scored,
+    )
+    from aind_data_transformation_spark.io.sources import load_table
+
+    n = load_table(spark, TEST_SF_DIR, "embeddings").count()
+    scanned = _ivf_scored(spark, TEST_SF_DIR).count()
+    bound = 2.5 * (_IVF_NPROBE / _IVF_CELLS) * n * _N_QUERIES
+    assert scanned <= bound, (
+        f"IVF scanned {scanned} candidate pairs > bound {bound:.0f} "
+        f"(nominal {(_IVF_NPROBE / _IVF_CELLS) * n * _N_QUERIES:.0f})"
+    )
+
+
+def test_semdedup_k_parameterized_and_pair_bounded(spark, oracle):
+    """SemDeDup's cluster count is a real knob (r5 verdict item #4):
+    Spark and the generated DuckDB oracle stay hash-identical at TWO
+    different k values, and the within-cell candidate-pair count obeys
+    the Σ|cell|·(|cell|-1)/2 ≤ N²/k scale bound that makes the operator
+    survive a growing corpus (k scales ~sqrt(N) in production)."""
+    from tests.conftest import TEST_SF_DIR, assert_matches_oracle
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        _dedup_semantic_impl,
+        _lloyd_rounds,
+        _semdedup_oracle,
+    )
+
+    for k in (4, 8):
+        assert_matches_oracle(
+            _dedup_semantic_impl(spark, TEST_SF_DIR, k),
+            oracle,
+            _semdedup_oracle(k),
+            label=f"dedup_semantic k={k}",
+        )
+        _, a2, _, _ = _lloyd_rounds(spark, TEST_SF_DIR, k=k)
+        sizes = [r["n"] for r in a2.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n")).collect()]
+        n = sum(sizes)
+        pairs = sum(s * (s - 1) // 2 for s in sizes)
+        assert pairs <= n * n / k, (
+            f"k={k}: {pairs} within-cell pairs exceeds N²/k = {n * n / k:.0f}"
         )
 
 
