@@ -12,7 +12,7 @@ exact far past int64 (DuckDB SUM(BIGINT) widens to HUGEINT on its own).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
 from aind_data_transformation_spark.ops import attach_broadcast
@@ -722,6 +722,87 @@ def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li, Venkatasubramanian, ICDE 2007) — the
+    third gate of the anonymity triad: a class can be k-anonymous AND
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    far from the table's. For every quasi-identifier class
+    (nation, market segment) this computes the Earth Mover's Distance
+    between the class's and the global distribution of the ordered
+    sensitive attribute (account balance in thousands): for ordered
+    buckets EMD = Σ|CDF_class − CDF_global| / (m−1).
+
+    Exactness: the CDF difference per bucket is kept as the exact
+    integer numerator n_gv·N − n_v·N_g over the common denominator
+    N_g·N, cumulated and |·|-summed as BIGINT; the single final division
+    is 1e6-rounded. Missing buckets in a class participate with count 0
+    via a dense class×bucket grid.
+
+    Scale: the sensitive domain is schema-bounded (~tens of buckets), so
+    the grid is |classes|×m via a constant-key broadcast hash join, the
+    CDF window partitions are m rows each, and everything else is hash
+    aggs; no unbounded shuffle or window anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    sens = F.expr(
+        "CAST(floor(CAST(round(c_acctbal) AS BIGINT) / 1000.0D) AS BIGINT)"
+    )
+    rows = c.select("c_nationkey", "c_mktsegment", sens.alias("sv"))
+    cls_sv = rows.groupBy("c_nationkey", "c_mktsegment", "sv").agg(
+        F.count(F.lit(1)).alias("n_gv")
+    )
+    classes = rows.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    dom = rows.groupBy("sv").agg(F.count(F.lit(1)).alias("n_v"))
+    tot = dom.agg(
+        F.sum("n_v").alias("n_total"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    grid = attach_broadcast(attach_broadcast(classes, dom), tot)
+    dense = grid.join(
+        cls_sv, ["c_nationkey", "c_mktsegment", "sv"], "left"
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "sv",
+        "n_g",
+        "n_v",
+        "n_total",
+        "m",
+        F.coalesce(F.col("n_gv"), F.lit(0)).alias("n_gv"),
+    )
+    diff_num = (F.col("n_gv") * F.col("n_total") - F.col("n_v") * F.col("n_g")).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(diff_num).over(w)
+    per = (
+        dense.withColumn("cum_abs", F.abs(cum))
+        .groupBy("c_nationkey", "c_mktsegment", "n_g", "n_total", "m")
+        .agg(F.sum("cum_abs").alias("sum_abs"))
+    )
+    emd = F.round(
+        F.col("sum_abs").cast("double")
+        / (
+            F.col("n_g").cast("double")
+            * F.col("n_total").cast("double")
+            * F.greatest(F.col("m") - 1, F.lit(1)).cast("double")
+        )
+        * 1e6
+    ).cast("long")
+    return per.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n_g").cast("long").alias("n_rows"),
+        emd.alias("emd_u6"),
+        (emd > 200000).alias("t02_breach"),
+    )
+
+
 def q_dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-freshness SLA audit over the event stream: per event type,
     the newest record's lag behind the globally newest record, in whole
@@ -795,6 +876,7 @@ QUERIES = {
     "dq_benford_check": q_dq_benford_check,
     "privacy_k_anonymity": q_privacy_k_anonymity,
     "privacy_l_diversity": q_privacy_l_diversity,
+    "privacy_t_closeness": q_privacy_t_closeness,
     "dq_freshness_sla": q_dq_freshness_sla,
     "dq_referential_integrity": q_dq_referential_integrity,
     "agg_histogram": q_agg_histogram,
@@ -861,6 +943,56 @@ ORACLES = {
                COUNT(*)::BIGINT AS n_groups,
                SUM(n_rows)::BIGINT AS n_rows
         FROM per_qi GROUP BY 1
+    """,
+    "privacy_t_closeness": """
+        WITH rows_s AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(CAST(round(c_acctbal) AS BIGINT) / 1000.0)
+                        AS BIGINT) AS sv
+            FROM customer
+        ), cls_sv AS (
+            SELECT c_nationkey, c_mktsegment, sv, COUNT(*)::BIGINT AS n_gv
+            FROM rows_s GROUP BY 1, 2, 3
+        ), classes AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*)::BIGINT AS n_g
+            FROM rows_s GROUP BY 1, 2
+        ), dom AS (
+            SELECT sv, COUNT(*)::BIGINT AS n_v FROM rows_s GROUP BY sv
+        ), tot AS (
+            SELECT SUM(n_v)::BIGINT AS n_total, COUNT(*)::BIGINT AS m
+            FROM dom
+        ), dense AS (
+            SELECT c.c_nationkey, c.c_mktsegment, d.sv, c.n_g, d.n_v,
+                   t.n_total, t.m, COALESCE(s.n_gv, 0) AS n_gv
+            FROM classes c CROSS JOIN dom d CROSS JOIN tot t
+            LEFT JOIN cls_sv s
+              ON s.c_nationkey = c.c_nationkey
+             AND s.c_mktsegment = c.c_mktsegment
+             AND s.sv = d.sv
+        ), cums AS (
+            SELECT c_nationkey, c_mktsegment, n_g, n_total, m,
+                   abs(SUM(n_gv * n_total - n_v * n_g) OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY sv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS cum_abs
+            FROM dense
+        ), per AS (
+            SELECT c_nationkey, c_mktsegment, n_g, n_total, m,
+                   SUM(cum_abs)::BIGINT AS sum_abs
+            FROM cums GROUP BY 1, 2, 3, 4, 5
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(n_g AS BIGINT) AS n_rows,
+               CAST(round(CAST(sum_abs AS DOUBLE)
+                    / (CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE)
+                       * CAST(greatest(m - 1, 1) AS DOUBLE)) * 1e6)
+                    AS BIGINT) AS emd_u6,
+               CAST(round(CAST(sum_abs AS DOUBLE)
+                    / (CAST(n_g AS DOUBLE) * CAST(n_total AS DOUBLE)
+                       * CAST(greatest(m - 1, 1) AS DOUBLE)) * 1e6)
+                    AS BIGINT) > 200000 AS t02_breach
+        FROM per
     """,
     "dq_freshness_sla": """
         WITH per AS (

@@ -225,6 +225,31 @@ def test_ivf_scan_fraction_bounded(spark):
     )
 
 
+def test_lloyd_cache_isolated_by_corpus_and_k(spark):
+    """The trained-quantizer cache must key on (session, sf_dir, k): a
+    collision across corpora or cluster counts would silently serve one
+    corpus's cells to another's probes — hash-green at the checked SF
+    and wrong everywhere else."""
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        _LLOYD_CACHE,
+        _lloyd_rounds,
+    )
+
+    _, a_small, _, _ = _lloyd_rounds(spark, "/root/testdata/sf0.001", k=4)
+    _, a_big, _, _ = _lloyd_rounds(spark, "/root/testdata/sf0.01", k=4)
+    _, a_k8, _, _ = _lloyd_rounds(spark, "/root/testdata/sf0.001", k=8)
+    keys = {k for k in _LLOYD_CACHE}
+    assert len({(k[1], k[2]) for k in keys}) >= 3
+    # same corpus, different k -> different cell structure
+    assert a_small is not a_k8
+    assert a_k8.select("cid").distinct().count() > a_small.select(
+        "cid"
+    ).distinct().count()
+    # repeat call returns the identical cached frames
+    _, again, _, _ = _lloyd_rounds(spark, "/root/testdata/sf0.001", k=4)
+    assert again is a_small
+
+
 def test_semdedup_k_parameterized_and_pair_bounded(spark, oracle):
     """SemDeDup's cluster count is a real knob (r5 verdict item #4):
     Spark and the generated DuckDB oracle stay hash-identical at TWO
