@@ -573,6 +573,88 @@ def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: integer-scaled NDCG discount gains: round(1e9 / log2(rank+1)) for
+#: ranks 1..5, and their prefix sums (the ideal DCG for R relevant
+#: results). Inlined as the SAME constants in Spark and DuckDB so DCG
+#: sums are exact BIGINT arithmetic — no float log in either engine.
+_NDCG_GAIN_U9 = [1000000000, 630929754, 500000000, 430676558, 386852807]
+_NDCG_IDEAL_U9 = [1000000000, 1630929754, 2130929754, 2561606312, 2948459119]
+
+
+def q_ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the exact top-k similarity search — the standard graded
+    ranking metric `ml_retrieval_eval`'s precision/MRR pair lacks:
+    same-label neighbors are relevant, DCG discounts each hit by
+    1/log2(rank+1), and the score normalizes by the ideal DCG given how
+    many relevant neighbors exist in the corpus (capped at k). A
+    retrieval change that finds the same neighbors but ranks the
+    relevant ones lower now shows up where precision@k is blind.
+
+    Exactness: the five discount gains and their prefix sums are inlined
+    as identical 1e9-scaled BIGINT constants in both engines (no float
+    log anywhere); DCG/IDCG are exact integer sums and only the final
+    ratio rounds to 1e-6. Scale: rides the retrieval result (k×q rows),
+    one broadcast label join per side, one per-query agg; the corpus
+    relevance count is one hash agg on the label domain."""
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        q_sim_search_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    hits = q_sim_search_topk(spark, sf_dir)
+    gain = F.element_at(
+        F.array(*[F.lit(g) for g in _NDCG_GAIN_U9]), F.col("rank").cast("int")
+    )
+    labeled = (
+        hits.join(
+            em.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            em.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "q_label",
+            (
+                (F.col("q_label") == F.col("n_label")).cast("long") * gain
+            ).alias("g"),
+        )
+    )
+    dcg = labeled.groupBy("query_id", "q_label").agg(
+        F.sum("g").cast("long").alias("dcg_u9")
+    )
+    # relevant-in-corpus per label (minus the query itself), capped at k
+    lab_n = em.groupBy("label").agg(F.count(F.lit(1)).alias("n_label_rows"))
+    # greatest(1, ...) guards the singleton-label corpus edge: with zero
+    # relevant neighbors DCG is 0, so NDCG is 0 for any positive IDCG
+    ideal = F.element_at(
+        F.array(*[F.lit(i) for i in _NDCG_IDEAL_U9]),
+        F.greatest(
+            F.least(F.col("n_label_rows") - 1, F.lit(5)), F.lit(1)
+        ).cast("int"),
+    )
+    per_q = dcg.join(
+        F.broadcast(lab_n), dcg["q_label"] == lab_n["label"]
+    ).select(
+        "query_id",
+        (F.col("n_label_rows") - 1).cast("long").alias("n_relevant"),
+        "dcg_u9",
+        ideal.cast("long").alias("idcg_u9"),
+    )
+    ndcg = F.round(
+        F.col("dcg_u9").cast("double") / F.col("idcg_u9").cast("double") * 1e6
+    ).cast("long")
+    return per_q.withColumn("ndcg_u6", ndcg)
+
+
 def q_ml_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decision-stump learning: the best ``n_chars ≤ t`` split for
     predicting ``lang = 'en'`` by minimum weighted Gini impurity — the
@@ -706,6 +788,7 @@ QUERIES = {
     "embed_drift_report": q_embed_drift_report,
     "ml_psi_drift": q_ml_psi_drift,
     "ml_retrieval_eval": q_ml_retrieval_eval,
+    "ml_ndcg_at_k": q_ml_ndcg_at_k,
 }
 
 _TOKS = "string_split(text, ' ')"
@@ -989,6 +1072,65 @@ ORACLES = {
         SELECT query_id, precision_at_5,
                COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0)
                    AS reciprocal_rank
+        FROM per_q
+    """,
+    "ml_ndcg_at_k": f"""
+        WITH corpus AS (
+            SELECT vec_id, label, embedding,
+                   sqrt(list_dot_product(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))))
+                       AS nrm
+            FROM embeddings
+        ), queries AS (
+            SELECT vec_id AS query_id, label AS q_label,
+                   embedding AS q_emb, nrm AS q_nrm
+            FROM corpus WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
+                   c.label AS n_label,
+                   round(list_dot_product(
+                           list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                           list_transform(q.q_emb, x -> CAST(x AS DOUBLE)))
+                         / (c.nrm * q.q_nrm), 9) AS cos_r9
+            FROM corpus c CROSS JOIN queries q
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, q_label, n_label,
+                   row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_r9 DESC, neighbor_id ASC) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        ), gains AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({r + 1}, {g})" for r, g in enumerate(_NDCG_GAIN_U9))}
+            ) AS t(rank, gain_u9)
+        ), dcg AS (
+            SELECT r.query_id, r.q_label,
+                   SUM(CASE WHEN r.q_label = r.n_label
+                            THEN g.gain_u9 ELSE 0 END)::BIGINT AS dcg_u9
+            FROM ranked r JOIN gains g USING (rank)
+            GROUP BY r.query_id, r.q_label
+        ), lab_n AS (
+            SELECT label, COUNT(*)::BIGINT AS n_label_rows
+            FROM corpus GROUP BY label
+        ), ideals AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({r + 1}, {i})" for r, i in enumerate(_NDCG_IDEAL_U9))}
+            ) AS t(r, ideal_u9)
+        ), per_q AS (
+            SELECT d.query_id,
+                   CAST(l.n_label_rows - 1 AS BIGINT) AS n_relevant,
+                   d.dcg_u9,
+                   CAST(i.ideal_u9 AS BIGINT) AS idcg_u9
+            FROM dcg d
+            JOIN lab_n l ON d.q_label = l.label
+            JOIN ideals i
+              ON i.r = greatest(least(l.n_label_rows - 1, 5), 1)
+        )
+        SELECT query_id, n_relevant, dcg_u9, idcg_u9,
+               CAST(round(CAST(dcg_u9 AS DOUBLE) / CAST(idcg_u9 AS DOUBLE)
+                    * 1e6) AS BIGINT) AS ndcg_u6
         FROM per_q
     """,
     "ml_psi_drift": """
