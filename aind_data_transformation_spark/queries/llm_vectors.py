@@ -448,6 +448,174 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: deterministic RGB test pattern for the pixel-codec round trip:
+#: channel value at (x, y) for a given doc. The DuckDB oracle evaluates
+#: the same formulas arithmetically, so the decoder must recover the
+#: true pixels from the compressed bytes to hash-match.
+_PX_W = "8 + doc_id % 16"  # 8..23
+_PX_H = "8 + doc_id % 8"  # 8..15
+_PX_R = "(x * 3 + y * 5 + doc_id) % 256"
+_PX_G = "(x * 7 + y) % 256"
+_PX_B = "(x + y * 11 + doc_id * 13) % 256"
+
+
+def _encode_png_pixels(batches):
+    """Write SPEC-COMPLETE PNGs with real pixel data: 8-bit RGB, correct
+    CRC-32 on every chunk, zlib-compressed IDAT, and alternating scanline
+    filters (None on even rows, Sub on odd rows) so a decoder that skips
+    unfiltering cannot luck into the right bytes. stdlib-only (zlib,
+    struct) — no imaging library needed to produce valid PNGs."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 8 + d % 16, 8 + d % 8
+            x = np.arange(w)[None, :]
+            y = np.arange(h)[:, None]
+            img = np.zeros((h, w, 3), np.uint8)
+            img[:, :, 0] = (x * 3 + y * 5 + d) % 256
+            img[:, :, 1] = (x * 7 + y) % 256
+            img[:, :, 2] = (x + y * 11 + d * 13) % 256
+            flat = img.reshape(h, w * 3).astype(np.int64)
+            lines = []
+            for r in range(h):
+                row = flat[r]
+                if r % 2 == 0:  # filter 0: None
+                    lines.append(b"\x00" + row.astype(np.uint8).tobytes())
+                else:  # filter 1: Sub (minus the pixel 3 bytes left)
+                    sub = row.copy()
+                    sub[3:] = (row[3:] - row[:-3]) % 256
+                    lines.append(b"\x01" + sub.astype(np.uint8).tobytes())
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            payloads.append(
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+                + chunk(b"IEND", b"")
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _decode_png_pixels(batches):
+    """GENUINE PNG pixel decode, stdlib-only: walk the chunk stream
+    verifying every CRC-32, inflate the IDAT stream, unfilter each
+    scanline (None/Sub/Up implemented), and reduce the reconstructed
+    pixel matrix to exact integer channel sums. Swapping in a real
+    imaging library would only replace this function's body — the Spark
+    plumbing (Arrow batches, schema, map-only plan) is the production
+    shape already."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    def decode(b: bytes):
+        b = bytes(b)
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            return -1, -1, -1, -1, -1, False
+        pos, idat, w, h, crc_ok = 8, b"", -1, -1, True
+        while pos + 12 <= len(b):
+            ln = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            crc = int.from_bytes(b[pos + 8 + ln : pos + 12 + ln], "big")
+            crc_ok &= (zlib.crc32(typ + data) & 0xFFFFFFFF) == crc
+            if typ == b"IHDR":
+                w, h = struct.unpack(">II", data[:8])
+            elif typ == b"IDAT":
+                idat += data
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride = 1 + 3 * w
+        img = np.zeros((h, 3 * w), np.int64)
+        prev = np.zeros(3 * w, np.int64)
+        for r in range(h):
+            line = np.frombuffer(
+                raw[r * stride : (r + 1) * stride], np.uint8
+            )
+            f, dat = int(line[0]), line[1:].astype(np.int64)
+            if f == 0:
+                rec = dat
+            elif f == 1:
+                rec = dat.copy()
+                for i in range(3, rec.size):
+                    rec[i] = (rec[i] + rec[i - 3]) % 256
+            elif f == 2:
+                rec = (dat + prev) % 256
+            else:
+                return w, h, -1, -1, -1, False
+            img[r] = rec
+            prev = rec
+        px = img.reshape(h, w, 3)
+        return (
+            w,
+            h,
+            int(px[:, :, 0].sum()),
+            int(px[:, :, 1].sum()),
+            int(px[:, :, 2].sum()),
+            bool(crc_ok),
+        )
+
+    for pdf in batches:
+        rows = [decode(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([r[0] for r in rows], dtype="int64"),
+                "height": pd.Series([r[1] for r in rows], dtype="int64"),
+                "sum_r": pd.Series([r[2] for r in rows], dtype="int64"),
+                "sum_g": pd.Series([r[3] for r in rows], dtype="int64"),
+                "sum_b": pd.Series([r[4] for r in rows], dtype="int64"),
+                "crc_ok": pd.Series([r[5] for r in rows], dtype="bool"),
+            }
+        )
+
+
+def q_multimodal_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end PIXEL-level image pipeline with zero imaging
+    dependencies — upgrades the decode tier from container-header
+    parsing (`multimodal_decode_header`) to true pixel decode: stage 1
+    synthesizes spec-complete PNGs (real zlib IDAT, CRC-verified chunks,
+    alternating None/Sub scanline filters) from a deterministic RGB
+    pattern; stage 2 inflates, unfilters and reduces the reconstructed
+    pixels to exact integer channel sums.
+
+    Oracle-checked the strong way: DuckDB never sees the bytes — it
+    evaluates the pattern formulas arithmetically per (x, y) — so the
+    Spark side can only hash-match by ACTUALLY decompressing and
+    unfiltering the image (a decoder that ignores the Sub filter, drops
+    a scanline, or mangles a CRC produces different sums/flags).
+
+    Scale: two map-only Arrow stages, no shuffle, binary payloads never
+    leave the executor — the same plan shape a real JPEG/PNG corpus
+    decode runs at 100 TB, with this function body swapped for a codec
+    library."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id").mapInPandas(
+        _encode_png_pixels, "doc_id long, payload binary"
+    )
+    return with_payload.mapInPandas(
+        _decode_png_pixels,
+        "doc_id long, width long, height long,"
+        " sum_r long, sum_g long, sum_b long, crc_ok boolean",
+    )
+
+
 def q_multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same decode contract as ``multimodal_decode_stub`` but through
     ``mapInArrow`` (Spark 4): the decoder receives raw
@@ -1319,6 +1487,7 @@ QUERIES = {
     # genuine PNG/JPEG container synthesis + header parsing, not a stub;
     # the *_stub key stays for driver-contract stability
     "multimodal_decode_header": q_multimodal_decode_stub,
+    "multimodal_decode_pixels": q_multimodal_decode_pixels,
     "multimodal_decode_arrow": q_multimodal_decode_arrow,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_range_search": q_ann_range_search,
@@ -1921,3 +2090,26 @@ def _kmeans_lloyd_oracle(k: int) -> str:
 ORACLES["dedup_semantic"] = _semdedup_oracle(_SEMDEDUP_K)
 ORACLES["embed_kmeans_lloyd"] = _kmeans_lloyd_oracle(_SEMDEDUP_K)
 ORACLES["multimodal_decode_header"] = ORACLES["multimodal_decode_stub"]
+
+ORACLES["multimodal_decode_pixels"] = f"""
+    WITH dims AS (
+        SELECT doc_id,
+               {_PX_W} AS w,
+               {_PX_H} AS h
+        FROM documents
+    ), px AS (
+        SELECT d.doc_id, d.w, d.h, xs.x, ys.y
+        FROM dims d,
+             LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+             LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           SUM({_PX_R})::BIGINT AS sum_r,
+           SUM({_PX_G})::BIGINT AS sum_g,
+           SUM({_PX_B})::BIGINT AS sum_b,
+           true AS crc_ok
+    FROM px
+    GROUP BY doc_id, w, h
+"""
