@@ -851,7 +851,33 @@ def _lpa_oracle() -> str:
     """
 
 
+def q_graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph — the canonical
+    graph primitive the family was missing (the engine's CC machinery
+    previously surfaced only inside `dedup_clusters`' near-dup
+    resolution). Runs `ops.connected_components` min-label propagation
+    to convergence (rounds = component diameter; one equi-join + one
+    min-groupBy per round, per-round state checkpointed — the Pregel
+    round lowered to DataFrames) over the same support>=2 edge list as
+    the rest of the graph family, then reduces to one row per component:
+    id (smallest member), size, and largest member.
+
+    Correctness is diameter-independent: the DuckDB oracle computes the
+    full recursive-CTE transitive closure and takes per-node minima —
+    if propagation stopped early, label sets would differ and the hash
+    would break. All-integer labels; no tie-break subtleties."""
+    from aind_data_transformation_spark.ops import connected_components
+
+    edges = _copurchase_edges(spark, sf_dir)
+    comp = connected_components(edges, "u", "v")
+    return comp.groupBy(F.col("component").alias("component_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("node").cast("long").alias("max_part"),
+    )
+
+
 QUERIES = {
+    "graph_connected_components": q_graph_connected_components,
     "graph_pagerank": q_graph_pagerank,
     "graph_jaccard_neighbors": q_graph_jaccard_neighbors,
     "graph_degree_distribution": q_graph_degree_distribution,
@@ -866,6 +892,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_connected_components": """
+        WITH RECURSIVE items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), half AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 2
+        ), edges AS (
+            SELECT u AS s, v AS d FROM half
+            UNION
+            SELECT v AS s, u AS d FROM half
+        ), reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ), lab AS (
+            SELECT s AS node, LEAST(MIN(d), s) AS component
+            FROM reach GROUP BY s
+        )
+        SELECT CAST(component AS BIGINT) AS component_id,
+               COUNT(*)::BIGINT AS n_members,
+               CAST(MAX(node) AS BIGINT) AS max_part
+        FROM lab GROUP BY component
+    """,
     "graph_degree_distribution": """
         WITH items AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -49,8 +49,12 @@ def main() -> None:
     queries, _ = registry()
 
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footers once with the flagship query
+    # warm the JVM + parquet footers once with the flagship query, and
+    # the Python/Arrow worker pool with a 1-row pandas pass — otherwise
+    # the first Arrow-tier key in sort order pays the one-time ~2 s
+    # worker spin-up and reads as an outlier instead of steady state
     force(queries["agg_group"](spark, sf_dir))
+    spark.range(1).mapInPandas(lambda it: it, "id long").count()
     for key in sorted(queries):
         start = time.monotonic()
         try:

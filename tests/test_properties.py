@@ -225,6 +225,67 @@ def test_ivf_scan_fraction_bounded(spark):
     )
 
 
+def test_png_decoder_handles_all_implemented_filters():
+    """The pixel decoder must reconstruct correctly under every filter
+    it claims (None/Sub/Up): hand-build a PNG whose three scanlines each
+    use a different filter and check the recovered channel sums against
+    numpy ground truth. The pipeline's encoder only emits None/Sub, so
+    this is the only coverage the Up branch gets."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        _decode_png_pixels,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    flat = img.reshape(3, 12).astype(np.int64)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    lines = [b"\x00" + flat[0].astype(np.uint8).tobytes()]  # None
+    sub = flat[1].copy()
+    sub[3:] = (flat[1][3:] - flat[1][:-3]) % 256
+    lines.append(b"\x01" + sub.astype(np.uint8).tobytes())  # Sub
+    up = (flat[2] - flat[1]) % 256
+    lines.append(b"\x02" + up.astype(np.uint8).tobytes())  # Up
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    out = next(
+        _decode_png_pixels(iter([pd.DataFrame({"doc_id": [0], "payload": [png]})]))
+    )
+    row = out.iloc[0]
+    px = img.astype(np.int64)
+    assert (row["width"], row["height"]) == (4, 3)
+    assert row["crc_ok"]
+    assert row["sum_r"] == px[:, :, 0].sum()
+    assert row["sum_g"] == px[:, :, 1].sum()
+    assert row["sum_b"] == px[:, :, 2].sum()
+    # corrupted CRC must be reported, not silently accepted
+    bad = bytearray(png)
+    bad[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    out_bad = next(
+        _decode_png_pixels(
+            iter([pd.DataFrame({"doc_id": [0], "payload": [bytes(bad)]})])
+        )
+    )
+    assert not out_bad.iloc[0]["crc_ok"]
+
+
 def test_lloyd_cache_isolated_by_corpus_and_k(spark):
     """The trained-quantizer cache must key on (session, sf_dir, k): a
     collision across corpora or cluster counts would silently serve one
