@@ -708,6 +708,162 @@ def q_ml_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_broadcast(out, tot.select(F.col("nt").alias("n_rows")))
 
 
+def q_ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two AdaBoost rounds over decision stumps (Freund & Schapire 1997)
+    — the boosting layer on top of `ml_gini_best_split`'s single-stump
+    trainer, i.e. the actual GBDT-style training loop done the
+    distributed way. Task: predict lang='en' from n_chars.
+
+    Round r: pick the (threshold, polarity) stump minimizing WEIGHTED
+    error — computed entirely on the aggregated (value, label) domain
+    via one cumulative window, never a per-threshold rescan — then
+    alpha_r = ½·ln((W−err)/err) and the weight update
+    w ← w·exp(∓alpha). The update multiplier depends only on
+    (value ≤ t₁, label), so round 2's weighted counts stay on the SAME
+    bounded domain: the fact table is scanned once in total, and each
+    round adds one window over the value domain plus 1-row broadcast
+    attaches. No collect, no driver loop — the chosen stump rides
+    through the plan as a broadcast scalar.
+
+    Exactness: round-1 weights are unit integers; alpha and the two
+    weight multipliers are 1e6-grid BIGINTs (exp/ln of exact-rounded
+    rationals, the `ml_logreg_gd` discipline), so round-2 weighted
+    counts are exact integer sums; stump argmin ties break to the
+    smaller threshold then left-positive polarity via struct order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("v"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    per_vy = d.groupBy("v", "pos").agg(F.count(F.lit(1)).alias("n_vy"))
+
+    def best_stump(per_v: DataFrame, tag: str) -> DataFrame:
+        """per_v: (v, n, p) weighted counts -> 1-row best stump with
+        columns t, pol (0 = left-positive), err_w, total_w."""
+        wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        cum = per_v.select(
+            "v",
+            F.sum("n").over(wv).alias("nl"),
+            F.sum("p").over(wv).alias("pl"),
+        )
+        tot = per_v.agg(F.sum("n").alias("nt"), F.sum("p").alias("pt"))
+        scored = attach_broadcast(cum, tot).where(F.col("nl") < F.col("nt"))
+        err_a = (F.col("nl") - F.col("pl")) + (F.col("pt") - F.col("pl"))
+        err_b = F.col("pl") + (
+            F.col("nt") - F.col("nl") - F.col("pt") + F.col("pl")
+        )
+        both = scored.select(
+            "v",
+            "nt",
+            F.explode(
+                F.array(
+                    F.struct(
+                        err_a.cast("long").alias("err_w"),
+                        F.lit(0).cast("long").alias("pol"),
+                    ),
+                    F.struct(
+                        err_b.cast("long").alias("err_w"),
+                        F.lit(1).cast("long").alias("pol"),
+                    ),
+                )
+            ).alias("s"),
+        ).select("v", "nt", F.col("s.err_w"), F.col("s.pol"))
+        return both.agg(
+            F.min(F.struct("err_w", "v", "pol")).alias("m"),
+            F.max("nt").alias("total_w"),
+        ).select(
+            F.col("m.v").alias("t"),
+            F.col("m.pol").alias("pol"),
+            F.col("m.err_w").alias("err_w"),
+            "total_w",
+        )
+
+    # ---- round 1: unit weights ----
+    per_v1 = per_vy.groupBy("v").agg(
+        F.sum("n_vy").alias("n"),
+        F.sum(F.when(F.col("pos") == 1, F.col("n_vy")).otherwise(0)).alias(
+            "p"
+        ),
+    )
+    b1 = best_stump(per_v1, "r1")
+    # alpha1 and the two weight multipliers on the 1e6 grid; clamp err
+    # into [1, W-1] so ln stays finite on degenerate corpora
+    b1x = b1.select(
+        "t",
+        "pol",
+        "err_w",
+        "total_w",
+        F.expr(
+            "CAST(round(0.5D * ln(CAST(total_w - least(greatest(err_w, 1),"
+            " total_w - 1) AS DOUBLE)"
+            " / CAST(least(greatest(err_w, 1), total_w - 1) AS DOUBLE))"
+            " * 1e6) AS BIGINT)"
+        ).alias("alpha_u6"),
+    ).withColumn(
+        "m_corr_u6",
+        F.expr("CAST(round(exp(-CAST(alpha_u6 AS DOUBLE) / 1e6) * 1e6) AS BIGINT)"),
+    ).withColumn(
+        "m_wrong_u6",
+        F.expr("CAST(round(exp(CAST(alpha_u6 AS DOUBLE) / 1e6) * 1e6) AS BIGINT)"),
+    )
+    # ---- round 2: weights as a function of (v <= t1, pos) ----
+    correct = (
+        (F.col("pol") == 0)
+        & (
+            ((F.col("v") <= F.col("t")) & (F.col("pos") == 1))
+            | ((F.col("v") > F.col("t")) & (F.col("pos") == 0))
+        )
+    ) | (
+        (F.col("pol") == 1)
+        & (
+            ((F.col("v") <= F.col("t")) & (F.col("pos") == 0))
+            | ((F.col("v") > F.col("t")) & (F.col("pos") == 1))
+        )
+    )
+    weighted = attach_broadcast(per_vy, b1x).select(
+        "v",
+        "pos",
+        (
+            F.col("n_vy")
+            * F.when(correct, F.col("m_corr_u6")).otherwise(
+                F.col("m_wrong_u6")
+            )
+        ).alias("w2"),
+    )
+    per_v2 = weighted.groupBy("v").agg(
+        F.sum("w2").alias("n"),
+        F.sum(F.when(F.col("pos") == 1, F.col("w2")).otherwise(0)).alias("p"),
+    )
+    b2 = best_stump(per_v2, "r2").select(
+        "t",
+        "pol",
+        "err_w",
+        "total_w",
+        F.expr(
+            "CAST(round(0.5D * ln(CAST(total_w - least(greatest(err_w, 1),"
+            " total_w - 1) AS DOUBLE)"
+            " / CAST(least(greatest(err_w, 1), total_w - 1) AS DOUBLE))"
+            " * 1e6) AS BIGINT)"
+        ).alias("alpha_u6"),
+    )
+    r1 = b1x.select(
+        F.lit(1).cast("long").alias("round"),
+        F.col("t").alias("threshold"),
+        "pol",
+        "err_w",
+        "total_w",
+        "alpha_u6",
+    )
+    r2 = b2.select(
+        F.lit(2).cast("long").alias("round"),
+        F.col("t").alias("threshold"),
+        "pol",
+        "err_w",
+        "total_w",
+        "alpha_u6",
+    )
+    return r1.unionByName(r2)
+
+
 def q_ml_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative lift & gain chart by score decile — the
     targeting-model report (if I contact the top k% by score, what
@@ -789,6 +945,7 @@ QUERIES = {
     "ml_psi_drift": q_ml_psi_drift,
     "ml_retrieval_eval": q_ml_retrieval_eval,
     "ml_ndcg_at_k": q_ml_ndcg_at_k,
+    "ml_adaboost_stumps": q_ml_adaboost_stumps,
 }
 
 _TOKS = "string_split(text, ' ')"
@@ -1073,6 +1230,108 @@ ORACLES = {
                COALESCE(1.0 / CAST(first_rel AS DOUBLE), 0.0)
                    AS reciprocal_rank
         FROM per_q
+    """,
+    "ml_adaboost_stumps": """
+        WITH per_vy AS (
+            SELECT n_chars AS v,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+                   COUNT(*)::BIGINT AS n_vy
+            FROM documents GROUP BY 1, 2
+        ), per_v1 AS (
+            SELECT v, SUM(n_vy)::BIGINT AS n,
+                   SUM(CASE WHEN pos = 1 THEN n_vy ELSE 0 END)::BIGINT AS p
+            FROM per_vy GROUP BY v
+        ), cum1 AS (
+            SELECT v,
+                   SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS nl,
+                   SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pl
+            FROM per_v1
+        ), tot1 AS (
+            SELECT SUM(n)::BIGINT AS nt, SUM(p)::BIGINT AS pt FROM per_v1
+        ), sc1 AS (
+            SELECT c.v, t.nt,
+                   CAST((c.nl - c.pl) + (t.pt - c.pl) AS BIGINT) AS err_w,
+                   CAST(0 AS BIGINT) AS pol
+            FROM cum1 c CROSS JOIN tot1 t WHERE c.nl < t.nt
+            UNION ALL
+            SELECT c.v, t.nt,
+                   CAST(c.pl + (t.nt - c.nl - t.pt + c.pl) AS BIGINT),
+                   CAST(1 AS BIGINT)
+            FROM cum1 c CROSS JOIN tot1 t WHERE c.nl < t.nt
+        ), b1 AS (
+            SELECT v AS t, pol, err_w, CAST(nt AS BIGINT) AS total_w FROM (
+                SELECT *, row_number() OVER (ORDER BY err_w, v, pol) AS rn
+                FROM sc1
+            ) WHERE rn = 1
+        ), b1x AS (
+            SELECT t, pol, err_w, total_w,
+                   CAST(round(0.5 * ln(
+                       CAST(total_w - least(greatest(err_w, 1), total_w - 1)
+                            AS DOUBLE)
+                       / CAST(least(greatest(err_w, 1), total_w - 1)
+                              AS DOUBLE)) * 1e6) AS BIGINT) AS alpha_u6
+            FROM b1
+        ), b1m AS (
+            SELECT *,
+                   CAST(round(exp(-CAST(alpha_u6 AS DOUBLE) / 1e6) * 1e6)
+                        AS BIGINT) AS m_corr_u6,
+                   CAST(round(exp(CAST(alpha_u6 AS DOUBLE) / 1e6) * 1e6)
+                        AS BIGINT) AS m_wrong_u6
+            FROM b1x
+        ), weighted AS (
+            SELECT p.v, p.pos,
+                   p.n_vy * CASE WHEN
+                       (b.pol = 0 AND ((p.v <= b.t AND p.pos = 1)
+                                       OR (p.v > b.t AND p.pos = 0)))
+                       OR (b.pol = 1 AND ((p.v <= b.t AND p.pos = 0)
+                                          OR (p.v > b.t AND p.pos = 1)))
+                       THEN b.m_corr_u6 ELSE b.m_wrong_u6 END AS w2
+            FROM per_vy p CROSS JOIN b1m b
+        ), per_v2 AS (
+            SELECT v, SUM(w2)::BIGINT AS n,
+                   SUM(CASE WHEN pos = 1 THEN w2 ELSE 0 END)::BIGINT AS p
+            FROM weighted GROUP BY v
+        ), cum2 AS (
+            SELECT v,
+                   SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS nl,
+                   SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS pl
+            FROM per_v2
+        ), tot2 AS (
+            SELECT SUM(n)::BIGINT AS nt, SUM(p)::BIGINT AS pt FROM per_v2
+        ), sc2 AS (
+            SELECT c.v, t.nt,
+                   CAST((c.nl - c.pl) + (t.pt - c.pl) AS BIGINT) AS err_w,
+                   CAST(0 AS BIGINT) AS pol
+            FROM cum2 c CROSS JOIN tot2 t WHERE c.nl < t.nt
+            UNION ALL
+            SELECT c.v, t.nt,
+                   CAST(c.pl + (t.nt - c.nl - t.pt + c.pl) AS BIGINT),
+                   CAST(1 AS BIGINT)
+            FROM cum2 c CROSS JOIN tot2 t WHERE c.nl < t.nt
+        ), b2 AS (
+            SELECT v AS t, pol, err_w, CAST(nt AS BIGINT) AS total_w FROM (
+                SELECT *, row_number() OVER (ORDER BY err_w, v, pol) AS rn
+                FROM sc2
+            ) WHERE rn = 1
+        ), b2x AS (
+            SELECT t, pol, err_w, total_w,
+                   CAST(round(0.5 * ln(
+                       CAST(total_w - least(greatest(err_w, 1), total_w - 1)
+                            AS DOUBLE)
+                       / CAST(least(greatest(err_w, 1), total_w - 1)
+                              AS DOUBLE)) * 1e6) AS BIGINT) AS alpha_u6
+            FROM b2
+        )
+        SELECT CAST(1 AS BIGINT) AS "round", t AS threshold, pol, err_w,
+               total_w, alpha_u6
+        FROM b1x
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), t, pol, err_w, total_w, alpha_u6
+        FROM b2x
     """,
     "ml_ndcg_at_k": f"""
         WITH corpus AS (
