@@ -558,7 +558,69 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse transaction-log snapshot read — the Delta/Iceberg
+    mechanic implemented on raw parquet + a JSON action log, no format
+    library: four data files are committed through an ordered log of
+    add/remove actions (commit 0 adds files 0-1, commit 1 adds file 2
+    and REMOVES file 1, commit 2 adds file 3), and the reader
+    reconstructs the live snapshot by replaying the log — last action
+    per file wins (max(struct(commit, action)) — then reads ONLY the
+    live files. The removed file's rows must be absent from the result
+    or the hash breaks.
+
+    Scale notes: the log is a metadata-sized frame (one row per action);
+    the live-file list is a driver-side collect bounded by file count —
+    exactly how Delta's driver computes a snapshot (with checkpoints
+    compacting the log once it grows). Data files are never listed by
+    directory scan, so the reader is O(log), not O(storage listing) —
+    the property that makes lakehouse tables usable at 100 TB."""
+    import json as _json
+
+    base = _scratch(sf_dir, "txlog_table")
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    paths = {}
+    for b in range(4):
+        p = os.path.join(data_dir, f"batch-{b}")
+        orders.where(F.pmod("o_orderkey", F.lit(4)) == b).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths[b] = p
+    os.makedirs(log_dir, exist_ok=True)
+    commits = [
+        [(0, "add", paths[0]), (0, "add", paths[1])],
+        [(1, "add", paths[2]), (1, "remove", paths[1])],
+        [(2, "add", paths[3])],
+    ]
+    for i, acts in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:05d}.json"), "w") as fh:
+            for c, a, p in acts:
+                fh.write(
+                    _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
+                )
+    log = spark.read.schema("commit long, action string, path string").json(
+        os.path.join(log_dir, "*.json")
+    )
+    last = log.groupBy("path").agg(
+        F.max(F.struct("commit", "action")).alias("m")
+    )
+    live = sorted(
+        r["path"] for r in last.where(F.col("m.action") == "add").collect()
+    )
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 QUERIES = {
+    "sink_txlog_snapshot": q_sink_txlog_snapshot,
     "sink_bucketed_join": q_sink_bucketed_join,
     "scan_partition_pruned": q_scan_partition_pruned,
     "scan_with_lineage": q_scan_with_lineage,
@@ -576,6 +638,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_txlog_snapshot": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+        GROUP BY o_orderstatus
+    """,
     "sink_bucketed_join": """
         SELECT o_orderkey, o_orderstatus,
                COUNT(*)::BIGINT AS n_lines
