@@ -601,9 +601,17 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(
                     _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
                 )
+    return _txlog_read(spark, log_dir, as_of=None)
+
+
+def _txlog_read(spark: SparkSession, log_dir: str, as_of) -> DataFrame:
+    """Replay the action log (optionally only commits <= as_of — time
+    travel) and aggregate the resulting snapshot."""
     log = spark.read.schema("commit long, action string, path string").json(
         os.path.join(log_dir, "*.json")
     )
+    if as_of is not None:
+        log = log.where(F.col("commit") <= as_of)
     last = log.groupBy("path").agg(
         F.max(F.struct("commit", "action")).alias("m")
     )
@@ -619,7 +627,44 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sink_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the transaction log of `sink_txlog_snapshot`: the
+    same table read AS OF commit 1 — after file 1's removal but before
+    commit 2 added file 3 — so the result must contain exactly the rows
+    of files 0 and 2. Version reads are pure log-replay filters
+    (commit <= v); no data is rewritten or copied, which is why
+    lakehouse time travel is O(metadata) at any table size."""
+    import json as _json
+
+    base = _scratch(sf_dir, "txlog_table_tt")
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    paths = {}
+    for b in range(4):
+        p = os.path.join(data_dir, f"batch-{b}")
+        orders.where(F.pmod("o_orderkey", F.lit(4)) == b).write.mode(
+            "overwrite"
+        ).parquet(p)
+        paths[b] = p
+    os.makedirs(log_dir, exist_ok=True)
+    commits = [
+        [(0, "add", paths[0]), (0, "add", paths[1])],
+        [(1, "add", paths[2]), (1, "remove", paths[1])],
+        [(2, "add", paths[3])],
+    ]
+    for i, acts in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:05d}.json"), "w") as fh:
+            for c, a, p in acts:
+                fh.write(
+                    _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
+                )
+    return _txlog_read(spark, log_dir, as_of=1)
+
+
 QUERIES = {
+    "sink_txlog_time_travel": q_sink_txlog_time_travel,
     "sink_txlog_snapshot": q_sink_txlog_snapshot,
     "sink_bucketed_join": q_sink_bucketed_join,
     "scan_partition_pruned": q_scan_partition_pruned,
@@ -645,6 +690,15 @@ ORACLES = {
                    AS sum_price_cents
         FROM orders
         WHERE o_orderkey % 4 != 1
+        GROUP BY o_orderstatus
+    """,
+    "sink_txlog_time_travel": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 IN (0, 2)
         GROUP BY o_orderstatus
     """,
     "sink_bucketed_join": """
