@@ -515,7 +515,152 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: value-iteration rounds for the Markov absorption probabilities. The
+#: result is DEFINED as the R-round iterate (both engines unroll the
+#: same R), so exactness never depends on convergence.
+_MARKOV_ROUNDS = 6
+
+
+def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain attribution with removal effects (Anderl et al.
+    2014) — the data-driven upgrade of `attribution_last_touch`: model
+    each user journey as a first-order Markov chain over event types
+    (START → … → CONV at the first purchase, or NULL if the stream ends
+    unconverted), estimate P(conversion | START) by value iteration,
+    then re-estimate it with each channel REMOVED (its outgoing rows
+    dropped, transitions into it redirected to NULL) — the drop in
+    conversion probability is the channel's credit.
+
+    Exactness: transition counts are exact integers; absorption
+    probabilities iterate on a 1e-6 integer grid: transition probs
+    quantize to q_u6 = n·1e6 DIV tot once, then p' = Σ q·p DIV 1e6 —
+    integer arithmetic end-to-end, both engines unroll the same
+    `_MARKOV_ROUNDS`, and each round's product-sum is bounded by the
+    TYPE DOMAIN (q, p ≤ 1e6; ≤|types|+2 terms per group), so int64 holds
+    at any corpus size. Only the final share normalization divides, on
+    identical operands. Removal effects may legitimately be negative
+    (a channel that mostly routes journeys to NULL); shares are
+    reported as-is.
+
+    Scale: journeys need one user_id window pass over the fact; the
+    chain itself is a |types|²-bounded frame, so the per-channel × per
+    -round iteration is metadata-sized joins — the whole attribution
+    model costs one fact shuffle at any corpus size."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ranked = e.withColumn("rk", F.row_number().over(w))
+    first_p = (
+        ranked.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rk").alias("conv_rk"))
+    )
+    kept = (
+        ranked.join(first_p, "user_id", "left")
+        .where(F.col("conv_rk").isNull() | (F.col("rk") <= F.col("conv_rk")))
+        .select(
+            "user_id",
+            "rk",
+            F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+    )
+    wk = Window.partitionBy("user_id").orderBy("rk")
+    seq = kept.withColumn("prev", F.lag("state").over(wk))
+    start_edges = seq.where(F.col("prev").isNull()).select(
+        F.lit("START").alias("cur"), F.col("state").alias("dst")
+    )
+    mid_edges = seq.where(F.col("prev").isNotNull()).select(
+        F.col("prev").alias("cur"), F.col("state").alias("dst")
+    )
+    last = kept.groupBy("user_id").agg(F.max(F.struct("rk", "state")).alias("m"))
+    null_edges = last.where(F.col("m.state") != "CONV").select(
+        F.col("m.state").alias("cur"), F.lit("NULL").alias("dst")
+    )
+    t = (
+        start_edges.unionByName(mid_edges)
+        .unionByName(null_edges)
+        .groupBy("cur", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = t.groupBy("cur").agg(F.sum("n").alias("tot"))
+    chan = (
+        t.select(F.col("cur").alias("removed"))
+        .where(F.col("removed") != "START")
+        .distinct()
+        .unionByName(spark.createDataFrame([("__none__",)], "removed string"))
+    )
+    # transition probability on the 1e-6 grid BEFORE the iteration:
+    # q_u6 <= 1e6 and p_u6 <= 1e6, so each round's product-sum is bounded
+    # by |type domain| * 1e12 — corpus-size-independent int64 headroom
+    # (the raw SUM(n * p) form dies at ~1e10 events)
+    tv = mat(
+        attach_broadcast(t.join(tot, "cur"), chan)
+        .where(
+            (F.col("cur") != F.col("removed"))
+            & (F.col("dst") != F.col("removed"))
+        )
+        .withColumn("q_u6", F.expr("CAST((n * 1000000) DIV tot AS BIGINT)")),
+        "markov_tv",
+    )
+    absorbing = mat(
+        attach_broadcast(
+            spark.createDataFrame(
+                [("CONV", 10**6), ("NULL", 0)], "dst string, p_u6 long"
+            ),
+            chan,
+        ).select("removed", "dst", "p_u6"),
+        "markov_p0",
+    )
+    pv = absorbing
+    for _ in range(_MARKOV_ROUNDS):
+        upd = (
+            tv.join(pv, ["removed", "dst"])
+            .groupBy("removed", "cur")
+            .agg(F.expr("SUM(q_u6 * p_u6) DIV 1000000").alias("p_new"))
+            .select(
+                "removed",
+                F.col("cur").alias("dst"),
+                F.col("p_new").cast("long").alias("p_u6"),
+            )
+        )
+        pv = absorbing.unionByName(upd)
+    fin = pv.where(F.col("dst") == "START").select(
+        "removed", F.col("p_u6").alias("p_start")
+    )
+    base = fin.where(F.col("removed") == "__none__").select(
+        F.col("p_start").alias("p_base_u6")
+    )
+    eff = attach_broadcast(
+        fin.where(F.col("removed") != "__none__"), base
+    ).select(
+        F.col("removed").alias("channel"),
+        "p_base_u6",
+        F.col("p_start").alias("p_removed_u6"),
+        (F.col("p_base_u6") - F.col("p_start")).alias("removal_u6"),
+    )
+    tot_eff = eff.agg(F.sum("removal_u6").alias("s"))
+    return attach_broadcast(eff, tot_eff).select(
+        "channel",
+        "p_base_u6",
+        "p_removed_u6",
+        "removal_u6",
+        F.round(
+            F.col("removal_u6").cast("double")
+            / F.greatest(F.col("s"), F.lit(1)).cast("double")
+            * 1e6
+        )
+        .cast("long")
+        .alias("share_u6"),
+    )
+
+
 QUERIES = {
+    "attribution_markov_removal": q_attribution_markov_removal,
     "seq_markov_score": q_seq_markov_score,
     "events_transition_matrix": q_events_transition_matrix,
     "anomaly_mad": q_anomaly_mad,
@@ -530,7 +675,94 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
 }
 
+def _markov_oracle(rounds: int) -> str:
+    """DuckDB twin of q_attribution_markov_removal with the value
+    iteration unrolled as chained CTEs (same round count)."""
+    ctes = ""
+    prev = "p0"
+    for k in range(1, rounds + 1):
+        ctes += f""", p{k} AS (
+            SELECT tv.removed, tv.cur AS dst,
+                   CAST(SUM(tv.q_u6 * q.p_u6) // 1000000 AS BIGINT) AS p_u6
+            FROM tv JOIN {prev} q
+              ON q.removed = tv.removed AND q.dst = tv.dst
+            GROUP BY tv.removed, tv.cur
+            UNION ALL
+            SELECT removed, dst, p_u6 FROM p0
+        )"""
+        prev = f"p{k}"
+    return f"""
+        WITH ranked AS (
+            SELECT user_id, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS rk
+            FROM events
+        ), firstp AS (
+            SELECT user_id, MIN(rk) AS conv_rk FROM ranked
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), kept AS (
+            SELECT r.user_id, r.rk,
+                   CASE WHEN r.event_type = 'purchase' THEN 'CONV'
+                        ELSE r.event_type END AS state
+            FROM ranked r LEFT JOIN firstp f USING (user_id)
+            WHERE f.conv_rk IS NULL OR r.rk <= f.conv_rk
+        ), seq AS (
+            SELECT user_id, rk, state,
+                   lag(state) OVER (PARTITION BY user_id ORDER BY rk) AS prev
+            FROM kept
+        ), lastrow AS (
+            SELECT user_id, arg_max(state, rk) AS state
+            FROM kept GROUP BY user_id
+        ), edges AS (
+            SELECT 'START' AS cur, state AS dst FROM seq WHERE prev IS NULL
+            UNION ALL
+            SELECT prev, state FROM seq WHERE prev IS NOT NULL
+            UNION ALL
+            SELECT state, 'NULL' FROM lastrow WHERE state != 'CONV'
+        ), t AS (
+            SELECT cur, dst, COUNT(*)::BIGINT AS n FROM edges GROUP BY 1, 2
+        ), tots AS (
+            SELECT cur, SUM(n)::BIGINT AS tot FROM t GROUP BY cur
+        ), chan AS (
+            SELECT DISTINCT cur AS removed FROM t WHERE cur != 'START'
+            UNION ALL SELECT '__none__'
+        ), tv AS (
+            SELECT t.cur, t.dst, t.n, o.tot, c.removed,
+                   CAST((t.n * 1000000) // o.tot AS BIGINT) AS q_u6
+            FROM t JOIN tots o USING (cur) CROSS JOIN chan c
+            WHERE t.cur != c.removed AND t.dst != c.removed
+        ), p0 AS (
+            SELECT removed, 'CONV' AS dst,
+                   CAST(1000000 AS BIGINT) AS p_u6
+            FROM chan
+            UNION ALL
+            SELECT removed, 'NULL', CAST(0 AS BIGINT) FROM chan
+        ){ctes}, fin AS (
+            SELECT removed, p_u6 AS p_start FROM {prev} WHERE dst = 'START'
+        ), base AS (
+            SELECT p_start AS p_base_u6 FROM fin WHERE removed = '__none__'
+        ), eff AS (
+            SELECT f.removed AS channel, b.p_base_u6,
+                   f.p_start AS p_removed_u6,
+                   b.p_base_u6 - f.p_start AS removal_u6
+            FROM fin f CROSS JOIN base b
+            WHERE f.removed != '__none__'
+        ), tote AS (
+            SELECT SUM(removal_u6)::BIGINT AS s FROM eff
+        )
+        SELECT channel,
+               CAST(p_base_u6 AS BIGINT) AS p_base_u6,
+               CAST(p_removed_u6 AS BIGINT) AS p_removed_u6,
+               CAST(removal_u6 AS BIGINT) AS removal_u6,
+               CAST(round(CAST(removal_u6 AS DOUBLE)
+                    / CAST(greatest(s, 1) AS DOUBLE) * 1e6) AS BIGINT)
+                   AS share_u6
+        FROM eff CROSS JOIN tote
+    """
+
+
 ORACLES = {
+    "attribution_markov_removal": _markov_oracle(_MARKOV_ROUNDS),
     "seq_markov_score": """
         WITH e AS (
             SELECT user_id, event_id, event_type, epoch_us(ts) AS us

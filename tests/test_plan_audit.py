@@ -61,6 +61,12 @@ _BIGINT_PRODUCT_SUM_BOUNDED = {
     # cents ≤ 1e6 × dt_s ≤ 3e7 (a year in seconds) → ≤3e13/row, summed
     # per user over ≤1e5 observations → ≤3e18, inside int64
     "ts_time_weighted_avg",
+    # Markov value iteration: BOTH operands live on the 1e-6 grid
+    # (q_u6, p_u6 ≤ 1e6 → ≤1e12/term) and each (removed, cur) group has
+    # ≤ |event-type domain|+2 terms (dst states) → ≤1e13 per sum,
+    # corpus-size-independent (probabilities were normalized BEFORE the
+    # iteration precisely to earn this bound)
+    "attribution_markov_removal",
 }
 
 
