@@ -468,6 +468,58 @@ def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup CASCADE as one attrition report — cheap
+    stages first, each operating only on the previous stage's survivors
+    (the cost discipline every corpus pipeline runs: exact hashing is
+    pennies, minhash verification is not): stage 1 removes exact
+    duplicates (keep the smallest doc_id per identical text), stage 2
+    removes survivors that have a verified near-duplicate partner
+    (LSH candidates + trigram Jaccard >= 0.7, the `dedup_minhash_verified`
+    machinery) with a smaller SURVIVING doc_id. Output: one row per
+    stage with (n_in, n_removed, n_out) — the funnel a data-quality
+    dashboard tracks per ingest batch.
+
+    Scale: exact stage is one hash-key window; near stage reuses the
+    LSH band equi-join (candidate pairs only, never all-pairs); the
+    survivor gates are semi-join-shaped; counters are 1-row aggregates
+    attached by constant-key broadcast."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
+    flagged = d.withColumn("rn", F.row_number().over(w))
+    surv = flagged.where(F.col("rn") == 1).select("doc_id")
+    pairs = verified_near_dups(d, "doc_id", "text", threshold=0.7).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    near_rm = (
+        pairs.join(
+            surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select("doc_b")
+        .distinct()
+    )
+    n0 = d.agg(F.count(F.lit(1)).alias("n0"))
+    e = flagged.where(F.col("rn") > 1).agg(F.count(F.lit(1)).alias("e"))
+    m = near_rm.agg(F.count(F.lit(1)).alias("m"))
+    c = attach_broadcast(attach_broadcast(n0, e), m)
+    stages = F.array(
+        F.struct(
+            F.lit("exact").alias("stage"),
+            F.col("n0").cast("long").alias("n_in"),
+            F.col("e").cast("long").alias("n_removed"),
+            (F.col("n0") - F.col("e")).cast("long").alias("n_out"),
+        ),
+        F.struct(
+            F.lit("near_dup").alias("stage"),
+            (F.col("n0") - F.col("e")).cast("long").alias("n_in"),
+            F.col("m").cast("long").alias("n_removed"),
+            (F.col("n0") - F.col("e") - F.col("m")).cast("long").alias("n_out"),
+        ),
+    )
+    return c.select(F.explode(stages).alias("s")).select("s.*")
+
+
 #: DSIR: hashed-feature bucket count and documents kept. 64 buckets is
 #: the test-scale stand-in for the paper's 10k hashed n-gram buckets;
 #: the bucket count is a constant in both engines' generated SQL so any
@@ -739,6 +791,7 @@ QUERIES = {
     "corpus_mixture": q_corpus_mixture,
     "corpus_mix_weights": q_corpus_mix_weights,
     "corpus_dsir_importance": q_corpus_dsir_importance,
+    "corpus_dedup_cascade": q_corpus_dedup_cascade,
 }
 
 ORACLES = {
@@ -1086,6 +1139,39 @@ ORACLES = {
               CASE lang WHEN 'en' THEN 1073741824
                         WHEN 'zh' THEN 2147483648
                         ELSE 4294967296 END
+    """,
+    "corpus_dedup_cascade": f"""
+        WITH pairs AS (
+            SELECT doc_a, doc_b FROM ({verified_pairs_sql(0.7)})
+        ), exact_rm AS (
+            SELECT d.doc_id FROM documents d
+            WHERE EXISTS (SELECT 1 FROM documents d2
+                          WHERE d2.text = d.text AND d2.doc_id < d.doc_id)
+        ), surv AS (
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM exact_rm)
+        ), near_rm AS (
+            SELECT DISTINCT s.doc_id FROM surv s
+            WHERE EXISTS (
+                SELECT 1 FROM pairs p JOIN surv s2 ON s2.doc_id = p.doc_a
+                WHERE p.doc_b = s.doc_id
+            )
+        ), c AS (
+            SELECT (SELECT COUNT(*) FROM documents) AS n0,
+                   (SELECT COUNT(*) FROM exact_rm) AS e,
+                   (SELECT COUNT(*) FROM near_rm) AS m
+        )
+        SELECT 'exact' AS stage,
+               CAST(n0 AS BIGINT) AS n_in,
+               CAST(e AS BIGINT) AS n_removed,
+               CAST(n0 - e AS BIGINT) AS n_out
+        FROM c
+        UNION ALL
+        SELECT 'near_dup',
+               CAST(n0 - e AS BIGINT),
+               CAST(m AS BIGINT),
+               CAST(n0 - e - m AS BIGINT)
+        FROM c
     """,
     "corpus_dsir_importance": f"""
         WITH toks AS (
