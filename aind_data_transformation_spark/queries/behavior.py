@@ -515,6 +515,94 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: generalized-ESD rounds: outliers removed one per round, statistics
+#: re-estimated on the survivors each time (Rosner 1983) — the property
+#: single-pass z-scores lack (a gross outlier inflates the std and MASKS
+#: the next one).
+_ESD_ROUNDS = 3
+
+
+def q_anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD outlier extraction (Rosner 1983): remove the most
+    extreme purchase value, re-estimate mean/std WITHOUT it, repeat —
+    `_ESD_ROUNDS` rounds. Returns one row per round: the removed event,
+    its exact integer deviation, and its studentized z (1e-6 grid) under
+    that round's statistics.
+
+    Exactness: the per-round argmax is on |n·c − s1| — an exact BIGINT
+    (n ≤ corpus, c in cents; the squared/normalized forms are monotone
+    in it for fixed round statistics), ties to the smallest event_id via
+    min-struct; z is computed from exact integer moments and rounded
+    once. Each round is one aggregate over the survivors + a 1-row
+    broadcast attach — rounds are bounded, never data-dependent."""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    d38 = "decimal(38,0)"
+    out_rows = []
+    remaining = e
+    for rnd in range(1, _ESD_ROUNDS + 1):
+        stats = remaining.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("c").cast(d38)).cast("double").alias("s1d"),
+            F.sum((F.col("c") * F.col("c")).cast(d38)).cast("double").alias(
+                "s2d"
+            ),
+            F.sum("c").cast("long").alias("s1"),
+        )
+        scored = attach_broadcast(remaining, stats).withColumn(
+            "dev", F.abs(F.col("n") * F.col("c") - F.col("s1"))
+        )
+        pick = scored.agg(
+            F.min(
+                F.struct(
+                    (-F.col("dev")).alias("negdev"),
+                    F.col("event_id").alias("event_id"),
+                )
+            ).alias("m"),
+            F.max("n").alias("n"),
+            F.max("s1d").alias("s1d"),
+            F.max("s2d").alias("s2d"),
+        ).select(
+            F.lit(rnd).cast("long").alias("round"),
+            F.col("m.event_id").alias("event_id"),
+            (-F.col("m.negdev")).cast("long").alias("dev_u"),
+            "n",
+            "s1d",
+            "s2d",
+        )
+        # z = |c - mean| / std = (dev/n) / sqrt(s2/n - (s1/n)^2)
+        z = (
+            F.col("dev_u").cast("double")
+            / F.col("n").cast("double")
+            / F.sqrt(
+                F.col("s2d") / F.col("n").cast("double")
+                - (F.col("s1d") / F.col("n").cast("double"))
+                * (F.col("s1d") / F.col("n").cast("double"))
+            )
+        )
+        out_rows.append(
+            pick.select(
+                "round",
+                "event_id",
+                "dev_u",
+                F.round(z * 1e6).cast("long").alias("z_u6"),
+            )
+        )
+        picked = pick.select(F.col("event_id").alias("rm_id"))
+        remaining = remaining.join(
+            F.broadcast(picked),
+            remaining["event_id"] == picked["rm_id"],
+            "left_anti",
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 #: value-iteration rounds for the Markov absorption probabilities. The
 #: result is DEFINED as the R-round iterate (both engines unroll the
 #: same R), so exactness never depends on convergence.
@@ -661,6 +749,7 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "attribution_markov_removal": q_attribution_markov_removal,
+    "anomaly_esd_rounds": q_anomaly_esd_rounds,
     "seq_markov_score": q_seq_markov_score,
     "events_transition_matrix": q_events_transition_matrix,
     "anomaly_mad": q_anomaly_mad,
@@ -674,6 +763,46 @@ QUERIES = {
     "scd2_history": q_scd2_history,
     "anomaly_zscore": q_anomaly_zscore,
 }
+
+def _esd_oracle(rounds: int) -> str:
+    """DuckDB twin of q_anomaly_esd_rounds with the remove-and-restat
+    rounds unrolled (same round count)."""
+    ctes = [
+        """ev1 AS (
+            SELECT event_id, CAST(round(value * 100) AS BIGINT) AS c
+            FROM events WHERE event_type = 'purchase'
+        )"""
+    ]
+    finals = []
+    for k in range(1, rounds + 1):
+        ctes.append(f"""s{k} AS (
+            SELECT COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s1,
+                   CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS s1d,
+                   CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS s2d
+            FROM ev{k}
+        )""")
+        ctes.append(f"""p{k} AS (
+            SELECT CAST({k} AS BIGINT) AS "round", e.event_id,
+                   CAST(abs(s.n * e.c - s.s1) AS BIGINT) AS dev_u,
+                   s.n, s.s1d, s.s2d
+            FROM ev{k} e CROSS JOIN s{k} s
+            ORDER BY abs(s.n * e.c - s.s1) DESC, e.event_id ASC
+            LIMIT 1
+        )""")
+        if k < rounds:
+            ctes.append(f"""ev{k + 1} AS (
+                SELECT * FROM ev{k}
+                WHERE event_id NOT IN (SELECT event_id FROM p{k})
+            )""")
+        finals.append(f"""SELECT "round", event_id, dev_u,
+               CAST(round(CAST(dev_u AS DOUBLE) / n
+                    / sqrt(s2d / n - (s1d / n) * (s1d / n)) * 1e6)
+                    AS BIGINT) AS z_u6
+        FROM p{k}""")
+    return (
+        "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(finals)
+    )
+
 
 def _markov_oracle(rounds: int) -> str:
     """DuckDB twin of q_attribution_markov_removal with the value
@@ -763,6 +892,7 @@ def _markov_oracle(rounds: int) -> str:
 
 ORACLES = {
     "attribution_markov_removal": _markov_oracle(_MARKOV_ROUNDS),
+    "anomaly_esd_rounds": _esd_oracle(_ESD_ROUNDS),
     "seq_markov_score": """
         WITH e AS (
             SELECT user_id, event_id, event_type, epoch_us(ts) AS us
