@@ -294,8 +294,17 @@ def connected_components(
         changed = stepped.where(F.col("new_label") < F.col("label")).limit(1)
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed.count() == 0:
-            break
-    return labels.select("node", F.col("label").alias("component"))
+            return labels.select("node", F.col("label").alias("component"))
+    # exhausting the round budget with changes still pending means the
+    # component diameter exceeds max_iters: the labels are PARTIAL and
+    # silently wrong (a high-diameter chain would split into several
+    # components) — fail loudly instead of returning them (r6 advice)
+    raise RuntimeError(
+        f"connected_components did not converge within max_iters="
+        f"{max_iters} rounds (labels still changing): the graph's"
+        " component diameter exceeds the round budget — pass a larger"
+        " max_iters"
+    )
 
 
 def pack_sequences(

@@ -734,9 +734,12 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: the CDF difference per bucket is kept as the exact
     integer numerator n_gv·N − n_v·N_g over the common denominator
-    N_g·N, cumulated and |·|-summed as BIGINT; the single final division
-    is 1e6-rounded. Missing buckets in a class participate with count 0
-    via a dense class×bucket grid.
+    N_g·N, cumulated and |·|-summed on decimal(38,0) — each cum term is
+    bounded by n_g·N, which approaches int64 once n_g·N ≈ 1e18 (a
+    dominant class in a ~1e9-row table), so the accumulator widens like
+    agg_corr_covar's instead of arguing headroom (r6 advice); the single
+    final division is 1e6-rounded. Missing buckets in a class
+    participate with count 0 via a dense class×bucket grid.
 
     Scale: the sensitive domain is schema-bounded (~tens of buckets), so
     the grid is |classes|×m via a constant-key broadcast hash join, the
@@ -771,9 +774,12 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m",
         F.coalesce(F.col("n_gv"), F.lit(0)).alias("n_gv"),
     )
-    diff_num = (F.col("n_gv") * F.col("n_total") - F.col("n_v") * F.col("n_g")).cast(
-        "long"
-    )
+    # operands to decimal(19,0) so products land in decimal and the
+    # windowed cumulation accumulates in decimal(38,0) — no int64 cliff
+    d19 = "decimal(19,0)"
+    diff_num = F.col("n_gv").cast(d19) * F.col("n_total").cast(d19) - F.col(
+        "n_v"
+    ).cast(d19) * F.col("n_g").cast(d19)
     w = (
         Window.partitionBy("c_nationkey", "c_mktsegment")
         .orderBy("sv")

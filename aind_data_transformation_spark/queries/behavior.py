@@ -652,11 +652,9 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", F.col("rk"))
         ).over(w_all),
     )
-    from aind_data_transformation_spark.ops import local_materializer as _m
-
     # kept feeds three branches (lag pairs, START edges, last-row edges):
     # materialize once
-    kept = _m(
+    kept = mat(
         ranked.where(
             F.col("conv_rk").isNull() | (F.col("rk") <= F.col("conv_rk"))
         ).select(

@@ -23,6 +23,10 @@ from aind_data_transformation_spark.queries.llm_text import (
     q_text_langid,
     q_text_quality_score,
 )
+from aind_data_transformation_spark.queries.llm_vectors import (
+    _N_QUERIES,
+    _TOP_K,
+)
 
 
 def q_ml_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,11 +578,20 @@ def q_ml_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: integer-scaled NDCG discount gains: round(1e9 / log2(rank+1)) for
-#: ranks 1..5, and their prefix sums (the ideal DCG for R relevant
-#: results). Inlined as the SAME constants in Spark and DuckDB so DCG
-#: sums are exact BIGINT arithmetic — no float log in either engine.
-_NDCG_GAIN_U9 = [1000000000, 630929754, 500000000, 430676558, 386852807]
-_NDCG_IDEAL_U9 = [1000000000, 1630929754, 2130929754, 2561606312, 2948459119]
+#: ranks 1.._TOP_K, and their prefix sums (the ideal DCG for R relevant
+#: results). DERIVED from the retrieval tier's _TOP_K (r6 advice: the
+#: old literal lists baked in k=5 independently, so changing _TOP_K
+#: silently desynchronized Spark and oracle) and inlined as the SAME
+#: constants in both engines so DCG sums stay exact BIGINT arithmetic —
+#: no float log at query time in either engine.
+import math as _math
+
+_NDCG_GAIN_U9 = [
+    round(1e9 / _math.log2(r + 1)) for r in range(1, _TOP_K + 1)
+]
+_NDCG_IDEAL_U9 = [
+    sum(_NDCG_GAIN_U9[: r + 1]) for r in range(_TOP_K)
+]
 
 
 def q_ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,7 +651,7 @@ def q_ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ideal = F.element_at(
         F.array(*[F.lit(i) for i in _NDCG_IDEAL_U9]),
         F.greatest(
-            F.least(F.col("n_label_rows") - 1, F.lit(5)), F.lit(1)
+            F.least(F.col("n_label_rows") - 1, F.lit(_TOP_K)), F.lit(1)
         ).cast("int"),
     )
     per_q = dcg.join(
@@ -1344,7 +1357,7 @@ ORACLES = {
         ), queries AS (
             SELECT vec_id AS query_id, label AS q_label,
                    embedding AS q_emb, nrm AS q_nrm
-            FROM corpus WHERE vec_id < 5
+            FROM corpus WHERE vec_id < {_N_QUERIES}
         ), scored AS (
             SELECT q.query_id, q.q_label, c.vec_id AS neighbor_id,
                    c.label AS n_label,
@@ -1359,7 +1372,7 @@ ORACLES = {
                    row_number() OVER (PARTITION BY query_id
                         ORDER BY cos_r9 DESC, neighbor_id ASC) AS rank
             FROM scored
-            QUALIFY rank <= 5
+            QUALIFY rank <= {_TOP_K}
         ), gains AS (
             SELECT * FROM (VALUES
                 {", ".join(f"({r + 1}, {g})" for r, g in enumerate(_NDCG_GAIN_U9))}
@@ -1385,7 +1398,7 @@ ORACLES = {
             FROM dcg d
             JOIN lab_n l ON d.q_label = l.label
             JOIN ideals i
-              ON i.r = greatest(least(l.n_label_rows - 1, 5), 1)
+              ON i.r = greatest(least(l.n_label_rows - 1, {_TOP_K}), 1)
         )
         SELECT query_id, n_relevant, dcg_u9, idcg_u9,
                CAST(round(CAST(dcg_u9 AS DOUBLE) / CAST(idcg_u9 AS DOUBLE)

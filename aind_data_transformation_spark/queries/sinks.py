@@ -575,9 +575,18 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacting the log once it grows). Data files are never listed by
     directory scan, so the reader is O(log), not O(storage listing) —
     the property that makes lakehouse tables usable at 100 TB."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table")
+    return _txlog_read(spark, log_dir, as_of=None)
+
+
+def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared commit fixture for the txlog keys (one definition — r6
+    advice): four hash-split orders files committed through the
+    add/remove log described in `q_sink_txlog_snapshot`. Returns the
+    log directory for `_txlog_read`."""
     import json as _json
 
-    base = _scratch(sf_dir, "txlog_table")
+    base = _scratch(sf_dir, name)
     data_dir = os.path.join(base, "data")
     log_dir = os.path.join(base, "_log")
     shutil.rmtree(base, ignore_errors=True)
@@ -601,7 +610,7 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                 fh.write(
                     _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
                 )
-    return _txlog_read(spark, log_dir, as_of=None)
+    return log_dir
 
 
 def _txlog_read(spark: SparkSession, log_dir: str, as_of) -> DataFrame:
@@ -634,32 +643,7 @@ def q_sink_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     of files 0 and 2. Version reads are pure log-replay filters
     (commit <= v); no data is rewritten or copied, which is why
     lakehouse time travel is O(metadata) at any table size."""
-    import json as _json
-
-    base = _scratch(sf_dir, "txlog_table_tt")
-    data_dir = os.path.join(base, "data")
-    log_dir = os.path.join(base, "_log")
-    shutil.rmtree(base, ignore_errors=True)
-    orders = load_table(spark, sf_dir, "orders")
-    paths = {}
-    for b in range(4):
-        p = os.path.join(data_dir, f"batch-{b}")
-        orders.where(F.pmod("o_orderkey", F.lit(4)) == b).write.mode(
-            "overwrite"
-        ).parquet(p)
-        paths[b] = p
-    os.makedirs(log_dir, exist_ok=True)
-    commits = [
-        [(0, "add", paths[0]), (0, "add", paths[1])],
-        [(1, "add", paths[2]), (1, "remove", paths[1])],
-        [(2, "add", paths[3])],
-    ]
-    for i, acts in enumerate(commits):
-        with open(os.path.join(log_dir, f"{i:05d}.json"), "w") as fh:
-            for c, a, p in acts:
-                fh.write(
-                    _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
-                )
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_tt")
     return _txlog_read(spark, log_dir, as_of=1)
 
 

@@ -29,6 +29,19 @@ def test_connected_components_long_chain_converges(spark):
     assert len(got) == n + 1
 
 
+def test_connected_components_raises_on_round_exhaustion(spark):
+    """A diameter larger than max_iters must FAIL, not silently return
+    partial labels (r6 advice): a 12-hop chain at max_iters=3 still has
+    pending label changes when the budget runs out."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["s", "d"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, "s", "d", max_iters=3)
+
+
 def test_pack_sequences_matches_bruteforce(spark):
     rows = [(i, (i * 7) % 13 + 1) for i in range(100)]
     df = spark.createDataFrame(rows, ["id", "n"])
