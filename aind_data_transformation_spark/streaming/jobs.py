@@ -609,3 +609,119 @@ def incremental_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_minhash_dedup_ingest(
+    docs_stream: DataFrame,
+    sig_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+):
+    """Incremental MinHash-LSH NEAR-duplicate detection over an arriving
+    document stream (r6 verdict item #3) — the production LLM-ingest
+    pattern: shards are deduplicated AS THEY ARRIVE instead of re-running
+    the batch dedup over the whole corpus per delivery.
+
+    Per micro-batch (foreachBatch, availableNow):
+
+    1. compute the 8-permutation minhash signature + 2 LSH band keys for
+       the NEW documents only (texthash.minhash_signatures — the same
+       algebra as the batch `dedup_fuzzy_minhash` key);
+    2. equi-join the new docs' band keys against the ACCUMULATED
+       signature store plus the batch itself — so candidates are
+       (new x all), never (all x all): per-batch cost scales with the
+       delivery, not the corpus;
+    3. append the normalized candidate pairs (doc_a < doc_b) and the new
+       signatures, each into a ``batch_id=N`` partition written with
+       OVERWRITE — a replayed batch after a crash rewrites its own
+       partition instead of duplicating it, and the store read filters
+       ``batch_id < N`` so a half-written replay partition can never
+       feed its own candidate join. That pair of guards is what turns
+       foreachBatch's at-least-once into exactly-once here.
+
+    Equivalence contract (tested in tests/test_streaming.py): after the
+    stream drains, ``read_stream_dedup_pairs`` equals the batch
+    `dedup_fuzzy_minhash` pair set over the same documents — every pair
+    involves exactly one earliest-arriving side, so no pair can be
+    emitted twice across batches.
+
+    Scale: the signature store is ~40 bytes/doc (orders of magnitude
+    smaller than the corpus); the band join is the only shuffle; at
+    100 TB the store becomes a bucketed-by-band-key table so each
+    arriving shard joins against only its colliding buckets."""
+    def apply_batch(batch_df: DataFrame, batch_id: int):
+        minhash_dedup_apply_batch(batch_df, batch_id, sig_dir, pairs_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def minhash_dedup_apply_batch(
+    batch_df: DataFrame, batch_id: int, sig_dir: str, pairs_dir: str
+) -> None:
+    """One micro-batch of the incremental minhash dedup — module-level
+    so the crash-replay test can re-apply a batch EXACTLY as a restart
+    would (same code path, not a re-derivation). Idempotent by
+    construction: both outputs land in ``batch_id=N`` partitions with
+    overwrite, and the store read filters ``batch_id < N``."""
+    from aind_data_transformation_spark.texthash import minhash_signatures
+
+    spark = batch_df.sparkSession
+    if len(batch_df.take(1)) == 0:
+        return
+    banded = (
+        minhash_signatures(batch_df, "doc_id", "text")
+        .select(
+            "doc_id",
+            F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
+            F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
+        )
+        .localCheckpoint()
+    )
+    try:
+        store = (
+            spark.read.parquet(sig_dir)
+            .where(F.col("batch_id") < batch_id)
+            .select("doc_id", "band1", "band2")
+        )
+    except Exception:
+        store = None
+    all_b = banded if store is None else store.unionByName(banded)
+    pairs = None
+    for band in ("band1", "band2"):
+        a = banded.select(
+            F.col("doc_id").alias("id_x"), F.col(band).alias("bk")
+        )
+        b = all_b.select(
+            F.col("doc_id").alias("id_y"), F.col(band).alias("bk")
+        )
+        p = (
+            a.join(b, "bk")
+            .where(F.col("id_x") != F.col("id_y"))
+            .select(
+                F.least("id_x", "id_y").alias("doc_a"),
+                F.greatest("id_x", "id_y").alias("doc_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs.distinct().write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"batch_id={batch_id}")
+    )
+    banded.write.mode("overwrite").parquet(
+        os.path.join(sig_dir, f"batch_id={batch_id}")
+    )
+
+
+def read_stream_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
+    """The accumulated near-dup pair set of
+    `incremental_minhash_dedup_ingest`: distinct (doc_a, doc_b) across
+    all batch partitions — the frame that must equal the batch
+    `dedup_fuzzy_minhash` result over the same documents."""
+    return (
+        spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
+    )
