@@ -54,7 +54,11 @@ def main() -> None:
     # the first Arrow-tier key in sort order pays the one-time ~2 s
     # worker spin-up and reads as an outlier instead of steady state
     force(queries["agg_group"](spark, sf_dir))
-    spark.range(1).mapInPandas(lambda it: it, "id long").count()
+    # range(1) is ONE partition and warms ONE python worker — the first
+    # Arrow-tier key then pays ~2-3 s spawning the other 31. Spread the
+    # warmup over every core so the pool it claims to warm exists.
+    n = int(cpus)
+    spark.range(0, n * 2, 1, n).mapInPandas(lambda it: it, "id long").count()
     for key in sorted(queries):
         start = time.monotonic()
         try:
