@@ -579,6 +579,76 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_read(spark, log_dir, as_of=None)
 
 
+def q_sink_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log CHECKPOINT compaction — the Delta mechanic that
+    keeps lakehouse log replay O(1) as a table ages: the same 3-commit
+    table as `sink_txlog_snapshot`, but commits <= 1 are compacted into
+    a parquet checkpoint holding the reconciled file state at that
+    version (last action per path, exactly what a reader would have
+    computed), and the JSON log files for those commits are DELETED.
+    The reader then reconstructs the live snapshot from checkpoint +
+    JSON tail only — proving the checkpoint is sufficient, not just
+    present. Without compaction a long-lived table replays its entire
+    history per read; with it, replay cost is (1 checkpoint + recent
+    tail) regardless of age.
+
+    The oracle is the same as the snapshot read: compaction changes the
+    METADATA layout, never the data a reader sees — the defining
+    invariant of log checkpointing."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_ckpt")
+    ckpt_version = 1
+    # compact: reconcile all actions at commits <= ckpt_version into the
+    # per-path last-action state and write it as the parquet checkpoint
+    log = spark.read.schema("commit long, action string, path string").json(
+        os.path.join(log_dir, "*.json")
+    )
+    state = (
+        log.where(F.col("commit") <= ckpt_version)
+        .groupBy("path")
+        .agg(F.max(F.struct("commit", "action")).alias("m"))
+        .select("path", F.col("m.commit").alias("commit"),
+                F.col("m.action").alias("action"))
+    )
+    ckpt_dir = os.path.join(log_dir, f"_checkpoint_{ckpt_version:05d}")
+    state.write.mode("overwrite").parquet(ckpt_dir)
+    # the compacted JSON commits are gone — the reader CANNOT fall back
+    # to full-log replay
+    for i in range(ckpt_version + 1):
+        os.remove(os.path.join(log_dir, f"{i:05d}.json"))
+    return _txlog_read_checkpointed(spark, log_dir, ckpt_dir, ckpt_version)
+
+
+def _txlog_read_checkpointed(
+    spark: SparkSession, log_dir: str, ckpt_dir: str, ckpt_version: int
+) -> DataFrame:
+    """Snapshot read from checkpoint + JSON tail: union the reconciled
+    checkpoint state with the actions after the checkpoint version, take
+    the last action per path, read the live files. Identical result to
+    full-log replay, O(checkpoint + tail) metadata cost."""
+    ckpt = spark.read.schema("path string, commit long, action string").parquet(
+        ckpt_dir
+    )
+    tail = spark.read.schema("commit long, action string, path string").json(
+        os.path.join(log_dir, "*.json")
+    ).where(F.col("commit") > ckpt_version)
+    actions = ckpt.select("commit", "action", "path").unionByName(
+        tail.select("commit", "action", "path")
+    )
+    last = actions.groupBy("path").agg(
+        F.max(F.struct("commit", "action")).alias("m")
+    )
+    live = sorted(
+        r["path"] for r in last.where(F.col("m.action") == "add").collect()
+    )
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Shared commit fixture for the txlog keys (one definition — r6
     advice): four hash-split orders files committed through the
@@ -649,6 +719,7 @@ def q_sink_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sink_txlog_time_travel": q_sink_txlog_time_travel,
+    "sink_txlog_checkpoint": q_sink_txlog_checkpoint,
     "sink_txlog_snapshot": q_sink_txlog_snapshot,
     "sink_bucketed_join": q_sink_bucketed_join,
     "scan_partition_pruned": q_scan_partition_pruned,
@@ -667,6 +738,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_txlog_checkpoint": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+        GROUP BY o_orderstatus
+    """,
     "sink_txlog_snapshot": """
         SELECT o_orderstatus,
                COUNT(*)::BIGINT AS n_rows,
