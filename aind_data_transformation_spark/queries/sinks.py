@@ -579,6 +579,55 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_read(spark, log_dir, as_of=None)
 
 
+def q_sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the OPTIMIZE / auto-compaction mechanic
+    and the #1 recurring operational task on any long-lived table: an
+    ingest-shaped write first fragments orders into 64 tiny files (what
+    per-trigger streaming appends or over-parallel writers leave
+    behind), then the compactor sizes the target layout from the ACTUAL
+    on-disk bytes — ceil(total / target_file_size) output files, the
+    same arithmetic OPTIMIZE runs with 128 MB-1 GB targets at scale —
+    rewrites with repartition(n), and swaps directories so readers
+    never see a half-compacted table. The returned checksum reads the
+    COMPACTED copy, so the oracle proves the rewrite was lossless; the
+    file-count collapse itself is asserted in tests/test_sinks.py.
+
+    Scale notes: listing is driver-side metadata (the same shape a
+    lakehouse compaction planner uses — at 100 TB it reads file sizes
+    from the table's transaction log instead of a directory walk, and
+    compacts per partition so the rewrite shuffles only the fragmented
+    partitions, not the table)."""
+    frag = _scratch(sf_dir, "orders_fragmented")
+    compact = _scratch(sf_dir, "orders_compacted")
+    o = load_table(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    # plan the target layout from real file sizes (metadata-only)
+    sizes = [
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(frag)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    target_bytes = 512 * 1024  # locally-scaled stand-in for 128 MB-1 GB
+    n_out = max(1, -(-sum(sizes) // target_bytes))
+    (
+        spark.read.parquet(frag)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(compact + "__staging")
+    )
+    shutil.rmtree(compact, ignore_errors=True)
+    shutil.move(compact + "__staging", compact)
+    reread = spark.read.parquet(compact)
+    return reread.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
+    )
+
+
 def q_sink_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transaction-log CHECKPOINT compaction — the Delta mechanic that
     keeps lakehouse log replay O(1) as a table ages: the same 3-commit
@@ -720,6 +769,7 @@ def q_sink_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sink_txlog_time_travel": q_sink_txlog_time_travel,
     "sink_txlog_checkpoint": q_sink_txlog_checkpoint,
+    "sink_compact_small_files": q_sink_compact_small_files,
     "sink_txlog_snapshot": q_sink_txlog_snapshot,
     "sink_bucketed_join": q_sink_bucketed_join,
     "scan_partition_pruned": q_scan_partition_pruned,
@@ -738,6 +788,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_compact_small_files": """
+        SELECT COUNT(*)::BIGINT AS n_rows,
+               COUNT(DISTINCT o_orderkey)::BIGINT AS n_orders,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS total_cents
+        FROM orders
+    """,
     "sink_txlog_checkpoint": """
         SELECT o_orderstatus,
                COUNT(*)::BIGINT AS n_rows,

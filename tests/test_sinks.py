@@ -35,6 +35,25 @@ def test_repartition_sink_file_count(spark):
     assert len(files) == 8
 
 
+def test_compact_small_files_collapses_file_count(spark):
+    """The compactor must actually fix the layout: 64 fragmented input
+    files collapse to the byte-planned target count (ceil(total bytes /
+    target size)) — and the target must be materially smaller than the
+    fragmentation it fixes."""
+    import math
+
+    sinks.q_sink_compact_small_files(spark, TEST_SF_DIR).collect()
+    frag = _scratch("orders_fragmented")
+    compact = _scratch("orders_compacted")
+    frag_files = glob.glob(os.path.join(frag, "part-*.parquet"))
+    compact_files = glob.glob(os.path.join(compact, "part-*.parquet"))
+    assert len(frag_files) == 64
+    total = sum(os.path.getsize(f) for f in frag_files)
+    want = max(1, math.ceil(total / (512 * 1024)))
+    assert len(compact_files) == want
+    assert len(compact_files) < len(frag_files) / 4
+
+
 def test_zorder_layout_bounds_both_dimensions(spark):
     """The point of the Z-order layout: every z-bucket confines BOTH grid
     coordinates to a narrow span (top 2 bits of each are fixed by the
