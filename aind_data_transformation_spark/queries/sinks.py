@@ -579,45 +579,54 @@ def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_read(spark, log_dir, as_of=None)
 
 
+#: locally-scaled compaction target (the job defaults to 128 MB; at
+#: sf0.1 that would collapse everything to one file and hide the
+#: byte-planned sizing)
+_COMPACT_TARGET_BYTES = 512 * 1024
+
+
 def q_sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the OPTIMIZE / auto-compaction mechanic
     and the #1 recurring operational task on any long-lived table: an
     ingest-shaped write first fragments orders into 64 tiny files (what
     per-trigger streaming appends or over-parallel writers leave
-    behind), then the compactor sizes the target layout from the ACTUAL
-    on-disk bytes — ceil(total / target_file_size) output files, the
-    same arithmetic OPTIMIZE runs with 128 MB-1 GB targets at scale —
-    rewrites with repartition(n), and swaps directories so readers
-    never see a half-compacted table. The returned checksum reads the
-    COMPACTED copy, so the oracle proves the rewrite was lossless; the
-    file-count collapse itself is asserted in tests/test_sinks.py.
+    behind), then the PRODUCTION job tier runs the rewrite — this key
+    drives `jobs.CompactionJob` (Hadoop-FS byte listing,
+    ceil(total / target_file_bytes) output files, one
+    scan->repartition->write plan), so the oracle check exercises the
+    job users actually deploy, not a lookalike. The write lands in a
+    staging dir and swaps in, so readers never see a half-compacted
+    table. The returned checksum reads the COMPACTED copy, proving the
+    rewrite was lossless; the file-count collapse itself is asserted in
+    tests/test_sinks.py.
 
-    Scale notes: listing is driver-side metadata (the same shape a
-    lakehouse compaction planner uses — at 100 TB it reads file sizes
-    from the table's transaction log instead of a directory walk, and
-    compacts per partition so the rewrite shuffles only the fragmented
-    partitions, not the table)."""
+    Scale notes: the byte listing is driver-side metadata (the shape a
+    lakehouse compaction planner uses — at 100 TB it reads sizes from
+    the table's transaction log instead of an FS walk, and compacts per
+    partition so the rewrite shuffles only the fragmented partitions,
+    not the table)."""
+    from aind_data_transformation_spark.jobs import (
+        CompactionJob,
+        CompactionJobSettings,
+    )
+
     frag = _scratch(sf_dir, "orders_fragmented")
     compact = _scratch(sf_dir, "orders_compacted")
     o = load_table(spark, sf_dir, "orders")
     o.repartition(64).write.mode("overwrite").parquet(frag)
-    # plan the target layout from real file sizes (metadata-only)
-    sizes = [
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(frag)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    target_bytes = 512 * 1024  # locally-scaled stand-in for 128 MB-1 GB
-    n_out = max(1, -(-sum(sizes) // target_bytes))
-    (
-        spark.read.parquet(frag)
-        .repartition(n_out)
-        .write.mode("overwrite")
-        .parquet(compact + "__staging")
-    )
+    staging = compact + "__staging"
+    resp = CompactionJob(
+        CompactionJobSettings(
+            input_source=frag,
+            output_directory=staging,
+            target_file_bytes=_COMPACT_TARGET_BYTES,
+        ),
+        spark=spark,
+    ).run_job()
+    if resp.status_code != 200:  # pragma: no cover - job reports, not raises
+        raise RuntimeError(f"compaction failed: {resp.message}")
     shutil.rmtree(compact, ignore_errors=True)
-    shutil.move(compact + "__staging", compact)
+    shutil.move(staging, compact)
     reread = spark.read.parquet(compact)
     return reread.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -45,11 +45,15 @@ def test_compact_small_files_collapses_file_count(spark):
     sinks.q_sink_compact_small_files(spark, TEST_SF_DIR).collect()
     frag = _scratch("orders_fragmented")
     compact = _scratch("orders_compacted")
+    from aind_data_transformation_spark.queries.sinks import (
+        _COMPACT_TARGET_BYTES,
+    )
+
     frag_files = glob.glob(os.path.join(frag, "part-*.parquet"))
     compact_files = glob.glob(os.path.join(compact, "part-*.parquet"))
     assert len(frag_files) == 64
     total = sum(os.path.getsize(f) for f in frag_files)
-    want = max(1, math.ceil(total / (512 * 1024)))
+    want = max(1, math.ceil(total / _COMPACT_TARGET_BYTES))
     assert len(compact_files) == want
     assert len(compact_files) < len(frag_files) / 4
 
