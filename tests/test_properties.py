@@ -1005,3 +1005,50 @@ def test_jpeg_decoder_handles_general_ac_runlength():
     assert out["eoi_ok"]
     assert (out["width"], out["height"], out["n_blocks"]) == (8, 8, 1)
     assert int(out["sum_gray"]) == int(px.sum())
+
+
+def test_wav_decoder_skips_extra_and_odd_length_chunks():
+    """The RIFF chunk walk must handle what real WAV files contain that
+    the pipeline's fixtures don't: extra metadata chunks between fmt and
+    data, including ODD-length ones (RIFF pads chunks to word
+    boundaries — a walker that forgets the pad byte desynchronizes and
+    misses the data chunk entirely)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        _WAV_WIN,
+        _decode_wav_features,
+    )
+
+    x = (((np.arange(256, dtype=np.int64) * 7) % 512) - 256).astype("<i2")
+    pcm = x.tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16
+    )
+    info = b"INFO" + struct.pack("<I", 5) + b"hello"  # odd length: pad!
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + len(info) + 1 + 8 + len(pcm))
+        + b"WAVE"
+        + fmt
+        + info
+        + b"\x00"  # RIFF word-alignment pad for the odd INFO chunk
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    out = next(
+        _decode_wav_features(
+            iter([pd.DataFrame({"doc_id": [0], "payload": [payload]})])
+        )
+    )
+    assert len(out) == 256 // _WAV_WIN
+    xs = x.astype(np.int64)
+    for _, r in out.iterrows():
+        w0 = int(r["window_idx"]) * _WAV_WIN
+        win = xs[w0 : w0 + _WAV_WIN]
+        assert int(r["energy"]) == int((win * win).sum())
+        assert int(r["zero_crossings"]) == int(((win[:-1] * win[1:]) < 0).sum())
