@@ -1052,3 +1052,34 @@ def test_wav_decoder_skips_extra_and_odd_length_chunks():
         win = xs[w0 : w0 + _WAV_WIN]
         assert int(r["energy"]) == int((win * win).sum())
         assert int(r["zero_crossings"]) == int(((win[:-1] * win[1:]) < 0).sum())
+
+
+def test_mjpeg_skip_agrees_with_full_decode_on_frame_boundaries():
+    """`_jpeg_skip_frame` (the sampler's fast path for unsampled frames)
+    must land on EXACTLY the same next-frame offset as the full decoder
+    for every frame of an MJPEG blob — a one-byte disagreement
+    desynchronizes the stream and silently corrupts every later sampled
+    frame."""
+    import pandas as pd
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        _decode_jpeg_pixels,
+        _encode_mjpeg,
+        _jpeg_decode_gray,
+        _jpeg_skip_frame,
+    )
+
+    docs = pd.DataFrame({"doc_id": list(range(9))})
+    enc = next(_encode_mjpeg(iter([docs])))
+    for doc_id, blob in zip(enc["doc_id"], enc["payload"]):
+        b = bytes(blob)
+        pos, n = 0, 0
+        while pos < len(b):
+            full = _jpeg_decode_gray(b, pos)
+            skip_end = _jpeg_skip_frame(b, pos)
+            assert full[4], f"doc {doc_id}: frame {n} missing EOI"
+            assert skip_end == full[5], (
+                f"doc {doc_id} frame {n}: skip={skip_end} decode={full[5]}"
+            )
+            pos, n = skip_end, n + 1
+        assert n == 3 + int(doc_id) % 4  # every frame accounted for
