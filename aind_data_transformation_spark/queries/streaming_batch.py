@@ -403,6 +403,57 @@ def q_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: staged 4-chunk source cache: (applicationId, sf_dir) -> the incoming
+#: dir holding the four hash-chunk deliveries (r7 verdict item #3: the
+#: fixture was re-staged — four coalesce(1) write jobs — on EVERY
+#: invocation, ~half the key's bench cost). Same lifecycle discipline as
+#: graph._COPURCHASE_CACHE: entries from dead sessions are evicted on
+#: insert; the staged dir is plain parquet on local disk so it stays
+#: valid for the owning session's lifetime.
+_MINHASH_STAGE_CACHE: dict = {}
+
+
+def _minhash_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the documents table as 4 deterministic hash-chunk files
+    (the micro-batch deliveries) ONCE per (session, sf_dir)."""
+    import os
+    import tempfile
+
+    import glob
+    import shutil
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _MINHASH_STAGE_CACHE.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    base = tempfile.mkdtemp(prefix="stream_minhash_src_")
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    # ONE write job for all 4 chunks (partitionBy), then flatten the
+    # part files into the source dir as chunk-<c>.parquet — r7 verdict
+    # item #3: the previous 4 sequential coalesce(1) jobs were ~half
+    # the key's bench cost. Delivery order (lexical by name once mtimes
+    # tie) doesn't matter: the accumulated pair set is order-free and
+    # the oracle is the batch pair set.
+    staging = os.path.join(base, "staging")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    (
+        docs.withColumn("chunk", F.pmod("doc_id", F.lit(4)))
+        .repartition(4, "chunk")
+        .write.partitionBy("chunk")
+        .parquet(staging)
+    )
+    for c in range(4):
+        parts = glob.glob(os.path.join(staging, f"chunk={c}", "part-*"))
+        assert len(parts) == 1, parts
+        os.rename(parts[0], os.path.join(src, f"chunk-{c}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    for stale in [x for x in _MINHASH_STAGE_CACHE if x[0] != ck[0]]:
+        del _MINHASH_STAGE_CACHE[stale]
+    _MINHASH_STAGE_CACHE[ck] = src
+    return src
+
+
 def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE-streaming MinHash-LSH near-dup detection (r6 verdict item
     #3): the documents table is delivered as a 4-file stream
@@ -415,21 +466,18 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     must surface exactly the pairs one batch pass over the full corpus
     finds, or the streaming tier silently diverges from the batch tier.
 
+    The 4-chunk source dir is staged once per (session, sf_dir)
+    (`_minhash_stage`); only the ingest under test — fresh sig/pair
+    stores + checkpoint per invocation — is re-run.
+
     Scale: per-delivery cost is (new x colliding-buckets), never
     corpus x corpus; the signature store is ~40 bytes/doc."""
-    import shutil
     import tempfile
 
     from aind_data_transformation_spark.streaming import jobs as sjobs
 
+    src = _minhash_stage(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="stream_minhash_")
-    src = f"{base}/incoming"
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # 4 deterministic hash-chunks as separate deliveries
-    for c in range(4):
-        docs.where(F.pmod("doc_id", F.lit(4)) == c).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
@@ -439,7 +487,6 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{base}/sigs", f"{base}/pairs", f"{base}/ckpt"
     )
     q.awaitTermination()
-    shutil.rmtree(src, ignore_errors=True)
     return sjobs.read_stream_dedup_pairs(spark, f"{base}/pairs")
 
 
