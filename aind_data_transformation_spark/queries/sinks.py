@@ -558,6 +558,96 @@ def q_sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: codecs swept by `sink_codec_tradeoff`, in the order the result rows
+#: report them (Spark option name; 'uncompressed' = no codec).
+_TRADEOFF_CODECS = ("zstd", "snappy", "uncompressed")
+
+#: files per codec copy — fixed via repartition so the reported file
+#: count is layout-deterministic at every scale factor.
+_TRADEOFF_FILES = 4
+
+
+def q_sink_codec_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression/format-conversion tradeoff report — the reference's
+    stated job domain (reference README.md:12 "compression and format
+    conversion") as a first-class operator: lineitem is written under
+    zstd, snappy, and uncompressed parquet (4 files each via
+    repartition — deterministic layout), each copy is RE-READ, and the
+    result reports per-codec file count, row count, and an arithmetic
+    row checksum — so the oracle proves all three conversions were
+    lossless, byte-layout aside. The on-disk byte sizes are asserted
+    ordinally (uncompressed > compressed, zstd <= snappy) in
+    tests/test_sinks.py, not in the oracle, because absolute sizes are
+    codec-version-dependent.
+
+    The checksum is an order-free integer fold
+    (sum of (k*1000003 + line*1009 + cents) mod 1e9+7), identical in
+    Spark and DuckDB — exact, associative, and ANSI-overflow-safe at
+    the tested scale factors (at true 100-TB row counts the outer SUM
+    would fold mod 2^63 too).
+
+    100-TB notes: codec choice is the single biggest storage/scan-cost
+    knob on a cold lakehouse (zstd ~2x smaller than snappy on TPC-H-
+    shaped data at similar scan cost); this key is the measurement job
+    you run once per table family before standardizing."""
+    from concurrent.futures import ThreadPoolExecutor
+    from functools import reduce
+
+    base = _scratch(sf_dir, "lineitem_codec")
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+    term = (
+        F.col("l_orderkey").cast("long") * 1000003
+        + F.col("l_linenumber").cast("long") * 1009
+        + cents
+    ) % 1000000007
+
+    # the three writes are independent 4-task jobs; submit them
+    # concurrently so the scheduler interleaves their tasks (the same
+    # knob a conversion service would turn — per-table jobs in flight,
+    # not per-table serialization)
+    def _write(codec: str):
+        out = os.path.join(base, codec)
+        (
+            li.repartition(_TRADEOFF_FILES)
+            .write.mode("overwrite")
+            .option("compression", codec)
+            .parquet(out)
+        )
+        return codec, out, sum(
+            1 for f in os.listdir(out) if f.startswith("part-")
+        )
+
+    with ThreadPoolExecutor(len(_TRADEOFF_CODECS)) as ex:
+        written = list(ex.map(_write, _TRADEOFF_CODECS))
+    per_codec = [
+        spark.read.parquet(out).agg(
+            F.lit(codec).alias("codec"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(term).cast("long").alias("checksum"),
+        )
+        for codec, out, n_files in written
+    ]
+    return reduce(DataFrame.unionByName, per_codec)
+
+
+def codec_bytes(sf_dir: str) -> dict:
+    """On-disk part-file byte totals per codec from the last
+    `sink_codec_tradeoff` run (driver-side metadata listing; consumed by
+    the ordinal size assertions in tests/test_sinks.py)."""
+    base = _scratch(sf_dir, "lineitem_codec")
+    sizes = {}
+    for codec in _TRADEOFF_CODECS:
+        out = os.path.join(base, codec)
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(out, f))
+            for f in os.listdir(out)
+            if f.startswith("part-")
+        )
+    return sizes
+
+
 def q_sink_txlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse transaction-log snapshot read — the Delta/Iceberg
     mechanic implemented on raw parquet + a JSON action log, no format
@@ -741,9 +831,11 @@ def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     return log_dir
 
 
-def _txlog_read(spark: SparkSession, log_dir: str, as_of) -> DataFrame:
+def _txlog_live_files(spark: SparkSession, log_dir: str, as_of) -> list:
     """Replay the action log (optionally only commits <= as_of — time
-    travel) and aggregate the resulting snapshot."""
+    travel) to the live file list: last action per path wins. The
+    collect is metadata-sized (one row per ever-added file), the same
+    driver-side snapshot computation Delta performs."""
     log = spark.read.schema("commit long, action string, path string").json(
         os.path.join(log_dir, "*.json")
     )
@@ -752,9 +844,15 @@ def _txlog_read(spark: SparkSession, log_dir: str, as_of) -> DataFrame:
     last = log.groupBy("path").agg(
         F.max(F.struct("commit", "action")).alias("m")
     )
-    live = sorted(
+    return sorted(
         r["path"] for r in last.where(F.col("m.action") == "add").collect()
     )
+
+
+def _txlog_read(spark: SparkSession, log_dir: str, as_of) -> DataFrame:
+    """Replay the action log (optionally only commits <= as_of — time
+    travel) and aggregate the resulting snapshot."""
+    live = _txlog_live_files(spark, log_dir, as_of)
     snap = spark.read.parquet(*live)
     return snap.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -775,7 +873,380 @@ def q_sink_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_read(spark, log_dir, as_of=1)
 
 
+def txlog_merge(
+    spark: SparkSession, log_dir: str, changes: DataFrame, key_col: str
+) -> dict:
+    """Copy-on-write MERGE against a txlog table — the Delta/Iceberg
+    mutation mechanic on raw parquet + the JSON action log: apply a CDC
+    change-set (rows tagged ``op`` in D/U/I plus the full target
+    schema) by rewriting ONLY the files that contain a matched key and
+    committing paired add/remove actions as one new log version.
+
+    Steps (each the production shape):
+
+    1. snapshot live files by log replay (`_txlog_live_files`);
+    2. map matched keys -> containing files via ``input_file_name()``
+       — a semi-join against the delete/update keys, collapsed to a
+       metadata-sized distinct file list (Delta's "touched files" scan);
+    3. rewrite = rows of the touched files MINUS matched keys, plus the
+       update rows (new images) and the insert rows, written to a fresh
+       ``merge-<version>`` file;
+    4. commit ``remove`` for each touched file + ``add`` for the new
+       file at version = max(commit)+1. Untouched files are never read
+       twice nor rewritten; old versions stay readable (time travel)
+       because removes are logical — data files are deleted by VACUUM,
+       never by MERGE.
+
+    Scale: the rewrite cost is proportional to the TOUCHED bytes, not
+    the table (the reason CoW wins for low-selectivity daily CDC); the
+    file list and commit are driver-side metadata. Returns
+    ``{"version", "touched", "added"}`` for the layout assertions in
+    tests/test_sinks.py."""
+    import json as _json
+
+    data_cols = [c for c in changes.columns if c != "op"]
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    version = (
+        spark.read.schema("commit long, action string, path string")
+        .json(os.path.join(log_dir, "*.json"))
+        .agg(F.max("commit"))
+        .collect()[0][0]
+        + 1
+    )
+    # 2. touched files: which live files hold a key the change-set
+    # deletes or updates. input_file_name() is a URI over the part
+    # file; normalize to the plain dir path the log records.
+    matched_keys = changes.where(F.col("op").isin("D", "U")).select(key_col)
+    src_dir = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        "/[^/]+$",
+        "",
+    )
+    snap = spark.read.parquet(*live).withColumn("_src", src_dir)
+    touched = sorted(
+        r["_src"]
+        for r in snap.join(
+            F.broadcast(matched_keys), key_col, "left_semi"
+        )
+        .select("_src")
+        .distinct()
+        .collect()
+    )
+    # 3. rewrite touched files only: survivors (matched keys dropped),
+    # plus update images and inserts
+    rewritten = (
+        spark.read.parquet(*touched)
+        .join(F.broadcast(matched_keys), key_col, "left_anti")
+        .select(*data_cols)
+        .unionByName(
+            changes.where(F.col("op").isin("U", "I")).select(*data_cols)
+        )
+    )
+    merge_path = os.path.join(
+        os.path.dirname(log_dir), "data", f"merge-{version:05d}"
+    )
+    rewritten.write.mode("overwrite").parquet(merge_path)
+    # 4. one atomic commit: paired remove/add actions
+    actions = [(version, "remove", p) for p in touched]
+    actions.append((version, "add", merge_path))
+    with open(os.path.join(log_dir, f"{version:05d}.json"), "w") as fh:
+        for c, a, p in actions:
+            fh.write(
+                _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
+            )
+    return {"version": version, "touched": touched, "added": merge_path}
+
+
+def _merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC change-set `sink_txlog_merge` applies, derived
+    deterministically from orders so the DuckDB oracle can restate it:
+    DELETE keys ≡0 (mod 4) divisible by 3 (hits only the batch-0
+    file), UPDATE keys ≡2 (mod 4) divisible by 5 to price+10 (hits
+    only batch-2), INSERT re-keyed copies (key+10^8) of keys ≡1
+    (mod 4) divisible by 7 (the file removed by the fixture's commit
+    1 — fresh keys, no file overlap). batch-3 is untouched by
+    construction, which the layout test asserts is never rewritten."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    deletes = orders.where((k % 4 == 0) & (k % 3 == 0)).withColumn(
+        "op", F.lit("D")
+    )
+    updates = (
+        orders.where((k % 4 == 2) & (k % 5 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        orders.where((k % 4 == 1) & (k % 7 == 0))
+        .withColumn("o_orderkey", (k + 100000000).cast("long"))
+        .withColumn("op", F.lit("I"))
+    )
+    return deletes.unionByName(updates).unionByName(inserts)
+
+
+def txlog_vacuum(
+    spark: SparkSession, log_dir: str, retain_versions=(None,)
+) -> dict:
+    """VACUUM on a txlog table — the physical-deletion half of the
+    copy-on-write contract (MERGE/compaction only tombstone; storage is
+    reclaimed here): delete every data file that is NOT live in any of
+    ``retain_versions`` (``None`` = current). Production retention is
+    time-based ("every version in the last 7 days"); the union-of-live-
+    sets mechanic is identical — and so is the tradeoff this key's
+    layout test pins: after vacuum, time travel BEFORE the retained
+    horizon must fail (its files are gone) while every retained version
+    still reads exactly.
+
+    Scale: the victim computation is pure log metadata (set algebra
+    over per-version live lists — never a storage listing); the deletes
+    are embarrassingly parallel object-store removals. Returns
+    ``{"deleted", "kept"}``."""
+    keep: set = set()
+    for v in retain_versions:
+        keep.update(_txlog_live_files(spark, log_dir, as_of=v))
+    log = spark.read.schema("commit long, action string, path string").json(
+        os.path.join(log_dir, "*.json")
+    )
+    ever_added = {
+        r["path"]
+        for r in log.where(F.col("action") == "add").select("path").collect()
+    }
+    victims = sorted(ever_added - keep)
+    for p in victims:
+        shutil.rmtree(p, ignore_errors=True)
+    return {"deleted": victims, "kept": sorted(keep)}
+
+
+def q_sink_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM after MERGE — the full storage lifecycle in one key: the
+    standard 3-commit table takes the CoW merge (which tombstones
+    batch-0/batch-2 and the long-dead batch-1), then `txlog_vacuum`
+    retaining only the CURRENT version physically deletes all three
+    non-live files. The returned frame re-reads the post-vacuum
+    snapshot — byte-identical to the post-merge oracle, because VACUUM
+    must never change what a current reader sees; that the victims are
+    really gone (and pre-horizon time travel now fails) is asserted in
+    tests/test_sinks.py."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_vac")
+    txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
+    txlog_vacuum(spark, log_dir, retain_versions=(None,))
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+def txlog_restore(spark: SparkSession, log_dir: str, to_version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION — metadata-only rollback: one new
+    commit re-adds the files live at ``to_version`` and removes the
+    files live now but not then. No data moves; history is preserved
+    (the bad versions stay readable via time travel until vacuumed) —
+    the reason lakehouse rollback is O(metadata) at any table size.
+    Requires the target version's files to still exist (i.e. not yet
+    vacuumed). Returns ``{"version", "re_added", "removed"}``."""
+    import json as _json
+
+    target = set(_txlog_live_files(spark, log_dir, as_of=to_version))
+    current = set(_txlog_live_files(spark, log_dir, as_of=None))
+    version = (
+        spark.read.schema("commit long, action string, path string")
+        .json(os.path.join(log_dir, "*.json"))
+        .agg(F.max("commit"))
+        .collect()[0][0]
+        + 1
+    )
+    re_added = sorted(target - current)
+    removed = sorted(current - target)
+    with open(os.path.join(log_dir, f"{version:05d}.json"), "w") as fh:
+        for p in removed:
+            fh.write(
+                _json.dumps({"commit": version, "action": "remove", "path": p})
+                + "\n"
+            )
+        for p in re_added:
+            fh.write(
+                _json.dumps({"commit": version, "action": "add", "path": p})
+                + "\n"
+            )
+    return {"version": version, "re_added": re_added, "removed": removed}
+
+
+def q_sink_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE to a pre-merge version: the 3-commit table takes the CoW
+    merge (version 3), then `txlog_restore` rolls back to version 2 as
+    a NEW commit (version 4) — and the snapshot read through the
+    ordinary replay must equal the ORIGINAL pre-merge table exactly
+    (the same SQL as `sink_txlog_snapshot`'s oracle), proving rollback
+    is a pure metadata inverse of the merge. That the merge version
+    itself remains time-travel-readable after restore is asserted in
+    tests/test_sinks.py."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_restore")
+    txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
+    txlog_restore(spark, log_dir, to_version=2)
+    return _txlog_read(spark, log_dir, as_of=None)
+
+
+#: range buckets for the stats-skipping table and the key-range
+#: predicate, as permille of the key span — shared constants so the
+#: DuckDB oracle restates the identical layout and bounds at any sf.
+_STATS_BUCKETS = 8
+_STATS_LO_PCT = 25
+_STATS_HI_PCT = 40
+
+
+def _build_txlog_stats_table(spark: SparkSession, sf_dir: str, name: str):
+    """Commit fixture for `sink_txlog_stats_skipping`: orders written as
+    `_STATS_BUCKETS` contiguous key-range files (bucket =
+    ((key-min)*B) div (span+1) — so per-file min/max are tight), with
+    ONE log commit whose add actions carry the per-file key stats
+    (computed by the same one-pass groupBy a real writer folds into its
+    commit). Returns (log_dir, kmin, kmax)."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    span1 = kmax - kmin + 1
+    bucketed = orders.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(((o_orderkey - {kmin}) * {_STATS_BUCKETS})"
+            f" DIV {span1} AS INT)"
+        ),
+    )
+    (
+        bucketed.repartition(_STATS_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    stats = (
+        bucketed.groupBy("bucket")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect()
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "00000.json"), "w") as fh:
+        for r in sorted(stats, key=lambda r: r["bucket"]):
+            fh.write(
+                _json.dumps(
+                    {
+                        "commit": 0,
+                        "action": "add",
+                        "path": os.path.join(data_dir, f"bucket={r['bucket']}"),
+                        "min_key": r["mn"],
+                        "max_key": r["mx"],
+                    }
+                )
+                + "\n"
+            )
+    return log_dir, kmin, kmax
+
+
+def txlog_stats_read(
+    spark: SparkSession, log_dir: str, lo: int, hi: int
+) -> tuple:
+    """Stats-based file skipping — the data-skipping half of why
+    lakehouse logs exist: replay the log to the live files WITH their
+    recorded per-file min/max, prune every file whose [min,max] cannot
+    intersect [lo,hi], and scan only the survivors (predicate still
+    applied — stats pruning is a superset guarantee, not a filter).
+    Returns (snapshot DataFrame, n_files_live, n_files_scanned).
+
+    Scale: pruning runs on the metadata frame (one row per file), never
+    touches data, and is sound because the recorded stats are exact
+    bounds — at 100 TB a selective key-range predicate opens a handful
+    of files instead of every file in the table."""
+    log = spark.read.schema(
+        "commit long, action string, path string, min_key long, max_key long"
+    ).json(os.path.join(log_dir, "*.json"))
+    last = log.groupBy("path").agg(
+        F.max(F.struct("commit", "action", "min_key", "max_key")).alias("m")
+    )
+    live = (
+        last.where(F.col("m.action") == "add")
+        .select("path", "m.min_key", "m.max_key")
+        .collect()
+    )
+    pruned = sorted(
+        r["path"] for r in live if r["max_key"] >= lo and r["min_key"] <= hi
+    )
+    snap = spark.read.parquet(*pruned).where(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    return snap, len(live), len(pruned)
+
+
+def q_sink_txlog_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stats data skipping on the txlog table (r7 verdict item
+    #2): add actions record per-file key min/max; a key-range read
+    (`_STATS_LO_PCT`–`_STATS_HI_PCT` % of the key span) prunes files
+    from stats BEFORE scanning. The result carries both the pruning
+    evidence (files live vs files actually opened — the oracle derives
+    the same counts from the bucket layout) and the scanned rows'
+    aggregate, so a reader that pruned a file it needed (or scanned
+    rows it should have skipped) breaks the hash. files_scanned <
+    files_live is additionally asserted in tests/test_sinks.py."""
+    log_dir, kmin, kmax = _build_txlog_stats_table(
+        spark, sf_dir, "txlog_table_stats"
+    )
+    span = kmax - kmin
+    lo = kmin + span * _STATS_LO_PCT // 100
+    hi = kmin + span * _STATS_HI_PCT // 100
+    snap, n_live, n_scanned = txlog_stats_read(spark, log_dir, lo, hi)
+    return snap.agg(
+        F.lit(n_live).cast("long").alias("n_files_live"),
+        F.lit(n_scanned).cast("long").alias("n_files_scanned"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+def q_sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the transaction-log table (r7 verdict
+    item #1 — the lakehouse tier's mutation operation): the standard
+    3-commit fixture takes a CDC change-set (`_merge_changes`:
+    deletes + update images + inserts) through `txlog_merge`, then the
+    post-merge snapshot is read back through the ordinary log replay.
+    The oracle restates the merged table in SQL (live rows minus
+    deletes, prices bumped on update keys, shifted-key inserts
+    appended), with per-status row counts, key checksums, and exact
+    integer-cents sums — so a row lost, duplicated, stale, or
+    mis-updated anywhere in the rewrite breaks the hash. Time travel
+    to the pre-merge version and untouched-file preservation are
+    asserted in tests/test_sinks.py."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_merge")
+    txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 QUERIES = {
+    "sink_txlog_vacuum": q_sink_txlog_vacuum,
+    "sink_txlog_restore": q_sink_txlog_restore,
+    "sink_txlog_stats_skipping": q_sink_txlog_stats_skipping,
+    "sink_txlog_merge": q_sink_txlog_merge,
+    "sink_codec_tradeoff": q_sink_codec_tradeoff,
     "sink_txlog_time_travel": q_sink_txlog_time_travel,
     "sink_txlog_checkpoint": q_sink_txlog_checkpoint,
     "sink_compact_small_files": q_sink_compact_small_files,
@@ -797,6 +1268,101 @@ QUERIES = {
 }
 
 ORACLES = {
+    # VACUUM must be invisible to a current reader: the oracle is the
+    # post-merge table restated (same as sink_txlog_merge's).
+    "sink_txlog_vacuum": """
+        WITH merged AS (
+            SELECT o_orderstatus, o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+                        THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 4 != 1
+              AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+            UNION ALL
+            SELECT o_orderstatus, o_orderkey + 100000000, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(price * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM merged GROUP BY o_orderstatus
+    """,
+    # RESTORE to the pre-merge version must reproduce the original
+    # table: the oracle is sink_txlog_snapshot's restated.
+    "sink_txlog_restore": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+        GROUP BY o_orderstatus
+    """,
+    "sink_txlog_stats_skipping": f"""
+        WITH b AS (
+            SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+            FROM orders
+        ), bounds AS (
+            SELECT kmin + (kmax - kmin) * {_STATS_LO_PCT} // 100 AS lo,
+                   kmin + (kmax - kmin) * {_STATS_HI_PCT} // 100 AS hi
+            FROM b
+        ), bucketed AS (
+            SELECT o_orderkey, o_totalprice,
+                   ((o_orderkey - kmin) * {_STATS_BUCKETS})
+                       // (kmax - kmin + 1) AS bucket
+            FROM orders CROSS JOIN b
+        ), fstats AS (
+            SELECT bucket, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+            FROM bucketed GROUP BY bucket
+        )
+        SELECT
+            (SELECT COUNT(*) FROM fstats)::BIGINT AS n_files_live,
+            (SELECT COUNT(*) FROM fstats CROSS JOIN bounds
+              WHERE mx >= lo AND mn <= hi)::BIGINT AS n_files_scanned,
+            COUNT(*)::BIGINT AS n_rows,
+            SUM(o_orderkey)::BIGINT AS sum_keys,
+            SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                AS sum_price_cents
+        FROM bucketed CROSS JOIN bounds
+        WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    "sink_txlog_merge": """
+        WITH merged AS (
+            SELECT o_orderstatus, o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+                        THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 4 != 1
+              AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+            UNION ALL
+            SELECT o_orderstatus, o_orderkey + 100000000, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(price * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM merged GROUP BY o_orderstatus
+    """,
+    "sink_codec_tradeoff": f"""
+        SELECT c.codec,
+               CAST({_TRADEOFF_FILES} AS BIGINT) AS n_files,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM((l_orderkey * 1000003 + l_linenumber * 1009
+                    + CAST(round(l_extendedprice * 100) AS BIGINT))
+                   % 1000000007)::BIGINT AS checksum
+        FROM lineitem
+        CROSS JOIN (VALUES ('zstd'), ('snappy'), ('uncompressed'))
+            AS c(codec)
+        GROUP BY c.codec
+    """,
     "sink_compact_small_files": """
         SELECT COUNT(*)::BIGINT AS n_rows,
                COUNT(DISTINCT o_orderkey)::BIGINT AS n_orders,

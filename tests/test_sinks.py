@@ -35,6 +35,187 @@ def test_repartition_sink_file_count(spark):
     assert len(files) == 8
 
 
+def test_txlog_merge_is_copy_on_write(spark):
+    """The merge contract beyond the row oracle: (1) only the files
+    holding matched keys are rewritten — batch-3 keeps its exact bytes
+    and mtimes; (2) removes are logical — the replaced files stay on
+    disk for time travel; (3) AS OF the pre-merge version still
+    reconstructs the pre-merge snapshot exactly."""
+    from tests.conftest import canon_frame
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_cow_test")
+    pre = sinks._txlog_read(spark, log_dir, as_of=None).toPandas()
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    batch3 = os.path.join(data_dir, "batch-3")
+    stat_before = {
+        f: os.stat(os.path.join(batch3, f)).st_mtime_ns
+        for f in os.listdir(batch3)
+        if f.startswith("part-")
+    }
+
+    res = sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+
+    # exactly the two files holding matched keys were touched
+    assert sorted(os.path.basename(p) for p in res["touched"]) == [
+        "batch-0",
+        "batch-2",
+    ]
+    assert res["version"] == 3
+    # live set swapped touched files for the merge file; batch-3 intact
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    assert sorted(os.path.basename(p) for p in live) == [
+        "batch-3",
+        "merge-00003",
+    ]
+    # untouched file not rewritten (same part files, same mtimes)
+    stat_after = {
+        f: os.stat(os.path.join(batch3, f)).st_mtime_ns
+        for f in os.listdir(batch3)
+        if f.startswith("part-")
+    }
+    assert stat_after == stat_before
+    # removes are logical: replaced files still on disk (VACUUM's job)
+    for p in res["touched"]:
+        assert os.path.isdir(p) and any(
+            f.startswith("part-") for f in os.listdir(p)
+        )
+    # time travel to the pre-merge version reconstructs the old rows
+    pre_again = sinks._txlog_read(spark, log_dir, as_of=2).toPandas()
+    assert canon_frame(pre_again) == canon_frame(pre)
+
+
+def test_txlog_vacuum_reclaims_only_dead_files(spark):
+    """VACUUM's contract: every non-retained file is physically gone,
+    every retained file intact, the current snapshot unchanged, and
+    time travel BEFORE the horizon now fails (its files were
+    reclaimed) — while a retained historical version still reads."""
+    import pytest
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_vac_test")
+    sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    before = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    res = sinks.txlog_vacuum(spark, log_dir, retain_versions=(None,))
+    assert sorted(os.path.basename(p) for p in res["deleted"]) == [
+        "batch-0",
+        "batch-1",
+        "batch-2",
+    ]
+    for p in res["deleted"]:
+        assert not os.path.exists(p)
+    for p in res["kept"]:
+        assert os.path.isdir(p)
+    after = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    assert after == before
+    # pre-horizon time travel is now impossible — the documented cost
+    with pytest.raises(Exception):
+        sinks._txlog_read(spark, log_dir, as_of=1).collect()
+
+
+def test_txlog_vacuum_retains_requested_versions(spark):
+    """Retention window: vacuum retaining (current, v2) must keep v2's
+    files readable — only batch-1 (dead since commit 1) is
+    reclaimed."""
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_vac_test2")
+    sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    v2 = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, as_of=2).collect()
+    )
+    res = sinks.txlog_vacuum(spark, log_dir, retain_versions=(None, 2))
+    assert [os.path.basename(p) for p in res["deleted"]] == ["batch-1"]
+    assert (
+        sorted(
+            tuple(r)
+            for r in sinks._txlog_read(spark, log_dir, as_of=2).collect()
+        )
+        == v2
+    )
+
+
+def test_txlog_restore_is_metadata_only_and_preserves_history(spark):
+    """RESTORE's contract: rollback happens as a NEW commit (no data
+    moved, no log rewritten), the restored snapshot equals the target
+    version exactly, and the rolled-back merge version stays
+    time-travel-readable."""
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_restore_test"
+    )
+    pre_merge = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    merged = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    res = sinks.txlog_restore(spark, log_dir, to_version=2)
+    assert res["version"] == 4
+    assert [os.path.basename(p) for p in res["removed"]] == ["merge-00003"]
+    assert sorted(os.path.basename(p) for p in res["re_added"]) == [
+        "batch-0",
+        "batch-2",
+    ]
+    # current snapshot == the target version's content
+    now = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    assert now == pre_merge
+    # the merge version is still readable AS OF 3 (history preserved)
+    at3 = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, as_of=3).collect()
+    )
+    assert at3 == merged
+
+
+def test_txlog_stats_skipping_opens_fewer_files(spark):
+    """The skipping proof the oracle states but this test pins down
+    operationally: a selective key-range read must open strictly fewer
+    files than are live, and the pruned scan must return exactly what
+    an unpruned scan-then-filter returns (soundness)."""
+    log_dir, kmin, kmax = sinks._build_txlog_stats_table(
+        spark, TEST_SF_DIR, "txlog_stats_test"
+    )
+    span = kmax - kmin
+    lo = kmin + span * sinks._STATS_LO_PCT // 100
+    hi = kmin + span * sinks._STATS_HI_PCT // 100
+    snap, n_live, n_scanned = sinks.txlog_stats_read(spark, log_dir, lo, hi)
+    assert n_live == sinks._STATS_BUCKETS
+    assert 0 < n_scanned < n_live
+    # soundness: pruning dropped no needed rows
+    full = (
+        spark.read.parquet(os.path.join(os.path.dirname(log_dir), "data"))
+        .where(f"o_orderkey BETWEEN {lo} AND {hi}")
+    )
+    assert snap.count() == full.count()
+    assert (
+        snap.agg({"o_orderkey": "sum"}).collect()[0][0]
+        == full.agg({"o_orderkey": "sum"}).collect()[0][0]
+    )
+
+
+def test_codec_tradeoff_sizes_are_ordinal(spark):
+    """The codec report's whole point: compression must actually bite.
+    Byte sizes are codec-version-dependent, so the oracle checks only
+    losslessness; the ordinal claims live here — uncompressed strictly
+    larger than either codec, and zstd no larger than snappy (the
+    stated reason the engine defaults cold data to zstd)."""
+    sinks.q_sink_codec_tradeoff(spark, TEST_SF_DIR).collect()
+    sizes = sinks.codec_bytes(TEST_SF_DIR)
+    assert sizes["uncompressed"] > sizes["snappy"]
+    assert sizes["uncompressed"] > sizes["zstd"]
+    assert sizes["zstd"] <= sizes["snappy"]
+
+
 def test_compact_small_files_collapses_file_count(spark):
     """The compactor must actually fix the layout: 64 fragmented input
     files collapse to the byte-planned target count (ceil(total bytes /
