@@ -140,10 +140,15 @@ def _cent_dist_u(vec_col: str) -> F.Column:
     )
 
 
-def _ivf_probes(base: DataFrame, c1: DataFrame) -> DataFrame:
+def _ivf_probes(
+    base: DataFrame, c1: DataFrame, nprobe: int | None = None, keep_pr: bool = False
+) -> DataFrame:
     """Rank the k-means centroids per query by integer-scaled L2 and keep
-    the top ``_IVF_NPROBE`` as probe cells. ``base`` must carry
-    ``vec_id``, the double vector ``v`` and its norm ``nrm``."""
+    the top ``nprobe`` (default ``_IVF_NPROBE``) as probe cells.
+    ``base`` must carry ``vec_id``, the double vector ``v`` and its norm
+    ``nrm``. With ``keep_pr`` the probe rank column survives — the
+    nprobe-sweep key partitions candidates by it."""
+    nprobe = _IVF_NPROBE if nprobe is None else nprobe
     queries = base.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("q_v"),
@@ -153,12 +158,44 @@ def _ivf_probes(base: DataFrame, c1: DataFrame) -> DataFrame:
         "dist_u", _cent_dist_u("q_v")
     )
     wp = Window.partitionBy("query_id").orderBy("dist_u", "cid")
-    return (
+    out = (
         qd.withColumn("pr", F.row_number().over(wp))
-        .where(F.col("pr") <= _IVF_NPROBE)
-        .drop("dist_u", "pr", "cv")
+        .where(F.col("pr") <= nprobe)
+        .drop("dist_u", "cv")
         .withColumnRenamed("cid", "probe_cell")
     )
+    return out if keep_pr else out.drop("pr")
+
+
+#: materialized cell-assigned corpus cache: (applicationId, sf_dir) ->
+#: (base frame, trained centroids). The base rides the cached
+#: `_lloyd_rounds` quantizer but adds its own localCheckpoint, so the
+#: IVF keys AND the nprobe sweep share one materialization. Dead-session
+#: entries evicted on insert (checkpoint lifetime = owning session).
+_IVF_BASE_CACHE: dict = {}
+
+
+def _ivf_base(spark: SparkSession, sf_dir: str):
+    """The cell-assigned corpus ``(vec_id, cell, v, nrm)`` (materialized)
+    plus the trained centroids, cached per (session, sf_dir)."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVF_BASE_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    _, a2, c1, _ = _lloyd_rounds(spark, sf_dir)
+    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    base = mat(
+        a2.select(
+            "vec_id", F.col("cid").alias("cell"), "v", norm.alias("nrm")
+        ),
+        "ivf_cells",
+    )
+    for stale in [x for x in _IVF_BASE_CACHE if x[0] != ck[0]]:
+        del _IVF_BASE_CACHE[stale]
+    _IVF_BASE_CACHE[ck] = (base, c1)
+    return base, c1
 
 
 def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,18 +204,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries probe their ``_IVF_NPROBE`` nearest centroids, every probed
     cell member scored with exact cosine. Consumed by ``q_ann_ivf_topk``
     (rank window) and the scan-fraction bound test."""
-    from aind_data_transformation_spark.ops import local_materializer as mat
-
-    _, a2, c1, _ = _lloyd_rounds(spark, sf_dir)
-    norm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    # a2 already carries the vectors; materialize the cell-assigned
-    # corpus because it feeds both the query probe and the scan
-    base = mat(
-        a2.select(
-            "vec_id", F.col("cid").alias("cell"), "v", norm.alias("nrm")
-        ),
-        "ivf_cells",
-    )
+    base, c1 = _ivf_base(spark, sf_dir)
     probes = _ivf_probes(base, c1)
     scored = base.join(
         F.broadcast(probes),
@@ -218,6 +244,84 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).where(F.col("rank") <= _TOP_K)
+
+
+#: nprobe settings swept by `ann_nprobe_tradeoff`, ascending — the
+#: DuckDB oracle is generated from the same tuple.
+_NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def q_ann_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning table (r7 verdict item #5) — recall@5 vs
+    scanned-candidate fraction for nprobe ∈ {1,2,4,8} on the SAME
+    cached quantizer the production `ann_ivf_topk` key probes: per
+    setting, the per-query top-5 is recomputed over only the cells
+    visible at that nprobe (a candidate's probe rank ``pr`` is the
+    smallest nprobe that reveals it, so one candidate pass + an explode
+    over the sweep reproduces all four retrievals), hits are graded
+    against the exact brute-force top-5 (`sim_search_topk`'s frame),
+    and scan cost is the candidate count over |queries|·(N-1). This is
+    the table a user reads before deploying the IVF tier: where recall
+    saturates while scan fraction keeps doubling, stop.
+
+    Monotonicity (recall and scan both non-decreasing in nprobe) is
+    asserted in tests/test_properties.py.
+
+    Scale: the sweep fan-out multiplies only the CANDIDATE rows
+    (queries × probed-cell members × |sweep|), never the corpus; the
+    quantizer, cell assignment, and exact grader are all shared,
+    cached, equi-join-shaped work."""
+    base, c1 = _ivf_base(spark, sf_dir)
+    n_corpus = base.count()
+    probes = _ivf_probes(base, c1, nprobe=max(_NPROBE_SWEEP), keep_pr=True)
+    cand = base.join(
+        F.broadcast(probes),
+        (F.col("cell") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    cos = F.round(
+        _dot(F.col("v"), F.col("q_v")) / (F.col("nrm") * F.col("q_nrm")), 9
+    )
+    cand = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "pr", cos.alias("cos_r9")
+    )
+    swept = cand.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(n) for n in _NPROBE_SWEEP])
+        ).alias("nprobe"),
+    ).where(F.col("pr") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_r9").desc(), F.col("neighbor_id").asc()
+    )
+    topk = swept.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= _TOP_K
+    )
+    exact = q_sim_search_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = topk.join(exact, ["query_id", "neighbor_id"], "left_semi").groupBy(
+        "nprobe"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    scans = swept.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_scanned"))
+    sweep_df = spark.createDataFrame(
+        [(n,) for n in _NPROBE_SWEEP], "nprobe int"
+    )
+    return (
+        sweep_df.join(F.broadcast(scans), "nprobe", "left")
+        .join(F.broadcast(hits), "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            F.coalesce("n_scanned", F.lit(0)).cast("long").alias("n_scanned"),
+            F.round(
+                F.coalesce("n_scanned", F.lit(0))
+                / F.lit(_N_QUERIES * (n_corpus - 1)),
+                6,
+            ).alias("scan_frac_r6"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(_N_QUERIES * _TOP_K), 6
+            ).alias("recall_r6"),
+        )
+    )
 
 
 #: 4 deterministic pseudo-random hyperplanes over the 64-dim embedding
@@ -2132,6 +2236,7 @@ QUERIES = {
     "multimodal_join": q_multimodal_join,
     "sim_search_topk": q_sim_search_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_nprobe_tradeoff": q_ann_nprobe_tradeoff,
     "dedup_embedding": q_dedup_embedding,
     "dedup_semantic": q_dedup_semantic,
     # honest-name alias (r5 verdict item #6): the implementation does
@@ -2760,6 +2865,86 @@ def _ivf_oracle(k: int | None, nprobe: int) -> str:
 
 ORACLES["ann_ivf_topk"] = _ivf_oracle(None, _IVF_NPROBE)
 ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle(None, _IVF_NPROBE)
+
+
+def _nprobe_tradeoff_oracle() -> str:
+    """ann_nprobe_tradeoff oracle: the same trained quantizer
+    (`_kmeans_prefix`), candidates tagged with their probe rank, one
+    VALUES sweep, per-(nprobe, query) top-k re-ranked, graded against
+    the brute-force exact top-k."""
+    vals = ", ".join(f"({n})" for n in _NPROBE_SWEEP)
+    maxnp = max(_NPROBE_SWEEP)
+    return f"""
+        {_kmeans_prefix(None)}, base AS (
+            SELECT e.vec_id, a.cid AS cell, e.v,
+                   sqrt(list_dot_product(e.v, e.v)) AS nrm
+            FROM emb e JOIN a2 a USING (vec_id)
+        ), qd AS (
+            SELECT q.vec_id AS query_id, q.v AS q_v, q.nrm AS q_nrm, c.cid,
+                   list_sum(list_transform(generate_series(1, len(q.v)),
+                       i -> CAST(round((q.v[i] - c.cv[i])
+                                       * (q.v[i] - c.cv[i]) * 1e9)
+                            AS BIGINT))) AS dist_u
+            FROM (SELECT * FROM base WHERE vec_id < {_N_QUERIES}) q
+            CROSS JOIN c2 c
+        ), pranks AS (
+            SELECT query_id, q_v, q_nrm, cid AS probe_cell, pr FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist_u, cid) AS pr
+                FROM qd
+            ) WHERE pr <= {maxnp}
+        ), cand AS (
+            SELECT p.query_id, c.vec_id AS neighbor_id, p.pr,
+                   round(list_dot_product(c.v, p.q_v) / (c.nrm * p.q_nrm), 9)
+                       AS cos_r9
+            FROM base c JOIN pranks p ON c.cell = p.probe_cell
+            WHERE c.vec_id != p.query_id
+        ), sweep AS (
+            SELECT * FROM (VALUES {vals}) s(nprobe)
+        ), swept AS (
+            SELECT s.nprobe, c.* FROM cand c CROSS JOIN sweep s
+            WHERE c.pr <= s.nprobe
+        ), topk AS (
+            SELECT nprobe, query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                       ORDER BY cos_r9 DESC, neighbor_id ASC) AS rank
+                FROM swept
+            ) WHERE rank <= {_TOP_K}
+        ), exact AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY round(list_dot_product(c.v, q.v)
+                                          / (c.nrm * q.nrm), 9) DESC,
+                                    c.vec_id ASC) AS rank
+                FROM base c
+                CROSS JOIN (SELECT * FROM base
+                            WHERE vec_id < {_N_QUERIES}) q
+                WHERE c.vec_id != q.vec_id
+            ) WHERE rank <= {_TOP_K}
+        ), hits AS (
+            SELECT nprobe, COUNT(*)::BIGINT AS n_hits
+            FROM topk JOIN exact USING (query_id, neighbor_id)
+            GROUP BY nprobe
+        ), scans AS (
+            SELECT nprobe, COUNT(*)::BIGINT AS n_scanned
+            FROM swept GROUP BY nprobe
+        ), nn AS (SELECT COUNT(*) AS n FROM emb)
+        SELECT CAST(s.nprobe AS BIGINT) AS nprobe,
+               COALESCE(sc.n_scanned, 0)::BIGINT AS n_scanned,
+               round(COALESCE(sc.n_scanned, 0)
+                     / ({_N_QUERIES} * (nn.n - 1)), 6) AS scan_frac_r6,
+               COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+               round(COALESCE(h.n_hits, 0)
+                     / ({_N_QUERIES} * {_TOP_K}), 6) AS recall_r6
+        FROM sweep s
+        LEFT JOIN scans sc ON s.nprobe = sc.nprobe
+        LEFT JOIN hits h ON s.nprobe = h.nprobe
+        CROSS JOIN nn
+    """
+
+
+ORACLES["ann_nprobe_tradeoff"] = _nprobe_tradeoff_oracle()
 
 
 def _semdedup_oracle(k: int | None) -> str:

