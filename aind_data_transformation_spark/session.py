@@ -23,6 +23,12 @@ RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow-accelerated toPandas / pandas UDF exchange.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI SQL mode — Spark 4's default, pinned explicitly so the whole
+    # registry runs under throw-on-overflow / strict-cast semantics even
+    # when a caller-owned session was built with it off. Every oracle
+    # key passing under ANSI is the proof none relies on wrap-around or
+    # lossy casts (r7 verdict item #4); tests/test_ansi.py pins this.
+    "spark.sql.ansi.enabled": "true",
 }
 
 BUILD_CONFS = {
