@@ -873,6 +873,36 @@ def q_sink_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _txlog_read(spark, log_dir, as_of=1)
 
 
+class TxlogConflictError(RuntimeError):
+    """A concurrent writer kept winning the commit race past the retry
+    budget (Delta's ConcurrentModificationException analogue)."""
+
+
+def _txlog_attempt_commit(log_dir: str, version: int, actions) -> bool:
+    """ONE optimistic-concurrency commit attempt: atomically create
+    ``{version:05d}.json`` (O_CREAT|O_EXCL — the same
+    put-if-absent primitive Delta uses on object stores). Returns False
+    if a concurrent writer already owns this version; the caller must
+    re-read the log, revalidate against the new snapshot, and retry at
+    the next version. Losing a race never corrupts the log: the loser's
+    data files are orphans until a later commit references them."""
+    import json as _json
+
+    path = os.path.join(log_dir, f"{version:05d}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        for a in actions:
+            fh.write(_json.dumps(a) + "\n")
+    return True
+
+
+#: commit-race retry budget for the mutating txlog operations
+_TXLOG_MAX_RETRIES = 3
+
+
 def txlog_merge(
     spark: SparkSession, log_dir: str, changes: DataFrame, key_col: str
 ) -> dict:
@@ -897,64 +927,82 @@ def txlog_merge(
        because removes are logical — data files are deleted by VACUUM,
        never by MERGE.
 
+    Concurrency: the commit is one optimistic put-if-absent attempt
+    (`_txlog_attempt_commit`); losing the race re-reads the log and
+    re-runs the WHOLE computation against the new snapshot — Delta's
+    revalidate-and-retry protocol, which is what makes the rewrite safe
+    under concurrent writers without any lock.
+
     Scale: the rewrite cost is proportional to the TOUCHED bytes, not
     the table (the reason CoW wins for low-selectivity daily CDC); the
     file list and commit are driver-side metadata. Returns
-    ``{"version", "touched", "added"}`` for the layout assertions in
-    tests/test_sinks.py."""
-    import json as _json
-
+    ``{"version", "touched", "added", "attempts"}`` for the layout
+    assertions in tests/test_sinks.py."""
     data_cols = [c for c in changes.columns if c != "op"]
-    live = _txlog_live_files(spark, log_dir, as_of=None)
-    version = (
-        spark.read.schema("commit long, action string, path string")
-        .json(os.path.join(log_dir, "*.json"))
-        .agg(F.max("commit"))
-        .collect()[0][0]
-        + 1
-    )
-    # 2. touched files: which live files hold a key the change-set
-    # deletes or updates. input_file_name() is a URI over the part
-    # file; normalize to the plain dir path the log records.
-    matched_keys = changes.where(F.col("op").isin("D", "U")).select(key_col)
-    src_dir = F.regexp_replace(
-        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-        "/[^/]+$",
-        "",
-    )
-    snap = spark.read.parquet(*live).withColumn("_src", src_dir)
-    touched = sorted(
-        r["_src"]
-        for r in snap.join(
-            F.broadcast(matched_keys), key_col, "left_semi"
+    for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
+        live = _txlog_live_files(spark, log_dir, as_of=None)
+        version = (
+            spark.read.schema("commit long, action string, path string")
+            .json(os.path.join(log_dir, "*.json"))
+            .agg(F.max("commit"))
+            .collect()[0][0]
+            + 1
         )
-        .select("_src")
-        .distinct()
-        .collect()
-    )
-    # 3. rewrite touched files only: survivors (matched keys dropped),
-    # plus update images and inserts
-    rewritten = (
-        spark.read.parquet(*touched)
-        .join(F.broadcast(matched_keys), key_col, "left_anti")
-        .select(*data_cols)
-        .unionByName(
-            changes.where(F.col("op").isin("U", "I")).select(*data_cols)
+        # 2. touched files: which live files hold a key the change-set
+        # deletes or updates. input_file_name() is a URI over the part
+        # file; normalize to the plain dir path the log records.
+        matched_keys = changes.where(F.col("op").isin("D", "U")).select(
+            key_col
         )
-    )
-    merge_path = os.path.join(
-        os.path.dirname(log_dir), "data", f"merge-{version:05d}"
-    )
-    rewritten.write.mode("overwrite").parquet(merge_path)
-    # 4. one atomic commit: paired remove/add actions
-    actions = [(version, "remove", p) for p in touched]
-    actions.append((version, "add", merge_path))
-    with open(os.path.join(log_dir, f"{version:05d}.json"), "w") as fh:
-        for c, a, p in actions:
-            fh.write(
-                _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
+        src_dir = F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+            "/[^/]+$",
+            "",
+        )
+        snap = spark.read.parquet(*live).withColumn("_src", src_dir)
+        touched = sorted(
+            r["_src"]
+            for r in snap.join(
+                F.broadcast(matched_keys), key_col, "left_semi"
             )
-    return {"version": version, "touched": touched, "added": merge_path}
+            .select("_src")
+            .distinct()
+            .collect()
+        )
+        # 3. rewrite touched files only: survivors (matched keys
+        # dropped), plus update images and inserts
+        rewritten = (
+            spark.read.parquet(*touched)
+            .join(F.broadcast(matched_keys), key_col, "left_anti")
+            .select(*data_cols)
+            .unionByName(
+                changes.where(F.col("op").isin("U", "I")).select(*data_cols)
+            )
+        )
+        merge_path = os.path.join(
+            os.path.dirname(log_dir), "data", f"merge-{version:05d}"
+        )
+        rewritten.write.mode("overwrite").parquet(merge_path)
+        # 4. one atomic commit: paired remove/add actions
+        actions = [
+            {"commit": version, "action": "remove", "path": p}
+            for p in touched
+        ]
+        actions.append(
+            {"commit": version, "action": "add", "path": merge_path}
+        )
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {
+                "version": version,
+                "touched": touched,
+                "added": merge_path,
+                "attempts": attempt,
+            }
+        # lost the race: our merge file is an unreferenced orphan;
+        # loop re-reads the log and recomputes against the new snapshot
+    raise TxlogConflictError(
+        f"merge lost the commit race {_TXLOG_MAX_RETRIES} times"
+    )
 
 
 def _merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,32 +1096,38 @@ def txlog_restore(spark: SparkSession, log_dir: str, to_version: int) -> dict:
     (the bad versions stay readable via time travel until vacuumed) —
     the reason lakehouse rollback is O(metadata) at any table size.
     Requires the target version's files to still exist (i.e. not yet
-    vacuumed). Returns ``{"version", "re_added", "removed"}``."""
-    import json as _json
-
-    target = set(_txlog_live_files(spark, log_dir, as_of=to_version))
-    current = set(_txlog_live_files(spark, log_dir, as_of=None))
-    version = (
-        spark.read.schema("commit long, action string, path string")
-        .json(os.path.join(log_dir, "*.json"))
-        .agg(F.max("commit"))
-        .collect()[0][0]
-        + 1
+    vacuumed). Commits through the same optimistic put-if-absent
+    protocol as MERGE (losing a race recomputes both live sets against
+    the new snapshot). Returns ``{"version", "re_added", "removed",
+    "attempts"}``."""
+    for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
+        target = set(_txlog_live_files(spark, log_dir, as_of=to_version))
+        current = set(_txlog_live_files(spark, log_dir, as_of=None))
+        version = (
+            spark.read.schema("commit long, action string, path string")
+            .json(os.path.join(log_dir, "*.json"))
+            .agg(F.max("commit"))
+            .collect()[0][0]
+            + 1
+        )
+        re_added = sorted(target - current)
+        removed = sorted(current - target)
+        actions = [
+            {"commit": version, "action": "remove", "path": p}
+            for p in removed
+        ] + [
+            {"commit": version, "action": "add", "path": p} for p in re_added
+        ]
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {
+                "version": version,
+                "re_added": re_added,
+                "removed": removed,
+                "attempts": attempt,
+            }
+    raise TxlogConflictError(
+        f"restore lost the commit race {_TXLOG_MAX_RETRIES} times"
     )
-    re_added = sorted(target - current)
-    removed = sorted(current - target)
-    with open(os.path.join(log_dir, f"{version:05d}.json"), "w") as fh:
-        for p in removed:
-            fh.write(
-                _json.dumps({"commit": version, "action": "remove", "path": p})
-                + "\n"
-            )
-        for p in re_added:
-            fh.write(
-                _json.dumps({"commit": version, "action": "add", "path": p})
-                + "\n"
-            )
-    return {"version": version, "re_added": re_added, "removed": removed}
 
 
 def q_sink_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,6 +1143,109 @@ def q_sink_txlog_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
     txlog_restore(spark, log_dir, to_version=2)
     return _txlog_read(spark, log_dir, as_of=None)
+
+
+#: the evolving table's two schema versions (DDL strings — exactly what
+#: the log's metaData action stores and spark.read.schema() consumes)
+_EVO_SCHEMA_V1 = "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+_EVO_SCHEMA_V2 = _EVO_SCHEMA_V1 + ", o_priority_rank int"
+
+
+def _build_txlog_evo_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Commit fixture for `sink_txlog_schema_evolution`: commit 0 writes
+    the even-key half of orders under schema v1 and records that schema
+    in a ``metaData`` action (the Delta mechanic — schema lives in the
+    LOG, not in any one file); commit 1 ADDS a column (o_priority_rank,
+    the leading digit of o_orderpriority), writes the odd-key half under
+    schema v2, and commits the new metaData. Returns the log dir."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v1_path = os.path.join(data_dir, "batch-v1")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.mode("overwrite").parquet(v1_path)
+    v2_path = os.path.join(data_dir, "batch-v2")
+    orders.where(k % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.substring("o_orderpriority", 1, 1).cast("int").alias(
+            "o_priority_rank"
+        ),
+    ).write.mode("overwrite").parquet(v2_path)
+    os.makedirs(log_dir, exist_ok=True)
+    commits = [
+        [
+            {"commit": 0, "action": "metaData", "schema": _EVO_SCHEMA_V1},
+            {"commit": 0, "action": "add", "path": v1_path},
+        ],
+        [
+            {"commit": 1, "action": "metaData", "schema": _EVO_SCHEMA_V2},
+            {"commit": 1, "action": "add", "path": v2_path},
+        ],
+    ]
+    for i, acts in enumerate(commits):
+        with open(os.path.join(log_dir, f"{i:05d}.json"), "w") as fh:
+            for a in acts:
+                fh.write(_json.dumps(a) + "\n")
+    return log_dir
+
+
+def txlog_evo_read(spark: SparkSession, log_dir: str):
+    """Schema-tracked snapshot read: the CURRENT schema is the latest
+    metaData action's DDL; live files are the usual last-add-wins
+    replay; the scan reads every live file UNDER THE CURRENT SCHEMA, so
+    pre-evolution files surface the added column as NULL — no file
+    rewrite on ALTER TABLE ADD COLUMN, the lakehouse schema-evolution
+    guarantee. Returns (snapshot DataFrame, current schema DDL)."""
+    log = spark.read.schema(
+        "commit long, action string, path string, `schema` string"
+    ).json(os.path.join(log_dir, "*.json"))
+    schema_row = (
+        log.where(F.col("action") == "metaData")
+        .orderBy(F.col("commit").desc())
+        .select("schema")
+        .first()
+    )
+    last = (
+        log.where(F.col("action").isin("add", "remove"))
+        .groupBy("path")
+        .agg(F.max(F.struct("commit", "action")).alias("m"))
+    )
+    live = sorted(
+        r["path"] for r in last.where(F.col("m.action") == "add").collect()
+    )
+    snap = spark.read.schema(schema_row["schema"]).parquet(*live)
+    return snap, schema_row["schema"]
+
+
+def q_sink_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMN on the txlog table — schema carried by
+    metaData actions in the log, never by file rewrites: the reader
+    takes the latest committed schema and scans old and new files under
+    it, so the pre-evolution file's rows surface the added
+    o_priority_rank as NULL while post-evolution rows carry the real
+    value. The oracle restates both halves (NULL rank for even keys,
+    computed rank for odd), so a reader that dropped old rows, rewrote
+    them, or misaligned the added column breaks the hash."""
+    log_dir = _build_txlog_evo_table(spark, sf_dir, "txlog_table_evo")
+    snap, _ = txlog_evo_read(spark, log_dir)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("o_priority_rank").cast("long").alias("n_ranked"),
+        F.sum(F.coalesce("o_priority_rank", F.lit(0))).cast("long").alias(
+            "sum_rank"
+        ),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
 
 
 #: range buckets for the stats-skipping table and the key-range
@@ -1242,6 +1399,7 @@ def q_sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sink_txlog_schema_evolution": q_sink_txlog_schema_evolution,
     "sink_txlog_vacuum": q_sink_txlog_vacuum,
     "sink_txlog_restore": q_sink_txlog_restore,
     "sink_txlog_stats_skipping": q_sink_txlog_stats_skipping,
@@ -1268,6 +1426,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_txlog_schema_evolution": """
+        WITH t AS (
+            SELECT o_orderstatus, o_totalprice,
+                   CAST(NULL AS INT) AS o_priority_rank
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice,
+                   CAST(substr(o_orderpriority, 1, 1) AS INT)
+                       AS o_priority_rank
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               COUNT(o_priority_rank)::BIGINT AS n_ranked,
+               SUM(COALESCE(o_priority_rank, 0))::BIGINT AS sum_rank,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM t GROUP BY o_orderstatus
+    """,
     # VACUUM must be invisible to a current reader: the oracle is the
     # post-merge table restated (same as sink_txlog_merge's).
     "sink_txlog_vacuum": """

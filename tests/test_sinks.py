@@ -86,6 +86,112 @@ def test_txlog_merge_is_copy_on_write(spark):
     assert canon_frame(pre_again) == canon_frame(pre)
 
 
+def test_txlog_merge_survives_commit_race(spark, monkeypatch):
+    """Optimistic concurrency: a concurrent writer steals the version
+    the merge computed, AFTER the merge has read the log but BEFORE its
+    commit lands (injected just ahead of the first put-if-absent
+    attempt). The merge must lose attempt 1, recompute against the NEW
+    snapshot, land at the next version — and produce exactly the rows a
+    conflict-free merge would."""
+    import json
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_race_test")
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    real = sinks._txlog_attempt_commit
+    state = {"injected": False}
+
+    def racy(log_dir_, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            # the winner: a benign re-add of the already-live batch-3
+            # (idempotent under last-action-wins, so the expected merge
+            # result is unchanged)
+            with open(
+                os.path.join(log_dir_, f"{version:05d}.json"), "w"
+            ) as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "commit": version,
+                            "action": "add",
+                            "path": os.path.join(data_dir, "batch-3"),
+                        }
+                    )
+                    + "\n"
+                )
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
+    res = sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    assert res["attempts"] == 2
+    assert res["version"] == 4
+    # the merged snapshot equals a conflict-free merge on a twin table
+    twin = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_race_twin")
+    sinks.txlog_merge(
+        spark, twin, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    got = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    want = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, twin, None).collect()
+    )
+    assert got == want
+
+
+def test_txlog_attempt_commit_is_put_if_absent(spark):
+    """The primitive itself: second attempt at a taken version returns
+    False and leaves the winner's bytes untouched."""
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_pia_test")
+    a = [{"commit": 3, "action": "add", "path": "/tmp/x"}]
+    assert sinks._txlog_attempt_commit(log_dir, 3, a) is True
+    before = open(os.path.join(log_dir, "00003.json")).read()
+    assert (
+        sinks._txlog_attempt_commit(
+            log_dir, 3, [{"commit": 3, "action": "add", "path": "/tmp/y"}]
+        )
+        is False
+    )
+    assert open(os.path.join(log_dir, "00003.json")).read() == before
+
+
+def test_txlog_schema_evolution_never_rewrites_old_files(spark):
+    """The ALTER ADD COLUMN guarantee: evolution is a metaData commit —
+    the v1 file's bytes are untouched, the current reader sees the v2
+    schema with NULLs backfilled virtually, and the v1 schema still
+    reads BOTH files (old readers keep working: the added column is
+    simply projected away)."""
+    log_dir = sinks._build_txlog_evo_table(spark, TEST_SF_DIR, "txlog_evo_t")
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    v1 = os.path.join(data_dir, "batch-v1")
+    stat_before = {
+        f: os.stat(os.path.join(v1, f)).st_mtime_ns
+        for f in os.listdir(v1)
+        if f.startswith("part-")
+    }
+    snap, ddl = sinks.txlog_evo_read(spark, log_dir)
+    assert ddl == sinks._EVO_SCHEMA_V2
+    assert snap.columns[-1] == "o_priority_rank"
+    n_total = snap.count()
+    n_ranked = snap.where("o_priority_rank IS NOT NULL").count()
+    assert 0 < n_ranked < n_total
+    # v1 file untouched by the evolution
+    stat_after = {
+        f: os.stat(os.path.join(v1, f)).st_mtime_ns
+        for f in os.listdir(v1)
+        if f.startswith("part-")
+    }
+    assert stat_after == stat_before
+    # an old reader pinned to schema v1 still reads the whole table
+    old = spark.read.schema(sinks._EVO_SCHEMA_V1).parquet(
+        v1, os.path.join(data_dir, "batch-v2")
+    )
+    assert old.count() == n_total
+    assert "o_priority_rank" not in old.columns
+
+
 def test_txlog_vacuum_reclaims_only_dead_files(spark):
     """VACUUM's contract: every non-retained file is physically gone,
     every retained file intact, the current snapshot unchanged, and
