@@ -157,6 +157,32 @@ def test_txlog_attempt_commit_is_put_if_absent(spark):
     assert open(os.path.join(log_dir, "00003.json")).read() == before
 
 
+def test_txlog_incremental_read_composes_with_merge(spark):
+    """The streaming-source mechanic across the mutation tier: a
+    consumer checkpointed at the pre-merge head sees EXACTLY the merge
+    commit's rewrite file as its next increment; a consumer further
+    behind sees every still-live file added since its checkpoint and
+    never a file that was since removed."""
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_incr_test")
+    res = sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    assert sinks.txlog_incremental_files(spark, log_dir, from_version=2) == [
+        res["added"]
+    ]
+    behind = sinks.txlog_incremental_files(spark, log_dir, from_version=1)
+    assert sorted(os.path.basename(p) for p in behind) == [
+        "batch-3",
+        "merge-00003",
+    ]
+    # bounded consumption: to_version caps the increment at the
+    # pre-merge head, so the merge file is not yet visible
+    capped = sinks.txlog_incremental_files(
+        spark, log_dir, from_version=1, to_version=2
+    )
+    assert sorted(os.path.basename(p) for p in capped) == ["batch-3"]
+
+
 def test_txlog_schema_evolution_never_rewrites_old_files(spark):
     """The ALTER ADD COLUMN guarantee: evolution is a metaData commit —
     the v1 file's bytes are untouched, the current reader sees the v2
