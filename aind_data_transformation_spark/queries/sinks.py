@@ -1421,6 +1421,200 @@ def q_sink_txlog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_Z2_BUCKETS = 16
+
+
+def _build_txlog_zorder_table(spark: SparkSession, sf_dir: str, name: str):
+    """Commit fixture for `sink_txlog_zorder_skipping` — OPTIMIZE ZORDER
+    as a logged transaction: commit 0 adds the table as `_Z2_BUCKETS`
+    contiguous o_orderkey-range files (the layout an append-in-key-order
+    writer produces); commit 1 REWRITES it — removes every linear file
+    and adds `_Z2_BUCKETS` Morton-clustered files (8-bit grid coords on
+    o_orderkey × o_custkey, `_zval_terms` interleave, top-4-bit bucket =
+    a 4×4 quadrant grid). Every add action carries exact per-file
+    min/max stats for BOTH columns, folded from the same one-pass
+    groupBy a real writer computes while committing. Returns
+    (log_dir, (kmin, kmax, cmin, cmax))."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    kmin, kmax, cmin, cmax = orders.agg(
+        F.min("o_orderkey"),
+        F.max("o_orderkey"),
+        F.min("o_custkey"),
+        F.max("o_custkey"),
+    ).collect()[0]
+    lb = (
+        f"CAST(((o_orderkey - {kmin}) * {_Z2_BUCKETS})"
+        f" DIV {kmax - kmin + 1} AS INT)"
+    )
+    gx = (
+        f"CAST(((o_orderkey - {kmin}) * 255)"
+        f" DIV greatest({kmax - kmin}, 1) AS INT)"
+    )
+    gy = (
+        f"CAST(((o_custkey - {cmin}) * 255)"
+        f" DIV greatest({cmax - cmin}, 1) AS INT)"
+    )
+    zb = f"CAST(shiftright({_zval_terms('zx', 'zy', 'spark')}, 12) AS INT)"
+    os.makedirs(log_dir, exist_ok=True)
+    version_paths: list = []
+    for version, data_name in ((0, "linear"), (1, "zorder")):
+        data_dir = os.path.join(base, data_name)
+        if data_name == "linear":
+            bucketed = orders.withColumn("bucket", F.expr(lb))
+        else:
+            bucketed = (
+                orders.withColumn("zx", F.expr(gx))
+                .withColumn("zy", F.expr(gy))
+                .withColumn("bucket", F.expr(zb))
+            )
+        bucketed = bucketed.select("o_orderkey", "o_custkey", "bucket")
+        (
+            bucketed.repartition(_Z2_BUCKETS, "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(data_dir)
+        )
+        stats = (
+            bucketed.groupBy("bucket")
+            .agg(
+                F.min("o_orderkey").alias("mnk"),
+                F.max("o_orderkey").alias("mxk"),
+                F.min("o_custkey").alias("mnc"),
+                F.max("o_custkey").alias("mxc"),
+            )
+            .collect()
+        )
+        paths = []
+        with open(os.path.join(log_dir, f"{version:05d}.json"), "w") as fh:
+            for prev in version_paths:
+                fh.write(
+                    _json.dumps(
+                        {"commit": version, "action": "remove", "path": prev}
+                    )
+                    + "\n"
+                )
+            for r in sorted(stats, key=lambda r: r["bucket"]):
+                p = os.path.join(data_dir, f"bucket={r['bucket']}")
+                paths.append(p)
+                fh.write(
+                    _json.dumps(
+                        {
+                            "commit": version,
+                            "action": "add",
+                            "path": p,
+                            "min_key": r["mnk"],
+                            "max_key": r["mxk"],
+                            "min_cust": r["mnc"],
+                            "max_cust": r["mxc"],
+                        }
+                    )
+                    + "\n"
+                )
+        version_paths = paths
+    return log_dir, (kmin, kmax, cmin, cmax)
+
+
+def txlog_stats2_read(
+    spark: SparkSession, log_dir: str, as_of, column: str, lo: int, hi: int
+):
+    """Two-column stats skipping with time travel: replay the log to the
+    live files AS OF `as_of` (None = head) with their recorded per-file
+    min/max for ``column`` ('o_orderkey' or 'o_custkey'), prune files
+    whose [min,max] cannot intersect [lo,hi], and scan only the
+    survivors (predicate still applied — stats pruning is a superset
+    guarantee, never a filter). Returns (snapshot DataFrame,
+    n_files_live, n_files_scanned).
+
+    Scale: the prune runs on one metadata row per file; at 100 TB the
+    difference between the two layouts this key's fixture commits is
+    whether a predicate on the SECOND column opens a few quadrant
+    directories or every file in the table."""
+    log = spark.read.schema(
+        "commit long, action string, path string, min_key long,"
+        " max_key long, min_cust long, max_cust long"
+    ).json(os.path.join(log_dir, "*.json"))
+    if as_of is not None:
+        log = log.where(F.col("commit") <= as_of)
+    last = log.groupBy("path").agg(
+        F.max(
+            F.struct(
+                "commit", "action", "min_key", "max_key", "min_cust",
+                "max_cust",
+            )
+        ).alias("m")
+    )
+    mn, mx = (
+        ("m.min_key", "m.max_key")
+        if column == "o_orderkey"
+        else ("m.min_cust", "m.max_cust")
+    )
+    live = (
+        last.where(F.col("m.action") == "add")
+        .select("path", F.col(mn).alias("mn"), F.col(mx).alias("mx"))
+        .collect()
+    )
+    pruned = sorted(r["path"] for r in live if r["mx"] >= lo and r["mn"] <= hi)
+    snap = spark.read.parquet(*pruned).where(F.col(column).between(lo, hi))
+    return snap, len(live), len(pruned)
+
+
+def q_sink_txlog_zorder_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMIZE ZORDER measured through the log's own stats (the
+    lakehouse clustering story end-to-end): the fixture's commit 1
+    rewrites the key-ordered table into Morton (o_orderkey × o_custkey)
+    quadrant files, and the SAME two range predicates are served at both
+    versions via `txlog_stats2_read` — 4 result rows (layout × predicate
+    column), each carrying files-live vs files-opened plus the scanned
+    rows' aggregate. The oracle restates both bucket assignments (the
+    shared `_zval_terms` Morton interleave) and both predicate windows,
+    so a reader that pruned a needed file, scanned a skippable one, or
+    lost rows in the rewrite breaks the hash. The tradeoff the rows
+    exhibit: the linear layout prunes perfectly on its sort column and
+    NOT AT ALL on o_custkey; the z-order layout bounds both columns in
+    every file, pruning both predicates to a handful of quadrants —
+    asserted strictly in tests/test_sinks.py."""
+    log_dir, (kmin, kmax, cmin, cmax) = _build_txlog_zorder_table(
+        spark, sf_dir, "txlog_table_z2"
+    )
+    k_lo = kmin + (kmax - kmin) * _STATS_LO_PCT // 100
+    k_hi = kmin + (kmax - kmin) * _STATS_HI_PCT // 100
+    c_lo = cmin + (cmax - cmin) * _STATS_LO_PCT // 100
+    c_hi = cmin + (cmax - cmin) * _STATS_HI_PCT // 100
+    parts = []
+    for layout, as_of in (("linear", 0), ("zorder", None)):
+        for pred, column, lo, hi in (
+            ("key", "o_orderkey", k_lo, k_hi),
+            ("cust", "o_custkey", c_lo, c_hi),
+        ):
+            snap, n_live, n_scanned = txlog_stats2_read(
+                spark, log_dir, as_of, column, lo, hi
+            )
+            parts.append(
+                snap.agg(
+                    F.lit(layout).alias("layout"),
+                    F.lit(pred).alias("pred"),
+                    F.lit(n_live).cast("long").alias("n_files_live"),
+                    F.lit(n_scanned).cast("long").alias("n_files_scanned"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum("o_orderkey").cast("long").alias("sum_keys"),
+                    F.sum("o_custkey").cast("long").alias("sum_custs"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def q_sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write MERGE on the transaction-log table (r7 verdict
     item #1 — the lakehouse tier's mutation operation): the standard
@@ -1448,6 +1642,7 @@ def q_sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sink_txlog_zorder_skipping": q_sink_txlog_zorder_skipping,
     "sink_txlog_incremental_read": q_sink_txlog_incremental_read,
     "sink_txlog_schema_evolution": q_sink_txlog_schema_evolution,
     "sink_txlog_vacuum": q_sink_txlog_vacuum,
@@ -1476,6 +1671,79 @@ QUERIES = {
 }
 
 ORACLES = {
+    # both layouts' bucket assignments restated from the table itself:
+    # lbucket = 16 contiguous key ranges, zbucket = the same Morton
+    # interleave the Spark fixture writes; per-bucket min/max of both
+    # columns reproduce the logged file stats, so the intersect counts
+    # ARE the pruning arithmetic
+    "sink_txlog_zorder_skipping": f"""
+        WITH b AS (
+            SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax,
+                   MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax
+            FROM orders
+        ), r AS (
+            SELECT kmin + (kmax - kmin) * {_STATS_LO_PCT} // 100 AS k_lo,
+                   kmin + (kmax - kmin) * {_STATS_HI_PCT} // 100 AS k_hi,
+                   cmin + (cmax - cmin) * {_STATS_LO_PCT} // 100 AS c_lo,
+                   cmin + (cmax - cmin) * {_STATS_HI_PCT} // 100 AS c_hi
+            FROM b
+        ), g AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(((o_orderkey - kmin) * {_Z2_BUCKETS})
+                        // (kmax - kmin + 1) AS INT) AS lbucket,
+                   ((o_orderkey - kmin) * 255)
+                        // greatest(kmax - kmin, 1) AS zx,
+                   ((o_custkey - cmin) * 255)
+                        // greatest(cmax - cmin, 1) AS zy
+            FROM orders, b
+        ), zz AS (
+            SELECT o_orderkey, o_custkey, lbucket,
+                   CAST(({_zval_terms("zx", "zy", "duck")}) >> 12 AS INT)
+                       AS zbucket
+            FROM g
+        ), lstats AS (
+            SELECT lbucket, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk,
+                   MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc
+            FROM zz GROUP BY lbucket
+        ), zstats AS (
+            SELECT zbucket, MIN(o_orderkey) AS mnk, MAX(o_orderkey) AS mxk,
+                   MIN(o_custkey) AS mnc, MAX(o_custkey) AS mxc
+            FROM zz GROUP BY zbucket
+        )
+        SELECT 'linear' AS layout, 'key' AS pred,
+               (SELECT COUNT(*) FROM lstats)::BIGINT AS n_files_live,
+               (SELECT COUNT(*) FROM lstats, r
+                WHERE mxk >= k_lo AND mnk <= k_hi)::BIGINT
+                   AS n_files_scanned,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(o_custkey)::BIGINT AS sum_custs
+        FROM zz, r WHERE o_orderkey BETWEEN k_lo AND k_hi
+        UNION ALL
+        SELECT 'linear', 'cust',
+               (SELECT COUNT(*) FROM lstats)::BIGINT,
+               (SELECT COUNT(*) FROM lstats, r
+                WHERE mxc >= c_lo AND mnc <= c_hi)::BIGINT,
+               COUNT(*)::BIGINT, SUM(o_orderkey)::BIGINT,
+               SUM(o_custkey)::BIGINT
+        FROM zz, r WHERE o_custkey BETWEEN c_lo AND c_hi
+        UNION ALL
+        SELECT 'zorder', 'key',
+               (SELECT COUNT(*) FROM zstats)::BIGINT,
+               (SELECT COUNT(*) FROM zstats, r
+                WHERE mxk >= k_lo AND mnk <= k_hi)::BIGINT,
+               COUNT(*)::BIGINT, SUM(o_orderkey)::BIGINT,
+               SUM(o_custkey)::BIGINT
+        FROM zz, r WHERE o_orderkey BETWEEN k_lo AND k_hi
+        UNION ALL
+        SELECT 'zorder', 'cust',
+               (SELECT COUNT(*) FROM zstats)::BIGINT,
+               (SELECT COUNT(*) FROM zstats, r
+                WHERE mxc >= c_lo AND mnc <= c_hi)::BIGINT,
+               COUNT(*)::BIGINT, SUM(o_orderkey)::BIGINT,
+               SUM(o_custkey)::BIGINT
+        FROM zz, r WHERE o_custkey BETWEEN c_lo AND c_hi
+    """,
     # the increment a version-1 checkpoint consumes = commit 2's added
     # file = the keys hash-split into batch 3
     "sink_txlog_incremental_read": """

@@ -183,6 +183,33 @@ def test_txlog_incremental_read_composes_with_merge(spark):
     assert sorted(os.path.basename(p) for p in capped) == ["batch-3"]
 
 
+def test_txlog_zorder_prunes_the_second_column(spark):
+    """The clustering tradeoff, strictly: the linear layout opens EVERY
+    live file for the o_custkey predicate (its files bound only the sort
+    column) while the z-order rewrite opens at most half; on the sort
+    column itself both layouts prune strictly below live. The rewrite is
+    lossless: both layouts return identical row aggregates per
+    predicate."""
+    rows = {
+        (r["layout"], r["pred"]): r
+        for r in sinks.q_sink_txlog_zorder_skipping(
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    lin_cust = rows[("linear", "cust")]
+    z_cust = rows[("zorder", "cust")]
+    assert lin_cust["n_files_scanned"] == lin_cust["n_files_live"]
+    assert z_cust["n_files_scanned"] * 2 <= z_cust["n_files_live"]
+    for layout in ("linear", "zorder"):
+        r = rows[(layout, "key")]
+        assert r["n_files_scanned"] < r["n_files_live"]
+    for pred in ("key", "cust"):
+        a, b = rows[("linear", pred)], rows[("zorder", pred)]
+        assert (a["n_rows"], a["sum_keys"], a["sum_custs"]) == (
+            b["n_rows"], b["sum_keys"], b["sum_custs"]
+        )
+
+
 def test_txlog_schema_evolution_never_rewrites_old_files(spark):
     """The ALTER ADD COLUMN guarantee: evolution is a metaData commit —
     the v1 file's bytes are untouched, the current reader sees the v2
