@@ -57,6 +57,71 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_case(col: str, dialect: str) -> str:
+    """80/10/10 train/val/test assignment from the Knuth hash of ``col``
+    (buckets 0-7/8/9 of hash % 10), emitted per dialect so both engines
+    label identically."""
+    if dialect == "spark":
+        b = f"pmod(pmod({col} * 2654435761, 4294967296), 10)"
+    else:
+        b = f"(({col} * 2654435761) % 4294967296) % 10"
+    return (
+        f"CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'val'"
+        " ELSE 'test' END"
+    )
+
+
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the step after duplicate
+    resolution that naive pipelines get wrong: hashing each DOCUMENT
+    into a split lets two near-duplicates straddle the train/eval
+    boundary (the eval doc's twin was trained on — benchmark leakage);
+    hashing each dedup CLUSTER's canonical id sends every member of a
+    near-dup cluster to the same split by construction. Both schemes are
+    computed over the same `q_dedup_clusters` resolution and returned as
+    one report — (scheme, split) doc counts plus `n_leaky_clusters`, the
+    number of clusters whose members landed in more than one split:
+    structurally 0 for by_cluster, and exactly the leakage a by_doc
+    split ships. The oracle re-derives the clusters through the shared
+    recursive-CTE component SQL and restates both hash assignments, so
+    the leak counts themselves are hash-checked.
+
+    Scale: one extra map-side hash label over the cluster frame, a
+    per-cluster countDistinct, and a 1-row broadcast attached via
+    `ops.attach_broadcast` (broadcast HASH join, never a nested loop) —
+    nothing beyond the dedup pass itself touches the corpus."""
+    cl = q_dedup_clusters(spark, sf_dir)
+    labeled = cl.select(
+        "doc_id",
+        "canonical_id",
+        F.expr(_split_case("doc_id", "spark")).alias("by_doc"),
+        F.expr(_split_case("canonical_id", "spark")).alias("by_cluster"),
+    )
+    parts = []
+    for scheme in ("by_doc", "by_cluster"):
+        leaks = (
+            labeled.groupBy("canonical_id")
+            .agg(F.countDistinct(scheme).alias("ns"))
+            .agg(
+                F.sum((F.col("ns") > 1).cast("long"))
+                .cast("long")
+                .alias("n_leaky_clusters")
+            )
+        )
+        per = (
+            labeled.groupBy(F.col(scheme).alias("split"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+            )
+            .withColumn("scheme", F.lit(scheme))
+        )
+        parts.append(attach_broadcast(per, leaks))
+    return parts[0].union(parts[1]).select(
+        "scheme", "split", "n_docs", "sum_doc_ids", "n_leaky_clusters"
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (ops.pack_sequences): documents in doc_id order are
     cut into 512-token bins by exclusive running token count — the
@@ -786,6 +851,7 @@ QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "sample_temperature": q_sample_temperature,
     "dedup_clusters": q_dedup_clusters,
+    "split_leakage_safe": q_split_leakage_safe,
     "pack_sequences": q_pack_sequences,
     "sample_stratified": q_sample_stratified,
     "corpus_mixture": q_corpus_mixture,
@@ -1101,6 +1167,53 @@ ORACLES = {
         SELECT dd.doc_id,
                COALESCE(LEAST(c.mn, dd.doc_id), dd.doc_id) AS canonical_id
         FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+    """,
+    # same recursive-CTE component resolution as dedup_clusters, then
+    # both hash splits labeled and the per-cluster distinct-split audit
+    # folded in — by_cluster leakage is structurally 0, by_doc leakage
+    # is whatever the data says, and both are hash-checked
+    "split_leakage_safe": f"""
+        WITH RECURSIVE pairs AS (
+            {verified_pairs_sql(0.7)}
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM pairs
+            UNION
+            SELECT doc_b AS s, doc_a AS d FROM pairs
+        ), reach AS (
+            SELECT s, d FROM edges
+            UNION
+            SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ), comp AS (
+            SELECT s AS doc_id, MIN(d) AS mn FROM reach GROUP BY s
+        ), clusters AS (
+            SELECT dd.doc_id,
+                   COALESCE(LEAST(c.mn, dd.doc_id), dd.doc_id)
+                       AS canonical_id
+            FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+        ), labeled AS (
+            SELECT doc_id, canonical_id,
+                   {_split_case("doc_id", "duck")} AS by_doc,
+                   {_split_case("canonical_id", "duck")} AS by_cluster
+            FROM clusters
+        ), leak AS (
+            SELECT
+                (SELECT COUNT(*) FROM (
+                    SELECT canonical_id FROM labeled GROUP BY canonical_id
+                    HAVING COUNT(DISTINCT by_doc) > 1)) AS leak_doc,
+                (SELECT COUNT(*) FROM (
+                    SELECT canonical_id FROM labeled GROUP BY canonical_id
+                    HAVING COUNT(DISTINCT by_cluster) > 1)) AS leak_cl
+        )
+        SELECT 'by_doc' AS scheme, by_doc AS split,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(doc_id)::BIGINT AS sum_doc_ids,
+               (SELECT leak_doc FROM leak)::BIGINT AS n_leaky_clusters
+        FROM labeled GROUP BY by_doc
+        UNION ALL
+        SELECT 'by_cluster', by_cluster,
+               COUNT(*)::BIGINT, SUM(doc_id)::BIGINT,
+               (SELECT leak_cl FROM leak)::BIGINT
+        FROM labeled GROUP BY by_cluster
     """,
     "pack_sequences": """
         WITH t AS (

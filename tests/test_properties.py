@@ -1115,3 +1115,23 @@ def test_mjpeg_skip_agrees_with_full_decode_on_frame_boundaries():
             )
             pos, n = skip_end, n + 1
         assert n == 3 + int(doc_id) % 4  # every frame accounted for
+
+
+def test_split_leakage_safe_cluster_split_never_leaks(spark):
+    """The leakage audit's structural guarantee: hashing the CLUSTER
+    canonical puts every member of a near-dup cluster in one split
+    (n_leaky_clusters == 0), while the naive per-document hash split
+    provably leaks on this corpus (> 0) — and both schemes partition the
+    same 80/10/10 universe (per-scheme doc totals equal)."""
+    from aind_data_transformation_spark.queries.corpus import (
+        q_split_leakage_safe,
+    )
+
+    rows = q_split_leakage_safe(spark, TEST_SF_DIR).collect()
+    by = lambda s: [r for r in rows if r["scheme"] == s]  # noqa: E731
+    assert by("by_cluster")[0]["n_leaky_clusters"] == 0
+    assert by("by_doc")[0]["n_leaky_clusters"] > 0
+    assert sum(r["n_docs"] for r in by("by_doc")) == sum(
+        r["n_docs"] for r in by("by_cluster")
+    )
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
