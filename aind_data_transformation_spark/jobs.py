@@ -33,6 +33,7 @@ from aind_data_transformation_spark.core import (
 from aind_data_transformation_spark.ops import (
     attach_broadcast,
     connected_components,
+    knuth32,
     parquet_materializer,
 )
 from aind_data_transformation_spark.texthash import verified_near_dups
@@ -404,7 +405,7 @@ class TrainingCorpusPipelineJob(
 
         # stage 4: deterministic shuffle-shard write (Knuth multiplicative
         # key -> shard; partition-parallel, pruned reads per shard)
-        key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        key = knuth32(F.col("doc_id"))
         sharded = clean.withColumn(
             "shard", (key % s.n_shards).cast("long")
         )

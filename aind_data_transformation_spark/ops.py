@@ -488,6 +488,49 @@ def halo_blocks(
     )
 
 
+#: Knuth's 32-bit multiplicative-hash constant (2^32 / phi)
+_KNUTH_K = 2654435761
+
+
+def knuth32_sql(expr: str, dialect: str) -> str:
+    """``(expr * 2654435761) % 2^32`` emitted overflow-safe for either
+    engine. The naive product overflows int64 once ``expr`` exceeds
+    ~3.47e9 — under the pinned ANSI mode that is ARITHMETIC_OVERFLOW,
+    i.e. the hash would CRASH exactly at the multi-billion-row id space
+    a 100-TB corpus has. Fold via 16-bit limbs instead: with
+    a = expr mod 2^32 split as a = ah*2^16 + al,
+    ``(a*K) mod 2^32 == (al*K + ((ah*K) mod 2^16)*2^16) mod 2^32``
+    and every intermediate stays below 2^48 (al, ah < 2^16). Values are
+    bit-identical to the naive form wherever that form doesn't overflow,
+    so existing oracles are unchanged."""
+    if dialect == "spark":
+        a = f"pmod({expr}, 4294967296)"
+        return (
+            f"pmod(pmod({a}, 65536) * 2654435761 + "
+            f"pmod(({a} div 65536) * 2654435761, 65536) * 65536, "
+            "4294967296)"
+        )
+    a = f"(({expr}) % 4294967296)"
+    return (
+        f"((({a}) % 65536) * 2654435761 + "
+        f"((({a}) // 65536) * 2654435761) % 65536 * 65536) % 4294967296"
+    )
+
+
+def knuth32(col: Column) -> Column:
+    """Column form of :func:`knuth32_sql` (same 16-bit limb fold, same
+    values, ANSI-overflow-safe). The ``(a - al) / 65536`` division is
+    exact: a < 2^32 is exact in double and 65536 is a power of two."""
+    a = F.pmod(col.cast("long"), F.lit(4294967296))
+    al = F.pmod(a, F.lit(65536))
+    ah = ((a - al) / F.lit(65536)).cast("long")
+    return F.pmod(
+        al * F.lit(_KNUTH_K)
+        + F.pmod(ah * F.lit(_KNUTH_K), F.lit(65536)) * F.lit(65536),
+        F.lit(4294967296),
+    )
+
+
 def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
     """Deterministic consistent sample: keep rows whose Knuth
     multiplicative hash of ``key_expr`` falls below ``fraction`` of the
@@ -496,7 +539,7 @@ def hash_sample(df: DataFrame, key_expr: str, fraction: float) -> DataFrame:
     table (and its complement) without materializing them."""
     threshold = int(fraction * 4294967296)
     return df.where(
-        F.expr(f"pmod(({key_expr}) * 2654435761, 4294967296)") < F.lit(threshold)
+        F.expr(knuth32_sql(key_expr, "spark")) < F.lit(threshold)
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-from aind_data_transformation_spark.ops import attach_broadcast
+from aind_data_transformation_spark.ops import attach_broadcast, knuth32_sql
 from aind_data_transformation_spark.queries.numeric import cents, sql_cents
 
 
@@ -99,8 +99,12 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df.sample``), and exactly the technique for consistent sampling of
     a 100-TB fact table without materializing a sample copy."""
     li = load_table(spark, sf_dir, "lineitem")
+    # mod distributes over the sum: (k*K + ln*40503) % 2^32 ==
+    # ((k*K % 2^32) + ln*40503) % 2^32, and the overflow-prone k*K term
+    # rides the ANSI-safe limb fold (ops.knuth32_sql).
     bucket = F.expr(
-        "pmod((l_orderkey * 2654435761 + l_linenumber * 40503), 4294967296)"
+        f"pmod({knuth32_sql('l_orderkey', 'spark')}"
+        " + l_linenumber * 40503, 4294967296)"
     )
     return (
         li.where(bucket < F.lit(429496730))
@@ -1342,10 +1346,11 @@ ORACLES = {
         UNION ALL
         SELECT l_returnflag, 'sum_price', sum_price FROM wide
     """,
-    "sample_hash": """
+    "sample_hash": f"""
         SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         FROM lineitem
-        WHERE (l_orderkey * 2654435761 + l_linenumber * 40503) % 4294967296
+        WHERE ({knuth32_sql("l_orderkey", "duck")}
+               + l_linenumber * 40503) % 4294967296
               < 429496730
     """,
     "sql_scalar_subquery": f"""

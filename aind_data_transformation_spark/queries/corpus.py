@@ -18,6 +18,7 @@ from aind_data_transformation_spark.io.sources import load_table
 from aind_data_transformation_spark.ops import (
     attach_broadcast,
     connected_components,
+    knuth32_sql,
     pack_sequences,
     series_row_number,
 )
@@ -28,9 +29,11 @@ from aind_data_transformation_spark.texthash import (
 )
 
 #: Knuth multiplicative hash of doc_id over the 32-bit space — the same
-#: deterministic sampler ops.hash_sample uses, portable to DuckDB verbatim.
-_HASH_SPARK = "pmod(doc_id * 2654435761, 4294967296)"
-_HASH_DUCK = "(doc_id * 2654435761) % 4294967296"
+#: deterministic sampler ops.hash_sample uses, portable to DuckDB. Emitted
+#: through ops.knuth32_sql so it stays ANSI-overflow-safe past doc_id
+#: ~3.47e9 (the multi-billion-document id space of a 100-TB corpus).
+_HASH_SPARK = knuth32_sql("doc_id", "spark")
+_HASH_DUCK = knuth32_sql("doc_id", "duck")
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,9 +65,9 @@ def _split_case(col: str, dialect: str) -> str:
     (buckets 0-7/8/9 of hash % 10), emitted per dialect so both engines
     label identically."""
     if dialect == "spark":
-        b = f"pmod(pmod({col} * 2654435761, 4294967296), 10)"
+        b = f"pmod({knuth32_sql(col, 'spark')}, 10)"
     else:
-        b = f"(({col} * 2654435761) % 4294967296) % 10"
+        b = f"({knuth32_sql(col, 'duck')}) % 10"
     return (
         f"CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'val'"
         " ELSE 'test' END"
@@ -393,8 +396,12 @@ def q_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     actual epoch write would be repartitionByRange on shuffle_key —
     same plan as corpus_shuffle_shard."""
     d = load_table(spark, sf_dir, "documents")
+    # reduce doc_id+1 mod M BEFORE the multiply: (a*K + e*C) mod M ==
+    # (((a mod M)*K) + e*C) mod M, and (M-1)*K ~ 5.7e18 stays inside
+    # int64 — the naive product overflows (ANSI ARITHMETIC_OVERFLOW)
+    # once doc_id exceeds ~3.47e9.
     mix = (
-        "((doc_id + 1) * 2654435761L"
+        "(pmod(doc_id + 1, 2147483647L) * 2654435761L"
         " + CAST(epoch AS BIGINT) * 1103515245L) % 2147483647L"
     )
     return (
@@ -1024,8 +1031,8 @@ ORACLES = {
             SELECT doc_id, unnest(range(0, 3)) AS epoch FROM documents
         ), keyed AS (
             SELECT CAST(epoch AS BIGINT) AS epoch,
-                   ((doc_id + 1) * 2654435761 + epoch * 1103515245)
-                       % 2147483647 AS k
+                   (((doc_id + 1) % 2147483647) * 2654435761
+                    + epoch * 1103515245) % 2147483647 AS k
             FROM ex
         )
         SELECT epoch, k % 8 AS shard,
@@ -1059,7 +1066,7 @@ ORACLES = {
                    AS chunk_text
         FROM st
     """,
-    "sample_class_balance": """
+    "sample_class_balance": f"""
         WITH sizes AS (
             SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
         ), target AS (
@@ -1068,7 +1075,7 @@ ORACLES = {
             SELECT doc_id, lang, n_chars,
                    row_number() OVER (
                        PARTITION BY lang
-                       ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                       ORDER BY {_HASH_DUCK} ASC,
                                 doc_id ASC
                    ) AS rk
             FROM documents

@@ -359,6 +359,12 @@ def _ivf_partitioned_dir(spark: SparkSession, sf_dir: str) -> str:
         .parquet(out)
     )
     for stale in [x for x in _IVF_PART_CACHE if x[0] != ck[0]]:
+        # the evicted entry is dead-session scratch by construction —
+        # remove its on-disk layout too, or long-lived processes
+        # accumulate orphaned temp data across sessions.
+        import shutil as _shutil
+
+        _shutil.rmtree(_IVF_PART_CACHE[stale], ignore_errors=True)
         del _IVF_PART_CACHE[stale]
     _IVF_PART_CACHE[ck] = out
     return out

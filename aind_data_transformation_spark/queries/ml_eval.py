@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from aind_data_transformation_spark.io.sources import load_table
-from aind_data_transformation_spark.ops import attach_broadcast
+from aind_data_transformation_spark.ops import attach_broadcast, knuth32_sql
 from aind_data_transformation_spark.queries.numeric import cents, sql_cents
 from aind_data_transformation_spark.queries.llm_text import (
     q_text_langid,
@@ -402,7 +402,7 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same pass (no per-fraction re-scan)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     pred = q_text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
-    h = F.expr("pmod(doc_id * 2654435761, 4294967296)")
+    h = F.expr(knuth32_sql("doc_id", "spark"))
     rows = d.join(pred, "doc_id").select(
         h.alias("h"),
         (F.col("lang") == F.col("predicted_lang")).cast("long").alias("ok"),
@@ -1118,7 +1118,7 @@ ORACLES = {
             FROM documents
         ),
         pairs AS (
-            SELECT (doc_id * 2654435761) % 4294967296 AS h,
+            SELECT {knuth32_sql("doc_id", "duck")} AS h,
                    CASE WHEN lang = (CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
                                           WHEN score_es >= score_de THEN 'es'
                                           ELSE 'de' END)

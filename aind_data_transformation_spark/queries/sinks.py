@@ -831,22 +831,39 @@ def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     return log_dir
 
 
+def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
+    """ONE read of the action log, collected driver-side (metadata-sized:
+    one row per action ever committed — the same snapshot computation
+    Delta performs). Mutating operations MUST derive everything they
+    validate against (live set, attempt version) from a single such
+    snapshot: two separate log reads can straddle a concurrent commit,
+    in which case the retry loop would commit at max+1 without having
+    revalidated against that commit's changes (a lost update)."""
+    return (
+        spark.read.schema("commit long, action string, path string")
+        .json(os.path.join(log_dir, "*.json"))
+        .collect()
+    )
+
+
+def _txlog_live_from_rows(rows: list, as_of=None) -> list:
+    """Replay collected log rows (optionally only commits <= as_of —
+    time travel) to the live file list: last action per path wins, with
+    remove beating add within one commit (matching the
+    max(struct(commit, action)) tie-break: 'remove' > 'add')."""
+    last: dict = {}
+    for r in sorted(rows, key=lambda r: (r["commit"], r["action"] or "")):
+        if as_of is not None and r["commit"] > as_of:
+            continue
+        if r["action"] in ("add", "remove") and r["path"] is not None:
+            last[r["path"]] = r["action"]
+    return sorted(p for p, a in last.items() if a == "add")
+
+
 def _txlog_live_files(spark: SparkSession, log_dir: str, as_of) -> list:
     """Replay the action log (optionally only commits <= as_of — time
-    travel) to the live file list: last action per path wins. The
-    collect is metadata-sized (one row per ever-added file), the same
-    driver-side snapshot computation Delta performs."""
-    log = spark.read.schema("commit long, action string, path string").json(
-        os.path.join(log_dir, "*.json")
-    )
-    if as_of is not None:
-        log = log.where(F.col("commit") <= as_of)
-    last = log.groupBy("path").agg(
-        F.max(F.struct("commit", "action")).alias("m")
-    )
-    return sorted(
-        r["path"] for r in last.where(F.col("m.action") == "add").collect()
-    )
+    travel) to the live file list: last action per path wins."""
+    return _txlog_live_from_rows(_txlog_log_rows(spark, log_dir), as_of)
 
 
 def _txlog_read(spark: SparkSession, log_dir: str, as_of) -> DataFrame:
@@ -940,14 +957,14 @@ def txlog_merge(
     assertions in tests/test_sinks.py."""
     data_cols = [c for c in changes.columns if c != "op"]
     for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
-        live = _txlog_live_files(spark, log_dir, as_of=None)
-        version = (
-            spark.read.schema("commit long, action string, path string")
-            .json(os.path.join(log_dir, "*.json"))
-            .agg(F.max("commit"))
-            .collect()[0][0]
-            + 1
-        )
+        # one log read per attempt: BOTH the live set and the attempt
+        # version come from the same collected snapshot, so any commit
+        # landing after this point collides on the version file below
+        # and forces a full revalidating retry (no lost-update window
+        # between "what files are live" and "what version am I").
+        log_rows = _txlog_log_rows(spark, log_dir)
+        live = _txlog_live_from_rows(log_rows)
+        version = max(r["commit"] for r in log_rows) + 1
         # 2. touched files: which live files hold a key the change-set
         # deletes or updates. input_file_name() is a URI over the part
         # file; normalize to the plain dir path the log records.
@@ -970,15 +987,21 @@ def txlog_merge(
             .collect()
         )
         # 3. rewrite touched files only: survivors (matched keys
-        # dropped), plus update images and inserts
-        rewritten = (
-            spark.read.parquet(*touched)
-            .join(F.broadcast(matched_keys), key_col, "left_anti")
-            .select(*data_cols)
-            .unionByName(
-                changes.where(F.col("op").isin("U", "I")).select(*data_cols)
-            )
+        # dropped), plus update images and inserts. An insert-only
+        # change-set (or one whose D/U keys match no live file) touches
+        # nothing — commit just the new rows, no parquet read.
+        upserts = changes.where(F.col("op").isin("U", "I")).select(
+            *data_cols
         )
+        if touched:
+            rewritten = (
+                spark.read.parquet(*touched)
+                .join(F.broadcast(matched_keys), key_col, "left_anti")
+                .select(*data_cols)
+                .unionByName(upserts)
+            )
+        else:
+            rewritten = upserts
         merge_path = os.path.join(
             os.path.dirname(log_dir), "data", f"merge-{version:05d}"
         )
@@ -1060,9 +1083,19 @@ def txlog_vacuum(
         for r in log.where(F.col("action") == "add").select("path").collect()
     }
     victims = sorted(ever_added - keep)
+    deleted, failed = [], []
     for p in victims:
         shutil.rmtree(p, ignore_errors=True)
-    return {"deleted": victims, "kept": sorted(keep)}
+        # verify: a failed removal must never be reported as reclaimed
+        # (the file would stay readable while the caller believes the
+        # storage was freed).
+        (failed if os.path.exists(p) else deleted).append(p)
+    if failed:
+        raise RuntimeError(
+            f"vacuum failed to remove {len(failed)} of {len(victims)} "
+            f"victims: {failed[:3]}..."
+        )
+    return {"deleted": deleted, "kept": sorted(keep)}
 
 
 def q_sink_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1101,15 +1134,13 @@ def txlog_restore(spark: SparkSession, log_dir: str, to_version: int) -> dict:
     the new snapshot). Returns ``{"version", "re_added", "removed",
     "attempts"}``."""
     for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
-        target = set(_txlog_live_files(spark, log_dir, as_of=to_version))
-        current = set(_txlog_live_files(spark, log_dir, as_of=None))
-        version = (
-            spark.read.schema("commit long, action string, path string")
-            .json(os.path.join(log_dir, "*.json"))
-            .agg(F.max("commit"))
-            .collect()[0][0]
-            + 1
-        )
+        # single log read per attempt (see _txlog_log_rows): target,
+        # current, and the attempt version all derive from one snapshot
+        # so an intervening commit always collides and forces a retry.
+        log_rows = _txlog_log_rows(spark, log_dir)
+        target = set(_txlog_live_from_rows(log_rows, as_of=to_version))
+        current = set(_txlog_live_from_rows(log_rows))
+        version = max(r["commit"] for r in log_rows) + 1
         re_added = sorted(target - current)
         removed = sorted(current - target)
         actions = [

@@ -449,6 +449,13 @@ def _minhash_stage(spark: SparkSession, sf_dir: str) -> str:
         os.rename(parts[0], os.path.join(src, f"chunk-{c}.parquet"))
     shutil.rmtree(staging, ignore_errors=True)
     for stale in [x for x in _MINHASH_STAGE_CACHE if x[0] != ck[0]]:
+        # evicted entries are dead-session mkdtemp scratch — remove the
+        # whole tempdir (the parent of the incoming/ dir) so long-lived
+        # processes don't accumulate orphaned staged data.
+        shutil.rmtree(
+            os.path.dirname(_MINHASH_STAGE_CACHE[stale]),
+            ignore_errors=True,
+        )
         del _MINHASH_STAGE_CACHE[stale]
     _MINHASH_STAGE_CACHE[ck] = src
     return src

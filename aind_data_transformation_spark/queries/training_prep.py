@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from aind_data_transformation_spark.ops import attach_broadcast
+from aind_data_transformation_spark.ops import attach_broadcast, knuth32, knuth32_sql
 
 from aind_data_transformation_spark.io.sources import load_table
 
@@ -316,14 +316,14 @@ def q_corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks source/time ordering. Returns the per-shard manifest (count,
     key range, id checksum) proving balance and determinism.
 
-    The multiplier keeps the product within int64 for doc_id < 3.5e9 so
-    both engines stay exact; at larger id spaces you'd switch the key to
-    ``xxhash64(doc_id)`` (same plan, engine-native hash — no SQL oracle).
+    The hash is emitted through ``ops.knuth32`` (16-bit limb fold), so
+    it stays exact AND overflow-safe under ANSI mode at any int64 id
+    space — no wrap-around, no ARITHMETIC_OVERFLOW past doc_id ~3.5e9.
     Scale: one projection + one 16-group aggregation, map-side combinable;
     the real shuffle write is ``repartitionByRange(shuffle_key)`` into the
     sink, which this manifest validates."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    key = knuth32(F.col("doc_id"))
     sharded = d.select(
         "doc_id",
         key.alias("shuffle_key"),
@@ -635,11 +635,11 @@ ORACLES = {
                         ELSE coalesce(r.scrubbed, '') END) AS scrubbed_md5
         FROM d LEFT JOIN rebuilt r USING (doc_id)
     """,
-    "corpus_shuffle_shard": """
+    "corpus_shuffle_shard": f"""
         WITH sharded AS (
             SELECT doc_id,
-                   (doc_id * 2654435761) % 4294967296 AS shuffle_key,
-                   CAST((doc_id * 2654435761) % 4294967296 % 16 AS BIGINT)
+                   {knuth32_sql("doc_id", "duck")} AS shuffle_key,
+                   CAST(({knuth32_sql("doc_id", "duck")}) % 16 AS BIGINT)
                        AS shard
             FROM documents
         )

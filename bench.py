@@ -59,6 +59,22 @@ def main() -> None:
     # warmup over every core so the pool it claims to warm exists.
     n = int(cpus)
     spark.range(0, n * 2, 1, n).mapInPandas(lambda it: it, "id long").count()
+    # Stage the ANN IVF physical index (quantizer training + the
+    # partitionBy(cell) layout write) OUTSIDE the per-key timers and
+    # report its one-time cost separately: the index is built once and
+    # amortized over every probe, so folding it into whichever ANN key
+    # happens to run first (r8: ann_ivf_partition_pruned absorbed ~8 s
+    # of adopted build cost) misreads as probe cost. Serve entries below
+    # now measure serving.
+    ann_index_build_s = None
+    try:
+        from aind_data_transformation_spark.queries import llm_vectors
+
+        t0 = time.monotonic()
+        llm_vectors._ivf_partitioned_dir(spark, sf_dir)
+        ann_index_build_s = round(time.monotonic() - t0, 3)
+    except Exception as exc:
+        print(f"# ann index warmup failed: {exc}", file=sys.stderr)
     for key in sorted(queries):
         start = time.monotonic()
         try:
@@ -78,6 +94,9 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            # one-time ANN index build (quantizer + partitionBy(cell)
+            # layout), staged in warmup — NOT part of any query's entry
+            "ann_index_build_s": ann_index_build_s,
         }
     )
 

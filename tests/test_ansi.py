@@ -49,3 +49,47 @@ def test_runtime_confs_reassert_ansi(spark):
         assert spark.conf.get("spark.sql.ansi.enabled") == "true"
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
+
+
+# ---------------------------------------------------------------------------
+# knuth32 / knuth32_sql: the overflow-safe 32-bit multiplicative hash
+# (r8 ADVICE: the naive `id * 2654435761` throws ARITHMETIC_OVERFLOW under
+# the pinned ANSI mode once id exceeds ~3.47e9 — exactly the
+# multi-billion-row id space a 100-TB corpus has).
+# ---------------------------------------------------------------------------
+
+_KNUTH_PROBES = [
+    0, 1, 7, 65535, 65536, 12345678,
+    3474749038,           # first id where the naive product overflows
+    4294967295, 4294967296, 10**12, 2**62,
+]
+
+
+def test_knuth32_matches_python_past_int64_overflow(spark):
+    """Both the Column and the Spark-SQL forms equal the exact Python
+    value (which never overflows) at every probe, INCLUDING ids where
+    the naive product exceeds int64 — the inputs that used to crash."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.ops import knuth32, knuth32_sql
+
+    df = spark.createDataFrame([(v,) for v in _KNUTH_PROBES], "x long")
+    rows = df.select(
+        "x",
+        F.expr(knuth32_sql("x", "spark")).alias("s"),
+        knuth32(F.col("x")).alias("c"),
+    ).collect()
+    for r in rows:
+        ref = (r["x"] * 2654435761) % 4294967296
+        assert r["s"] == ref and r["c"] == ref, (r["x"], r["s"], r["c"], ref)
+
+
+def test_knuth32_duck_dialect_matches_python():
+    import duckdb
+
+    from aind_data_transformation_spark.ops import knuth32_sql
+
+    con = duckdb.connect()
+    for v in _KNUTH_PROBES:
+        got = con.execute(f"SELECT {knuth32_sql(str(v), 'duck')}").fetchone()[0]
+        assert got == (v * 2654435761) % 4294967296, (v, got)

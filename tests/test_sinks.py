@@ -141,6 +141,42 @@ def test_txlog_merge_survives_commit_race(spark, monkeypatch):
     assert got == want
 
 
+def test_txlog_merge_insert_only_changeset(spark):
+    """An insert-only change-set (no D/U rows, so no live file holds a
+    matched key) must commit cleanly: nothing touched, no parquet read
+    of an empty path list, just the new rows appended as the merge
+    file (r8 ADVICE item #2)."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_ins_test")
+    pre = sinks._txlog_read(spark, log_dir, as_of=None).toPandas()
+    k = F.col("o_orderkey")
+    inserts = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where((k % 4 == 1) & (k % 7 == 0))
+        .withColumn("o_orderkey", (k + 100000000).cast("long"))
+        .withColumn("op", F.lit("I"))
+    )
+    res = sinks.txlog_merge(spark, log_dir, inserts, "o_orderkey")
+    assert res["touched"] == []
+    assert res["version"] == 3
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    assert sorted(os.path.basename(p) for p in live) == [
+        "batch-0",
+        "batch-2",
+        "batch-3",
+        "merge-00003",
+    ]
+    # post-merge rows = pre-merge rows + exactly the inserts
+    import pandas as pd
+
+    post = sinks._txlog_read(spark, log_dir, as_of=None).toPandas()
+    n_ins = inserts.count()
+    assert post["n_rows"].sum() == pre["n_rows"].sum() + n_ins
+
+
 def test_txlog_attempt_commit_is_put_if_absent(spark):
     """The primitive itself: second attempt at a taken version returns
     False and leaves the winner's bytes untouched."""
