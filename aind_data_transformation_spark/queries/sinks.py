@@ -1672,7 +1672,196 @@ def q_sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _txlog_live_dvs(rows: list, as_of=None) -> list:
+    """Deletion-vector sidecars committed (optionally <= as_of): every
+    ``dv`` action's path. DVs are append-only metadata — applicability
+    is decided at read time (a DV row applies iff its TARGET file is
+    still live), so a later OPTIMIZE that rewrites the target
+    automatically makes the DV inert without a log edit."""
+    return sorted(
+        r["path"]
+        for r in rows
+        if r["action"] == "dv"
+        and r["path"] is not None
+        and (as_of is None or r["commit"] <= as_of)
+    )
+
+
+def _src_dir_col():
+    """input_file_name() normalized to the plain directory path the log
+    records (strip the file:// scheme and the part-file name)."""
+    return F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        "/[^/]+$",
+        "",
+    )
+
+
+def txlog_delete_with_dv(
+    spark: SparkSession, log_dir: str, delete_keys: DataFrame, key_col: str
+) -> dict:
+    """Merge-on-read DELETE (r8 verdict item #1) — the other half of the
+    mutation tradeoff `txlog_merge` tells: instead of rewriting every
+    file that holds a matched key (copy-on-write — write cost ∝ touched
+    bytes even for a 10-row delete), commit a DELETION-VECTOR sidecar:
+    a small parquet of (target file, deleted key) pairs plus one ``dv``
+    log action. No data file is rewritten (the layout test pins the
+    target's bytes + mtimes); readers anti-join live DVs at scan time
+    (`txlog_read_with_dvs`), paying read amplification (deleted rows
+    are still scanned, then dropped) in exchange for O(delete-size)
+    write cost — the default for high-frequency small deletes, exactly
+    Delta/Iceberg's MoR mode. A later `txlog_dv_materialize` (OPTIMIZE)
+    folds DVs back into the files, restoring 1:1 read amplification.
+
+    Commit protocol: same single-snapshot optimistic put-if-absent as
+    MERGE — the live set and attempt version derive from ONE log read,
+    so any intervening commit collides on the version file and forces a
+    revalidating retry."""
+    for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
+        log_rows = _txlog_log_rows(spark, log_dir)
+        live = _txlog_live_from_rows(log_rows)
+        version = max(r["commit"] for r in log_rows) + 1
+        snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+        dv_rows = snap.join(
+            F.broadcast(delete_keys.select(key_col)), key_col, "left_semi"
+        ).select(
+            F.col("_src").alias("target"), F.col(key_col).alias("key")
+        )
+        dv_path = os.path.join(
+            os.path.dirname(log_dir), "data", f"dv-{version:05d}"
+        )
+        dv_rows.write.mode("overwrite").parquet(dv_path)
+        actions = [{"commit": version, "action": "dv", "path": dv_path}]
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {"version": version, "dv": dv_path, "attempts": attempt}
+    raise TxlogConflictError(
+        f"dv delete lost the commit race {_TXLOG_MAX_RETRIES} times"
+    )
+
+
+def txlog_read_with_dvs(
+    spark: SparkSession, log_dir: str, key_col: str, as_of=None
+) -> DataFrame:
+    """DV-aware snapshot read: scan the live files, then anti-join the
+    union of live deletion vectors on (source file, key). Only DV rows
+    whose target is still live apply — a materialized/rewritten target
+    silently retires its DVs. The DV side is delete-sized, so the
+    anti-join broadcasts; the scan itself is unchanged (the read
+    amplification IS the MoR tradeoff, reported by the query key)."""
+    rows = _txlog_log_rows(spark, log_dir)
+    live = _txlog_live_from_rows(rows, as_of)
+    dvs = _txlog_live_dvs(rows, as_of)
+    snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+    if not dvs:
+        return snap.drop("_src")
+    dv = (
+        spark.read.parquet(*dvs)
+        .where(F.col("target").isin(live))
+        .withColumnRenamed("key", key_col)
+    )
+    return snap.join(
+        F.broadcast(dv),
+        (snap["_src"] == dv["target"]) & (snap[key_col] == dv[key_col]),
+        "left_anti",
+    ).drop("_src")
+
+
+def txlog_dv_materialize(
+    spark: SparkSession, log_dir: str, key_col: str
+) -> dict:
+    """OPTIMIZE for deletion vectors: rewrite each DV'd live file minus
+    its deleted keys into a fresh file, commit remove(target) + add(new)
+    — after which every previously-live DV is inert (its target is no
+    longer live) and reads are 1:1 again. Write cost ∝ DV'd files'
+    bytes, the same copy-on-write bill the DELETE deferred."""
+    for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
+        log_rows = _txlog_log_rows(spark, log_dir)
+        live = _txlog_live_from_rows(log_rows)
+        dvs = _txlog_live_dvs(log_rows)
+        version = max(r["commit"] for r in log_rows) + 1
+        if not dvs:
+            return {"version": None, "rewritten": [], "attempts": attempt}
+        dv = spark.read.parquet(*dvs).where(F.col("target").isin(live))
+        targets = sorted(
+            r["target"]
+            for r in dv.select("target").distinct().collect()
+        )
+        if not targets:
+            return {"version": None, "rewritten": [], "attempts": attempt}
+        snap = spark.read.parquet(*targets).withColumn(
+            "_src", _src_dir_col()
+        )
+        dvk = dv.withColumnRenamed("key", key_col)
+        survivors = snap.join(
+            F.broadcast(dvk),
+            (snap["_src"] == dvk["target"])
+            & (snap[key_col] == dvk[key_col]),
+            "left_anti",
+        ).drop("_src")
+        out = os.path.join(
+            os.path.dirname(log_dir), "data", f"optimize-{version:05d}"
+        )
+        survivors.write.mode("overwrite").parquet(out)
+        actions = [
+            {"commit": version, "action": "remove", "path": p}
+            for p in targets
+        ]
+        actions.append({"commit": version, "action": "add", "path": out})
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {
+                "version": version,
+                "rewritten": targets,
+                "added": out,
+                "attempts": attempt,
+            }
+    raise TxlogConflictError(
+        f"dv materialize lost the commit race {_TXLOG_MAX_RETRIES} times"
+    )
+
+
+def q_sink_txlog_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge-on-read DELETE on the txlog table: the standard 3-commit
+    fixture takes the same delete predicate as the MERGE change-set
+    (keys ≡0 mod 4 and divisible by 3 — all living in batch-0) through
+    `txlog_delete_with_dv`; the snapshot is then read DV-aware. The
+    oracle restates the post-delete table AND the read amplification
+    (rows scanned = every live-file row, rows live = post-anti-join),
+    so both the delete's exactness and the MoR cost model are
+    hash-checked. That no data file was rewritten — the inverse of the
+    CoW layout test — is asserted in tests/test_sinks.py, along with
+    DV retirement after `txlog_dv_materialize`."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_dv")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    rows = _txlog_log_rows(spark, log_dir)
+    live = _txlog_live_from_rows(rows)
+    scanned = (
+        spark.read.parquet(*live)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows_scanned"))
+    )
+    snap = txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+    live_rows = snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_live")
+    )
+    per_status = snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+    return attach_broadcast(attach_broadcast(per_status, scanned), live_rows)
+
+
 QUERIES = {
+    "sink_txlog_deletion_vectors": q_sink_txlog_deletion_vectors,
     "sink_txlog_zorder_skipping": q_sink_txlog_zorder_skipping,
     "sink_txlog_incremental_read": q_sink_txlog_incremental_read,
     "sink_txlog_schema_evolution": q_sink_txlog_schema_evolution,
@@ -1867,6 +2056,30 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # MoR DELETE: post-delete snapshot restated + the read-amplification
+    # arithmetic (scanned = every live-file row incl. the deleted ones —
+    # the MoR cost; live = scanned minus the DV'd keys)
+    "sink_txlog_deletion_vectors": """
+        WITH livefiles AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey % 4 != 1
+        ), kept AS (
+            SELECT * FROM livefiles
+            WHERE NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+        ), amp AS (
+            SELECT (SELECT COUNT(*) FROM livefiles) AS n_rows_scanned,
+                   (SELECT COUNT(*) FROM kept) AS n_rows_live
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents,
+               CAST(n_rows_scanned AS BIGINT) AS n_rows_scanned,
+               CAST(n_rows_live AS BIGINT) AS n_rows_live
+        FROM kept CROSS JOIN amp
+        GROUP BY o_orderstatus, n_rows_scanned, n_rows_live
     """,
     "sink_txlog_merge": """
         WITH merged AS (

@@ -177,6 +177,92 @@ def test_txlog_merge_insert_only_changeset(spark):
     assert post["n_rows"].sum() == pre["n_rows"].sum() + n_ins
 
 
+def test_txlog_dv_delete_is_merge_on_read(spark):
+    """The MoR contract beyond the row oracle — the INVERSE of the CoW
+    layout test: (1) a DV DELETE rewrites NO data file (every batch
+    keeps its exact part files and mtimes); (2) the deletion vector is
+    a real sidecar on disk, delete-sized; (3) time travel to the
+    pre-delete version still sees the deleted rows; (4) OPTIMIZE
+    (`txlog_dv_materialize`) rewrites exactly the DV'd file, after
+    which the DV is inert and the plain snapshot equals the DV-aware
+    read."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+    from tests.conftest import canon_frame
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_dv_test")
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+
+    def _mtimes():
+        out = {}
+        for b in ("batch-0", "batch-2", "batch-3"):
+            d = os.path.join(data_dir, b)
+            for f in os.listdir(d):
+                if f.startswith("part-"):
+                    out[(b, f)] = os.stat(os.path.join(d, f)).st_mtime_ns
+        return out
+
+    pre_rows = sinks._txlog_read(spark, log_dir, as_of=None).toPandas()
+    before = _mtimes()
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    res = sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    assert res["version"] == 3 and res["attempts"] == 1
+    # (1) NO data file rewritten
+    assert _mtimes() == before
+    # (2) the DV sidecar exists and holds (target, key) rows
+    assert os.path.isdir(res["dv"])
+    dv = spark.read.parquet(res["dv"])
+    assert set(dv.columns) == {"target", "key"}
+    n_dv = dv.count()
+    assert n_dv == deletes.join(
+        spark.read.parquet(os.path.join(data_dir, "batch-0")),
+        "o_orderkey",
+        "left_semi",
+    ).count()
+    # the live file SET is unchanged (the delete is pure metadata)
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    assert sorted(os.path.basename(p) for p in live) == [
+        "batch-0",
+        "batch-2",
+        "batch-3",
+    ]
+    # (3) time travel to the pre-delete version sees the deleted rows
+    tt = sinks.txlog_read_with_dvs(
+        spark, log_dir, "o_orderkey", as_of=2
+    )
+    agg = tt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+    assert canon_frame(agg.toPandas()) == canon_frame(pre_rows)
+    # (4) OPTIMIZE rewrites exactly the DV'd file and retires the DV
+    post_dv = sinks.txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+    want = sorted(tuple(r) for r in post_dv.collect())
+    mat = sinks.txlog_dv_materialize(spark, log_dir, "o_orderkey")
+    assert sorted(os.path.basename(p) for p in mat["rewritten"]) == [
+        "batch-0"
+    ]
+    live2 = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    assert sorted(os.path.basename(p) for p in live2) == [
+        "batch-2",
+        "batch-3",
+        f"optimize-{mat['version']:05d}",
+    ]
+    plain = spark.read.parquet(*live2)
+    assert sorted(tuple(r) for r in plain.collect()) == want
+    # DV-aware read after materialize = plain read (the DV is inert)
+    dvread = sinks.txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+    assert sorted(tuple(r) for r in dvread.collect()) == want
+
+
 def test_txlog_attempt_commit_is_put_if_absent(spark):
     """The primitive itself: second attempt at a taken version returns
     False and leaves the winner's bytes untouched."""
