@@ -497,7 +497,88 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sjobs.read_stream_dedup_pairs(spark, f"{base}/pairs")
 
 
+#: staged 4-chunk orders source cache, same lifecycle as
+#: _MINHASH_STAGE_CACHE
+_TXLOG_STAGE_CACHE: dict = {}
+
+
+def _txlog_sink_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage orders as 4 deterministic hash-chunk files (the stream's
+    micro-batch deliveries) once per (session, sf_dir)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TXLOG_STAGE_CACHE.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    base = tempfile.mkdtemp(prefix="stream_txlog_src_")
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    staging = os.path.join(base, "staging")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.withColumn("chunk", F.pmod("o_orderkey", F.lit(4)))
+        .repartition(4, "chunk")
+        .write.partitionBy("chunk")
+        .parquet(staging)
+    )
+    for c in range(4):
+        parts = glob.glob(os.path.join(staging, f"chunk={c}", "part-*"))
+        assert len(parts) == 1, parts
+        os.rename(parts[0], os.path.join(src, f"chunk-{c}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    for stale in [x for x in _TXLOG_STAGE_CACHE if x[0] != ck[0]]:
+        shutil.rmtree(
+            os.path.dirname(_TXLOG_STAGE_CACHE[stale]), ignore_errors=True
+        )
+        del _TXLOG_STAGE_CACHE[stale]
+    _TXLOG_STAGE_CACHE[ck] = src
+    return src
+
+
+def q_stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming exactly-once write into the transaction log: the
+    orders table arrives as a 4-file stream (maxFilesPerTrigger=1 → 4
+    micro-batches); each micro-batch commits its rows as one epoch-keyed
+    txlog version (`streaming.jobs.txlog_stream_commit_ingest` —
+    deterministic epoch path + put-if-absent commit). After the stream
+    drains, the snapshot read through the ordinary log replay must equal
+    the full orders table — a dropped epoch, a double-committed replay,
+    or rows landing outside their epoch's file all break the hash.
+    Kill/restart exactly-once (a crash mid-stream, then a resume from
+    the same checkpoint) and composition with the incremental-read
+    consumer are asserted in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from aind_data_transformation_spark.queries import sinks as _sinks
+    from aind_data_transformation_spark.streaming import jobs as sjobs
+
+    src = _txlog_sink_stage(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_txlog_sink_")
+    log_dir = os.path.join(base, "_log")
+    data_dir = os.path.join(base, "data")
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sjobs.txlog_stream_commit_ingest(
+        stream, log_dir, data_dir, os.path.join(base, "ckpt")
+    )
+    q.awaitTermination()
+    return _sinks._txlog_read(spark, log_dir, as_of=None)
+
+
 QUERIES = {
+    "stream_txlog_sink": q_stream_txlog_sink,
     "stream_full_join": q_stream_full_join,
     "stream_state_inspect": q_stream_state_inspect,
     "stream_tws_totals": q_stream_tws_totals,
@@ -515,6 +596,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exactly-once streaming commit: after 4 epoch-keyed txlog versions
+    # the snapshot must equal the whole orders table
+    "stream_txlog_sink": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders GROUP BY o_orderstatus
+    """,
     "stream_full_join": """
         WITH cutoff AS (
             SELECT max(ts) - INTERVAL '90 minutes' AS cut FROM events

@@ -725,3 +725,60 @@ def read_stream_dedup_pairs(spark: SparkSession, pairs_dir: str) -> DataFrame:
     return (
         spark.read.parquet(pairs_dir).select("doc_a", "doc_b").distinct()
     )
+
+
+def txlog_epoch_commit(
+    batch_df, batch_id: int, log_dir: str, data_dir: str
+) -> bool:
+    """One micro-batch's exactly-once landing in the transaction log
+    (the foreachBatch body of `txlog_stream_commit_ingest`, exposed for
+    direct replay testing): write the batch's rows to the DETERMINISTIC
+    epoch-keyed path ``data/epoch-<batchId>`` (mode overwrite — a
+    replayed batch rewrites the same bytes at the same path, never a
+    second copy), then commit it as txlog version == batchId through
+    the same put-if-absent primitive the batch writers use. A replay's
+    commit attempt finds the version file already present and returns
+    False — the epoch is already in the log, nothing to do. That
+    idempotent-by-naming + put-if-absent pair is what turns
+    foreachBatch's at-least-once into exactly-once."""
+    import os
+
+    from aind_data_transformation_spark.queries import sinks as _sinks
+
+    path = os.path.join(data_dir, f"epoch-{int(batch_id):05d}")
+    batch_df.write.mode("overwrite").parquet(path)
+    os.makedirs(log_dir, exist_ok=True)
+    return _sinks._txlog_attempt_commit(
+        log_dir,
+        int(batch_id),
+        [{"commit": int(batch_id), "action": "add", "path": path}],
+    )
+
+
+def txlog_stream_commit_ingest(
+    stream, log_dir: str, data_dir: str, checkpoint_dir: str
+):
+    """Exactly-once STREAMING SINK into the transaction log (r8 verdict
+    item #2 — the write-side complement of `sink_txlog_incremental_read`'s
+    streaming source): every micro-batch lands as one epoch-keyed txlog
+    version via `txlog_epoch_commit`, so a log-tailing consumer
+    (`txlog_incremental_files`) sees each epoch exactly once, and the
+    whole stream is replay-safe across kill/restart (crash between sink
+    commit and checkpoint commit replays the batch; the deterministic
+    path + put-if-absent commit make the replay a no-op).
+
+    Version numbering assumes this stream owns the table (epoch N is
+    commit N — Delta's txn/appId action generalizes this to shared
+    tables). Scale: per-batch cost ∝ the delivery, commit is one
+    driver-side O_CREAT|O_EXCL; at 1000 executors the data write
+    parallelizes and the log stays metadata-sized."""
+
+    def _commit(batch_df, batch_id):
+        txlog_epoch_commit(batch_df, batch_id, log_dir, data_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

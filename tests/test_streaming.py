@@ -791,3 +791,117 @@ def test_incremental_minhash_dedup_batch_replay_is_idempotent(spark, tmp_path):
         for r in jobs.read_stream_dedup_pairs(spark, pairs).collect()
     }
     assert after == before
+
+
+def test_txlog_stream_sink_exactly_once_across_kill_restart(
+    spark, tmp_path, monkeypatch
+):
+    """r8 verdict item #2's contract: the stream crashes mid-run (commit
+    bomb on epoch 2), is restarted from the SAME checkpoint, and every
+    epoch must land in the transaction log exactly once — 4 version
+    files, 4 epoch data dirs, snapshot equal to the full source, and the
+    incremental-read consumer checkpointed mid-stream sees each later
+    epoch exactly once."""
+    import os
+
+    from aind_data_transformation_spark.io.sources import load_table
+    from aind_data_transformation_spark.queries import sinks
+    from aind_data_transformation_spark.streaming import jobs as sjobs
+
+    src = str(tmp_path / "src")
+    log_dir = str(tmp_path / "_log")
+    data_dir = str(tmp_path / "data")
+    ckpt = str(tmp_path / "ckpt")
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string,"
+                " o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sjobs.txlog_stream_commit_ingest(stream, log_dir, data_dir, ckpt)
+        q.awaitTermination()
+
+    # run 1: bomb the commit of epoch 2 AFTER its data write — the
+    # worst-case crash point (data on disk, nothing in the log)
+    real = sinks._txlog_attempt_commit
+    state = {"armed": True}
+
+    def bombed(log_dir_, version, actions):
+        if state["armed"] and version == 2:
+            state["armed"] = False
+            raise RuntimeError("injected crash before epoch-2 commit")
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", bombed)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run()
+    committed = sorted(os.listdir(log_dir))
+    assert committed == ["00000.json", "00001.json"]
+
+    # run 2: same checkpoint, bomb disarmed — epoch 2 replays (same
+    # deterministic path, put-if-absent commit), 3 completes
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", real)
+    run()
+    assert sorted(os.listdir(log_dir)) == [
+        "00000.json",
+        "00001.json",
+        "00002.json",
+        "00003.json",
+    ]
+    assert sorted(os.listdir(data_dir)) == [
+        f"epoch-{i:05d}" for i in range(4)
+    ]
+    # snapshot == full source, nothing dropped or doubled
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    assert snap.count() == orders.count()
+    assert (
+        snap.agg(F.sum("o_orderkey")).collect()[0][0]
+        == orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+    # a consumer checkpointed at epoch 1 sees exactly epochs 2 and 3
+    inc = sinks.txlog_incremental_files(spark, log_dir, from_version=1)
+    assert sorted(os.path.basename(p) for p in inc) == [
+        "epoch-00002",
+        "epoch-00003",
+    ]
+
+
+def test_txlog_epoch_commit_replay_is_idempotent(spark, tmp_path):
+    """The foreachBatch body directly: replaying the SAME micro-batch
+    (crash between sink commit and checkpoint commit) rewrites the same
+    path and its commit attempt returns False — one version file, no
+    duplicate rows, log bytes unchanged."""
+    import os
+
+    from aind_data_transformation_spark.io.sources import load_table
+    from aind_data_transformation_spark.streaming import jobs as sjobs
+
+    log_dir = str(tmp_path / "_log")
+    data_dir = str(tmp_path / "data")
+    batch = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    )
+    assert sjobs.txlog_epoch_commit(batch, 0, log_dir, data_dir) is True
+    log_bytes = open(os.path.join(log_dir, "00000.json")).read()
+    n = spark.read.parquet(os.path.join(data_dir, "epoch-00000")).count()
+    # the replay
+    assert sjobs.txlog_epoch_commit(batch, 0, log_dir, data_dir) is False
+    assert os.listdir(log_dir) == ["00000.json"]
+    assert open(os.path.join(log_dir, "00000.json")).read() == log_bytes
+    assert (
+        spark.read.parquet(os.path.join(data_dir, "epoch-00000")).count()
+        == n
+    )
