@@ -945,18 +945,25 @@ def txlog_merge(
        never by MERGE.
 
     Concurrency: the commit is one optimistic put-if-absent attempt
-    (`_txlog_attempt_commit`); losing the race re-reads the log and
-    re-runs the WHOLE computation against the new snapshot — Delta's
-    revalidate-and-retry protocol, which is what makes the rewrite safe
-    under concurrent writers without any lock.
+    (`_txlog_attempt_commit`). Losing the race first runs Delta's CHEAP
+    conflict check against the commits it hadn't seen: if no intervener
+    touched any of our files, removed any file we read, or added rows
+    matching our change-set's keys (checked by a bounded semi-join
+    against only the interveners' added files — delta-sized, never the
+    table), our rewrite is still serializable as-is and is re-committed
+    verbatim at the next version with ZERO recompute — two writers
+    merging disjoint file sets both land on their first computation.
+    Only a real conflict re-runs the whole computation against the new
+    snapshot (revalidate-and-retry).
 
     Scale: the rewrite cost is proportional to the TOUCHED bytes, not
     the table (the reason CoW wins for low-selectivity daily CDC); the
     file list and commit are driver-side metadata. Returns
-    ``{"version", "touched", "added", "attempts"}`` for the layout
-    assertions in tests/test_sinks.py."""
+    ``{"version", "touched", "added", "attempts", "recomputes"}`` for
+    the layout assertions in tests/test_sinks.py."""
     data_cols = [c for c in changes.columns if c != "op"]
-    for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
+    attempt = 0
+    for recomputes in range(_TXLOG_MAX_RETRIES):
         # one log read per attempt: BOTH the live set and the attempt
         # version come from the same collected snapshot, so any commit
         # landing after this point collides on the version file below
@@ -1002,8 +1009,16 @@ def txlog_merge(
             )
         else:
             rewritten = upserts
+        # GUID-suffixed data-file name (the Delta convention): two
+        # writers racing on the same version must never write the same
+        # path — the loser's rewrite would otherwise be clobbered by
+        # the winner's before the loser's cheap re-commit references it.
+        import uuid as _uuid
+
         merge_path = os.path.join(
-            os.path.dirname(log_dir), "data", f"merge-{version:05d}"
+            os.path.dirname(log_dir),
+            "data",
+            f"merge-{version:05d}-{_uuid.uuid4().hex[:8]}",
         )
         rewritten.write.mode("overwrite").parquet(merge_path)
         # 4. one atomic commit: paired remove/add actions
@@ -1014,17 +1029,64 @@ def txlog_merge(
         actions.append(
             {"commit": version, "action": "add", "path": merge_path}
         )
-        if _txlog_attempt_commit(log_dir, version, actions):
-            return {
-                "version": version,
-                "touched": touched,
-                "added": merge_path,
-                "attempts": attempt,
+        touched_set = set(touched)
+        while True:
+            attempt += 1
+            if _txlog_attempt_commit(log_dir, version, actions):
+                return {
+                    "version": version,
+                    "touched": touched,
+                    "added": merge_path,
+                    "attempts": attempt,
+                    "recomputes": recomputes,
+                }
+            # lost the race. Delta's cheap conflict check before the
+            # expensive recompute: look only at the commits we hadn't
+            # seen (>= our attempted version).
+            new_rows = _txlog_log_rows(spark, log_dir)
+            inter = [r for r in new_rows if r["commit"] >= version]
+            inter_removed = {
+                r["path"] for r in inter if r["action"] == "remove"
             }
-        # lost the race: our merge file is an unreferenced orphan;
-        # loop re-reads the log and recomputes against the new snapshot
+            inter_added = sorted(
+                r["path"]
+                for r in inter
+                if r["action"] == "add" and r["path"] is not None
+            )
+            # conflict iff they touched a file WE rewrite (our removes
+            # would tombstone their rewrite, or vice versa). Removing a
+            # file we merely READ is harmless: we found no matched keys
+            # in it, and any matched keys in its replacement are caught
+            # by the key scan below.
+            conflict = bool(
+                (inter_removed | set(inter_added)) & touched_set
+            )
+            if not conflict and inter_added:
+                # do their NEW files contain any of our matched keys?
+                # Bounded: scans only the interveners' added files.
+                conflict = (
+                    spark.read.parquet(*inter_added)
+                    .join(F.broadcast(matched_keys), key_col, "left_semi")
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+            if conflict:
+                break  # full revalidate-and-retry (outer loop)
+            # disjoint writers: re-commit the SAME rewrite at the next
+            # version — no recompute, the merge file is already on disk
+            version = max(r["commit"] for r in new_rows) + 1
+            actions = [
+                {"commit": version, "action": "remove", "path": p}
+                for p in touched
+            ]
+            actions.append(
+                {"commit": version, "action": "add", "path": merge_path}
+            )
+            if attempt >= _TXLOG_MAX_RETRIES * 2:
+                break
     raise TxlogConflictError(
-        f"merge lost the commit race {_TXLOG_MAX_RETRIES} times"
+        f"merge lost the commit race after {attempt} attempts"
     )
 
 

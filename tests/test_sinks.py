@@ -65,10 +65,9 @@ def test_txlog_merge_is_copy_on_write(spark):
     assert res["version"] == 3
     # live set swapped touched files for the merge file; batch-3 intact
     live = sinks._txlog_live_files(spark, log_dir, as_of=None)
-    assert sorted(os.path.basename(p) for p in live) == [
-        "batch-3",
-        "merge-00003",
-    ]
+    live_names = sorted(os.path.basename(p) for p in live)
+    assert live_names[0] == "batch-3" and len(live_names) == 2
+    assert live_names[1].startswith("merge-00003-")  # GUID-suffixed
     # untouched file not rewritten (same part files, same mtimes)
     stat_after = {
         f: os.stat(os.path.join(batch3, f)).st_mtime_ns
@@ -141,6 +140,120 @@ def test_txlog_merge_survives_commit_race(spark, monkeypatch):
     assert got == want
 
 
+def test_txlog_merge_disjoint_writers_skip_recompute(spark, monkeypatch):
+    """Delta's conflict checker, cheap path (r8 verdict item #6): writer
+    B lands a full merge touching ONLY batch-2 between writer A's log
+    read and A's commit (A touches only batch-0, and B's new file holds
+    none of A's keys). A must lose attempt 1, pass the cheap
+    disjointness check, and re-commit its already-written rewrite at
+    the next version with ZERO recomputes — and the final table must
+    equal the two merges applied sequentially on a twin."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    # A: deletes living only in batch-0 (keys ≡0 mod 4)
+    a_changes = orders.where((k % 4 == 0) & (k % 3 == 0)).withColumn(
+        "op", F.lit("D")
+    )
+    # B: updates living only in batch-2 (keys ≡2 mod 4)
+    b_changes = (
+        orders.where((k % 4 == 2) & (k % 5 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+        .withColumn("op", F.lit("U"))
+    )
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_disjoint_test"
+    )
+    real = sinks._txlog_attempt_commit
+    state = {"injected": False}
+
+    def racy(log_dir_, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            # writer B: a complete merge that wins version 3
+            res_b = sinks.txlog_merge(
+                spark, log_dir_, b_changes, "o_orderkey"
+            )
+            assert res_b["version"] == 3
+            assert res_b["attempts"] == 1 and res_b["recomputes"] == 0
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
+    res_a = sinks.txlog_merge(spark, log_dir, a_changes, "o_orderkey")
+    assert res_a["recomputes"] == 0, "disjoint writers must not recompute"
+    assert res_a["attempts"] == 2
+    assert res_a["version"] == 4
+    assert sorted(os.path.basename(p) for p in res_a["touched"]) == [
+        "batch-0"
+    ]
+
+    # equivalence: sequential application on a twin table
+    twin = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_disjoint_twin"
+    )
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", real)
+    sinks.txlog_merge(spark, twin, b_changes, "o_orderkey")
+    sinks.txlog_merge(spark, twin, a_changes, "o_orderkey")
+    got = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    want = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, twin, None).collect()
+    )
+    assert got == want
+
+
+def test_txlog_merge_overlapping_writers_do_recompute(spark, monkeypatch):
+    """The conflict checker's other face: the intervener's new file DOES
+    contain keys A deletes (B inserts re-keyed copies that collide with
+    A's delete set), so A must take the full revalidate-and-retry path —
+    recomputes == 1 — and the recomputed merge must delete the keys from
+    B's file too (serial equivalence B-then-A)."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    # A deletes keys ≡0 mod 4 divisible by 3
+    a_changes = orders.where((k % 4 == 0) & (k % 3 == 0)).withColumn(
+        "op", F.lit("D")
+    )
+    # B INSERTS rows whose keys collide with A's delete set
+    b_changes = (
+        orders.where((k % 4 == 0) & (k % 3 == 0))
+        .limit(5)
+        .withColumn("op", F.lit("I"))
+    )
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_overlap_test"
+    )
+    real = sinks._txlog_attempt_commit
+    state = {"injected": False}
+
+    def racy(log_dir_, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            sinks.txlog_merge(spark, log_dir_, b_changes, "o_orderkey")
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
+    res_a = sinks.txlog_merge(spark, log_dir, a_changes, "o_orderkey")
+    assert res_a["recomputes"] == 1, "overlapping keys must recompute"
+    # serial equivalence: B's inserted copies of the deleted keys are
+    # gone too — no row with a deleted key survives anywhere
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    survivors = spark.read.parquet(*live).join(
+        a_changes.select("o_orderkey"), "o_orderkey", "left_semi"
+    )
+    assert survivors.count() == 0
+
+
 def test_txlog_merge_insert_only_changeset(spark):
     """An insert-only change-set (no D/U rows, so no live file holds a
     matched key) must commit cleanly: nothing touched, no parquet read
@@ -163,12 +276,9 @@ def test_txlog_merge_insert_only_changeset(spark):
     assert res["touched"] == []
     assert res["version"] == 3
     live = sinks._txlog_live_files(spark, log_dir, as_of=None)
-    assert sorted(os.path.basename(p) for p in live) == [
-        "batch-0",
-        "batch-2",
-        "batch-3",
-        "merge-00003",
-    ]
+    live_names = sorted(os.path.basename(p) for p in live)
+    assert live_names[:3] == ["batch-0", "batch-2", "batch-3"]
+    assert len(live_names) == 4 and live_names[3].startswith("merge-00003-")
     # post-merge rows = pre-merge rows + exactly the inserts
     import pandas as pd
 
@@ -293,10 +403,9 @@ def test_txlog_incremental_read_composes_with_merge(spark):
         res["added"]
     ]
     behind = sinks.txlog_incremental_files(spark, log_dir, from_version=1)
-    assert sorted(os.path.basename(p) for p in behind) == [
-        "batch-3",
-        "merge-00003",
-    ]
+    behind_names = sorted(os.path.basename(p) for p in behind)
+    assert behind_names[0] == "batch-3" and len(behind_names) == 2
+    assert behind_names[1].startswith("merge-00003-")
     # bounded consumption: to_version caps the increment at the
     # pre-merge head, so the merge file is not yet visible
     capped = sinks.txlog_incremental_files(
@@ -441,7 +550,9 @@ def test_txlog_restore_is_metadata_only_and_preserves_history(spark):
     )
     res = sinks.txlog_restore(spark, log_dir, to_version=2)
     assert res["version"] == 4
-    assert [os.path.basename(p) for p in res["removed"]] == ["merge-00003"]
+    removed_names = [os.path.basename(p) for p in res["removed"]]
+    assert len(removed_names) == 1
+    assert removed_names[0].startswith("merge-00003-")
     assert sorted(os.path.basename(p) for p in res["re_added"]) == [
         "batch-0",
         "batch-2",
