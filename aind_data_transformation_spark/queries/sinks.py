@@ -1922,7 +1922,46 @@ def q_sink_txlog_deletion_vectors(
     return attach_broadcast(attach_broadcast(per_status, scanned), live_rows)
 
 
+def q_sink_txlog_dv_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full merge-on-read lifecycle: DV DELETE then OPTIMIZE
+    (`txlog_dv_materialize`) — the deferred copy-on-write bill paid, the
+    deletion vector retired. The snapshot is read back PLAIN (no DV
+    anti-join) and must equal the post-delete oracle exactly, and the
+    read amplification returns to 1:1 (rows scanned == rows live, both
+    hash-checked) — a reader that still pays the DV scan penalty, or an
+    OPTIMIZE that dropped/duplicated a survivor, breaks the hash. The
+    layout assertions (exactly the DV'd file rewritten, DV inert after)
+    live in tests/test_sinks.py."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_dvopt")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    txlog_dv_materialize(spark, log_dir, "o_orderkey")
+    rows = _txlog_log_rows(spark, log_dir)
+    live = _txlog_live_from_rows(rows)
+    snap = spark.read.parquet(*live)
+    scanned = snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_scanned")
+    )
+    live_rows = txlog_read_with_dvs(spark, log_dir, "o_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_live")
+    )
+    per_status = snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+    return attach_broadcast(attach_broadcast(per_status, scanned), live_rows)
+
+
 QUERIES = {
+    "sink_txlog_dv_optimize": q_sink_txlog_dv_optimize,
     "sink_txlog_deletion_vectors": q_sink_txlog_deletion_vectors,
     "sink_txlog_zorder_skipping": q_sink_txlog_zorder_skipping,
     "sink_txlog_incremental_read": q_sink_txlog_incremental_read,
@@ -2118,6 +2157,27 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # post-OPTIMIZE: same kept rows, read amplification back to 1:1
+    "sink_txlog_dv_optimize": """
+        WITH kept AS (
+            SELECT o_orderstatus, o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 4 != 1
+              AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+        ), amp AS (
+            SELECT (SELECT COUNT(*) FROM kept) AS n_rows_scanned,
+                   (SELECT COUNT(*) FROM kept) AS n_rows_live
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents,
+               CAST(n_rows_scanned AS BIGINT) AS n_rows_scanned,
+               CAST(n_rows_live AS BIGINT) AS n_rows_live
+        FROM kept CROSS JOIN amp
+        GROUP BY o_orderstatus, n_rows_scanned, n_rows_live
     """,
     # MoR DELETE: post-delete snapshot restated + the read-amplification
     # arithmetic (scanned = every live-file row incl. the deleted ones —
