@@ -58,8 +58,12 @@ def _dedup_clusters_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = _DEDUP_CLUSTER_CACHE.get(ck)
     if hit is not None and _os.path.isdir(hit):
         return spark.read.parquet(hit)
+    from aind_data_transformation_spark.texthash import (
+        verified_near_dups_docs,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    pairs = verified_near_dups(d, "doc_id", "text", threshold=0.7)
+    pairs = verified_near_dups_docs(spark, sf_dir, threshold=0.7)
     comp = connected_components(pairs, "id_a", "id_b")
     resolved = (
         d.select("doc_id")
@@ -600,7 +604,11 @@ def q_corpus_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.sha2("text", 256)).orderBy("doc_id")
     flagged = d.withColumn("rn", F.row_number().over(w))
     surv = flagged.where(F.col("rn") == 1).select("doc_id")
-    pairs = verified_near_dups(d, "doc_id", "text", threshold=0.7).select(
+    from aind_data_transformation_spark.texthash import (
+        verified_near_dups_docs,
+    )
+
+    pairs = verified_near_dups_docs(spark, sf_dir, threshold=0.7).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     near_rm = (

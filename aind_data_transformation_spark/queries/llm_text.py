@@ -264,8 +264,11 @@ def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram-Jaccard verification at threshold 0.7 — candidates that LSH
     surfaces but true similarity rejects are dropped. The expensive exact
     compare runs only on the LSH-bounded candidate set."""
-    d = load_table(spark, sf_dir, "documents")
-    return verified_near_dups(d, "doc_id", "text", threshold=0.7).select(
+    from aind_data_transformation_spark.texthash import (
+        verified_near_dups_docs,
+    )
+
+    return verified_near_dups_docs(spark, sf_dir, threshold=0.7).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "jaccard",

@@ -1960,7 +1960,118 @@ def q_sink_txlog_dv_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_broadcast(attach_broadcast(per_status, scanned), live_rows)
 
 
+def txlog_table_changes(
+    spark: SparkSession,
+    log_dir: str,
+    key_col: str,
+    from_version: int,
+    to_version: int,
+) -> DataFrame:
+    """CHANGE DATA FEED between two versions of the CoW txlog table
+    (Delta's ``table_changes``): derive row-level changes purely from
+    the log diff — files REMOVED in (from, to] hold the pre-images,
+    files ADDED hold the post-images; a full outer join on the key
+    classifies every row as insert / delete / update (pre+post image) /
+    unchanged-rewrite (the CoW copy noise, excluded — exactly what
+    Delta's CDF reader reconstructs for tables without CDC files).
+
+    Scale: reads ONLY the delta files of the version window (∝ changed
+    bytes, never table size); one key-partitioned full outer join; the
+    classification is a map-side struct compare."""
+    rows = _txlog_log_rows(spark, log_dir)
+    win = [
+        r
+        for r in rows
+        if from_version < r["commit"] <= to_version
+        and r["action"] in ("add", "remove")
+        and r["path"] is not None
+    ]
+    removed = {r["path"] for r in win if r["action"] == "remove"}
+    added = {r["path"] for r in win if r["action"] == "add"}
+    # a file both added and removed inside the window contributes
+    # nothing observable at either endpoint
+    both = removed & added
+    removed, added = sorted(removed - both), sorted(added - both)
+
+    def _img(paths, name):
+        df = spark.read.parquet(*paths)
+        data = [c for c in df.columns if c != key_col]
+        return df.select(
+            F.col(key_col), F.struct(*data).alias(name)
+        )
+
+    if not removed and not added:
+        raise ValueError("empty version window")
+    if removed and added:
+        j = _img(removed, "pre").join(
+            _img(added, "post"), key_col, "full_outer"
+        )
+    elif added:
+        img = _img(added, "post")
+        j = img.withColumn(
+            "pre", F.lit(None).cast(img.schema["post"].dataType)
+        )
+    else:
+        img = _img(removed, "pre")
+        j = img.withColumn(
+            "post", F.lit(None).cast(img.schema["pre"].dataType)
+        )
+    legs = [
+        j.where(F.col("pre").isNull()).select(
+            F.lit("insert").alias("_change_type"), key_col, "post.*"
+        ),
+        j.where(F.col("post").isNull()).select(
+            F.lit("delete").alias("_change_type"), key_col, "pre.*"
+        ),
+        j.where(
+            F.col("pre").isNotNull()
+            & F.col("post").isNotNull()
+            & (F.col("pre") != F.col("post"))
+        ).select(
+            F.lit("update_preimage").alias("_change_type"),
+            key_col,
+            "pre.*",
+        ),
+        j.where(
+            F.col("pre").isNotNull()
+            & F.col("post").isNotNull()
+            & (F.col("pre") != F.col("post"))
+        ).select(
+            F.lit("update_postimage").alias("_change_type"),
+            key_col,
+            "post.*",
+        ),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def q_sink_txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across the CoW MERGE: the standard fixture takes
+    the `_merge_changes` CDC set (version 3), then `txlog_table_changes`
+    reconstructs the row-level feed for (2, 3] from the log diff alone.
+    The oracle restates the change-set from its defining predicates —
+    per change type: row count, key checksum, integer-cents sum (post
+    images carry the +10 price bump) — so a missed delete, a phantom
+    copy row leaking through, or a pre/post image swap breaks the hash."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_cdf")
+    txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
+    cdf = txlog_table_changes(
+        spark, log_dir, "o_orderkey", from_version=2, to_version=3
+    )
+    return cdf.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 QUERIES = {
+    "sink_txlog_cdf": q_sink_txlog_cdf,
     "sink_txlog_dv_optimize": q_sink_txlog_dv_optimize,
     "sink_txlog_deletion_vectors": q_sink_txlog_deletion_vectors,
     "sink_txlog_zorder_skipping": q_sink_txlog_zorder_skipping,
@@ -2157,6 +2268,28 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # CDF across the merge, restated from the change-set's predicates
+    "sink_txlog_cdf": """
+        WITH feed AS (
+            SELECT 'delete' AS _change_type, o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+            UNION ALL
+            SELECT 'insert', o_orderkey + 100000000, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+            UNION ALL
+            SELECT 'update_preimage', o_orderkey, o_totalprice
+            FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+            UNION ALL
+            SELECT 'update_postimage', o_orderkey, o_totalprice + 10
+            FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+        )
+        SELECT _change_type,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM feed GROUP BY _change_type
     """,
     # post-OPTIMIZE: same kept rows, read amplification back to 1:1
     "sink_txlog_dv_optimize": """
