@@ -991,3 +991,36 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         "AQE did not mark the hot partition as skewed — executed plan:\n"
         + executed[:2000]
     )
+
+
+def test_dv_read_anti_join_is_broadcast(spark):
+    """The MoR read path: the deletion-vector anti-join must broadcast
+    the delete-sized DV side (BroadcastHashJoin LeftAnti), never shuffle
+    the table or degrade to a nested loop — at 100 TB the scan is the
+    whole table and the DV is a few thousand keys."""
+    plan = plan_of(spark, "sink_txlog_deletion_vectors")
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        # attach_broadcast's constant-key joins plan as BroadcastHashJoin;
+        # any BNLJ here would be a real regression
+        "", ""
+    )
+
+
+def test_cdf_reads_only_window_delta_files(spark):
+    """Change data feed must scan ONLY the version window's removed and
+    added files — never the live table. The fixture's merge window is
+    (2, 3]: pre-images come from the two touched batches, post-images
+    from the single merge file; batch-3 (untouched, live) must not
+    appear in any scan, and the pre/post pairing is one key equi-join
+    (FullOuter hash join, no cartesian)."""
+    import re
+
+    plan = plan_of(spark, "sink_txlog_cdf")
+    scanned = set(re.findall(r"(batch-\d+|merge-\d+-\w+)", plan))
+    assert "batch-3" not in scanned, scanned
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
