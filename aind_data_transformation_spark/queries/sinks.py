@@ -840,7 +840,9 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
     in which case the retry loop would commit at max+1 without having
     revalidated against that commit's changes (a lost update)."""
     return (
-        spark.read.schema("commit long, action string, path string")
+        spark.read.schema(
+            "commit long, action string, path string, target string"
+        )
         .json(os.path.join(log_dir, "*.json"))
         .collect()
     )
@@ -1130,21 +1132,35 @@ def txlog_vacuum(
     horizon must fail (its files are gone) while every retained version
     still reads exactly.
 
+    Deletion-vector sidecars are reclaimed by the same rule at the
+    action level: a dv FILE dies only when NONE of its target data
+    files is live in any retained version (a multi-target sidecar with
+    one living target must stay) — safe because readers list DVs from
+    the log's target metadata and never open a sidecar whose targets
+    are all dead.
+
     Scale: the victim computation is pure log metadata (set algebra
     over per-version live lists — never a storage listing); the deletes
     are embarrassingly parallel object-store removals. Returns
     ``{"deleted", "kept"}``."""
+    rows = _txlog_log_rows(spark, log_dir)
     keep: set = set()
     for v in retain_versions:
-        keep.update(_txlog_live_files(spark, log_dir, as_of=v))
-    log = spark.read.schema("commit long, action string, path string").json(
-        os.path.join(log_dir, "*.json")
-    )
+        keep.update(_txlog_live_from_rows(rows, as_of=v))
     ever_added = {
-        r["path"]
-        for r in log.where(F.col("action") == "add").select("path").collect()
+        r["path"] for r in rows if r["action"] == "add"
     }
-    victims = sorted(ever_added - keep)
+    # dv sidecars: dead iff every target is outside the keep set
+    dv_targets: dict = {}
+    for r in rows:
+        if r["action"] == "dv" and r["path"] is not None:
+            dv_targets.setdefault(r["path"], set()).add(r["target"])
+    dead_dvs = {
+        p for p, ts in dv_targets.items() if not (ts & keep)
+    }
+    live_dvs = set(dv_targets) - dead_dvs
+    victims = sorted((ever_added - keep) | dead_dvs)
+    keep = keep | live_dvs
     deleted, failed = [], []
     for p in victims:
         shutil.rmtree(p, ignore_errors=True)
@@ -1734,18 +1750,24 @@ def q_sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _txlog_live_dvs(rows: list, as_of=None) -> list:
-    """Deletion-vector sidecars committed (optionally <= as_of): every
-    ``dv`` action's path. DVs are append-only metadata — applicability
-    is decided at read time (a DV row applies iff its TARGET file is
-    still live), so a later OPTIMIZE that rewrites the target
-    automatically makes the DV inert without a log edit."""
+def _txlog_live_dvs(rows: list, live: list, as_of=None) -> list:
+    """APPLICABLE deletion-vector sidecars: each ``dv`` action records
+    its TARGET data file (the Delta DV-descriptor design), so
+    applicability is pure log metadata — a DV file is read iff at least
+    one of its targets is still live at the requested version. A later
+    OPTIMIZE that rewrites the targets makes the DV inert without a log
+    edit, and VACUUM can physically reclaim an all-targets-dead DV
+    without ever breaking a reader (the reader never lists it)."""
+    live_set = set(live)
     return sorted(
-        r["path"]
-        for r in rows
-        if r["action"] == "dv"
-        and r["path"] is not None
-        and (as_of is None or r["commit"] <= as_of)
+        {
+            r["path"]
+            for r in rows
+            if r["action"] == "dv"
+            and r["path"] is not None
+            and r["target"] in live_set
+            and (as_of is None or r["commit"] <= as_of)
+        }
     )
 
 
@@ -1793,9 +1815,40 @@ def txlog_delete_with_dv(
             os.path.dirname(log_dir), "data", f"dv-{version:05d}"
         )
         dv_rows.write.mode("overwrite").parquet(dv_path)
-        actions = [{"commit": version, "action": "dv", "path": dv_path}]
+        # one dv action PER TARGET file (Delta's DV descriptor): readers
+        # and OPTIMIZE decide applicability from log metadata alone,
+        # never by opening sidecars whose targets are already dead.
+        targets = sorted(
+            r["target"]
+            for r in dv_rows.select("target").distinct().collect()
+        )
+        actions = [
+            {
+                "commit": version,
+                "action": "dv",
+                "path": dv_path,
+                "target": t,
+            }
+            for t in targets
+        ]
+        if not actions:
+            # delete matched nothing: still commit (an empty version is
+            # a valid no-op transaction)
+            actions = [
+                {
+                    "commit": version,
+                    "action": "dv",
+                    "path": dv_path,
+                    "target": None,
+                }
+            ]
         if _txlog_attempt_commit(log_dir, version, actions):
-            return {"version": version, "dv": dv_path, "attempts": attempt}
+            return {
+                "version": version,
+                "dv": dv_path,
+                "targets": targets,
+                "attempts": attempt,
+            }
     raise TxlogConflictError(
         f"dv delete lost the commit race {_TXLOG_MAX_RETRIES} times"
     )
@@ -1812,7 +1865,7 @@ def txlog_read_with_dvs(
     amplification IS the MoR tradeoff, reported by the query key)."""
     rows = _txlog_log_rows(spark, log_dir)
     live = _txlog_live_from_rows(rows, as_of)
-    dvs = _txlog_live_dvs(rows, as_of)
+    dvs = _txlog_live_dvs(rows, live, as_of)
     snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
     if not dvs:
         return snap.drop("_src")
@@ -1839,15 +1892,21 @@ def txlog_dv_materialize(
     for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
         log_rows = _txlog_log_rows(spark, log_dir)
         live = _txlog_live_from_rows(log_rows)
-        dvs = _txlog_live_dvs(log_rows)
+        dvs = _txlog_live_dvs(log_rows, live)
         version = max(r["commit"] for r in log_rows) + 1
         if not dvs:
             return {"version": None, "rewritten": [], "attempts": attempt}
-        dv = spark.read.parquet(*dvs).where(F.col("target").isin(live))
+        # applicable targets straight from the log metadata (the dv
+        # actions), no sidecar read needed to plan the rewrite
+        live_set = set(live)
         targets = sorted(
-            r["target"]
-            for r in dv.select("target").distinct().collect()
+            {
+                r["target"]
+                for r in log_rows
+                if r["action"] == "dv" and r["target"] in live_set
+            }
         )
+        dv = spark.read.parquet(*dvs).where(F.col("target").isin(live))
         if not targets:
             return {"version": None, "rewritten": [], "attempts": attempt}
         snap = spark.read.parquet(*targets).withColumn(
@@ -2070,7 +2129,110 @@ def q_sink_txlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def txlog_update_with_dv(
+    spark: SparkSession, log_dir: str, updates: DataFrame, key_col: str
+) -> dict:
+    """Merge-on-read UPDATE — the second mutation MoR covers: ONE commit
+    carries (a) dv actions tombstoning the matched keys' old images in
+    their containing files and (b) an ``add`` for a delta file holding
+    the new images. No base file is rewritten; the DV-aware reader
+    drops the old images via the broadcast anti-join while the delta
+    file's rows (same keys, different source file) pass through — the
+    read reconstructs the updated table. Write cost ∝ update size; the
+    bill is the same read amplification DELETE pays, repaid by
+    `txlog_dv_materialize`."""
+    data_cols = list(updates.columns)
+    for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
+        log_rows = _txlog_log_rows(spark, log_dir)
+        live = _txlog_live_from_rows(log_rows)
+        version = max(r["commit"] for r in log_rows) + 1
+        snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+        matched = updates.select(key_col)
+        dv_rows = snap.join(
+            F.broadcast(matched), key_col, "left_semi"
+        ).select(F.col("_src").alias("target"), F.col(key_col).alias("key"))
+        dv_path = os.path.join(
+            os.path.dirname(log_dir), "data", f"dv-{version:05d}"
+        )
+        dv_rows.write.mode("overwrite").parquet(dv_path)
+        targets = sorted(
+            r["target"]
+            for r in dv_rows.select("target").distinct().collect()
+        )
+        import uuid as _uuid
+
+        delta_path = os.path.join(
+            os.path.dirname(log_dir),
+            "data",
+            f"update-{version:05d}-{_uuid.uuid4().hex[:8]}",
+        )
+        updates.select(*data_cols).write.mode("overwrite").parquet(
+            delta_path
+        )
+        actions = [
+            {
+                "commit": version,
+                "action": "dv",
+                "path": dv_path,
+                "target": t,
+            }
+            for t in targets
+        ]
+        actions.append(
+            {"commit": version, "action": "add", "path": delta_path}
+        )
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {
+                "version": version,
+                "dv": dv_path,
+                "targets": targets,
+                "added": delta_path,
+                "attempts": attempt,
+            }
+    raise TxlogConflictError(
+        f"dv update lost the commit race {_TXLOG_MAX_RETRIES} times"
+    )
+
+
+def q_sink_txlog_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE on the txlog table: the same update
+    predicate as the CoW MERGE (keys ≡2 mod 4 divisible by 5, price
+    +10) applied through `txlog_update_with_dv` — old images tombstoned
+    by deletion vectors, new images appended as a delta file, zero base
+    files rewritten (layout-tested). The DV-aware snapshot must equal
+    the CoW-updated table exactly, and the result also hash-checks the
+    MoR read amplification (scanned = live-file rows INCLUDING the
+    tombstoned old images plus the delta rows; live = the table's row
+    count, unchanged by an update)."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_morupd")
+    k = F.col("o_orderkey")
+    updates = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 2) & (k % 5 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+    )
+    txlog_update_with_dv(spark, log_dir, updates, "o_orderkey")
+    rows = _txlog_log_rows(spark, log_dir)
+    live = _txlog_live_from_rows(rows)
+    scanned = spark.read.parquet(*live).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_scanned")
+    )
+    snap = txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+    live_rows = snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows_live")
+    )
+    per_status = snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+    return attach_broadcast(attach_broadcast(per_status, scanned), live_rows)
+
+
 QUERIES = {
+    "sink_txlog_mor_update": q_sink_txlog_mor_update,
     "sink_txlog_cdf": q_sink_txlog_cdf,
     "sink_txlog_dv_optimize": q_sink_txlog_dv_optimize,
     "sink_txlog_deletion_vectors": q_sink_txlog_deletion_vectors,
@@ -2268,6 +2430,31 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # MoR UPDATE: CoW-equivalent values + the MoR amplification model
+    "sink_txlog_mor_update": """
+        WITH updated AS (
+            SELECT o_orderstatus, o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+                        THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price
+            FROM orders WHERE o_orderkey % 4 != 1
+        ), amp AS (
+            SELECT (SELECT COUNT(*) FROM updated)
+                   + (SELECT COUNT(*) FROM orders
+                      WHERE o_orderkey % 4 = 2 AND o_orderkey % 5 = 0)
+                       AS n_rows_scanned,
+                   (SELECT COUNT(*) FROM updated) AS n_rows_live
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(price * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents,
+               CAST(n_rows_scanned AS BIGINT) AS n_rows_scanned,
+               CAST(n_rows_live AS BIGINT) AS n_rows_live
+        FROM updated CROSS JOIN amp
+        GROUP BY o_orderstatus, n_rows_scanned, n_rows_live
     """,
     # CDF across the merge, restated from the change-set's predicates
     "sink_txlog_cdf": """

@@ -1135,3 +1135,43 @@ def test_split_leakage_safe_cluster_split_never_leaks(spark):
         r["n_docs"] for r in by("by_cluster")
     )
     assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_bpe_encode_is_a_lossless_segmentation(spark):
+    """Tokenizer invariant: BPE only MERGES adjacent symbols, so
+    concatenating any word's tokens must reproduce the word exactly
+    (decode == identity), and every word's token count must lie in
+    [1, len(word)] with total tokens <= total chars. Checked over the
+    whole corpus via the same vocab-sized fold the key uses."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.io.sources import load_table
+    from aind_data_transformation_spark.queries.ml_prep import (
+        _bpe_learned_merges,
+        _bpe_merge_spark_expr,
+        _sql_str_lit,
+    )
+
+    merges = _bpe_learned_merges(spark, TEST_SF_DIR)
+    assert len(merges) == 4
+    d = load_table(spark, TEST_SF_DIR, "documents")
+    words = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')")
+        ).alias("w")
+    ).distinct()
+    chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    enc = words.withColumn("cs", F.expr(chars))
+    for (_r, pa, pb, _n) in merges:
+        enc = enc.withColumn(
+            "cs",
+            F.expr(_bpe_merge_spark_expr(_sql_str_lit(pa), _sql_str_lit(pb))),
+        )
+    bad = enc.where(
+        (F.array_join("cs", "") != F.col("w"))
+        | (F.size("cs") < 1)
+        | (F.size("cs") > F.length("w"))
+    )
+    assert bad.count() == 0

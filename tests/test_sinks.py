@@ -373,6 +373,93 @@ def test_txlog_dv_delete_is_merge_on_read(spark):
     assert sorted(tuple(r) for r in dvread.collect()) == want
 
 
+def test_txlog_vacuum_reclaims_inert_dvs_and_readers_survive(spark):
+    """The DV storage lifecycle: while the DV's target is live, VACUUM
+    must keep the sidecar (a reader still needs it); after OPTIMIZE
+    retires the DV, VACUUM physically reclaims it — and the DV-aware
+    reader still works because applicability is decided from the log's
+    target metadata, never by opening dead sidecars."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_dvvac_test")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    res = sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    want = sorted(
+        tuple(r)
+        for r in sinks.txlog_read_with_dvs(
+            spark, log_dir, "o_orderkey"
+        ).collect()
+    )
+    # target still live: vacuum keeps the sidecar
+    v1 = sinks.txlog_vacuum(spark, log_dir, retain_versions=(None,))
+    assert res["dv"] not in v1["deleted"]
+    assert os.path.isdir(res["dv"])
+    # OPTIMIZE retires the DV; vacuum now reclaims it
+    sinks.txlog_dv_materialize(spark, log_dir, "o_orderkey")
+    v2 = sinks.txlog_vacuum(spark, log_dir, retain_versions=(None,))
+    assert res["dv"] in v2["deleted"]
+    assert not os.path.isdir(res["dv"])
+    # the DV-aware reader never lists the dead sidecar -> still exact
+    got = sorted(
+        tuple(r)
+        for r in sinks.txlog_read_with_dvs(
+            spark, log_dir, "o_orderkey"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_txlog_mor_update_rewrites_nothing(spark):
+    """MoR UPDATE layout contract: zero base files rewritten (all three
+    batches keep their exact part files and mtimes); the commit adds
+    only the delta file and the DV sidecar, both delete/update-sized."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_morupd_test"
+    )
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+
+    def _mtimes():
+        out = {}
+        for b in ("batch-0", "batch-2", "batch-3"):
+            d = os.path.join(data_dir, b)
+            for f in os.listdir(d):
+                if f.startswith("part-"):
+                    out[(b, f)] = os.stat(os.path.join(d, f)).st_mtime_ns
+        return out
+
+    before = _mtimes()
+    k = F.col("o_orderkey")
+    updates = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where((k % 4 == 2) & (k % 5 == 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10)
+    )
+    res = sinks.txlog_update_with_dv(spark, log_dir, updates, "o_orderkey")
+    assert _mtimes() == before
+    assert sorted(os.path.basename(t) for t in res["targets"]) == [
+        "batch-2"
+    ]
+    # updated keys read back with the NEW image exactly once
+    snap = sinks.txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+    one = updates.limit(1).collect()[0]
+    got = snap.where(
+        F.col("o_orderkey") == one["o_orderkey"]
+    ).collect()
+    assert len(got) == 1
+    assert abs(got[0]["o_totalprice"] - one["o_totalprice"]) < 1e-9
+
+
 def test_txlog_attempt_commit_is_put_if_absent(spark):
     """The primitive itself: second attempt at a taken version returns
     False and leaves the winner's bytes untouched."""
