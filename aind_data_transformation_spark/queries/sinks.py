@@ -923,7 +923,11 @@ _TXLOG_MAX_RETRIES = 3
 
 
 def txlog_merge(
-    spark: SparkSession, log_dir: str, changes: DataFrame, key_col: str
+    spark: SparkSession,
+    log_dir: str,
+    changes: DataFrame,
+    key_col: str,
+    txn_id: str | None = None,
 ) -> dict:
     """Copy-on-write MERGE against a txlog table — the Delta/Iceberg
     mutation mechanic on raw parquet + the JSON action log: apply a CDC
@@ -966,6 +970,23 @@ def txlog_merge(
     data_cols = [c for c in changes.columns if c != "op"]
     attempt = 0
     for recomputes in range(_TXLOG_MAX_RETRIES):
+        # transactional idempotence (Delta's txn action): a caller that
+        # replays the same logical transaction (a foreachBatch
+        # micro-batch re-delivered after a crash) passes the same
+        # txn_id; if a committed version already carries it, the merge
+        # was applied — skip instead of double-applying the change-set.
+        if txn_id is not None and any(
+            r["action"] == "txn" and r["path"] == txn_id
+            for r in _txlog_log_rows(spark, log_dir)
+        ):
+            return {
+                "version": None,
+                "touched": [],
+                "added": None,
+                "attempts": attempt,
+                "recomputes": recomputes,
+                "skipped": txn_id,
+            }
         # one log read per attempt: BOTH the live set and the attempt
         # version come from the same collected snapshot, so any commit
         # landing after this point collides on the version file below
@@ -1031,6 +1052,10 @@ def txlog_merge(
         actions.append(
             {"commit": version, "action": "add", "path": merge_path}
         )
+        if txn_id is not None:
+            actions.append(
+                {"commit": version, "action": "txn", "path": txn_id}
+            )
         touched_set = set(touched)
         while True:
             attempt += 1
@@ -1085,6 +1110,10 @@ def txlog_merge(
             actions.append(
                 {"commit": version, "action": "add", "path": merge_path}
             )
+            if txn_id is not None:
+                actions.append(
+                    {"commit": version, "action": "txn", "path": txn_id}
+                )
             if attempt >= _TXLOG_MAX_RETRIES * 2:
                 break
     raise TxlogConflictError(

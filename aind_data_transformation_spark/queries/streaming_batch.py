@@ -577,7 +577,101 @@ def q_stream_txlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sinks._txlog_read(spark, log_dir, as_of=None)
 
 
+#: staged 4-chunk CDC change-set cache, same lifecycle as the other
+#: session caches
+_CDC_STAGE_CACHE: dict = {}
+
+
+def _cdc_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage `sinks._merge_changes` as 4 deterministic hash-chunk files
+    (the CDC deliveries) once per (session, sf_dir). Chunking on the
+    (possibly re-keyed) row key keeps chunks key-disjoint, so applying
+    them sequentially equals the one-shot merge."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from aind_data_transformation_spark.queries import sinks as _sinks
+
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _CDC_STAGE_CACHE.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    base = tempfile.mkdtemp(prefix="stream_txlog_cdc_src_")
+    src = os.path.join(base, "incoming")
+    os.makedirs(src)
+    staging = os.path.join(base, "staging")
+    changes = _sinks._merge_changes(spark, sf_dir)
+    # chunk on key div 4: the change-set's keys live in fixed residues
+    # mod 4 (that's how the fixture maps ops to batches), so dividing
+    # first spreads every op kind across all four deliveries
+    (
+        changes.withColumn(
+            "chunk", F.pmod(F.expr("o_orderkey div 4"), F.lit(4))
+        )
+        .repartition(4, "chunk")
+        .write.partitionBy("chunk")
+        .parquet(staging)
+    )
+    for c in range(4):
+        parts = glob.glob(os.path.join(staging, f"chunk={c}", "part-*"))
+        assert len(parts) <= 1, parts
+        if parts:
+            os.rename(parts[0], os.path.join(src, f"chunk-{c}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+    for stale in [x for x in _CDC_STAGE_CACHE if x[0] != ck[0]]:
+        shutil.rmtree(
+            os.path.dirname(_CDC_STAGE_CACHE[stale]), ignore_errors=True
+        )
+        del _CDC_STAGE_CACHE[stale]
+    _CDC_STAGE_CACHE[ck] = src
+    return src
+
+
+def q_stream_txlog_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-streaming exactly-once CDC apply: the MERGE change-set
+    arrives as a 4-file stream (maxFilesPerTrigger=1 → 4 key-disjoint
+    micro-batches); each batch runs the copy-on-write `txlog_merge`
+    under its epoch's txn id (`streaming.jobs.txlog_cdc_apply_ingest`).
+    After the stream drains, the snapshot must hash-equal the ONE-SHOT
+    merge's oracle — a double-applied replay (duplicated inserts), a
+    dropped batch, or chunk interaction through the rewritten files all
+    break the hash. Crash-replay idempotence (kill between merge commit
+    and checkpoint commit, restart) is asserted in
+    tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from aind_data_transformation_spark.queries import sinks as _sinks
+    from aind_data_transformation_spark.streaming import jobs as sjobs
+
+    src = _cdc_stage(spark, sf_dir)
+    log_dir = _sinks._build_txlog_table(
+        spark, sf_dir, "txlog_table_stream_cdc"
+    )
+    schema = spark.read.parquet(os.path.join(src, "chunk-0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_txlog_cdc_ckpt_")
+    q = sjobs.txlog_cdc_apply_ingest(stream, log_dir, ckpt)
+    q.awaitTermination()
+    live = _sinks._txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 QUERIES = {
+    "stream_txlog_cdc_apply": q_stream_txlog_cdc_apply,
     "stream_txlog_sink": q_stream_txlog_sink,
     "stream_full_join": q_stream_full_join,
     "stream_state_inspect": q_stream_state_inspect,
@@ -596,6 +690,29 @@ QUERIES = {
 }
 
 ORACLES = {
+    # exactly-once streaming CDC apply: final snapshot == the ONE-SHOT
+    # merge's restatement (same SQL as sinks "sink_txlog_merge")
+    "stream_txlog_cdc_apply": """
+        WITH merged AS (
+            SELECT o_orderstatus, o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+                        THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 4 != 1
+              AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+            UNION ALL
+            SELECT o_orderstatus, o_orderkey + 100000000, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(price * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM merged GROUP BY o_orderstatus
+    """,
     # exactly-once streaming commit: after 4 epoch-keyed txlog versions
     # the snapshot must equal the whole orders table
     "stream_txlog_sink": """

@@ -782,3 +782,34 @@ def txlog_stream_commit_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+def txlog_cdc_apply_ingest(
+    cdc_stream, log_dir: str, checkpoint_dir: str
+):
+    """Exactly-once streaming CDC apply into the transaction log — the
+    MUTATION counterpart of `txlog_stream_commit_ingest` (which only
+    appends): every micro-batch of CDC rows (op in D/U/I + full row
+    image) is applied through the copy-on-write `txlog_merge`, with the
+    batch id as the merge's transactional id (Delta's foreachBatch +
+    MERGE + txn recipe). A replayed micro-batch finds its txn id in a
+    committed version and skips — a D is never double-tombstoned across
+    a rewrite, an I is never double-appended. The merge itself keeps
+    its own optimistic concurrency underneath, so external writers can
+    interleave with the stream."""
+    from aind_data_transformation_spark.queries import sinks as _sinks
+
+    def _apply(batch_df, batch_id):
+        _sinks.txlog_merge(
+            batch_df.sparkSession,
+            log_dir,
+            batch_df,
+            "o_orderkey",
+            txn_id=f"cdc:{int(batch_id)}",
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -905,3 +905,87 @@ def test_txlog_epoch_commit_replay_is_idempotent(spark, tmp_path):
         spark.read.parquet(os.path.join(data_dir, "epoch-00000")).count()
         == n
     )
+
+
+def test_txlog_cdc_apply_exactly_once_across_kill_restart(
+    spark, tmp_path, monkeypatch
+):
+    """The foreachBatch + MERGE + txn recipe under the worst-case crash:
+    batch 1's merge COMMITS, then the stream dies before the checkpoint
+    commit (bomb AFTER the put-if-absent succeeds), so the restart
+    re-delivers batch 1 — whose inserts would double-apply without the
+    txn guard. After the restart the table must equal the one-shot
+    merge, and batch 1's replayed merge must report skipped."""
+    import os
+
+    from aind_data_transformation_spark.io.sources import load_table
+    from aind_data_transformation_spark.queries import sinks
+    from aind_data_transformation_spark.streaming import jobs as sjobs
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    changes = sinks._merge_changes(spark, TEST_SF_DIR)
+    changes.repartition(4).write.mode("overwrite").parquet(src)
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_cdcx_test")
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                spark.read.parquet(src).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sjobs.txlog_cdc_apply_ingest(stream, log_dir, ckpt)
+        q.awaitTermination()
+
+    # bomb: let batch 1's merge commit, then crash before the
+    # checkpoint records it
+    real = sinks._txlog_attempt_commit
+    state = {"armed": True}
+    skipped = []
+
+    def bombed(log_dir_, version, actions):
+        ok = real(log_dir_, version, actions)
+        if (
+            state["armed"]
+            and ok
+            and any(
+                a.get("action") == "txn" and a.get("path") == "cdc:1"
+                for a in actions
+            )
+        ):
+            state["armed"] = False
+            raise RuntimeError("injected crash after cdc:1 commit")
+        return ok
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", bombed)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        run()
+
+    # restart: batch 1 replays and must SKIP (txn already committed)
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", real)
+    real_merge = sinks.txlog_merge
+
+    def spying_merge(spark_, log_dir_, changes_, key_col, txn_id=None):
+        res = real_merge(spark_, log_dir_, changes_, key_col, txn_id=txn_id)
+        if res.get("skipped"):
+            skipped.append(res["skipped"])
+        return res
+
+    monkeypatch.setattr(sinks, "txlog_merge", spying_merge)
+    run()
+    assert "cdc:1" in skipped, "replayed batch must skip via its txn id"
+
+    # final table == one-shot merge on a twin
+    twin = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_cdcx_twin")
+    real_merge(spark, twin, changes, "o_orderkey")
+    got = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, log_dir, None).collect()
+    )
+    want = sorted(
+        tuple(r) for r in sinks._txlog_read(spark, twin, None).collect()
+    )
+    assert got == want
