@@ -948,12 +948,27 @@ def _bpe_train_oracle() -> str:
     )
 
 
-def _bpe_encode_oracle() -> str:
-    """Encode oracle: re-derive the same 4 winners through the train CTE
-    chain, fold EVERY word type (incl. the length-1 words training
-    skips) through the merges in rank order, then join word instances
-    back and restate the per-doc counts and the order-sensitive token
-    md5 (string_agg ORDER BY position)."""
+def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on TRUE tokenizer counts — the composition a
+    real pretraining pipeline runs (`pack_sequences` bins on whitespace
+    counts only because no tokenizer had been applied yet): per-doc BPE
+    token counts from `bpe_encode_apply` feed the scalable two-phase
+    exclusive cumsum (ops.pack_sequences — never a single-task global
+    window), cutting the corpus into 512-TOKEN training bins. The
+    oracle re-derives the merges, the per-doc counts, and the packing
+    in one CTE chain, so a drifted token count anywhere shifts every
+    later seq_id and breaks the hash."""
+    from aind_data_transformation_spark.ops import pack_sequences
+
+    tok = q_bpe_encode_apply(spark, sf_dir).select("doc_id", "n_tokens")
+    return pack_sequences(tok, "doc_id", "n_tokens", budget=512, coarse=256)
+
+
+def _bpe_encode_ctes() -> list:
+    """Shared CTE chain for the encode-side oracles: re-derive the 4
+    winners through the train chain, fold EVERY word type (incl. the
+    length-1 words training skips) through the merges in rank order,
+    and join word instances back (ending at the `tok` CTE)."""
     merge = (
         "string_split(list_reduce(cs, (acc, x) -> CASE"
         " WHEN string_split(acc, chr(31))[-1] = pa AND x = pb THEN"
@@ -1014,6 +1029,13 @@ def _bpe_encode_oracle() -> str:
                    array_to_string(cs, chr(31)) AS toks
             FROM docw JOIN e{_BPE_ROUNDS} USING (w)
         )""")
+    return ctes
+
+
+def _bpe_encode_oracle() -> str:
+    """Per-doc counts + the order-sensitive token-stream md5
+    (string_agg ORDER BY position) over the shared encode chain."""
+    ctes = _bpe_encode_ctes()
     ctes.append("""per AS (
             SELECT doc_id,
                    COUNT(*) AS n_words,
@@ -1034,9 +1056,40 @@ def _bpe_encode_oracle() -> str:
     )
 
 
+def _bpe_pack_oracle() -> str:
+    """`pack_sequences_bpe`: the shared encode chain down to per-doc
+    TRUE token counts, then the same exclusive-cumsum packing SQL as
+    the whitespace `pack_sequences` oracle."""
+    ctes = _bpe_encode_ctes()
+    ctes.append("""perdoc AS (
+            SELECT doc_id, SUM(n_sym) AS n_tokens
+            FROM tok GROUP BY doc_id
+        )""")
+    ctes.append("""t AS (
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens
+            FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        )""")
+    ctes.append("""c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+            FROM t
+        )""")
+    return (
+        "WITH " + ",\n        ".join(ctes) + """
+        SELECT doc_id, n_tokens, cum_before,
+               cum_before // 512 AS seq_id,
+               cum_before % 512 AS seq_offset
+        FROM c"""
+    )
+
+
 QUERIES = {
     "bpe_train_rounds": q_bpe_train_rounds,
     "bpe_encode_apply": q_bpe_encode_apply,
+    "pack_sequences_bpe": q_pack_sequences_bpe,
     "bpe_pair_merge_step": q_bpe_pair_merge_step,
     "ml_logreg_gd": q_ml_logreg_gd,
     "embed_pca_power": q_embed_pca_power,
@@ -1101,6 +1154,7 @@ def _feature_hashing_oracle() -> str:
 ORACLES = {
     "bpe_train_rounds": _bpe_train_oracle(),
     "bpe_encode_apply": _bpe_encode_oracle(),
+    "pack_sequences_bpe": _bpe_pack_oracle(),
     "ml_logreg_gd": _logreg_oracle(),
     "embed_pca_power": _pca_sql("embeddings", "duck"),
     "embed_pca_project": _pca_project_sql("embeddings", "duck"),
