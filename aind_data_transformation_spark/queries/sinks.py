@@ -809,13 +809,24 @@ def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     log_dir = os.path.join(base, "_log")
     shutil.rmtree(base, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
+    # ONE write job for all four batch files (partitionBy on the hash
+    # bucket, then rename the partition dirs into place) — the previous
+    # four sequential filtered writes scanned orders four times, and
+    # this fixture fronts every txlog key's bench entry.
+    staging = os.path.join(base, "staging")
+    (
+        orders.withColumn("__b", F.pmod("o_orderkey", F.lit(4)))
+        .repartition(4, "__b")
+        .write.partitionBy("__b")
+        .parquet(staging)
+    )
+    os.makedirs(data_dir, exist_ok=True)
     paths = {}
     for b in range(4):
         p = os.path.join(data_dir, f"batch-{b}")
-        orders.where(F.pmod("o_orderkey", F.lit(4)) == b).write.mode(
-            "overwrite"
-        ).parquet(p)
+        os.rename(os.path.join(staging, f"__b={b}"), p)
         paths[b] = p
+    shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
     commits = [
         [(0, "add", paths[0]), (0, "add", paths[1])],
