@@ -2271,7 +2271,59 @@ def q_sink_txlog_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_broadcast(attach_broadcast(per_status, scanned), live_rows)
 
 
+def txlog_shallow_clone(
+    spark: SparkSession, log_dir: str, clone_base: str
+) -> str:
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a NEW
+    table whose commit 0 ``add``s the SOURCE's live files by reference —
+    zero data bytes copied, O(metadata) at any table size. The clone's
+    log is independent from the first commit on: mutations on the clone
+    write THEIR delta files under the clone's own data dir and
+    tombstone the shared files only in the clone's log, so the source
+    snapshot is untouched (divergence is layout-tested). Production
+    caveat carried over from Delta: VACUUM on a shallow clone must not
+    be pointed at retention sets that would reclaim files the source
+    still owns."""
+    rows = _txlog_log_rows(spark, log_dir)
+    live = _txlog_live_from_rows(rows)
+    shutil.rmtree(clone_base, ignore_errors=True)
+    clone_log = os.path.join(clone_base, "_log")
+    os.makedirs(clone_log, exist_ok=True)
+    actions = [{"commit": 0, "action": "add", "path": p} for p in live]
+    assert _txlog_attempt_commit(clone_log, 0, actions)
+    return clone_log
+
+
+def q_sink_txlog_clone_diverge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shallow clone + divergence: clone the 3-commit table by
+    reference (zero bytes copied), run the full CoW MERGE on the CLONE,
+    and read the clone's snapshot — which must hash-equal the merge
+    oracle, while the SOURCE still reads its pre-merge content (the
+    inverse assertion lives in tests/test_sinks.py). This is the
+    dev/test-against-production-data workflow shallow clones exist
+    for: an O(metadata) fork, mutations isolated to the fork's log."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_clone_src")
+    clone_log = txlog_shallow_clone(
+        spark, log_dir, _scratch(sf_dir, "txlog_table_clone_dst")
+    )
+    txlog_merge(
+        spark, clone_log, _merge_changes(spark, sf_dir), "o_orderkey"
+    )
+    live = _txlog_live_files(spark, clone_log, as_of=None)
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 QUERIES = {
+    "sink_txlog_clone_diverge": q_sink_txlog_clone_diverge,
     "sink_txlog_mor_update": q_sink_txlog_mor_update,
     "sink_txlog_cdf": q_sink_txlog_cdf,
     "sink_txlog_dv_optimize": q_sink_txlog_dv_optimize,
@@ -2470,6 +2522,29 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # clone + merge-on-clone == the merge oracle (the source's
+    # non-divergence is layout-tested, not SQL-expressible)
+    "sink_txlog_clone_diverge": """
+        WITH merged AS (
+            SELECT o_orderstatus, o_orderkey,
+                   CASE WHEN o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+                        THEN o_totalprice + 10
+                        ELSE o_totalprice END AS price
+            FROM orders
+            WHERE o_orderkey % 4 != 1
+              AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+            UNION ALL
+            SELECT o_orderstatus, o_orderkey + 100000000, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+        )
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(price * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM merged GROUP BY o_orderstatus
     """,
     # MoR UPDATE: CoW-equivalent values + the MoR amplification model
     "sink_txlog_mor_update": """

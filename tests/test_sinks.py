@@ -460,6 +460,32 @@ def test_txlog_mor_update_rewrites_nothing(spark):
     assert abs(got[0]["o_totalprice"] - one["o_totalprice"]) < 1e-9
 
 
+def test_txlog_shallow_clone_is_zero_copy_and_isolated(spark):
+    """Clone contract: (1) commit 0 of the clone references the SOURCE's
+    batch dirs verbatim — no data copied; (2) a merge on the clone
+    leaves the source snapshot byte-identical; (3) the clone's merge
+    file lands under the CLONE's data dir, not the source's."""
+    from tests.conftest import canon_frame
+
+    src_log = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_cl_src")
+    pre = sinks._txlog_read(spark, src_log, as_of=None).toPandas()
+    clone_base = sinks._scratch(TEST_SF_DIR, "txlog_cl_dst")
+    clone_log = sinks.txlog_shallow_clone(spark, src_log, clone_base)
+    # zero copy: the clone's live set IS the source's live set
+    assert sinks._txlog_live_files(
+        spark, clone_log, as_of=None
+    ) == sinks._txlog_live_files(spark, src_log, as_of=None)
+    res = sinks.txlog_merge(
+        spark, clone_log, sinks._merge_changes(spark, TEST_SF_DIR),
+        "o_orderkey",
+    )
+    # the clone's rewrite lives under the clone, not the source
+    assert res["added"].startswith(clone_base)
+    # divergence: source snapshot unchanged
+    post_src = sinks._txlog_read(spark, src_log, as_of=None).toPandas()
+    assert canon_frame(post_src) == canon_frame(pre)
+
+
 def test_txlog_attempt_commit_is_put_if_absent(spark):
     """The primitive itself: second attempt at a taken version returns
     False and leaves the winner's bytes untouched."""
