@@ -1201,19 +1201,36 @@ def txlog_vacuum(
     live_dvs = set(dv_targets) - dead_dvs
     victims = sorted((ever_added - keep) | dead_dvs)
     keep = keep | live_dvs
+    # ownership scope (Delta's rule): vacuum only ever deletes files
+    # under THIS table's root. A shallow clone's log references the
+    # source's files by absolute path; tombstoning them in the clone's
+    # log must never let the clone's vacuum destroy the source.
+    root = os.path.dirname(log_dir) + os.sep
+    external = [p for p in victims if not (p or "").startswith(root)]
+    victims = [p for p in victims if (p or "").startswith(root)]
+    if external:
+        return {
+            "deleted": _vacuum_delete(victims),
+            "kept": sorted(keep),
+            "skipped_external": sorted(external),
+        }
+    return {"deleted": _vacuum_delete(victims), "kept": sorted(keep)}
+
+
+def _vacuum_delete(victims: list) -> list:
+    """Remove each victim and verify: a failed removal must never be
+    reported as reclaimed (the file would stay readable while the
+    caller believes the storage was freed)."""
     deleted, failed = [], []
     for p in victims:
         shutil.rmtree(p, ignore_errors=True)
-        # verify: a failed removal must never be reported as reclaimed
-        # (the file would stay readable while the caller believes the
-        # storage was freed).
         (failed if os.path.exists(p) else deleted).append(p)
     if failed:
         raise RuntimeError(
             f"vacuum failed to remove {len(failed)} of {len(victims)} "
             f"victims: {failed[:3]}..."
         )
-    return {"deleted": deleted, "kept": sorted(keep)}
+    return deleted
 
 
 def q_sink_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2073,6 +2090,10 @@ def txlog_table_changes(
     classifies every row as insert / delete / update (pre+post image) /
     unchanged-rewrite (the CoW copy noise, excluded — exactly what
     Delta's CDF reader reconstructs for tables without CDC files).
+    Merge-on-read commits feed the same stream: a dv action in the
+    window yields DELETE pre-images from its still-live target (the
+    rows its sidecar keys match), skipped when the target itself was
+    removed in-window (the file diff then owns those rows).
 
     Scale: reads ONLY the delta files of the version window (∝ changed
     bytes, never table size); one key-partitioned full outer join; the
@@ -2086,6 +2107,21 @@ def txlog_table_changes(
         and r["path"] is not None
     ]
     removed = {r["path"] for r in win if r["action"] == "remove"}
+    # merge-on-read deletes: dv actions in the window contribute DELETE
+    # pre-images (the target rows matching the sidecar's keys) — unless
+    # the target itself was removed in the window, in which case the
+    # file diff below already accounts for its rows.
+    dv_pairs = sorted(
+        {
+            (r["path"], r["target"])
+            for r in rows
+            if from_version < r["commit"] <= to_version
+            and r["action"] == "dv"
+            and r["path"] is not None
+            and r["target"] is not None
+            and r["target"] not in removed
+        }
+    )
     added = {r["path"] for r in win if r["action"] == "add"}
     # a file both added and removed inside the window contributes
     # nothing observable at either endpoint
@@ -2099,9 +2135,11 @@ def txlog_table_changes(
             F.col(key_col), F.struct(*data).alias(name)
         )
 
-    if not removed and not added:
+    if not removed and not added and not dv_pairs:
         raise ValueError("empty version window")
-    if removed and added:
+    if not removed and not added:
+        j = None
+    elif removed and added:
         j = _img(removed, "pre").join(
             _img(added, "post"), key_col, "full_outer"
         )
@@ -2115,7 +2153,7 @@ def txlog_table_changes(
         j = img.withColumn(
             "post", F.lit(None).cast(img.schema["pre"].dataType)
         )
-    legs = [
+    legs = [] if j is None else [
         j.where(F.col("pre").isNull()).select(
             F.lit("insert").alias("_change_type"), key_col, "post.*"
         ),
@@ -2141,9 +2179,33 @@ def txlog_table_changes(
             "post.*",
         ),
     ]
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
+    out = None
+    for leg in legs:
+        out = leg if out is None else out.unionByName(leg)
+    if dv_pairs:
+        sidecars = sorted({p for p, _t in dv_pairs})
+        targets = sorted({t for _p, t in dv_pairs})
+        dvdf = (
+            spark.read.parquet(*sidecars)
+            .where(F.col("target").isin(targets))
+            .withColumnRenamed("key", key_col)
+        )
+        tsnap = spark.read.parquet(*targets).withColumn(
+            "_src", _src_dir_col()
+        )
+        data = [c for c in tsnap.columns if c not in (key_col, "_src")]
+        dv_leg = (
+            tsnap.join(
+                F.broadcast(dvdf),
+                (tsnap["_src"] == dvdf["target"])
+                & (tsnap[key_col] == dvdf[key_col]),
+                "left_semi",
+            )
+            .select(
+                F.lit("delete").alias("_change_type"), key_col, *data
+            )
+        )
+        out = dv_leg if out is None else out.unionByName(dv_leg)
     return out
 
 
@@ -2322,7 +2384,156 @@ def q_sink_txlog_clone_diverge(
     )
 
 
+def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
+    """Action-complete log CHECKPOINT — the general form of the
+    `sink_txlog_checkpoint` mechanic, carrying EVERY action type the
+    log can hold (Delta checkpoints do the same):
+
+    - add/remove: reconciled last-wins per data path;
+    - dv: kept per (sidecar, target) pair — a deletion vector stays in
+      the checkpoint as long as it was committed, because its
+      applicability (target still live?) is decided at READ time; a
+      checkpoint that dropped dv rows would silently resurrect deleted
+      rows on the next checkpointed read;
+    - txn: kept per transaction id — the idempotence markers replayed
+      writers look up must survive compaction.
+
+    Writes the reconciled state as a parquet checkpoint and DELETES the
+    compacted JSON commits (readers provably reconstruct from
+    checkpoint + tail). Returns the checkpoint dir."""
+    rows = _txlog_log_rows(spark, log_dir)
+    state: dict = {}
+    for r in sorted(
+        (r for r in rows if r["commit"] <= version),
+        key=lambda r: (r["commit"], r["action"] or ""),
+    ):
+        if r["action"] in ("add", "remove"):
+            state[("file", r["path"])] = r
+        elif r["action"] == "dv":
+            state[("dv", r["path"], r["target"])] = r
+        elif r["action"] == "txn":
+            state[("txn", r["path"])] = r
+    ckpt_dir = os.path.join(log_dir, f"_checkpoint_{version:05d}")
+    spark.createDataFrame(
+        [
+            (r["commit"], r["action"], r["path"], r["target"])
+            for r in state.values()
+        ],
+        "commit long, action string, path string, target string",
+    ).write.mode("overwrite").parquet(ckpt_dir)
+    for i in range(version + 1):
+        f = os.path.join(log_dir, f"{i:05d}.json")
+        if os.path.exists(f):
+            os.remove(f)
+    return ckpt_dir
+
+
+def _txlog_rows_checkpointed(
+    spark: SparkSession, log_dir: str, ckpt_dir: str, ckpt_version: int
+) -> list:
+    """The action rows a reader sees on a checkpointed table: the
+    reconciled checkpoint state plus the JSON tail (> ckpt_version) —
+    same shape as `_txlog_log_rows`, O(checkpoint + tail) cost."""
+    import glob as _glob
+
+    ckpt = (
+        spark.read.schema(
+            "commit long, action string, path string, target string"
+        )
+        .parquet(ckpt_dir)
+        .collect()
+    )
+    # a checkpoint at the head leaves no JSON tail at all — an empty
+    # glob is a valid (fully compacted) state, not an error
+    if not _glob.glob(os.path.join(log_dir, "*.json")):
+        return list(ckpt)
+    tail = [
+        r
+        for r in _txlog_log_rows(spark, log_dir)
+        if r["commit"] > ckpt_version
+    ]
+    return list(ckpt) + tail
+
+
+def q_sink_txlog_checkpoint_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint × merge-on-read interop — the compaction hazard made
+    a hash-checked contract: the table takes a DV DELETE, the log is
+    checkpointed AT the delete's version (its JSON gone), and the
+    DV-aware snapshot reconstructed from checkpoint + tail must equal
+    the post-delete table. A checkpoint that reconciled only add/remove
+    per path (the naive form) would drop the dv rows — and this key
+    would come back with the deleted rows resurrected and break the
+    hash."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_ckpt_mor")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    res = txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    ckpt_dir = txlog_checkpoint(spark, log_dir, res["version"])
+    rows = _txlog_rows_checkpointed(spark, log_dir, ckpt_dir, res["version"])
+    live = _txlog_live_from_rows(rows)
+    dvs = _txlog_live_dvs(rows, live)
+    snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+    dv = (
+        spark.read.parquet(*dvs)
+        .where(F.col("target").isin(live))
+        .withColumnRenamed("key", "o_orderkey")
+    )
+    kept = snap.join(
+        F.broadcast(dv),
+        (snap["_src"] == dv["target"])
+        & (snap["o_orderkey"] == dv["o_orderkey"]),
+        "left_anti",
+    ).drop("_src")
+    return kept.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+def q_sink_txlog_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed across a MERGE-ON-READ delete: the DV commit
+    rewrites nothing, so a file-diff-only CDF would see an empty window
+    and miss the mutation entirely — the feed must instead surface the
+    DV'd keys as DELETE pre-images read from the (still-live) target
+    file. Oracle restates exactly the deleted rows; a feed that also
+    leaked the surviving rows (or read the wrong images) breaks the
+    hash."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_cdf_mor")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    res = txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    cdf = txlog_table_changes(
+        spark,
+        log_dir,
+        "o_orderkey",
+        from_version=res["version"] - 1,
+        to_version=res["version"],
+    )
+    return cdf.groupBy("_change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
 QUERIES = {
+    "sink_txlog_cdf_mor": q_sink_txlog_cdf_mor,
+    "sink_txlog_checkpoint_mor": q_sink_txlog_checkpoint_mor,
     "sink_txlog_clone_diverge": q_sink_txlog_clone_diverge,
     "sink_txlog_mor_update": q_sink_txlog_mor_update,
     "sink_txlog_cdf": q_sink_txlog_cdf,
@@ -2522,6 +2733,30 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # CDF of a MoR delete: exactly the deleted rows, as delete pre-images
+    "sink_txlog_cdf_mor": """
+        SELECT 'delete' AS _change_type,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+          AND o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+    """,
+    # checkpointed MoR read == the post-delete table (no amp columns:
+    # the checkpoint changes metadata layout, never reader results)
+    "sink_txlog_checkpoint_mor": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+          AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+        GROUP BY o_orderstatus
     """,
     # clone + merge-on-clone == the merge oracle (the source's
     # non-divergence is layout-tested, not SQL-expressible)

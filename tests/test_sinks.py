@@ -486,6 +486,80 @@ def test_txlog_shallow_clone_is_zero_copy_and_isolated(spark):
     assert canon_frame(post_src) == canon_frame(pre)
 
 
+def test_txlog_clone_vacuum_never_deletes_source_files(spark):
+    """Ownership scope: after a merge on the clone tombstones the
+    SHARED batch files in the clone's log, VACUUM on the clone must
+    skip them (they live under the source's root) and report them as
+    skipped_external — the source keeps reading exactly."""
+    from tests.conftest import canon_frame
+
+    src_log = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_clv_src")
+    pre = sinks._txlog_read(spark, src_log, as_of=None).toPandas()
+    clone_base = sinks._scratch(TEST_SF_DIR, "txlog_clv_dst")
+    clone_log = sinks.txlog_shallow_clone(spark, src_log, clone_base)
+    sinks.txlog_merge(
+        spark, clone_log, sinks._merge_changes(spark, TEST_SF_DIR),
+        "o_orderkey",
+    )
+    res = sinks.txlog_vacuum(spark, clone_log, retain_versions=(None,))
+    assert res.get("skipped_external"), "shared tombstones must be skipped"
+    for p in res["skipped_external"]:
+        assert os.path.isdir(p), "source file must survive clone vacuum"
+    for p in res["deleted"]:
+        assert p.startswith(clone_base + os.sep)
+    post_src = sinks._txlog_read(spark, src_log, as_of=None).toPandas()
+    assert canon_frame(post_src) == canon_frame(pre)
+
+
+def test_txlog_checkpoint_preserves_dv_and_txn_actions(spark):
+    """The compaction interop hazard, unit form: a log holding dv and
+    txn actions is checkpointed at head; the reconstructed rows must
+    still carry every dv (path, target) pair and every txn id — a
+    naive per-path add/remove reconcile loses both."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_ckgen")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    res = sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    # one txn-marked (empty) merge so the log holds a txn action too
+    sinks.txlog_merge(
+        spark,
+        log_dir,
+        load_table(spark, TEST_SF_DIR, "orders").limit(0).withColumn(
+            "op", F.lit("I")
+        ),
+        "o_orderkey",
+        txn_id="unit:1",
+    )
+    before = sinks._txlog_log_rows(spark, log_dir)
+    head = max(r["commit"] for r in before)
+    ckpt = sinks.txlog_checkpoint(spark, log_dir, head)
+    after = sinks._txlog_rows_checkpointed(spark, log_dir, ckpt, head)
+
+    def pairs(rows, action):
+        return {
+            (r["path"], r["target"]) for r in rows if r["action"] == action
+        }
+
+    assert pairs(after, "dv") == pairs(before, "dv") != set()
+    assert {r["path"] for r in after if r["action"] == "txn"} == {"unit:1"}
+    # the reconstructed live set matches the pre-checkpoint one
+    assert sinks._txlog_live_from_rows(after) == sinks._txlog_live_from_rows(
+        before
+    )
+    # and the DV-aware read still hides the deleted rows
+    live = sinks._txlog_live_from_rows(after)
+    dvs = sinks._txlog_live_dvs(after, live)
+    assert dvs == [res["dv"]]
+
+
 def test_txlog_attempt_commit_is_put_if_absent(spark):
     """The primitive itself: second attempt at a taken version returns
     False and leaves the winner's bytes untouched."""
