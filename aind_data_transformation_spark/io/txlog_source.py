@@ -1,0 +1,217 @@
+"""A Python DataSource V2 over the transaction-log table format — the
+log-backed tables the sinks tier writes (`queries/sinks.py`:
+`_build_txlog_table` and every `sink_txlog_*` mutation), readable as a
+first-class Spark source:
+
+    spark.read.format("txlog").option("path", log_dir).load()
+    spark.readStream.format("txlog").option("path", log_dir).load()
+
+Batch read = log replay to the live file set, one input partition per
+parquet part file, rows decoded EXECUTOR-side with pyarrow (the data
+never moves through the driver — only the metadata replay does, exactly
+like a JVM file source's driver-side listing).
+
+Streaming read = the lakehouse streaming-source mechanic
+(`sink_txlog_incremental_read`'s file-list algebra) as a real
+`DataSourceStreamReader`: offsets are commit versions; each micro-batch
+serves the files ADDED in ``(start, end]`` that are still live at
+``end``, partitioned per part file. ``latestOffset`` reports the log
+head, so each micro-batch consumes every commit since the last poll —
+and replaying a batch re-reads exactly its version window's files
+(offsets are pure log metadata, immune to later directory changes).
+
+Reference scope: the reference framework (core.py:15-110) reads opaque
+input directories; this connector is the engine-idiomatic equivalent
+surface for its own table format.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+def _log_rows(log_dir: str) -> list:
+    """Driver-side log replay input: every action line of every commit
+    file (metadata-sized), via stdlib json — no Spark needed, so the
+    reader classes stay picklable and executor-safe."""
+    rows = []
+    for f in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    rows.append(json.loads(line))
+    return rows
+
+
+def _live_files(rows: list, as_of=None) -> list:
+    """Last action per path wins (remove beats add within a commit),
+    matching queries/sinks._txlog_live_from_rows."""
+    last: dict = {}
+    for r in sorted(rows, key=lambda r: (r["commit"], r["action"] or "")):
+        if as_of is not None and r["commit"] > as_of:
+            continue
+        if r["action"] in ("add", "remove") and r.get("path") is not None:
+            last[r["path"]] = r["action"]
+    return sorted(p for p, a in last.items() if a == "add")
+
+
+def _incremental_files(rows: list, start: int, end: int) -> list:
+    """Files ADDED in commits (start, end] that are still live at end —
+    the per-batch increment of a log-tailing consumer."""
+    live_at_end = set(_live_files(rows, as_of=end))
+    added = {
+        r["path"]
+        for r in rows
+        if r["action"] == "add"
+        and start < r["commit"] <= end
+        and r.get("path") is not None
+    }
+    return sorted(added & live_at_end)
+
+
+def _part_files(data_dirs: list) -> list:
+    out = []
+    for d in data_dirs:
+        out.extend(
+            sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+            or sorted(glob.glob(os.path.join(d, "part-*")))
+        )
+    return out
+
+
+def _infer_ddl(log_dir: str) -> str:
+    """Spark DDL from the first live file's parquet footer (pyarrow) —
+    the same footer-driven inference a JVM parquet scan performs."""
+    import pyarrow.parquet as pq
+
+    live = _live_files(_log_rows(log_dir))
+    if not live:
+        raise ValueError(f"txlog table has no live files: {log_dir}")
+    parts = _part_files(live[:1])
+    schema = pq.read_schema(parts[0])
+    m = {
+        "int64": "bigint",
+        "int32": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "bool": "boolean",
+        "date32[day]": "date",
+    }
+
+    def ddl(t):
+        s = str(t)
+        if s in m:
+            return m[s]
+        if s.startswith("timestamp"):
+            return "timestamp"
+        if s.startswith("decimal"):
+            return s
+        raise ValueError(f"unsupported txlog column type: {s}")
+
+    return ", ".join(f"`{f.name}` {ddl(f.type)}" for f in schema)
+
+
+class _PartFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _read_part(path: str, names: list):
+    """Executor-side decode of one parquet part file via pyarrow,
+    yielding tuples in the source's column order."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=names)
+    cols = [table.column(n).to_pylist() for n in names]
+    yield from zip(*cols)
+
+
+class TxlogBatchReader(DataSourceReader):
+    def __init__(self, options, names):
+        self.log_dir = options.get("path")
+        self.names = names
+        if not self.log_dir:
+            raise ValueError("txlog source requires a path option")
+
+    def partitions(self):
+        live = _live_files(_log_rows(self.log_dir))
+        return [_PartFilePartition(p) for p in _part_files(live)]
+
+    def read(self, partition):
+        yield from _read_part(partition.path, self.names)
+
+
+class TxlogStreamReader(DataSourceStreamReader):
+    """Commit-window micro-batches: ``latestOffset`` reports the log
+    head, ``partitions(start, end)`` lists the window's still-live
+    added files, and ``read`` decodes executor-side. Offsets are just
+    commit versions — pure log metadata, so a checkpointed restart
+    re-plans exactly the same window."""
+
+    def __init__(self, options, names):
+        self.log_dir = options.get("path")
+        self.names = names
+        if not self.log_dir:
+            raise ValueError("txlog stream source requires a path option")
+
+    def initialOffset(self):
+        return {"version": -1}
+
+    def _head(self) -> int:
+        rows = _log_rows(self.log_dir)
+        return max((r["commit"] for r in rows), default=-1)
+
+    def latestOffset(self, start=None, limit=None):
+        # the current log head: each micro-batch consumes every commit
+        # that landed since the last one (availableNow captures the
+        # head ONCE and drains to it, so returning anything less would
+        # under-read; a continuous trigger gets one batch per poll with
+        # all new commits — the standard file-source pacing).
+        return {"version": self._head()}
+
+    def partitions(self, start, end):
+        rows = _log_rows(self.log_dir)
+        files = _incremental_files(
+            rows, int(start["version"]), int(end["version"])
+        )
+        return [_PartFilePartition(p) for p in _part_files(files)]
+
+    def read(self, partition):
+        yield from _read_part(partition.path, self.names)
+
+    def commit(self, end):
+        pass
+
+
+class TxlogDataSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "txlog"
+
+    def schema(self):
+        return _infer_ddl(self.options.get("path"))
+
+    def reader(self, schema):
+        return TxlogBatchReader(self.options, [f.name for f in schema.fields])
+
+    def streamReader(self, schema):
+        return TxlogStreamReader(
+            self.options, [f.name for f in schema.fields]
+        )
+
+
+def register(spark) -> None:
+    """Idempotent registration: ``spark.read.format('txlog')``."""
+    spark.dataSource.register(TxlogDataSource)

@@ -2531,7 +2531,72 @@ def q_sink_txlog_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_txlog_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transaction-log table read through a first-class Spark
+    source — the Python DataSource V2 connector
+    (io/txlog_source.TxlogDataSource): schema inferred from the live
+    files' parquet footers, ONE input partition per part file, rows
+    decoded EXECUTOR-side with pyarrow (only the metadata replay runs
+    on the driver, like any file source's listing). Must hash-equal the
+    engine's own replay read (`sink_txlog_snapshot`'s oracle): the
+    connector and the query tier implement the same log semantics
+    once each, and this key pins them together."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_ds")
+    txlog_source.register(spark)
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+def q_stream_txlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The log as a TRUE ``readStream`` source: commit versions are the
+    stream offsets (io/txlog_source.TxlogStreamReader), each micro-batch
+    serves the files added in its version window that are still live at
+    the window's end, partitions decode executor-side. Drained with
+    availableNow into a complete-mode aggregation, the result must
+    hash-equal the snapshot read — the streaming consumption of a
+    table's history converges to its current state."""
+    import tempfile
+
+    from aind_data_transformation_spark.io import txlog_source
+
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_stream_src")
+    txlog_source.register(spark)
+    name = f"txlog_src_{os.getpid()}"
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="txlog_src_ckpt_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 QUERIES = {
+    "scan_txlog_datasource": q_scan_txlog_datasource,
+    "stream_txlog_source": q_stream_txlog_source,
     "sink_txlog_cdf_mor": q_sink_txlog_cdf_mor,
     "sink_txlog_checkpoint_mor": q_sink_txlog_checkpoint_mor,
     "sink_txlog_clone_diverge": q_sink_txlog_clone_diverge,
@@ -2733,6 +2798,25 @@ ORACLES = {
                 AS sum_price_cents
         FROM bucketed CROSS JOIN bounds
         WHERE o_orderkey BETWEEN lo AND hi
+    """,
+    # the connector must see exactly what the engine's replay sees
+    "scan_txlog_datasource": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+        GROUP BY o_orderstatus
+    """,
+    "stream_txlog_source": """
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+        GROUP BY o_orderstatus
     """,
     # CDF of a MoR delete: exactly the deleted rows, as delete pre-images
     "sink_txlog_cdf_mor": """

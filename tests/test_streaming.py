@@ -989,3 +989,70 @@ def test_txlog_cdc_apply_exactly_once_across_kill_restart(
         tuple(r) for r in sinks._txlog_read(spark, twin, None).collect()
     )
     assert got == want
+
+
+def test_txlog_stream_source_resumes_from_checkpoint(spark, tmp_path):
+    """The custom txlog stream source's offset contract: a drained query
+    restarted from its checkpoint must consume ONLY the commits that
+    landed while it was down (numInputRows == the appended rows), and
+    its complete-mode aggregation state must absorb them exactly."""
+    import json
+    import os
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries import sinks
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_src_ckpt")
+    txlog_source.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    name = "txlog_src_resume"
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog")
+            .option("path", log_dir)
+            .load()
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    drain()
+    base = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.table(name).collect()
+    }
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    assert sum(base.values()) == spark.read.parquet(*live).count()
+
+    # an append-only commit lands while the stream is down
+    extra_dir = os.path.join(os.path.dirname(log_dir), "data", "extra")
+    extra = spark.read.parquet(*live).limit(100)
+    n_extra = extra.count()
+    extra.coalesce(1).write.mode("overwrite").parquet(extra_dir)
+    with open(os.path.join(log_dir, "00003.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {"commit": 3, "action": "add", "path": extra_dir}
+            )
+            + "\n"
+        )
+
+    q2 = drain()
+    got = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.table(name).collect()
+    }
+    assert sum(got.values()) == sum(base.values()) + n_extra
+    # resume read ONLY the increment
+    read_rows = sum(
+        p["numInputRows"] for p in q2.recentProgress if p["numInputRows"]
+    )
+    assert read_rows == n_extra
