@@ -3143,3 +3143,402 @@ ORACLES = {
         FROM orders
     """,
 }
+
+
+def _build_txlog_part_table(spark: SparkSession, sf_dir: str, name: str):
+    """Partition-valued commit fixture for `sink_txlog_replace_where`:
+    orders written as one file-dir per o_orderstatus partition (the
+    helper-column partitionBy trick keeps the full schema in the data
+    files), committed at version 0 with each add action carrying its
+    ``part`` value — Delta's partitionValues, the metadata that makes
+    log-level partition pruning and partition-scoped conflict checks
+    possible. Returns (log_dir, data_dir)."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    staging = os.path.join(base, "staging")
+    (
+        orders.withColumn("__p", F.col("o_orderstatus"))
+        .repartition(4, "__p")
+        .write.partitionBy("__p")
+        .parquet(staging)
+    )
+    os.makedirs(data_dir, exist_ok=True)
+    parts = sorted(
+        e.split("=", 1)[1]
+        for e in os.listdir(staging)
+        if e.startswith("__p=")
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "00000.json"), "w") as fh:
+        for s in parts:
+            p = os.path.join(data_dir, f"part-{s}")
+            os.rename(os.path.join(staging, f"__p={s}"), p)
+            fh.write(
+                _json.dumps(
+                    {"commit": 0, "action": "add", "path": p, "part": s}
+                )
+                + "\n"
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return log_dir, data_dir
+
+
+def _txlog_part_log_rows(spark: SparkSession, log_dir: str) -> list:
+    """One driver-side snapshot of a partition-valued action log (the
+    single-read discipline of `_txlog_log_rows`, with ``part`` carried
+    so pruning and conflict checks run on pure metadata)."""
+    return (
+        spark.read.schema("commit long, action string, path string, part string")
+        .json(os.path.join(log_dir, "*.json"))
+        .collect()
+    )
+
+
+def _txlog_part_live(rows: list) -> list:
+    """Live (path, part) pairs from a partition-valued log snapshot —
+    last action per path wins."""
+    last = {}
+    for r in sorted(rows, key=lambda r: r["commit"]):
+        if r["action"] in ("add", "remove") and r["path"] is not None:
+            last[r["path"]] = (r["action"], r["part"])
+    return sorted(
+        (p, meta[1]) for p, meta in last.items() if meta[0] == "add"
+    )
+
+
+def txlog_replace_where(
+    spark: SparkSession, log_dir: str, part_value: str, new_rows: DataFrame
+) -> dict:
+    """Dynamic partition overwrite (Delta's ``replaceWhere`` / Hive's
+    INSERT OVERWRITE partition) as ONE atomic logged transaction:
+    write the replacement rows to a fresh GUID-named file, then commit
+    ``remove`` for every live file of the target partition + ``add``
+    for the new file in a single put-if-absent version. Readers replay
+    the log and see the old partition or the new one, never a mix —
+    the atomicity a two-step "delete dir, write dir" overwrite on a
+    filesystem cannot give.
+
+    Conflict handling is partition-scoped (Delta's rule): on a lost
+    commit race, re-read the log once; if no intervening commit touched
+    ``part_value``, re-commit the SAME already-written file verbatim at
+    the next version (zero recompute); otherwise recompute the victim
+    list from the fresh snapshot. At 100 TB concurrent backfills of
+    disjoint date partitions all land on their first write this way."""
+    import uuid as _uuid
+
+    rows = _txlog_part_log_rows(spark, log_dir)
+    new_path = os.path.join(
+        os.path.dirname(log_dir),
+        "data",
+        f"replace-{part_value}-{_uuid.uuid4().hex[:8]}",
+    )
+    new_rows.write.parquet(new_path)
+    attempts = 0
+    recomputes = 0
+    while attempts < _TXLOG_MAX_RETRIES:
+        attempts += 1
+        version = max((r["commit"] for r in rows), default=-1) + 1
+        victims = [
+            p for p, part in _txlog_part_live(rows) if part == part_value
+        ]
+        actions = [
+            {
+                "commit": version,
+                "action": "remove",
+                "path": p,
+                "part": part_value,
+            }
+            for p in victims
+        ] + [
+            {
+                "commit": version,
+                "action": "add",
+                "path": new_path,
+                "part": part_value,
+            }
+        ]
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {
+                "version": version,
+                "attempts": attempts,
+                "recomputes": recomputes,
+                "n_removed": len(victims),
+            }
+        fresh = _txlog_part_log_rows(spark, log_dir)
+        touched = {
+            r["part"]
+            for r in fresh
+            if r["commit"] > max((x["commit"] for x in rows), default=-1)
+        }
+        if part_value in touched:
+            recomputes += 1
+        rows = fresh
+    raise TxlogConflictError(
+        f"replace_where lost {_TXLOG_MAX_RETRIES} commit races"
+    )
+
+
+def q_sink_txlog_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`replaceWhere` on the partition-valued txlog table: partition
+    'O' is atomically overwritten with its even-keyed half (a backfill
+    restating one partition), then the reader replays the log twice —
+    a full-table scan for the per-status aggregates and a
+    PARTITION-PRUNED scan of 'O' that opens only the files whose logged
+    ``part`` matches (no data file is touched to decide — Delta's
+    partitionValues pruning). The result carries the pruning evidence
+    (files live vs files opened, and the pruned scan's own row count)
+    alongside the aggregates, so a reader that scanned a partition it
+    should have skipped, saw the pre-replace rows, or mixed old and new
+    'O' files breaks the hash. The non-replaced partitions' files are
+    asserted byte-identical in tests/test_sinks.py (no rewrite)."""
+    log_dir, _ = _build_txlog_part_table(spark, sf_dir, "txlog_table_rw")
+    orders = load_table(spark, sf_dir, "orders")
+    replacement = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    )
+    txlog_replace_where(spark, log_dir, "O", replacement)
+    live = _txlog_part_live(_txlog_part_log_rows(spark, log_dir))
+    pruned = [p for p, part in live if part == "O"]
+    o_scan_rows = spark.read.parquet(*pruned).count()
+    snap = spark.read.parquet(*[p for p, _ in live])
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    ).select(
+        "*",
+        F.lit(len(live)).cast("long").alias("n_files_live"),
+        F.lit(len(pruned)).cast("long").alias("n_files_opened"),
+        F.lit(o_scan_rows).cast("long").alias("o_scan_rows"),
+    )
+
+
+QUERIES["sink_txlog_replace_where"] = q_sink_txlog_replace_where
+ORACLES["sink_txlog_replace_where"] = """
+    WITH final AS (
+        SELECT * FROM orders WHERE o_orderstatus <> 'O'
+        UNION ALL
+        SELECT * FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0
+    ), consts AS (
+        SELECT (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)
+                   AS n_files_live,
+               1 AS n_files_opened,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderstatus = 'O' AND o_orderkey % 2 = 0)
+                   AS o_scan_rows
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(n_files_live AS BIGINT) AS n_files_live,
+           CAST(n_files_opened AS BIGINT) AS n_files_opened,
+           CAST(o_scan_rows AS BIGINT) AS o_scan_rows
+    FROM final, consts
+    GROUP BY o_orderstatus, n_files_live, n_files_opened, o_scan_rows
+"""
+
+
+#: two-level metadata layout constants (shared with the oracle): 16
+#: contiguous key-range files grouped 4-per-manifest, and the key-range
+#: predicate as percent of the key span — chosen to straddle a manifest
+#: boundary so BOTH pruning levels do real work.
+_MF2_BUCKETS = 16
+_MF2_PER_MANIFEST = 4
+_MF2_LO_PCT = 30
+_MF2_HI_PCT = 55
+
+
+def _build_manifest_table(spark: SparkSession, sf_dir: str, name: str):
+    """Iceberg-style TWO-LEVEL metadata fixture: orders written as
+    `_MF2_BUCKETS` contiguous key-range files; file entries (path +
+    exact per-file key min/max) grouped into manifests of
+    `_MF2_PER_MANIFEST`, and a manifest LIST whose rows summarize each
+    manifest's covered key range — the metadata-about-metadata level
+    that lets a planner prune whole manifests before reading any file
+    entry. Returns (meta_dir, kmin, kmax)."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    data_dir = os.path.join(base, "data")
+    meta_dir = os.path.join(base, "_meta")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    span1 = kmax - kmin + 1
+    bucketed = orders.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(((o_orderkey - {kmin}) * {_MF2_BUCKETS})"
+            f" DIV {span1} AS INT)"
+        ),
+    )
+    (
+        bucketed.repartition(_MF2_BUCKETS, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(data_dir)
+    )
+    stats = sorted(
+        bucketed.groupBy("bucket")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect(),
+        key=lambda r: r["bucket"],
+    )
+    os.makedirs(meta_dir, exist_ok=True)
+    mlist = []
+    for m in range(0, _MF2_BUCKETS, _MF2_PER_MANIFEST):
+        grp = [r for r in stats if m <= r["bucket"] < m + _MF2_PER_MANIFEST]
+        mid = m // _MF2_PER_MANIFEST
+        with open(
+            os.path.join(meta_dir, f"manifest-{mid:03d}.json"), "w"
+        ) as fh:
+            for r in grp:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "path": os.path.join(
+                                data_dir, f"bucket={r['bucket']}"
+                            ),
+                            "min_key": r["mn"],
+                            "max_key": r["mx"],
+                        }
+                    )
+                    + "\n"
+                )
+        mlist.append(
+            {
+                "manifest": f"manifest-{mid:03d}.json",
+                "min_key": min(r["mn"] for r in grp),
+                "max_key": max(r["mx"] for r in grp),
+                "n_files": len(grp),
+            }
+        )
+    with open(os.path.join(meta_dir, "manifest-list.json"), "w") as fh:
+        for row in mlist:
+            fh.write(_json.dumps(row) + "\n")
+    return meta_dir, kmin, kmax
+
+
+def manifest_two_level_read(
+    spark: SparkSession, meta_dir: str, lo: int, hi: int
+):
+    """Two-level metadata-pruned scan (the Iceberg planner shape):
+    (1) read the manifest LIST — O(#manifests) — and drop every
+    manifest whose summarized key range cannot intersect [lo, hi];
+    (2) read ONLY the surviving manifests' file entries and prune
+    files on their exact per-file stats; (3) scan the survivors with
+    the predicate still applied. Returns (snapshot, n_manifests,
+    n_manifests_opened, n_files, n_files_opened).
+
+    Scale: a 100-TB table has ~10^6 files; flat per-file metadata
+    (the txlog replay) is O(files) planning cost EVERY query, while
+    the two-level layout makes planning O(manifests + matching
+    files) — the reason Iceberg scales its metadata plane. Both
+    levels here are driver-side JSON reads of metadata-sized lists,
+    never data."""
+    import json as _json
+
+    with open(os.path.join(meta_dir, "manifest-list.json")) as fh:
+        mlist = [_json.loads(ln) for ln in fh if ln.strip()]
+    opened = [
+        m for m in mlist if m["max_key"] >= lo and m["min_key"] <= hi
+    ]
+    n_files_total = sum(m["n_files"] for m in mlist)
+    files = []
+    for m in opened:
+        with open(os.path.join(meta_dir, m["manifest"])) as fh:
+            files.extend(_json.loads(ln) for ln in fh if ln.strip())
+    pruned = sorted(
+        f["path"]
+        for f in files
+        if f["max_key"] >= lo and f["min_key"] <= hi
+    )
+    snap = spark.read.parquet(*pruned).where(
+        F.col("o_orderkey").between(lo, hi)
+    )
+    return snap, len(mlist), len(opened), n_files_total, len(pruned)
+
+
+def q_scan_manifest_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style two-level metadata pruning: a key-range query
+    (`_MF2_LO_PCT`–`_MF2_HI_PCT`% of the span, straddling a manifest
+    boundary) plans by pruning MANIFESTS from the manifest list's
+    range summaries first, then FILES from the surviving manifests'
+    exact stats, and scans only what remains. The result carries the
+    pruning evidence at both levels (manifests live/opened, files
+    live/opened — the oracle re-derives all four from the bucket
+    arithmetic) plus the scanned rows' aggregates, so a reader that
+    opened a manifest it could prove empty, pruned a file it needed,
+    or scanned rows outside the range breaks the hash. Complements
+    the flat txlog stats (`sink_txlog_stats_skipping`): same file
+    stats, one more metadata level above them."""
+    meta_dir, kmin, kmax = _build_manifest_table(
+        spark, sf_dir, "manifest_two_level"
+    )
+    span = kmax - kmin
+    lo = kmin + span * _MF2_LO_PCT // 100
+    hi = kmin + span * _MF2_HI_PCT // 100
+    snap, n_m, n_mo, n_f, n_fo = manifest_two_level_read(
+        spark, meta_dir, lo, hi
+    )
+    return snap.agg(
+        F.lit(n_m).cast("long").alias("n_manifests_live"),
+        F.lit(n_mo).cast("long").alias("n_manifests_opened"),
+        F.lit(n_f).cast("long").alias("n_files_live"),
+        F.lit(n_fo).cast("long").alias("n_files_opened"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+QUERIES["scan_manifest_two_level"] = q_scan_manifest_two_level
+ORACLES["scan_manifest_two_level"] = f"""
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+        FROM orders
+    ), bounds AS (
+        SELECT kmin + (kmax - kmin) * {_MF2_LO_PCT} // 100 AS lo,
+               kmin + (kmax - kmin) * {_MF2_HI_PCT} // 100 AS hi
+        FROM b
+    ), bucketed AS (
+        SELECT o_orderkey, o_totalprice,
+               ((o_orderkey - kmin) * {_MF2_BUCKETS})
+                   // (kmax - kmin + 1) AS bucket
+        FROM orders CROSS JOIN b
+    ), fstats AS (
+        SELECT bucket, bucket // {_MF2_PER_MANIFEST} AS manifest,
+               MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+        FROM bucketed GROUP BY bucket
+    ), mstats AS (
+        SELECT manifest, MIN(mn) AS mn, MAX(mx) AS mx
+        FROM fstats GROUP BY manifest
+    )
+    SELECT
+        (SELECT COUNT(*) FROM mstats)::BIGINT AS n_manifests_live,
+        (SELECT COUNT(*) FROM mstats CROSS JOIN bounds
+          WHERE mx >= lo AND mn <= hi)::BIGINT AS n_manifests_opened,
+        (SELECT COUNT(*) FROM fstats)::BIGINT AS n_files_live,
+        (SELECT COUNT(*) FROM fstats CROSS JOIN bounds
+          WHERE mx >= lo AND mn <= hi)::BIGINT AS n_files_opened,
+        COUNT(*)::BIGINT AS n_rows,
+        SUM(o_orderkey)::BIGINT AS sum_keys,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+            AS sum_price_cents
+    FROM bucketed CROSS JOIN bounds
+    WHERE o_orderkey BETWEEN lo AND hi
+"""

@@ -1159,3 +1159,130 @@ def test_txlog_four_concurrent_writers_converge(spark):
         tuple(r) for r in sinks._txlog_read(spark, twin, None).collect()
     )
     assert got == want
+
+
+def test_txlog_replace_where_is_partition_scoped(spark):
+    """replaceWhere's contract beyond the row oracle: non-target
+    partition files keep their exact bytes/mtimes (no rewrite), the
+    old target file stays on disk for time travel (logical remove),
+    and the pre-replace version still reconstructs the original 'O'
+    partition."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir, data_dir = sinks._build_txlog_part_table(
+        spark, TEST_SF_DIR, "txlog_rw_layout_test"
+    )
+    others = {}
+    for d in os.listdir(data_dir):
+        if d != "part-O":
+            full = os.path.join(data_dir, d)
+            others[d] = {
+                f: os.stat(os.path.join(full, f)).st_mtime_ns
+                for f in os.listdir(full)
+                if f.startswith("part-")
+            }
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    repl = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    )
+    res = sinks.txlog_replace_where(spark, log_dir, "O", repl)
+    assert res["attempts"] == 1 and res["n_removed"] == 1
+
+    for d, before in others.items():
+        full = os.path.join(data_dir, d)
+        after = {
+            f: os.stat(os.path.join(full, f)).st_mtime_ns
+            for f in os.listdir(full)
+            if f.startswith("part-")
+        }
+        assert after == before, f"non-target partition {d} was rewritten"
+    assert os.path.isdir(os.path.join(data_dir, "part-O")), (
+        "removed file must stay on disk (logical remove)"
+    )
+
+    # time travel: AS OF version 0 still sees the full 'O' partition
+    rows0 = sinks._txlog_part_log_rows(spark, log_dir)
+    live0 = sinks._txlog_part_live([r for r in rows0 if r["commit"] <= 0])
+    o_files0 = [p for p, part in live0 if part == "O"]
+    n0 = spark.read.parquet(*o_files0).count()
+    want0 = orders.where(F.col("o_orderstatus") == "O").count()
+    assert n0 == want0
+
+
+def test_txlog_replace_where_disjoint_partitions_skip_recompute(
+    spark, monkeypatch
+):
+    """Two replaceWhere writers on DIFFERENT partitions: the loser of
+    the commit race re-commits its already-written file at the next
+    version with zero recomputes (partition-scoped conflict check),
+    and both replacements land."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir, _ = sinks._build_txlog_part_table(
+        spark, TEST_SF_DIR, "txlog_rw_race_test"
+    )
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    repl_o = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    )
+    repl_f = orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 3 == 0)
+    )
+    real = sinks._txlog_attempt_commit
+    state = {"injected": False}
+
+    def racy(log_dir_, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            res_b = sinks.txlog_replace_where(spark, log_dir_, "F", repl_f)
+            assert res_b["attempts"] == 1 and res_b["recomputes"] == 0
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
+    res_a = sinks.txlog_replace_where(spark, log_dir, "O", repl_o)
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", real)
+    assert res_a["attempts"] == 2
+    assert res_a["recomputes"] == 0, "disjoint partitions must not recompute"
+
+    live = sinks._txlog_part_live(sinks._txlog_part_log_rows(spark, log_dir))
+    o_rows = spark.read.parquet(
+        *[p for p, part in live if part == "O"]
+    ).count()
+    f_rows = spark.read.parquet(
+        *[p for p, part in live if part == "F"]
+    ).count()
+    assert o_rows == repl_o.count()
+    assert f_rows == repl_f.count()
+
+
+def test_manifest_two_level_prunes_both_levels(spark):
+    """Both metadata levels must do real work on the straddling
+    predicate: strictly fewer manifests opened than live, strictly
+    fewer files opened than live, AND file pruning must beat the
+    manifest level alone (some file inside an opened manifest is
+    pruned by its own stats). Soundness: the pruned scan equals an
+    unpruned scan-then-filter."""
+    meta_dir, kmin, kmax = sinks._build_manifest_table(
+        spark, TEST_SF_DIR, "manifest_two_level_test"
+    )
+    span = kmax - kmin
+    lo = kmin + span * sinks._MF2_LO_PCT // 100
+    hi = kmin + span * sinks._MF2_HI_PCT // 100
+    snap, n_m, n_mo, n_f, n_fo = sinks.manifest_two_level_read(
+        spark, meta_dir, lo, hi
+    )
+    assert n_m == sinks._MF2_BUCKETS // sinks._MF2_PER_MANIFEST
+    assert n_f == sinks._MF2_BUCKETS
+    assert 0 < n_mo < n_m
+    assert 0 < n_fo < n_f
+    assert n_fo < n_mo * sinks._MF2_PER_MANIFEST
+    full = (
+        spark.read.parquet(
+            os.path.join(os.path.dirname(meta_dir), "data")
+        ).where(f"o_orderkey BETWEEN {lo} AND {hi}")
+    )
+    assert snap.count() == full.count()
