@@ -1387,3 +1387,97 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential privacy release — the fourth privacy pillar next to
+    k-anonymity / l-diversity / t-closeness: per-nation customer counts
+    through the epsilon-DP Laplace mechanism (sensitivity 1, epsilon
+    0.5, scale b = 1/epsilon = 2). The noise is drawn by inverse-CDF
+    from a DETERMINISTIC per-group uniform (the ANSI-safe Knuth hash of
+    the group key mapped into (0,1)), so the release is reproducible
+    across engines and re-runs — the property a production DP pipeline
+    gets from a seeded PRNG keyed on (release_id, group) — and the
+    DuckDB oracle restates the identical mechanism. Released values are
+    clamped non-negative integers; the raw counts never leave the
+    aggregation.
+
+    Scale: one hash aggregation to the group domain, then pure
+    per-group scalar arithmetic — noise generation is free at any
+    table size."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    h = knuth32_sql("c_nationkey + 9176", "spark")
+    u = f"(pmod({h}, 1048575) + 0.5D) / 1048576.0D"
+    noise = (
+        f"CASE WHEN {u} < 0.5D THEN 2.0D * ln(2.0D * ({u}))"
+        f" ELSE -2.0D * ln(2.0D * (1.0D - ({u}))) END"
+    )
+    return g.select(
+        "c_nationkey",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"CAST(round(n + ({noise})) AS BIGINT)"),
+        ).alias("n_released"),
+        F.lit(0.5).cast("double").alias("epsilon"),
+    )
+
+
+def q_sample_reservoir_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample via bottom-k hash priorities — the
+    distributed, deterministic equivalent of reservoir sampling (and
+    the KMV/bottom-k sketch): every row gets an ANSI-safe Knuth-hash
+    priority on its composite key, and the global k smallest win.
+    Unlike `sample_hash` (Bernoulli: sample size drifts with table
+    size) this yields EXACTLY k rows from a table of any unknown size,
+    and unlike a true reservoir it is order-independent, mergeable
+    across partitions, and reproducible across engines.
+
+    Scale: Spark plans order-by-limit as TakeOrderedAndProject —
+    per-partition top-k heaps merged at the driver, k*partitions
+    memory, no global sort shuffle; 32-bit hash ties (expected ~40 at
+    600k rows by birthday) are broken by the key so the winner set is
+    exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ck = "l_orderkey * 8 + l_linenumber"
+    pr = knuth32_sql(ck, "spark")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(pr).cast("long").alias("priority"),
+        )
+        .orderBy("priority", "l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+QUERIES["privacy_dp_counts"] = q_privacy_dp_counts
+_DP_H_DUCK = knuth32_sql("c_nationkey + 9176", "duck")
+ORACLES["privacy_dp_counts"] = f"""
+    WITH g AS (
+        SELECT c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey
+    ), uni AS (
+        SELECT c_nationkey, n,
+               (({_DP_H_DUCK}) % 1048575 + 0.5) / 1048576.0 AS u
+        FROM g
+    )
+    SELECT c_nationkey,
+           GREATEST(0, CAST(round(n + CASE WHEN u < 0.5
+                THEN 2.0 * ln(2.0 * u)
+                ELSE -2.0 * ln(2.0 * (1.0 - u)) END) AS BIGINT))
+               AS n_released,
+           0.5 AS epsilon
+    FROM uni
+"""
+
+QUERIES["sample_reservoir_bottomk"] = q_sample_reservoir_bottomk
+_RSV_PR_DUCK = knuth32_sql("l_orderkey * 8 + l_linenumber", "duck")
+ORACLES["sample_reservoir_bottomk"] = f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_RSV_PR_DUCK} AS BIGINT) AS priority
+    FROM lineitem
+    ORDER BY priority, l_orderkey, l_linenumber
+    LIMIT 500
+"""
