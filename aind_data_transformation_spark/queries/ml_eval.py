@@ -1557,3 +1557,333 @@ ORACLES = {
           ON a.dim = b.dim AND a.half = 0 AND b.half = 1
     """,
 }
+
+
+#: histogram resolution for the binned split finder — LightGBM's
+#: max_bin default territory; shared with the oracle.
+_HIST_BINS = 64
+
+
+def q_ml_hist_binned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-BINNED split finding — the LightGBM/XGBoost-hist inner
+    loop, and the reason GBDT training scales past `ml_gini_best_split`'s
+    distinct-value scan: the continuous feature (extended price, exact
+    cents) is bucketed into `_HIST_BINS` equal-width integer bins in ONE
+    map pass, per-bin label sums/counts aggregate to a 64-row histogram,
+    and the best variance-reduction split (regression gain
+    sl^2/nl + sr^2/nr - st^2/nt on the quantity label) closes with a
+    cumulative window over those 64 rows. Ties break on the smaller bin
+    via a 1e-6 integer gain grid, so both engines elect the same split.
+
+    Scale: the fact table is scanned once and reduced to a
+    `_HIST_BINS`-row histogram — the candidate evaluation never touches
+    data again, which is why binned trainers handle billions of rows
+    per feature; the min/max prepass is a broadcast scalar, not a
+    collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    rng = li.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    binned = attach_broadcast(li, F.broadcast(rng)).select(
+        F.expr(
+            f"CAST(((x - mn) * {_HIST_BINS}) DIV (mx - mn + 1) AS BIGINT)"
+        ).alias("bin"),
+        "y",
+        "mn",
+        "mx",
+    )
+    hist = binned.groupBy("bin", "mn", "mx").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = hist.agg(
+        F.sum("n").alias("nt"), F.sum("sy").alias("st")
+    )
+    cum = hist.select(
+        "bin",
+        "mn",
+        "mx",
+        F.sum("n").over(w).alias("nl"),
+        F.sum("sy").over(w).alias("sl"),
+    )
+    gain = (
+        "(sl * sl) / CAST(nl AS DOUBLE)"
+        " + ((st - sl) * (st - sl)) / CAST(nt - nl AS DOUBLE)"
+        " - (st * st) / CAST(nt AS DOUBLE)"
+    )
+    scored = attach_broadcast(cum, F.broadcast(tot)).where(
+        F.col("nl") < F.col("nt")
+    ).select(
+        "bin",
+        "mn",
+        "mx",
+        F.expr(f"CAST(round(({gain}) * 1000000.0D) AS BIGINT)").alias(
+            "gain_u"
+        ),
+    )
+    best = scored.agg(
+        F.min(F.struct((-F.col("gain_u")).alias("neg"), "bin", "mn", "mx"))
+        .alias("m")
+    )
+    return best.select(
+        F.col("m.bin").cast("long").alias("best_bin"),
+        F.expr(
+            f"CAST(m.mn + ((m.bin + 1) * (m.mx - m.mn + 1)) DIV {_HIST_BINS}"
+            " AS BIGINT)"
+        ).alias("threshold_cents"),
+        (F.col("m.neg").cast("double") / -1e6).alias("gain"),
+        F.lit(_HIST_BINS).cast("long").alias("n_bins"),
+    )
+
+
+QUERIES["ml_hist_binned_split"] = q_ml_hist_binned_split
+ORACLES["ml_hist_binned_split"] = f"""
+    WITH pts AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(l_quantity AS DOUBLE) AS y
+        FROM lineitem
+    ), rng AS (
+        SELECT MIN(x) AS mn, MAX(x) AS mx FROM pts
+    ), hist AS (
+        SELECT ((x - mn) * {_HIST_BINS}) // (mx - mn + 1) AS bin,
+               mn, mx, COUNT(*) AS n, SUM(y) AS sy
+        FROM pts, rng GROUP BY 1, 2, 3
+    ), tot AS (
+        SELECT SUM(n) AS nt, SUM(sy) AS st FROM hist
+    ), cum AS (
+        SELECT bin, mn, mx,
+               SUM(n) OVER (ORDER BY bin) AS nl,
+               SUM(sy) OVER (ORDER BY bin) AS sl
+        FROM hist
+    ), scored AS (
+        SELECT bin, mn, mx,
+               CAST(round(((sl * sl) / CAST(nl AS DOUBLE)
+                    + ((st - sl) * (st - sl)) / CAST(nt - nl AS DOUBLE)
+                    - (st * st) / CAST(nt AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS gain_u
+        FROM cum, tot
+        WHERE nl < nt
+    ), best AS (
+        SELECT bin, mn, mx, gain_u
+        FROM scored
+        ORDER BY -gain_u, bin
+        LIMIT 1
+    )
+    SELECT CAST(bin AS BIGINT) AS best_bin,
+           CAST(mn + ((bin + 1) * (mx - mn + 1)) // {_HIST_BINS} AS BIGINT)
+               AS threshold_cents,
+           CAST(gain_u AS DOUBLE) / 1e6 AS gain,
+           CAST({_HIST_BINS} AS BIGINT) AS n_bins
+    FROM best
+"""
+
+
+
+def _rha(x: float) -> int:
+    """round-half-AWAY-from-zero to int — the rounding rule both Spark's
+    `round(double)` (BigDecimal HALF_UP) and DuckDB's `round` apply, so
+    driver-side elections stay bit-identical to the in-plan/oracle form
+    (Python's built-in round() is half-to-even and would drift)."""
+    import math
+
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def q_ml_gbdt_binned_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO gradient-boosting rounds on the binned histogram — the
+    training loop `ml_hist_binned_split` is the inner step of, made
+    real: round 1 fits a depth-1 tree (best variance-reduction split,
+    leaf means as values) to the residuals around the global mean;
+    the model applies with learning rate 0.5 and round 2 re-fits on
+    the UPDATED residuals, electing a different split because the
+    first stump flattened the strongest gradient. All residuals live
+    on an exact 1e-6 integer grid (quantities are integers, so y,
+    the mean, and every leaf delta quantize exactly), making each
+    histogram an exact BIGINT sum — no float-summation order
+    dependence anywhere, which is what lets the DuckDB oracle restate
+    both rounds as chained CTEs and hash-match.
+
+    Scale: THREE linear scans total — one (min/max/mean) prepass, one
+    exact 64-bin histogram per round — with each round's split election
+    running driver-side over the collected histogram (64 rows — the
+    same metadata-sized-model discipline as the Lloyd trainer and the
+    BPE merge table); the model state between rounds is two inlined
+    literals. N rounds of GBDT on 100 TB cost N scans, never a
+    per-candidate or per-node rescan, and nothing data-sized ever
+    reaches the driver. The driver-side election mirrors the SQL
+    arithmetic operation-for-operation in IEEE doubles (including
+    round-half-away-from-zero), so the result is bit-identical to the
+    all-in-plan formulation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(l_quantity * 1000000) AS BIGINT)").alias("yu"),
+    )
+    g0 = li.agg(
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yu").alias("syu"),
+    ).collect()[0]
+    mn, mx, n0, syu = g0["mn"], g0["mx"], g0["n"], g0["syu"]
+    p0u = _rha(float(syu) / float(n0))
+    bin_expr = f"CAST(((x - {mn}) * {_HIST_BINS}) DIV ({mx - mn + 1}) AS BIGINT)"
+
+    def _hist(extra_delta_sql: str) -> list:
+        """One scan: exact (bin, n, sum residual-micro) histogram with
+        the current model inlined as literals in the residual."""
+        h = (
+            li.select(
+                F.expr(bin_expr).alias("bin"),
+                F.expr(f"yu - {p0u} {extra_delta_sql}").alias("ru"),
+            )
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("ru").cast("long").alias("s"),
+            )
+            .collect()
+        )
+        return sorted((r["bin"], r["n"], r["s"]) for r in h)
+
+    def _elect(hist: list) -> tuple:
+        """Best stump over the histogram — the IEEE-double mirror of the
+        oracle's scored CTE: (split_bin, gain_u, lmu, rmu)."""
+        nt = sum(h[1] for h in hist)
+        st = sum(h[2] for h in hist)
+        dst, dnt = float(st), float(nt)
+        best = None
+        nl = sl = 0
+        for b, nb, sb in hist:
+            nl += nb
+            sl += sb
+            if nl >= nt:
+                continue
+            dsl, dnl = float(sl), float(nl)
+            gain = (
+                dsl * dsl / dnl
+                + (dst - dsl) * (dst - dsl) / float(nt - nl)
+                - dst * dst / dnt
+            )
+            cand = (
+                -_rha(gain / 1000000.0),
+                b,
+                _rha(dsl / dnl),
+                _rha(float(st - sl) / float(nt - nl)),
+            )
+            if best is None or cand < best:
+                best = cand
+        return (best[1], -best[0], best[2], best[3])
+
+    s1 = _elect(_hist(""))
+    ld, rd = _rha(s1[2] / 2.0), _rha(s1[3] / 2.0)
+    s2 = _elect(
+        _hist(
+            f"- (CASE WHEN {bin_expr} <= {s1[0]} THEN {ld} ELSE {rd} END)"
+        )
+    )
+    span1 = mx - mn + 1
+    rows = [
+        (
+            rnd,
+            s[0],
+            mn + ((s[0] + 1) * span1) // _HIST_BINS,
+            s[1] / 1e6,
+            s[2],
+            s[3],
+        )
+        for rnd, s in ((1, s1), (2, s2))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round long, best_bin long, threshold_cents long, gain double,"
+        " leaf_left_micro long, leaf_right_micro long",
+    )
+
+
+
+QUERIES["ml_gbdt_binned_rounds"] = q_ml_gbdt_binned_rounds
+
+
+def _gbdt_stump_cte(src: str, tag: str) -> str:
+    """Oracle CTE chain electing the best stump over `src`(bin, ru):
+    emits `best_{tag}`(split_bin, gain_u, lmu, rmu)."""
+    return f"""hist_{tag} AS (
+        SELECT bin, COUNT(*) AS n, CAST(SUM(ru) AS BIGINT) AS s
+        FROM {src} GROUP BY bin
+    ), tot_{tag} AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st
+        FROM hist_{tag}
+    ), cum_{tag} AS (
+        SELECT bin,
+               CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+               CAST(SUM(s) OVER (ORDER BY bin) AS BIGINT) AS sl
+        FROM hist_{tag}
+    ), scored_{tag} AS (
+        SELECT bin,
+               CAST(round((
+                   (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))
+                       / CAST(nl AS DOUBLE)
+                   + (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE))
+                       / CAST(nt - nl AS DOUBLE)
+                   - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                       / CAST(nt AS DOUBLE)) / 1000000.0)
+                   AS BIGINT) AS gain_u,
+               CAST(round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   AS BIGINT) AS lmu,
+               CAST(round(CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                   AS BIGINT) AS rmu
+        FROM cum_{tag}, tot_{tag}
+        WHERE nl < nt
+    ), best_{tag} AS (
+        SELECT bin AS split_bin, gain_u, lmu, rmu
+        FROM scored_{tag}
+        ORDER BY -gain_u, bin LIMIT 1
+    )"""
+
+
+ORACLES["ml_gbdt_binned_rounds"] = f"""
+    WITH pts AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(round(l_quantity * 1000000) AS BIGINT) AS yu
+        FROM lineitem
+    ), rng AS (
+        SELECT MIN(x) AS mn, MAX(x) AS mx FROM pts
+    ), based AS (
+        SELECT ((x - mn) * {_HIST_BINS}) // (mx - mn + 1) AS bin, yu
+        FROM pts, rng
+    ), p0 AS (
+        SELECT CAST(round(CAST(SUM(yu) AS DOUBLE) / COUNT(*)) AS BIGINT)
+            AS p0u
+        FROM based
+    ), r1 AS (
+        SELECT bin, yu - p0u AS ru FROM based, p0
+    ), {_gbdt_stump_cte('r1', 's1')}, deltas AS (
+        SELECT split_bin,
+               CAST(round(lmu / 2.0) AS BIGINT) AS ld,
+               CAST(round(rmu / 2.0) AS BIGINT) AS rd
+        FROM best_s1
+    ), r2 AS (
+        SELECT bin,
+               ru - CASE WHEN bin <= split_bin THEN ld ELSE rd END AS ru
+        FROM r1, deltas
+    ), {_gbdt_stump_cte('r2', 's2')}
+    SELECT CAST(1 AS BIGINT) AS round,
+           CAST(split_bin AS BIGINT) AS best_bin,
+           CAST(mn + ((split_bin + 1) * (mx - mn + 1)) // {_HIST_BINS}
+               AS BIGINT) AS threshold_cents,
+           CAST(gain_u AS DOUBLE) / 1e6 AS gain,
+           CAST(lmu AS BIGINT) AS leaf_left_micro,
+           CAST(rmu AS BIGINT) AS leaf_right_micro
+    FROM best_s1, rng
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(split_bin AS BIGINT),
+           CAST(mn + ((split_bin + 1) * (mx - mn + 1)) // {_HIST_BINS}
+               AS BIGINT),
+           CAST(gain_u AS DOUBLE) / 1e6,
+           CAST(lmu AS BIGINT), CAST(rmu AS BIGINT)
+    FROM best_s2, rng
+"""
