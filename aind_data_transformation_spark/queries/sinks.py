@@ -3212,7 +3212,11 @@ def _txlog_part_live(rows: list) -> list:
 
 
 def txlog_replace_where(
-    spark: SparkSession, log_dir: str, part_value: str, new_rows: DataFrame
+    spark: SparkSession,
+    log_dir: str,
+    part_value: str,
+    new_rows: DataFrame,
+    on_conflict: str = "serialize",
 ) -> dict:
     """Dynamic partition overwrite (Delta's ``replaceWhere`` / Hive's
     INSERT OVERWRITE partition) as ONE atomic logged transaction:
@@ -3226,9 +3230,14 @@ def txlog_replace_where(
     Conflict handling is partition-scoped (Delta's rule): on a lost
     commit race, re-read the log once; if no intervening commit touched
     ``part_value``, re-commit the SAME already-written file verbatim at
-    the next version (zero recompute); otherwise recompute the victim
-    list from the fresh snapshot. At 100 TB concurrent backfills of
-    disjoint date partitions all land on their first write this way."""
+    the next version (zero recompute). When the interloper DID touch
+    the target partition, ``on_conflict`` decides: ``"serialize"``
+    (default) refreshes the victim list and serializes after the winner
+    (replace semantics are state-independent, so last-writer-wins is
+    well-defined), while ``"error"`` raises ``TxlogConflictError`` —
+    Delta's ConcurrentAppendException contract for readers that must
+    not lose the interloper's rows. At 100 TB concurrent backfills of
+    disjoint date partitions all land on their first write either way."""
     import uuid as _uuid
 
     rows = _txlog_part_log_rows(spark, log_dir)
@@ -3276,6 +3285,10 @@ def txlog_replace_where(
             if r["commit"] > max((x["commit"] for x in rows), default=-1)
         }
         if part_value in touched:
+            if on_conflict == "error":
+                raise TxlogConflictError(
+                    f"concurrent commit touched partition {part_value!r}"
+                )
             recomputes += 1
         rows = fresh
     raise TxlogConflictError(
@@ -3541,4 +3554,129 @@ ORACLES["scan_manifest_two_level"] = f"""
             AS sum_price_cents
     FROM bucketed CROSS JOIN bounds
     WHERE o_orderkey BETWEEN lo AND hi
+"""
+
+
+#: CHECK constraint for the constrained txlog table — stored in the
+#: log's metaData action and enforced on every append (shared string so
+#: the oracle and tests restate the same predicate).
+_TXLOG_CHECK = "o_totalprice >= 0 AND o_orderstatus IN ('O', 'F', 'P')"
+
+
+def txlog_constrained_append(
+    spark: SparkSession, log_dir: str, rows: DataFrame
+) -> dict:
+    """Append under the table's logged CHECK constraint (Delta's ALTER
+    TABLE ADD CONSTRAINT contract): read the latest committed
+    constraint from the log's metaData actions, VALIDATE the incoming
+    batch against it (one distributed filter-count — no data is
+    written for a failing batch), and only then write the file and
+    commit the add action. Returns {'committed', 'n_rejected',
+    'version'}.
+
+    Scale: validation is one predicate scan of the batch (not the
+    table) pushed to the parquet-write pipeline's own pass; the
+    constraint itself is metadata, so enforcement costs nothing at
+    plan time and no reader ever needs to re-check historical files
+    (they were validated at their commit)."""
+    import uuid as _uuid
+
+    log = spark.read.schema(
+        "commit long, action string, path string, constraint string"
+    ).json(os.path.join(log_dir, "*.json"))
+    rows_log = log.collect()
+    cons = [
+        r["constraint"]
+        for r in sorted(rows_log, key=lambda r: r["commit"])
+        if r["action"] == "metaData" and r["constraint"] is not None
+    ]
+    check = cons[-1] if cons else "true"
+    n_rejected = rows.where(~F.expr(check)).count()
+    if n_rejected > 0:
+        return {"committed": False, "n_rejected": n_rejected, "version": None}
+    version = max((r["commit"] for r in rows_log), default=-1) + 1
+    path = os.path.join(
+        os.path.dirname(log_dir),
+        "data",
+        f"append-{version:05d}-{_uuid.uuid4().hex[:8]}",
+    )
+    rows.write.parquet(path)
+    actions = [{"commit": version, "action": "add", "path": path}]
+    while not _txlog_attempt_commit(log_dir, version, actions):
+        version += 1
+        actions = [{"commit": version, "action": "add", "path": path}]
+    return {"committed": True, "n_rejected": 0, "version": version}
+
+
+def q_sink_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK-constraint enforcement on the txlog table: the constraint
+    lives in a metaData log action (like the schema — never in data
+    files); a violating append (negated prices) is REJECTED before any
+    file is written, a clean append commits normally. The result is
+    the final per-status snapshot plus the enforcement evidence
+    (rows rejected, appends committed), all restated by the oracle —
+    a table that accepted the bad batch, lost the good one, or
+    validated against the wrong predicate breaks the hash."""
+    import json as _json
+
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_check")
+    # commit the constraint as metaData at the next version
+    ver = 3
+    with open(os.path.join(log_dir, f"{ver:05d}.json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "commit": ver,
+                    "action": "metaData",
+                    "constraint": _TXLOG_CHECK,
+                }
+            )
+            + "\n"
+        )
+    orders = load_table(spark, sf_dir, "orders")
+    bad = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", -F.col("o_totalprice") - 1
+    )
+    good = orders.where(F.col("o_orderkey") % 5 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1
+    )
+    res_bad = txlog_constrained_append(spark, log_dir, bad)
+    res_good = txlog_constrained_append(spark, log_dir, good)
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    ).select(
+        "*",
+        F.lit(res_bad["n_rejected"]).cast("long").alias("n_rejected"),
+        F.lit(
+            int(res_bad["committed"]) + int(res_good["committed"])
+        ).cast("long").alias("n_commits"),
+    )
+
+
+QUERIES["sink_txlog_constraints"] = q_sink_txlog_constraints
+ORACLES["sink_txlog_constraints"] = """
+    WITH final AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 4 != 1
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 1 FROM orders
+        WHERE o_orderkey % 5 = 0
+    ), consts AS (
+        SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 0)
+                   AS n_rejected,
+               1 AS n_commits
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(n_rejected AS BIGINT) AS n_rejected,
+           CAST(n_commits AS BIGINT) AS n_commits
+    FROM final, consts
+    GROUP BY o_orderstatus, n_rejected, n_commits
 """

@@ -1286,3 +1286,79 @@ def test_manifest_two_level_prunes_both_levels(spark):
         ).where(f"o_orderkey BETWEEN {lo} AND {hi}")
     )
     assert snap.count() == full.count()
+
+
+def test_txlog_replace_where_error_mode_raises_on_overlap(
+    spark, monkeypatch
+):
+    """on_conflict='error' is Delta's ConcurrentAppendException
+    contract: an interloper landing on the SAME partition between the
+    log read and the commit must raise, never silently serialize."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir, _ = sinks._build_txlog_part_table(
+        spark, TEST_SF_DIR, "txlog_rw_err_test"
+    )
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    repl_a = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 2 == 0)
+    )
+    repl_b = orders.where(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderkey") % 3 == 0)
+    )
+    real = sinks._txlog_attempt_commit
+    state = {"injected": False}
+
+    def racy(log_dir_, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            sinks.txlog_replace_where(spark, log_dir_, "O", repl_b)
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
+    with pytest.raises(sinks.TxlogConflictError):
+        sinks.txlog_replace_where(
+            spark, log_dir, "O", repl_a, on_conflict="error"
+        )
+
+
+def test_txlog_constraint_rejects_before_writing(spark):
+    """A failing batch must leave NO trace: no data file written, no
+    log version consumed — and the constraint is read from the LOG
+    (changing the logged predicate changes enforcement)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_check_test"
+    )
+    with open(os.path.join(log_dir, "00003.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "commit": 3,
+                    "action": "metaData",
+                    "constraint": sinks._TXLOG_CHECK,
+                }
+            )
+            + "\n"
+        )
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    before_files = sorted(os.listdir(data_dir))
+    before_log = sorted(os.listdir(log_dir))
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    bad = orders.withColumn("o_totalprice", -F.col("o_totalprice") - 1)
+    res = sinks.txlog_constrained_append(spark, log_dir, bad)
+    assert res["committed"] is False
+    assert res["n_rejected"] == orders.count()
+    assert sorted(os.listdir(data_dir)) == before_files
+    assert sorted(os.listdir(log_dir)) == before_log
+    good = orders.limit(10)
+    res2 = sinks.txlog_constrained_append(spark, log_dir, good)
+    assert res2["committed"] is True and res2["version"] == 4
