@@ -1175,3 +1175,124 @@ def test_bpe_encode_is_a_lossless_segmentation(spark):
         | (F.size("cs") > F.length("w"))
     )
     assert bad.count() == 0
+
+
+def test_phash_matches_formula_recomputation(spark):
+    """Differential check of the image dHash independent of the DuckDB
+    oracle: recompute the expected 64-bit hash in pure Python straight
+    from the `_PX_*` pattern formulas (no PNG bytes involved) and
+    compare against the staged Spark hashes, which were computed by
+    ACTUALLY encoding, decoding and unfiltering the PNGs."""
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.queries import llm_vectors as lv
+
+    got = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in lv._phash_staged(spark, TEST_SF_DIR).collect()
+    }
+    assert got, "stage produced no rows"
+
+    def expect(d: int):
+        w, h = 8 + d % 16, 8 + d % 8
+
+        def gray(x, y):
+            return (
+                299 * ((x * 3 + y * 5 + d) % 256)
+                + 587 * ((x * 7 + y) % 256)
+                + 114 * ((x + y * 11 + d * 13) % 256)
+            )
+
+        xs = [((2 * i + 1) * w) // 18 for i in range(9)]
+        ys = [((2 * j + 1) * h) // 16 for j in range(8)]
+        lo = hi = 0
+        for j in range(8):
+            for i in range(8):
+                if gray(xs[i + 1], ys[j]) > gray(xs[i], ys[j]):
+                    k = j * 8 + i
+                    if k < 32:
+                        lo |= 1 << k
+                    else:
+                        hi |= 1 << (k - 32)
+        return hi, lo
+
+    for d, hashes in got.items():
+        assert hashes == expect(d), f"doc {d} hash mismatch"
+
+
+def test_gbdt_rounds_match_numpy_differential(spark):
+    """NumPy differential test of the two boosting rounds: rebuild the
+    bins, residual grids, histograms and elections from the raw parquet
+    with an independent implementation and compare every output
+    column."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.queries.ml_eval import (
+        _HIST_BINS,
+        q_ml_gbdt_binned_rounds,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in q_ml_gbdt_binned_rounds(spark, TEST_SF_DIR).collect()
+    )
+
+    tbl = duckdb.sql(
+        "SELECT round(l_extendedprice * 100)::BIGINT AS x,"
+        " round(l_quantity * 1000000)::BIGINT AS yu"
+        f" FROM '{TEST_SF_DIR}/lineitem.parquet'"
+    ).fetchnumpy()
+    x, yu = tbl["x"].astype(np.int64), tbl["yu"].astype(np.int64)
+
+    def rha(v: float) -> int:
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    mn, mx = int(x.min()), int(x.max())
+    bins = (x - mn) * _HIST_BINS // (mx - mn + 1)
+    p0u = rha(float(yu.sum()) / len(yu))
+    ru = yu - p0u
+
+    def elect(res):
+        nt, st = len(res), int(res.sum())
+        best = None
+        for b in range(_HIST_BINS):
+            m = bins <= b
+            nl, sl = int(m.sum()), int(res[m].sum())
+            if nl == 0 or nl >= nt:
+                continue
+            g = (
+                float(sl) * float(sl) / float(nl)
+                + float(st - sl) * float(st - sl) / float(nt - nl)
+                - float(st) * float(st) / float(nt)
+            )
+            cand = (
+                -rha(g / 1e6), b,
+                rha(float(sl) / float(nl)),
+                rha(float(st - sl) / float(nt - nl)),
+            )
+            if best is None or cand < best:
+                best = cand
+        return (best[1], -best[0], best[2], best[3])
+
+    s1 = elect(ru)
+    ld, rd = rha(s1[2] / 2.0), rha(s1[3] / 2.0)
+    ru2 = ru - np.where(bins <= s1[0], ld, rd)
+    s2 = elect(ru2)
+    span1 = mx - mn + 1
+    want = sorted(
+        (
+            rnd,
+            s[0],
+            mn + ((s[0] + 1) * span1) // _HIST_BINS,
+            s[1] / 1e6,
+            s[2],
+            s[3],
+        )
+        for rnd, s in ((1, s1), (2, s2))
+    )
+    assert got == want
