@@ -89,6 +89,17 @@ def main() -> None:
         ann_index_build_s = round(time.monotonic() - t0, 3)
     except Exception as exc:
         print(f"# ann index warmup failed: {exc}", file=sys.stderr)
+    # Same treatment for the image-hash stage (encode + decode + dHash,
+    # shared by both phash keys): computed once per session, so its
+    # one-time cost is reported separately instead of landing on
+    # whichever phash key runs first.
+    phash_stage_build_s = None
+    try:
+        t0 = time.monotonic()
+        llm_vectors._phash_staged(spark, sf_dir).count()
+        phash_stage_build_s = round(time.monotonic() - t0, 3)
+    except Exception as exc:
+        print(f"# phash stage warmup failed: {exc}", file=sys.stderr)
     for key in sorted(queries):
         start = time.monotonic()
         try:
@@ -111,6 +122,9 @@ def main() -> None:
             # one-time ANN index build (quantizer + partitionBy(cell)
             # layout), staged in warmup — NOT part of any query's entry
             "ann_index_build_s": ann_index_build_s,
+            # one-time image-hash stage (PNG encode+decode+dHash),
+            # shared by the phash keys — staged in warmup likewise
+            "phash_stage_build_s": phash_stage_build_s,
         }
     )
 
