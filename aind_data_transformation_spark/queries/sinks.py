@@ -3601,11 +3601,38 @@ def txlog_constrained_append(
         f"append-{version:05d}-{_uuid.uuid4().hex[:8]}",
     )
     rows.write.parquet(path)
-    actions = [{"commit": version, "action": "add", "path": path}]
-    while not _txlog_attempt_commit(log_dir, version, actions):
-        version += 1
+    attempts = 0
+    while attempts < _TXLOG_MAX_RETRIES:
+        attempts += 1
         actions = [{"commit": version, "action": "add", "path": path}]
-    return {"committed": True, "n_rejected": 0, "version": version}
+        if _txlog_attempt_commit(log_dir, version, actions):
+            return {
+                "committed": True,
+                "n_rejected": 0,
+                "version": version,
+            }
+        # lost the race: revalidate against the FRESH snapshot — if a
+        # concurrent commit changed the constraint, the batch was
+        # validated against a stale predicate (Delta's
+        # MetadataChangedException); an append-only intervener is safe
+        # to serialize after.
+        fresh = spark.read.schema(
+            "commit long, action string, path string, constraint string"
+        ).json(os.path.join(log_dir, "*.json")).collect()
+        fresh_cons = [
+            r["constraint"]
+            for r in sorted(fresh, key=lambda r: r["commit"])
+            if r["action"] == "metaData" and r["constraint"] is not None
+        ]
+        if (fresh_cons[-1] if fresh_cons else "true") != check:
+            raise TxlogConflictError(
+                "constraint changed concurrently; batch validated "
+                "against a stale predicate"
+            )
+        version = max((r["commit"] for r in fresh), default=-1) + 1
+    raise TxlogConflictError(
+        f"constrained append lost {_TXLOG_MAX_RETRIES} commit races"
+    )
 
 
 def q_sink_txlog_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:

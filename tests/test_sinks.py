@@ -1362,3 +1362,78 @@ def test_txlog_constraint_rejects_before_writing(spark):
     good = orders.limit(10)
     res2 = sinks.txlog_constrained_append(spark, log_dir, good)
     assert res2["committed"] is True and res2["version"] == 4
+
+
+def test_txlog_constrained_append_race_paths(spark, monkeypatch):
+    """Lost-race behavior of the constrained append: an append-only
+    interloper is safe to serialize after (commit lands at the next
+    version); a CONSTRAINT-CHANGING interloper means the batch was
+    validated against a stale predicate and must raise (Delta's
+    MetadataChangedException contract)."""
+    import json
+
+    import pytest
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    good = orders.limit(10)
+
+    def build(name):
+        log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, name)
+        with open(os.path.join(log_dir, "00003.json"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "commit": 3,
+                        "action": "metaData",
+                        "constraint": sinks._TXLOG_CHECK,
+                    }
+                )
+                + "\n"
+            )
+        return log_dir
+
+    real = sinks._txlog_attempt_commit
+
+    # interloper 1: plain append wins version 4 -> we serialize at 5
+    log_a = build("txlog_check_race_a")
+    state = {"injected": False}
+
+    def racy_append(log_dir_, version, actions):
+        if not state["injected"]:
+            state["injected"] = True
+            real(
+                log_dir_,
+                version,
+                [{"commit": version, "action": "add", "path": None}],
+            )
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy_append)
+    res = sinks.txlog_constrained_append(spark, log_a, good)
+    assert res["committed"] is True and res["version"] == 5
+
+    # interloper 2: constraint change wins -> stale validation, raise
+    log_b = build("txlog_check_race_b")
+    state2 = {"injected": False}
+
+    def racy_meta(log_dir_, version, actions):
+        if not state2["injected"]:
+            state2["injected"] = True
+            real(
+                log_dir_,
+                version,
+                [
+                    {
+                        "commit": version,
+                        "action": "metaData",
+                        "constraint": "o_totalprice >= 100",
+                    }
+                ],
+            )
+        return real(log_dir_, version, actions)
+
+    monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy_meta)
+    with pytest.raises(sinks.TxlogConflictError):
+        sinks.txlog_constrained_append(spark, log_b, good)
