@@ -130,12 +130,12 @@ class _PartFilePartition(InputPartition):
 
 def _read_part(path: str, names: list):
     """Executor-side decode of one parquet part file via pyarrow,
-    yielding tuples in the source's column order."""
+    yielding whole Arrow RecordBatches (the Spark 4 Python DataSource
+    fast path — columnar hand-off, no per-row Python tuples)."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(path, columns=names)
-    cols = [table.column(n).to_pylist() for n in names]
-    yield from zip(*cols)
+    yield from table.to_batches()
 
 
 class TxlogBatchReader(DataSourceReader):
