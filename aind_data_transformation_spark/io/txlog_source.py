@@ -79,6 +79,22 @@ def _incremental_files(rows: list, start: int, end: int) -> list:
     return sorted(added & live_at_end)
 
 
+def _live_dvs(rows: list, live: list) -> dict:
+    """Deletion-vector applicability from pure log metadata (matching
+    queries/sinks._txlog_live_dvs): sidecar -> its targets, kept only
+    where a target is still live. Returned as {target data dir:
+    [sidecar paths]} so each partition can resolve its own tombstones
+    executor-side."""
+    live_set = set(live)
+    by_target: dict = {}
+    for r in rows:
+        if r.get("action") == "dv" and r.get("path") is not None:
+            t = r.get("target")
+            if t in live_set:
+                by_target.setdefault(t, []).append(r["path"])
+    return by_target
+
+
 def _part_files(data_dirs: list) -> list:
     out = []
     for d in data_dirs:
@@ -124,33 +140,82 @@ def _infer_ddl(log_dir: str) -> str:
 
 
 class _PartFilePartition(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, data_dir: str = "", dv_paths=None):
         self.path = path
+        self.data_dir = data_dir
+        self.dv_paths = dv_paths or []
 
 
-def _read_part(path: str, names: list):
+def _read_part(path: str, names: list, data_dir: str = "",
+               dv_paths=None, dv_key: str = ""):
     """Executor-side decode of one parquet part file via pyarrow,
     yielding whole Arrow RecordBatches (the Spark 4 Python DataSource
-    fast path — columnar hand-off, no per-row Python tuples)."""
+    fast path — columnar hand-off, no per-row Python tuples). When the
+    file has live deletion vectors, their keys are anti-filtered HERE,
+    still columnar (pyarrow compute is_in): merge-on-read tables read
+    through the connector see exactly what the engine's DV-aware replay
+    sees, never resurrected rows."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    table = pq.read_table(path, columns=names)
-    yield from table.to_batches()
+    if not (dv_paths and dv_key):
+        yield from pq.read_table(path, columns=names).to_batches()
+        return
+    import pyarrow as pa
+
+    # the key column must be readable even when the projection pruned
+    # it — read it alongside, filter, then drop it back out
+    read_cols = names if dv_key in names else list(names) + [dv_key]
+    table = pq.read_table(path, columns=read_cols)
+    dead = []
+    for dv in dv_paths:
+        t = pq.read_table(dv, columns=["target", "key"])
+        mask = pc.equal(t.column("target"), data_dir)
+        dead.append(t.filter(mask).column("key"))
+    keys = pa.concat_arrays([c.combine_chunks() for c in dead])
+    if len(keys):
+        keep = pc.invert(
+            pc.is_in(table.column(dv_key), value_set=keys)
+        )
+        table = table.filter(keep)
+    yield from table.select(names).to_batches()
 
 
 class TxlogBatchReader(DataSourceReader):
     def __init__(self, options, names):
         self.log_dir = options.get("path")
         self.names = names
+        #: key column the dv sidecars tombstone (Delta's DV descriptor
+        #: carries row positions; this format carries keys) — required
+        #: only when the log holds live dv actions
+        self.dv_key = options.get("dv_key", "")
         if not self.log_dir:
             raise ValueError("txlog source requires a path option")
 
     def partitions(self):
-        live = _live_files(_log_rows(self.log_dir))
-        return [_PartFilePartition(p) for p in _part_files(live)]
+        rows = _log_rows(self.log_dir)
+        live = _live_files(rows)
+        dvs = _live_dvs(rows, live)
+        if dvs and not self.dv_key:
+            raise ValueError(
+                "txlog table has live deletion vectors; pass "
+                ".option('dv_key', <key column>) so the reader can "
+                "apply them"
+            )
+        return [
+            _PartFilePartition(p, d, dvs.get(d, []))
+            for d in live
+            for p in _part_files([d])
+        ]
 
     def read(self, partition):
-        yield from _read_part(partition.path, self.names)
+        yield from _read_part(
+            partition.path,
+            self.names,
+            partition.data_dir,
+            partition.dv_paths,
+            self.dv_key,
+        )
 
 
 class TxlogStreamReader(DataSourceStreamReader):

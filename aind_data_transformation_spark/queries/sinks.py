@@ -3707,3 +3707,56 @@ ORACLES["sink_txlog_constraints"] = """
     FROM final, consts
     GROUP BY o_orderstatus, n_rejected, n_commits
 """
+
+
+def q_scan_txlog_datasource_mor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MERGE-ON-READ table through the first-class connector: a DV
+    DELETE tombstones keys (≡0 mod 4 and divisible by 3), then the
+    table is read via ``spark.read.format("txlog")`` with
+    ``option("dv_key", "o_orderkey")`` — each input partition
+    anti-filters its own live deletion vectors executor-side with
+    pyarrow compute, still columnar. Hash-must-equal the DV-restated
+    oracle: a connector that ignored dv actions would resurrect every
+    deleted row (the interop bug this key exists to prevent — any
+    external Spark job reading the format gets MoR semantics, not just
+    the engine's own replay tier)."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_ds_mor")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    txlog_source.register(spark)
+    snap = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("dv_key", "o_orderkey")
+        .load()
+    )
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+QUERIES["scan_txlog_datasource_mor"] = q_scan_txlog_datasource_mor
+ORACLES["scan_txlog_datasource_mor"] = """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents
+    FROM orders
+    WHERE o_orderkey % 4 != 1
+      AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+    GROUP BY o_orderstatus
+"""

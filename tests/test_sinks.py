@@ -1437,3 +1437,53 @@ def test_txlog_constrained_append_race_paths(spark, monkeypatch):
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy_meta)
     with pytest.raises(sinks.TxlogConflictError):
         sinks.txlog_constrained_append(spark, log_b, good)
+
+
+def test_txlog_connector_mor_semantics(spark):
+    """The connector's DV contract: (1) reading a table with live
+    deletion vectors WITHOUT dv_key fails loudly (silently resurrecting
+    deleted rows is the one unacceptable outcome); (2) with dv_key the
+    connector equals the engine's DV-aware replay exactly; (3) the DV
+    filter survives column pruning (projection without the key
+    column)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_connector_mor_test"
+    )
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where((k % 4 == 0) & (k % 3 == 0))
+        .select("o_orderkey")
+    )
+    sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    txlog_source.register(spark)
+
+    with pytest.raises(Exception, match="deletion vectors"):
+        (
+            spark.read.format("txlog").option("path", log_dir).load()
+            .count()
+        )
+
+    got = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("dv_key", "o_orderkey")
+        .load()
+    )
+    want = sinks.txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+    assert got.count() == want.count()
+    assert (
+        got.agg(F.sum("o_orderkey")).collect()[0][0]
+        == want.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+
+    # pruned projection: o_orderkey absent from the scan schema, DV
+    # filter must still apply
+    pruned = got.select("o_orderstatus")
+    assert pruned.count() == want.count()
