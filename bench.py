@@ -100,6 +100,32 @@ def main() -> None:
         phash_stage_build_s = round(time.monotonic() - t0, 3)
     except Exception as exc:
         print(f"# phash stage warmup failed: {exc}", file=sys.stderr)
+    # The Python DataSource path runs its own worker kind (plain Python
+    # workers with the datasource serializer, not the Arrow-UDF pool
+    # warmed above) — one tiny single-partition read spins it up so the
+    # first txlog-connector key measures the read, not worker adoption.
+    try:
+        import json as _json
+        import tempfile as _tempfile
+
+        from aind_data_transformation_spark.io import txlog_source
+
+        tiny = os.path.join(_tempfile.mkdtemp(), "t")
+        spark.range(1).selectExpr("id AS o_orderkey").coalesce(1).write.parquet(
+            os.path.join(tiny, "data", "batch-0")
+        )
+        os.makedirs(os.path.join(tiny, "_log"), exist_ok=True)
+        with open(os.path.join(tiny, "_log", "00000.json"), "w") as fh:
+            fh.write(_json.dumps({
+                "commit": 0, "action": "add",
+                "path": os.path.join(tiny, "data", "batch-0"),
+            }) + "\n")
+        txlog_source.register(spark)
+        spark.read.format("txlog").option(
+            "path", os.path.join(tiny, "_log")
+        ).load().count()
+    except Exception as exc:
+        print(f"# datasource warmup failed: {exc}", file=sys.stderr)
     for key in sorted(queries):
         start = time.monotonic()
         try:
