@@ -42,14 +42,26 @@ from pyspark.sql.datasource import (
 def _log_rows(log_dir: str) -> list:
     """Driver-side log replay input: every action line of every commit
     file (metadata-sized), via stdlib json — no Spark needed, so the
-    reader classes stay picklable and executor-safe."""
+    reader classes stay picklable and executor-safe. Checkpoint-aware:
+    a compacted table replays latest checkpoint parquet + JSON tail,
+    matching queries/sinks._txlog_log_rows."""
+    ckpts = sorted(glob.glob(os.path.join(log_dir, "_checkpoint_*")))
     rows = []
+    ckpt_version = -1
+    if ckpts:
+        import pyarrow.parquet as pq
+
+        latest = ckpts[-1]
+        ckpt_version = int(latest.rsplit("_", 1)[-1])
+        rows.extend(pq.read_table(latest).to_pylist())
     for f in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
         with open(f) as fh:
             for line in fh:
                 line = line.strip()
                 if line:
-                    rows.append(json.loads(line))
+                    r = json.loads(line)
+                    if r.get("commit", 0) > ckpt_version:
+                        rows.append(r)
     return rows
 
 
@@ -133,7 +145,8 @@ def _infer_ddl(log_dir: str) -> str:
         if s.startswith("timestamp"):
             return "timestamp"
         if s.startswith("decimal"):
-            return s
+            # pyarrow prints decimal128(p, s) — not valid Spark DDL
+            return f"decimal({t.precision},{t.scale})"
         raise ValueError(f"unsupported txlog column type: {s}")
 
     return ", ".join(f"`{f.name}` {ddl(f.type)}" for f in schema)
@@ -228,6 +241,13 @@ class TxlogStreamReader(DataSourceStreamReader):
     def __init__(self, options, names):
         self.log_dir = options.get("path")
         self.names = names
+        #: Delta's streaming contract: a source over a mutated table
+        #: fails by default — set ignore_deletes=true to consume the
+        #: add-only file stream anyway (deletes surface via the change
+        #: data feed, not this source)
+        self.ignore_deletes = (
+            str(options.get("ignore_deletes", "false")).lower() == "true"
+        )
         if not self.log_dir:
             raise ValueError("txlog stream source requires a path option")
 
@@ -248,6 +268,18 @@ class TxlogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         rows = _log_rows(self.log_dir)
+        if not self.ignore_deletes and any(
+            r.get("action") == "dv" and r["commit"] <= int(end["version"])
+            for r in rows
+        ):
+            raise ValueError(
+                "txlog stream source over a table with deletion vectors:"
+                " this source streams ADDED files only and would"
+                " silently miss the deletes. Use the change data feed"
+                " for row-level changes, or pass"
+                " .option('ignore_deletes', 'true') to consume the"
+                " add-only stream deliberately."
+            )
         files = _incremental_files(
             rows, int(start["version"]), int(end["version"])
         )

@@ -850,13 +850,37 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
     snapshot: two separate log reads can straddle a concurrent commit,
     in which case the retry loop would commit at max+1 without having
     revalidated against that commit's changes (a lost update)."""
-    return (
-        spark.read.schema(
-            "commit long, action string, path string, target string"
-        )
-        .json(os.path.join(log_dir, "*.json"))
-        .collect()
+    import glob as _glob
+
+    sch = (
+        "commit long, action string, path string, target string,"
+        " constraint string, part string, schema string"
     )
+    ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
+    tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
+    if not ckpts:
+        return (
+            spark.read.schema(sch)
+            .json(os.path.join(log_dir, "*.json"))
+            .collect()
+        )
+    # checkpointed table: reconciled checkpoint state + JSON tail — the
+    # ONE replay entry point every mutator/reader shares, so merge txn
+    # idempotence markers, constraints, partitionValues and dv state
+    # all survive compaction for every consumer, not just the
+    # checkpoint-demo keys.
+    latest = ckpts[-1]
+    ckpt_version = int(latest.rsplit("_", 1)[-1])
+    rows = spark.read.schema(sch).parquet(latest).collect()
+    if tail_files:
+        rows += [
+            r
+            for r in spark.read.schema(sch)
+            .json(os.path.join(log_dir, "*.json"))
+            .collect()
+            if r["commit"] > ckpt_version
+        ]
+    return rows
 
 
 def _txlog_live_from_rows(rows: list, as_of=None) -> list:
@@ -1205,7 +1229,7 @@ def txlog_vacuum(
     # under THIS table's root. A shallow clone's log references the
     # source's files by absolute path; tombstoning them in the clone's
     # log must never let the clone's vacuum destroy the source.
-    root = os.path.dirname(log_dir) + os.sep
+    root = os.path.dirname(log_dir.rstrip(os.sep)) + os.sep
     external = [p for p in victims if not (p or "").startswith(root)]
     victims = [p for p in victims if (p or "").startswith(root)]
     if external:
@@ -2190,6 +2214,30 @@ def txlog_table_changes(
             .where(F.col("target").isin(targets))
             .withColumnRenamed("key", key_col)
         )
+        # a re-delete lists keys already tombstoned before the window
+        # (sidecars are built from the raw snapshot): those rows were
+        # NOT live at from_version, so emitting them again would make a
+        # downstream consumer delete/count them twice — anti-subtract
+        # the pre-window tombstones on the same targets.
+        pre_dvs = sorted(
+            {
+                r["path"]
+                for r in rows
+                if r["commit"] <= from_version
+                and r["action"] == "dv"
+                and r["path"] is not None
+                and r["target"] in set(targets)
+            }
+        )
+        if pre_dvs:
+            prev = (
+                spark.read.parquet(*pre_dvs)
+                .where(F.col("target").isin(targets))
+                .withColumnRenamed("key", key_col)
+            )
+            dvdf = dvdf.join(
+                F.broadcast(prev), ["target", key_col], "left_anti"
+            )
         tsnap = spark.read.parquet(*targets).withColumn(
             "_src", _src_dir_col()
         )
@@ -2413,13 +2461,32 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
             state[("dv", r["path"], r["target"])] = r
         elif r["action"] == "txn":
             state[("txn", r["path"])] = r
+        elif r["action"] == "metaData":
+            # every metaData row survives (schema history, constraint)
+            state[("meta", r["commit"])] = r
     ckpt_dir = os.path.join(log_dir, f"_checkpoint_{version:05d}")
+
+    def g(r, k):
+        try:
+            return r[k]
+        except Exception:
+            return None
+
     spark.createDataFrame(
         [
-            (r["commit"], r["action"], r["path"], r["target"])
+            (
+                r["commit"],
+                r["action"],
+                r["path"],
+                g(r, "target"),
+                g(r, "constraint"),
+                g(r, "part"),
+                g(r, "schema"),
+            )
             for r in state.values()
         ],
-        "commit long, action string, path string, target string",
+        "commit long, action string, path string, target string,"
+        " constraint string, part string, schema string",
     ).write.mode("overwrite").parquet(ckpt_dir)
     for i in range(version + 1):
         f = os.path.join(log_dir, f"{i:05d}.json")
@@ -2474,22 +2541,11 @@ def q_sink_txlog_checkpoint_mor(
         .select("o_orderkey")
     )
     res = txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
-    ckpt_dir = txlog_checkpoint(spark, log_dir, res["version"])
-    rows = _txlog_rows_checkpointed(spark, log_dir, ckpt_dir, res["version"])
-    live = _txlog_live_from_rows(rows)
-    dvs = _txlog_live_dvs(rows, live)
-    snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
-    dv = (
-        spark.read.parquet(*dvs)
-        .where(F.col("target").isin(live))
-        .withColumnRenamed("key", "o_orderkey")
-    )
-    kept = snap.join(
-        F.broadcast(dv),
-        (snap["_src"] == dv["target"])
-        & (snap["o_orderkey"] == dv["o_orderkey"]),
-        "left_anti",
-    ).drop("_src")
+    txlog_checkpoint(spark, log_dir, res["version"])
+    # the canonical DV-aware reader replays checkpoint + tail itself
+    # (_txlog_log_rows is checkpoint-aware) — one implementation, no
+    # second copy of the anti-join to drift
+    kept = txlog_read_with_dvs(spark, log_dir, "o_orderkey")
     return kept.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("o_orderkey").cast("long").alias("sum_keys"),
@@ -2562,8 +2618,6 @@ def q_stream_txlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow into a complete-mode aggregation, the result must
     hash-equal the snapshot read — the streaming consumption of a
     table's history converges to its current state."""
-    import tempfile
-
     from aind_data_transformation_spark.io import txlog_source
 
     log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_stream_src")
@@ -2585,7 +2639,9 @@ def q_stream_txlog_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .outputMode("complete")
         .option(
             "checkpointLocation",
-            tempfile.mkdtemp(prefix="txlog_src_ckpt_"),
+            # under the fixture's scratch root so re-runs reclaim it
+            # with the table instead of leaking one temp dir per run
+            os.path.join(os.path.dirname(log_dir), "_src_ckpt"),
         )
         .trigger(availableNow=True)
         .start()
@@ -3563,6 +3619,18 @@ ORACLES["scan_manifest_two_level"] = f"""
 _TXLOG_CHECK = "o_totalprice >= 0 AND o_orderstatus IN ('O', 'F', 'P')"
 
 
+def _txlog_latest_constraint(rows: list) -> str:
+    """Latest committed CHECK constraint from a log snapshot (shared by
+    the happy path and the lost-race revalidation so the two can never
+    resolve differently)."""
+    cons = [
+        r["constraint"]
+        for r in sorted(rows, key=lambda r: r["commit"])
+        if r["action"] == "metaData" and r["constraint"] is not None
+    ]
+    return cons[-1] if cons else "true"
+
+
 def txlog_constrained_append(
     spark: SparkSession, log_dir: str, rows: DataFrame
 ) -> dict:
@@ -3581,16 +3649,8 @@ def txlog_constrained_append(
     (they were validated at their commit)."""
     import uuid as _uuid
 
-    log = spark.read.schema(
-        "commit long, action string, path string, constraint string"
-    ).json(os.path.join(log_dir, "*.json"))
-    rows_log = log.collect()
-    cons = [
-        r["constraint"]
-        for r in sorted(rows_log, key=lambda r: r["commit"])
-        if r["action"] == "metaData" and r["constraint"] is not None
-    ]
-    check = cons[-1] if cons else "true"
+    rows_log = _txlog_log_rows(spark, log_dir)
+    check = _txlog_latest_constraint(rows_log)
     n_rejected = rows.where(~F.expr(check)).count()
     if n_rejected > 0:
         return {"committed": False, "n_rejected": n_rejected, "version": None}
@@ -3616,15 +3676,8 @@ def txlog_constrained_append(
         # validated against a stale predicate (Delta's
         # MetadataChangedException); an append-only intervener is safe
         # to serialize after.
-        fresh = spark.read.schema(
-            "commit long, action string, path string, constraint string"
-        ).json(os.path.join(log_dir, "*.json")).collect()
-        fresh_cons = [
-            r["constraint"]
-            for r in sorted(fresh, key=lambda r: r["commit"])
-            if r["action"] == "metaData" and r["constraint"] is not None
-        ]
-        if (fresh_cons[-1] if fresh_cons else "true") != check:
+        fresh = _txlog_log_rows(spark, log_dir)
+        if _txlog_latest_constraint(fresh) != check:
             raise TxlogConflictError(
                 "constraint changed concurrently; batch validated "
                 "against a stale predicate"

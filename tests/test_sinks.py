@@ -1487,3 +1487,154 @@ def test_txlog_connector_mor_semantics(spark):
     # filter must still apply
     pruned = got.select("o_orderstatus")
     assert pruned.count() == want.count()
+
+
+def test_cdf_dv_leg_excludes_pre_window_tombstones(spark):
+    """Re-deleting a superset must not re-emit pre-images for keys
+    already tombstoned BEFORE the CDF window: delete {k: k%12==0} at
+    v3, then {k: k%6==0} at v4 — table_changes(3, 4) may only emit the
+    newly dead keys (k%6==0 and not k%12==0)."""
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_cdf_redelete_test"
+    )
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    d1 = orders.where(k % 12 == 0).select("o_orderkey")
+    d2 = orders.where(k % 6 == 0).select("o_orderkey")
+    r1 = sinks.txlog_delete_with_dv(spark, log_dir, d1, "o_orderkey")
+    r2 = sinks.txlog_delete_with_dv(spark, log_dir, d2, "o_orderkey")
+    feed = sinks.txlog_table_changes(
+        spark, log_dir, "o_orderkey", r1["version"], r2["version"]
+    )
+    got = sorted(
+        r["o_orderkey"]
+        for r in feed.where(F.col("_change_type") == "delete").collect()
+    )
+    # live table = keys % 4 != 1 (base fixture); newly dead in window:
+    want = sorted(
+        r["o_orderkey"]
+        for r in orders.where(
+            (k % 4 != 1) & (k % 6 == 0) & ~(k % 12 == 0)
+        ).collect()
+    )
+    assert got == want
+
+
+def test_checkpoint_preserves_constraint_and_txn_for_all_consumers(spark):
+    """The checkpoint is action-complete for EVERY consumer of
+    _txlog_log_rows, not just the checkpoint-demo reader: after
+    compacting the whole log (no JSON tail left), (1) the CHECK
+    constraint still rejects violating appends, (2) a re-delivered
+    merge txn id is still recognized as committed (no double apply),
+    (3) the connector still reads the right snapshot."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_ckpt_complete_test"
+    )
+    with open(os.path.join(log_dir, "00003.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "commit": 3,
+                    "action": "metaData",
+                    "constraint": sinks._TXLOG_CHECK,
+                }
+            )
+            + "\n"
+        )
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    changes = (
+        orders.where(F.col("o_orderkey") % 9 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5)
+        .withColumn("op", F.lit("U"))
+    )
+    res = sinks.txlog_merge(
+        spark, log_dir, changes, "o_orderkey", txn_id="epoch-7"
+    )
+    pre_count = sinks._txlog_read(spark, log_dir, None).agg(
+        F.sum("n_rows")
+    ).collect()[0][0]
+
+    ckpt = sinks.txlog_checkpoint(spark, log_dir, res["version"])
+    assert not [
+        f for f in os.listdir(log_dir) if f.endswith(".json")
+    ], "log should be fully compacted"
+
+    # (1) constraint survived compaction
+    bad = orders.withColumn("o_totalprice", -F.col("o_totalprice") - 1)
+    r_bad = sinks.txlog_constrained_append(spark, log_dir, bad)
+    assert r_bad["committed"] is False
+
+    # (2) txn idempotence marker survived: replay skips
+    r_replay = sinks.txlog_merge(
+        spark, log_dir, changes, "o_orderkey", txn_id="epoch-7"
+    )
+    assert r_replay.get("skipped") == "epoch-7"
+
+    # (3) snapshot unchanged through engine replay AND the connector
+    post_count = sinks._txlog_read(spark, log_dir, None).agg(
+        F.sum("n_rows")
+    ).collect()[0][0]
+    assert post_count == pre_count
+    txlog_source.register(spark)
+    conn = (
+        spark.read.format("txlog").option("path", log_dir).load()
+    )
+    assert conn.count() == pre_count
+    assert ckpt.startswith(log_dir)
+
+
+def test_stream_source_rejects_dv_tables_by_default(spark, tmp_path):
+    """The streaming source over a MoR-mutated table fails loudly by
+    default (it streams ADDED files only and would miss the deletes);
+    ignore_deletes=true consumes the add-only stream deliberately."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.io.sources import load_table
+
+    log_dir = sinks._build_txlog_table(
+        spark, TEST_SF_DIR, "txlog_stream_dv_guard_test"
+    )
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where(F.col("o_orderkey") % 8 == 0)
+        .select("o_orderkey")
+    )
+    sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    txlog_source.register(spark)
+
+    def drain(opts):
+        reader = spark.readStream.format("txlog").option("path", log_dir)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        q = (
+            reader.load()
+            .groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName(f"dv_guard_{len(opts)}")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ck{len(opts)}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            q.stop()
+
+    with pytest.raises(Exception, match="deletion vectors"):
+        drain({})
+    drain({"ignore_deletes": "true"})  # explicit opt-in succeeds
