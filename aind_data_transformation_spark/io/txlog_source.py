@@ -1,10 +1,13 @@
 """A Python DataSource V2 over the transaction-log table format — the
 log-backed tables the sinks tier writes (`queries/sinks.py`:
-`_build_txlog_table` and every `sink_txlog_*` mutation), readable as a
-first-class Spark source:
+`_build_txlog_table` and every `sink_txlog_*` mutation), readable AND
+writable as a first-class Spark source:
 
     spark.read.format("txlog").option("path", log_dir).load()
     spark.readStream.format("txlog").option("path", log_dir).load()
+    df.write.format("txlog").mode("append"|"overwrite").save(log_dir)
+    df.writeStream.format("txlog").option("checkpointLocation", ...)\
+        .start(log_dir)
 
 Batch read = log replay to the live file set, one input partition per
 parquet part file, rows decoded EXECUTOR-side with pyarrow (the data
@@ -20,6 +23,24 @@ head, so each micro-batch consumes every commit since the last poll —
 and replaying a batch re-reads exactly its version window's files
 (offsets are pure log metadata, immune to later directory changes).
 
+Batch write = the two-phase output commit over the log's optimistic
+put-if-absent primitive: each task streams its Arrow RecordBatches into
+a temp parquet file (columnar all the way — `DataSourceArrowWriter`,
+the write-side twin of the reader's RecordBatch fast path); the
+driver-side ``commit`` renames temps into one new data dir and commits
+ONE log version (``append`` = add actions only; ``overwrite`` = remove
+every live file + add, both revalidated per commit-race retry). A
+failed/speculated task can never publish a half-written file, and a
+lost commit race never corrupts the log — the loser's files are
+orphans until a later commit references them.
+
+Streaming write = epoch-keyed exactly-once: per micro-batch the tasks
+stage temps, and ``commit(messages, batchId)`` publishes them under a
+DETERMINISTIC epoch-named data dir plus a ``txn`` idempotence marker
+(Delta's txn/appId action) in the same log version; a replayed
+micro-batch (crash between sink commit and checkpoint commit) finds
+its marker in the log and skips instead of double-applying.
+
 Reference scope: the reference framework (core.py:15-110) reads opaque
 input directories; this connector is the engine-idiomatic equivalent
 surface for its own table format.
@@ -30,12 +51,16 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -108,8 +133,14 @@ def _live_dvs(rows: list, live: list) -> dict:
 
 
 def _part_files(data_dirs: list) -> list:
+    """Part files under each logged path. A logged path is usually a
+    data DIR; stats-carrying writes (Delta-style one-add-per-file)
+    log the part FILE itself — pass through unchanged."""
     out = []
     for d in data_dirs:
+        if os.path.isfile(d):
+            out.append(d)
+            continue
         out.extend(
             sorted(glob.glob(os.path.join(d, "part-*.parquet")))
             or sorted(glob.glob(os.path.join(d, "part-*")))
@@ -150,6 +181,58 @@ def _infer_ddl(log_dir: str) -> str:
         raise ValueError(f"unsupported txlog column type: {s}")
 
     return ", ".join(f"`{f.name}` {ddl(f.type)}" for f in schema)
+
+
+def attempt_commit(log_dir: str, version: int, actions, op: str = "WRITE"):
+    """ONE optimistic-concurrency commit attempt: atomically create
+    ``{version:05d}.json`` (O_CREAT|O_EXCL — the put-if-absent primitive
+    Delta uses on object stores). Returns False if a concurrent writer
+    already owns this version; the caller must re-read the log,
+    revalidate against the new snapshot, and retry at the next version.
+    Losing a race never corrupts the log: the loser's data files are
+    orphans until a later commit references them.
+
+    Unless the caller supplied its own, a ``commitInfo`` action (Delta's
+    commit provenance record) is prepended: operation name ``op`` plus a
+    microsecond timestamp clamped to be strictly greater than the log
+    head's — commit timestamps are non-decreasing even across wall-clock
+    skew, which is what makes ``AS OF TIMESTAMP`` resolution
+    (latest commit with ts <= t) well-defined.
+
+    This is the ONE commit primitive of the format — the engine's
+    mutators (`queries/sinks._txlog_attempt_commit`) delegate here, so
+    the connector and the query tier can never drift on log semantics.
+    """
+    acts = list(actions)
+    if not any(a.get("action") == "commitInfo" for a in acts):
+        import time
+
+        prev = max(
+            (
+                r.get("ts") or 0
+                for r in _log_rows(log_dir)
+                if r.get("action") == "commitInfo"
+            ),
+            default=0,
+        )
+        acts.insert(
+            0,
+            {
+                "commit": version,
+                "action": "commitInfo",
+                "op": op,
+                "ts": max(int(time.time() * 1_000_000), prev + 1),
+            },
+        )
+    path = os.path.join(log_dir, f"{version:05d}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as fh:
+        for a in acts:
+            fh.write(json.dumps(a) + "\n")
+    return True
 
 
 class _PartFilePartition(InputPartition):
@@ -248,6 +331,19 @@ class TxlogStreamReader(DataSourceStreamReader):
         self.ignore_deletes = (
             str(options.get("ignore_deletes", "false")).lower() == "true"
         )
+        #: admission control (Delta's maxFilesPerTrigger analogue, in
+        #: commit units): cap each micro-batch at this many commits
+        #: past the last planned end. 0 = unbounded. The Python stream
+        #: API has no ReadLimit plumbing and the engine asks for
+        #: latestOffset BEFORE it reveals the start (observed call
+        #: order; initialOffset comes later), so the cursor is reader
+        #: instance state seeded by the first partitions() call: the
+        #: FIRST planned batch takes the whole backlog (catch-up),
+        #: every batch after it admits at most this many commits.
+        #: Correctness never depends on the cap — offsets stay pure
+        #: log metadata; under-admitting only defers commits.
+        self.max_commits = int(options.get("max_commits_per_trigger", "0"))
+        self._cursor = None
         if not self.log_dir:
             raise ValueError("txlog stream source requires a path option")
 
@@ -258,15 +354,19 @@ class TxlogStreamReader(DataSourceStreamReader):
         rows = _log_rows(self.log_dir)
         return max((r["commit"] for r in rows), default=-1)
 
-    def latestOffset(self, start=None, limit=None):
+    def latestOffset(self):
         # the current log head: each micro-batch consumes every commit
-        # that landed since the last one (availableNow captures the
-        # head ONCE and drains to it, so returning anything less would
-        # under-read; a continuous trigger gets one batch per poll with
-        # all new commits — the standard file-source pacing).
-        return {"version": self._head()}
+        # that landed since the last one (with admission control on,
+        # availableNow drains to the head in capped steps instead of
+        # one giant batch; a continuous trigger gets one capped batch
+        # per poll — the standard file-source pacing).
+        head = self._head()
+        if self.max_commits > 0 and self._cursor is not None:
+            return {"version": min(head, self._cursor + self.max_commits)}
+        return {"version": head}
 
     def partitions(self, start, end):
+        self._cursor = int(end["version"])
         rows = _log_rows(self.log_dir)
         if not self.ignore_deletes and any(
             r.get("action") == "dv" and r["commit"] <= int(end["version"])
@@ -292,6 +392,280 @@ class TxlogStreamReader(DataSourceStreamReader):
         pass
 
 
+#: commit-race retry budget for the connector's writers (each retry
+#: revalidates against a fresh log snapshot, so this bounds live-lock
+#: under heavy writer contention, not correctness)
+_WRITE_MAX_RETRIES = 20
+
+
+class _TxlogWriteCommit(WriterCommitMessage):
+    """Per-task commit message: the temp parquet file the task staged
+    (None for an empty partition), its row count, and — when the write
+    carries a ``stats_col`` — the task's exact min/max of that column.
+    Must be picklable (travels task -> driver)."""
+
+    def __init__(self, tmp_path, n_rows: int, mn=None, mx=None):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+        self.mn = mn
+        self.mx = mx
+
+
+def _writer_dirs(options) -> tuple:
+    """(log_dir, data_root): the table address is the LOG dir (same
+    option the readers take); data files land in the sibling ``data``
+    dir unless ``data_dir`` overrides it — matching the layout
+    `queries/sinks._build_txlog_table` creates."""
+    log_dir = options.get("path")
+    if not log_dir:
+        raise ValueError("txlog sink requires a path option (the log dir)")
+    data_root = options.get("data_dir") or os.path.join(
+        os.path.dirname(log_dir.rstrip("/")), "data"
+    )
+    return log_dir, data_root
+
+
+def _stage_batches(
+    data_root: str, iterator, stats_col: str = ""
+) -> _TxlogWriteCommit:
+    """Task-side staging: stream Arrow RecordBatches into ONE temp
+    parquet file (columnar hand-off from Spark, columnar write via
+    pyarrow — no Python rows anywhere), folding exact ``stats_col``
+    min/max per batch when requested (pyarrow compute — the stats a
+    real lakehouse writer records in its add action). Empty partitions
+    stage nothing."""
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    it = iter(iterator)
+    first = next(it, None)
+    if first is None:
+        return _TxlogWriteCommit(None, 0)
+    tmp_dir = os.path.join(data_root, "_ds_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp = os.path.join(tmp_dir, f"stage-{uuid.uuid4().hex}.parquet")
+    n = 0
+    mn = mx = None
+    with pq.ParquetWriter(tmp, first.schema) as w:
+        for b in _chain(first, it):
+            w.write_batch(b)
+            n += b.num_rows
+            if stats_col and b.num_rows:
+                s = pc.min_max(b.column(stats_col))
+                bmn, bmx = s["min"].as_py(), s["max"].as_py()
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+    return _TxlogWriteCommit(tmp, n, mn, mx)
+
+
+def _chain(first, rest):
+    yield first
+    yield from rest
+
+
+def _publish(msgs, final_dir: str) -> None:
+    """Rename the tasks' temp files into the commit's data dir with
+    part-file names the replay readers glob (`_part_files`)."""
+    os.makedirs(final_dir, exist_ok=True)
+    for k, m in enumerate(msgs):
+        os.replace(
+            m.tmp_path, os.path.join(final_dir, f"part-{k:05d}.parquet")
+        )
+
+
+def _drop_temps(messages) -> None:
+    for m in messages:
+        if m is not None and m.tmp_path:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+def _check_append_schema(log_dir: str, names) -> None:
+    """Appending to a non-empty table must match its column set — the
+    footer of any live part file is the table's physical schema (same
+    footer `_infer_ddl` reads). Order-insensitive: the log stores whole
+    files, so per-file column order is self-describing."""
+    import pyarrow.parquet as pq
+
+    live = _live_files(_log_rows(log_dir))
+    parts = _part_files(live[:1])
+    if not parts:
+        return
+    have = sorted(pq.read_schema(parts[0]).names)
+    if sorted(names) != have:
+        raise ValueError(
+            f"txlog append schema mismatch: table has {have}, "
+            f"write has {sorted(names)}"
+        )
+
+
+class TxlogBatchWriter(DataSourceArrowWriter):
+    """Batch writer half (``df.write.format('txlog')``): two-phase
+    output commit composed with the log's optimistic concurrency.
+    Tasks stage temp parquet; the driver ``commit`` publishes them
+    under one fresh ``ds-write-*`` data dir and commits ONE log
+    version. ``overwrite`` logically removes every live file in the
+    SAME commit (atomic replace, old versions stay time-travelable);
+    the remove set is recomputed from a fresh snapshot on every
+    commit-race retry, so racing an engine-side mutator never loses
+    its update."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.log_dir, self.data_root = _writer_dirs(options)
+        self.names = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        #: column whose exact min/max the commit records on its add
+        #: action (min_key/max_key) — feeds the stats-skipping reader
+        #: (queries/sinks.txlog_stats_read) with zero extra passes
+        self.stats_col = options.get("stats_col", "")
+        if self.stats_col and self.stats_col not in self.names:
+            raise ValueError(
+                f"stats_col {self.stats_col!r} not in write schema"
+            )
+
+    def write(self, iterator):
+        return _stage_batches(self.data_root, iterator, self.stats_col)
+
+    def commit(self, messages):
+        import uuid
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        if not self.overwrite:
+            _check_append_schema(self.log_dir, self.names)
+        msgs = [m for m in messages if m is not None and m.tmp_path]
+        final_dir = os.path.join(
+            self.data_root, f"ds-write-{uuid.uuid4().hex[:8]}"
+        )
+        if msgs:
+            _publish(msgs, final_dir)
+        for _ in range(_WRITE_MAX_RETRIES):
+            rows = _log_rows(self.log_dir)
+            version = max((r["commit"] for r in rows), default=-1) + 1
+            actions = []
+            if self.overwrite:
+                actions += [
+                    {"commit": version, "action": "remove", "path": p}
+                    for p in _live_files(rows)
+                ]
+            if msgs and self.stats_col:
+                # Delta's shape: one add PER FILE, each carrying that
+                # task's exact stats — a range-partitioned write yields
+                # per-file key ranges the stats-skipping reader prunes
+                # on, from a single commit of a single job
+                actions += [
+                    {
+                        "commit": version,
+                        "action": "add",
+                        "path": os.path.join(
+                            final_dir, f"part-{k:05d}.parquet"
+                        ),
+                        "min_key": m.mn,
+                        "max_key": m.mx,
+                    }
+                    for k, m in enumerate(msgs)
+                ]
+            elif msgs:
+                actions.append(
+                    {"commit": version, "action": "add", "path": final_dir}
+                )
+            if not actions:
+                return  # empty append: nothing to commit
+            if attempt_commit(
+                self.log_dir,
+                version,
+                actions,
+                op="OVERWRITE" if self.overwrite else "APPEND",
+            ):
+                return
+        raise RuntimeError(
+            f"txlog write lost the commit race {_WRITE_MAX_RETRIES} times"
+        )
+
+    def abort(self, messages):
+        _drop_temps(messages)
+
+
+class TxlogStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming writer half (``df.writeStream.format('txlog')``):
+    exactly-once via a per-epoch ``txn`` idempotence marker committed
+    ATOMICALLY with the epoch's add action. Replay of a micro-batch
+    (crash after the log commit but before the checkpoint commit)
+    finds its marker and skips; a crash after the data-dir publish but
+    before the log commit leaves an unreferenced dir that the replay
+    clears and republishes — either way each epoch's rows land exactly
+    once. ``queryName``-scoped ``txn_id`` option lets multiple streams
+    share one table."""
+
+    def __init__(self, options, schema):
+        self.log_dir, self.data_root = _writer_dirs(options)
+        self.names = [f.name for f in schema.fields]
+        self.txn_prefix = options.get("txn_id", "txlog-stream")
+        self.stats_col = options.get("stats_col", "")
+        if self.stats_col and self.stats_col not in self.names:
+            raise ValueError(
+                f"stats_col {self.stats_col!r} not in write schema"
+            )
+
+    def write(self, iterator):
+        return _stage_batches(self.data_root, iterator, self.stats_col)
+
+    def _txn_done(self, rows, txn: str) -> bool:
+        return any(
+            r.get("action") == "txn" and r.get("path") == txn for r in rows
+        )
+
+    def commit(self, messages, batchId) -> None:
+        txn = f"{self.txn_prefix}-{batchId}"
+        msgs = [m for m in messages if m is not None and m.tmp_path]
+        os.makedirs(self.log_dir, exist_ok=True)
+        if self._txn_done(_log_rows(self.log_dir), txn):
+            # replayed epoch: its version is already in the log
+            _drop_temps(msgs)
+            return
+        final_dir = os.path.join(
+            self.data_root, f"stream-{self.txn_prefix}-epoch-{batchId:010d}"
+        )
+        # a crashed prior attempt may have published files without
+        # committing the log version; clear so the rename set below is
+        # the COMPLETE content of this epoch
+        if os.path.isdir(final_dir):
+            shutil.rmtree(final_dir)
+        if msgs:
+            _publish(msgs, final_dir)
+        for _ in range(_WRITE_MAX_RETRIES):
+            rows = _log_rows(self.log_dir)
+            if self._txn_done(rows, txn):
+                return  # a concurrent replayer committed this epoch
+            version = max((r["commit"] for r in rows), default=-1) + 1
+            actions = []
+            if msgs:
+                add = {"commit": version, "action": "add", "path": final_dir}
+                if self.stats_col:
+                    add["min_key"] = min(m.mn for m in msgs)
+                    add["max_key"] = max(m.mx for m in msgs)
+                actions.append(add)
+            # the marker commits even for an empty epoch, so replay
+            # detection never depends on the epoch having had rows
+            actions.append(
+                {"commit": version, "action": "txn", "path": txn}
+            )
+            if attempt_commit(
+                self.log_dir, version, actions, op="STREAMING UPDATE"
+            ):
+                return
+        raise RuntimeError(
+            f"txlog stream write lost the commit race "
+            f"{_WRITE_MAX_RETRIES} times (epoch {batchId})"
+        )
+
+    def abort(self, messages, batchId) -> None:
+        _drop_temps(messages)
+
+
 class TxlogDataSource(DataSource):
     @classmethod
     def name(cls):
@@ -307,6 +681,12 @@ class TxlogDataSource(DataSource):
         return TxlogStreamReader(
             self.options, [f.name for f in schema.fields]
         )
+
+    def writer(self, schema, overwrite: bool):
+        return TxlogBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return TxlogStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:

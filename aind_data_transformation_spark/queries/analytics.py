@@ -1481,3 +1481,117 @@ ORACLES["sample_reservoir_bottomk"] = f"""
     ORDER BY priority, l_orderkey, l_linenumber
     LIMIT 500
 """
+
+
+def q_privacy_dp_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential privacy beyond counts — epsilon-DP SUM and MEAN
+    with per-user contribution bounding (the full production recipe,
+    extending `privacy_dp_counts`): (1) each user's per-group total is
+    computed, then CLIPPED to the contribution bound C (10^7 cents) —
+    bounding makes one user's removal change the sum by at most C, so
+    C IS the sensitivity; (2) Laplace noise at scale b = C/epsilon
+    lands on the clipped sum, and a second independent draw
+    (sensitivity 1, b = 1/epsilon) on the user count; (3) the released
+    mean is the ratio of the two RELEASED values — post-processing,
+    which costs no extra privacy budget. Noise is inverse-CDF over the
+    deterministic per-group Knuth-hash uniform (two salts for the two
+    draws), so the release is reproducible and the oracle restates the
+    mechanism exactly. Raw sums never leave the aggregation; releases
+    are clamped non-negative.
+
+    Scale: user-level bounding is one (group, user) partial-aggregated
+    hash agg, then a group-domain-sized second agg — noise is free at
+    any table size. tests/test_properties.py asserts the contribution
+    bound really holds per user."""
+    o = load_table(spark, sf_dir, "orders")
+    clip = 10_000_000  # cents: $100k — well under a max order, so it bites
+    per_user = (
+        o.groupBy("o_orderstatus", "o_custkey")
+        .agg(
+            F.expr(
+                "SUM(CAST(round(o_totalprice * 100) AS BIGINT))"
+            ).alias("s")
+        )
+        .select(
+            "o_orderstatus",
+            F.least(F.col("s"), F.lit(clip)).cast("long").alias("sc"),
+        )
+    )
+    g = per_user.groupBy("o_orderstatus").agg(
+        F.sum("sc").alias("S"), F.count(F.lit(1)).alias("n_users")
+    )
+    key = "ascii(o_orderstatus) + 4242"
+    h1 = knuth32_sql(key, "spark")
+    h2 = knuth32_sql(f"{key} + 77", "spark")
+    u1 = f"(pmod({h1}, 1048575) + 0.5D) / 1048576.0D"
+    u2 = f"(pmod({h2}, 1048575) + 0.5D) / 1048576.0D"
+    b_sum = "20000000.0D"  # C / epsilon = 10^7 / 0.5
+    noise_sum = (
+        f"CASE WHEN {u1} < 0.5D THEN {b_sum} * ln(2.0D * ({u1}))"
+        f" ELSE -{b_sum} * ln(2.0D * (1.0D - ({u1}))) END"
+    )
+    noise_cnt = (
+        f"CASE WHEN {u2} < 0.5D THEN 2.0D * ln(2.0D * ({u2}))"
+        f" ELSE -2.0D * ln(2.0D * (1.0D - ({u2}))) END"
+    )
+    rel = g.select(
+        "o_orderstatus",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"CAST(round(S + ({noise_sum})) AS BIGINT)"),
+        ).alias("sum_released_cents"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.expr(f"CAST(round(n_users + ({noise_cnt})) AS BIGINT)"),
+        ).alias("n_users_released"),
+    )
+    return rel.select(
+        "o_orderstatus",
+        "sum_released_cents",
+        "n_users_released",
+        (
+            F.col("sum_released_cents").cast("double")
+            / F.greatest(F.lit(1), F.col("n_users_released")).cast("double")
+        ).alias("mean_released_cents"),
+        F.lit(0.5).cast("double").alias("epsilon"),
+        F.lit(clip).cast("long").alias("clip_cents"),
+    )
+
+
+QUERIES["privacy_dp_sums"] = q_privacy_dp_sums
+_DPS_H1_DUCK = knuth32_sql("ascii(o_orderstatus) + 4242", "duck")
+_DPS_H2_DUCK = knuth32_sql("ascii(o_orderstatus) + 4242 + 77", "duck")
+ORACLES["privacy_dp_sums"] = f"""
+    WITH pu AS (
+        SELECT o_orderstatus, o_custkey,
+               LEAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)),
+                     10000000) AS sc
+        FROM orders GROUP BY o_orderstatus, o_custkey
+    ), g AS (
+        SELECT o_orderstatus, SUM(sc) AS S, COUNT(*) AS n_users
+        FROM pu GROUP BY o_orderstatus
+    ), uni AS (
+        SELECT o_orderstatus, S, n_users,
+               (({_DPS_H1_DUCK}) % 1048575 + 0.5) / 1048576.0 AS u1,
+               (({_DPS_H2_DUCK}) % 1048575 + 0.5) / 1048576.0 AS u2
+        FROM g
+    ), rel AS (
+        SELECT o_orderstatus,
+               GREATEST(0, CAST(round(S + CASE WHEN u1 < 0.5
+                    THEN 20000000.0 * ln(2.0 * u1)
+                    ELSE -20000000.0 * ln(2.0 * (1.0 - u1)) END)
+                    AS BIGINT)) AS sum_released_cents,
+               GREATEST(0, CAST(round(n_users + CASE WHEN u2 < 0.5
+                    THEN 2.0 * ln(2.0 * u2)
+                    ELSE -2.0 * ln(2.0 * (1.0 - u2)) END)
+                    AS BIGINT)) AS n_users_released
+        FROM uni
+    )
+    SELECT o_orderstatus, sum_released_cents, n_users_released,
+           CAST(sum_released_cents AS DOUBLE)
+               / CAST(GREATEST(1, n_users_released) AS DOUBLE)
+               AS mean_released_cents,
+           0.5 AS epsilon,
+           CAST(10000000 AS BIGINT) AS clip_cents
+    FROM rel
+"""

@@ -1887,3 +1887,289 @@ ORACLES["ml_gbdt_binned_rounds"] = f"""
            CAST(lmu AS BIGINT), CAST(rmu AS BIGINT)
     FROM best_s2, rng
 """
+
+
+#: multi-feature GBDT label construction (micro units): a step of this
+#: height on feature 1's bin grid plus this slope per feature-2 bin —
+#: chosen so round 1 provably elects feature 1 (the step dominates) and
+#: a full-step round-1 stump removes it exactly, forcing round 2 onto
+#: feature 2. Shared with the oracle.
+_MFG_STEP = 5_000_000
+_MFG_SLOPE = 100_000
+
+
+def q_ml_gbdt_multifeature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram GBDT electing across MULTIPLE features per round —
+    the `ml_gbdt_binned_rounds` trainer generalized from one candidate
+    feature to a candidate SET (extendedprice cents, partkey, suppkey), the way
+    LightGBM scores every feature's histogram each round: ONE stacked
+    scan per round builds both features' exact 64-bin integer
+    histograms (explode to (feature, bin, residual), then one hash
+    agg), the driver elects the globally best stump over the 3x64
+    metadata-sized rows, and the model applies on the ELECTED feature.
+
+    The label is constructed (micro grid, exact integers): a
+    `_MFG_STEP` step at feature 1's bin 32 plus `_MFG_SLOPE` per
+    feature-2 bin. That makes the cross-feature election PROVABLE, not
+    incidental: round 1 must elect feature 1 (the step's gain
+    dominates), and — because a learning-rate-1.0 depth-1 stump on an
+    exact bin-threshold step removes it completely — round 2 must
+    elect feature 2 — while feature 3 (suppkey, uninformative by
+    construction) is provably never elected (asserted in tests by the
+    oracle itself: the hashed rows carry the feature names). The
+    oracle chains both rounds as CTEs over the identical integer
+    arithmetic.
+
+    Scale: two scans total (one per round) regardless of feature
+    count within a round — the stacked histogram grows the SHUFFLED
+    key domain (features x 64 rows), never the scan count; election
+    stays driver-side over metadata-sized histograms."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("x1"),
+        F.col("l_partkey").cast("long").alias("x2"),
+        F.col("l_suppkey").cast("long").alias("x3"),
+    )
+    b0 = li.agg(
+        F.min("x1").alias("mn1"),
+        F.max("x1").alias("mx1"),
+        F.min("x2").alias("mn2"),
+        F.max("x2").alias("mx2"),
+        F.min("x3").alias("mn3"),
+        F.max("x3").alias("mx3"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    mn1, mx1, mn2, mx2, mn3, mx3, n0 = (
+        b0["mn1"], b0["mx1"], b0["mn2"], b0["mx2"],
+        b0["mn3"], b0["mx3"], b0["n"],
+    )
+    span1, span2 = mx1 - mn1 + 1, mx2 - mn2 + 1
+    span3 = mx3 - mn3 + 1
+    bin1 = f"CAST(((x1 - {mn1}) * {_HIST_BINS}) DIV {span1} AS BIGINT)"
+    bin2 = f"CAST(((x2 - {mn2}) * {_HIST_BINS}) DIV {span2} AS BIGINT)"
+    bin3 = f"CAST(((x3 - {mn3}) * {_HIST_BINS}) DIV {span3} AS BIGINT)"
+    yu = (
+        f"({_MFG_STEP}L * (CASE WHEN {bin1} >= {_HIST_BINS // 2}"
+        f" THEN 1 ELSE 0 END) + {_MFG_SLOPE}L * {bin2})"
+    )
+    syu = li.agg(F.expr(f"SUM({yu})").alias("s")).collect()[0]["s"]
+    p0u = _rha(float(syu) / float(n0))
+
+    def _hist(delta_sql: str) -> list:
+        rows = (
+            li.select(
+                F.expr(bin1).alias("b1"),
+                F.expr(bin2).alias("b2"),
+                F.expr(bin3).alias("b3"),
+                F.expr(f"{yu} - {p0u}{delta_sql}").alias("ru"),
+            )
+            .select(
+                F.expr(
+                    "explode(array(struct(1 AS f, b1 AS bin, ru),"
+                    " struct(2 AS f, b2 AS bin, ru),"
+                    " struct(3 AS f, b3 AS bin, ru))) AS e"
+                )
+            )
+            .groupBy("e.f", "e.bin")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("e.ru").cast("long").alias("s"),
+            )
+            .collect()
+        )
+        return sorted((r["f"], r["bin"], r["n"], r["s"]) for r in rows)
+
+    def _elect(hist: list) -> tuple:
+        """Globally best stump over every feature's histogram — the
+        IEEE-double mirror of the oracle's ORDER BY -gain_u, f, bin."""
+        per: dict = {}
+        for f, b, nb, sb in hist:
+            per.setdefault(f, []).append((b, nb, sb))
+        best = None
+        for f in sorted(per):
+            rows = sorted(per[f])
+            nt = sum(n for _, n, _ in rows)
+            st = sum(s for _, _, s in rows)
+            dst, dnt = float(st), float(nt)
+            nl = sl = 0
+            for b, nb, sb in rows:
+                nl += nb
+                sl += sb
+                if nl >= nt:
+                    continue
+                dsl, dnl = float(sl), float(nl)
+                gain = (
+                    dsl * dsl / dnl
+                    + (dst - dsl) * (dst - dsl) / float(nt - nl)
+                    - dst * dst / dnt
+                )
+                cand = (
+                    -_rha(gain / 1000000.0),
+                    f,
+                    b,
+                    _rha(dsl / dnl),
+                    _rha(float(st - sl) / float(nt - nl)),
+                )
+                if best is None or cand < best:
+                    best = cand
+        return (best[1], best[2], -best[0], best[3], best[4])
+
+    s1 = _elect(_hist(""))
+    bexpr = {1: bin1, 2: bin2, 3: bin3}[s1[0]]
+    # learning rate 1.0: the full leaf means come off, so an exact
+    # bin-threshold step is removed completely in one round
+    s2 = _elect(
+        _hist(
+            f" - (CASE WHEN {bexpr} <= {s1[1]} THEN {s1[3]}"
+            f" ELSE {s1[4]} END)"
+        )
+    )
+
+    def row(rnd: int, s: tuple) -> tuple:
+        f, b, gain_u, lmu, rmu = s
+        mn, span = {
+            1: (mn1, span1), 2: (mn2, span2), 3: (mn3, span3)
+        }[f]
+        name = {1: "extendedprice_cents", 2: "partkey", 3: "suppkey"}[f]
+        return (
+            rnd,
+            name,
+            b,
+            mn + ((b + 1) * span) // _HIST_BINS,
+            gain_u / 1e6,
+            lmu,
+            rmu,
+        )
+
+    return spark.createDataFrame(
+        [row(1, s1), row(2, s2)],
+        "round long, feature string, best_bin long, threshold long,"
+        " gain double, leaf_left_micro long, leaf_right_micro long",
+    )
+
+
+QUERIES["ml_gbdt_multifeature"] = q_ml_gbdt_multifeature
+
+
+def _gbdt_mf_stump_cte(src: str, tag: str) -> str:
+    """Oracle CTE chain electing the best stump ACROSS features over
+    `src`(f, bin, ru): emits `best_{tag}`(f, split_bin, gain_u, lmu,
+    rmu) — ties broken by feature then bin, like the driver mirror."""
+    return f"""hist_{tag} AS (
+        SELECT f, bin, COUNT(*) AS n, CAST(SUM(ru) AS BIGINT) AS s
+        FROM {src} GROUP BY f, bin
+    ), tot_{tag} AS (
+        SELECT f, CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS BIGINT) AS st
+        FROM hist_{tag} GROUP BY f
+    ), cum_{tag} AS (
+        SELECT f, bin,
+               CAST(SUM(n) OVER (PARTITION BY f ORDER BY bin) AS BIGINT)
+                   AS nl,
+               CAST(SUM(s) OVER (PARTITION BY f ORDER BY bin) AS BIGINT)
+                   AS sl
+        FROM hist_{tag}
+    ), scored_{tag} AS (
+        SELECT c.f AS f, bin,
+               CAST(round(((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE))
+                       / CAST(nl AS DOUBLE)
+                   + (CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE))
+                       / CAST(nt - nl AS DOUBLE)
+                   - (CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                       / CAST(nt AS DOUBLE)) / 1000000.0)
+                   AS BIGINT) AS gain_u,
+               CAST(round(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   AS BIGINT) AS lmu,
+               CAST(round(CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                   AS BIGINT) AS rmu
+        FROM cum_{tag} c JOIN tot_{tag} t ON c.f = t.f
+        WHERE nl < nt
+    ), best_{tag} AS (
+        SELECT f, bin AS split_bin, gain_u, lmu, rmu
+        FROM scored_{tag}
+        ORDER BY -gain_u, f, bin LIMIT 1
+    )"""
+
+
+ORACLES["ml_gbdt_multifeature"] = f"""
+    WITH pts AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS x1,
+               CAST(l_partkey AS BIGINT) AS x2,
+               CAST(l_suppkey AS BIGINT) AS x3
+        FROM lineitem
+    ), rng AS (
+        SELECT MIN(x1) AS mn1, MAX(x1) AS mx1,
+               MIN(x2) AS mn2, MAX(x2) AS mx2,
+               MIN(x3) AS mn3, MAX(x3) AS mx3
+        FROM pts
+    ), based AS (
+        SELECT ((x1 - mn1) * {_HIST_BINS}) // (mx1 - mn1 + 1) AS b1,
+               ((x2 - mn2) * {_HIST_BINS}) // (mx2 - mn2 + 1) AS b2,
+               ((x3 - mn3) * {_HIST_BINS}) // (mx3 - mn3 + 1) AS b3
+        FROM pts, rng
+    ), lab AS (
+        SELECT b1, b2, b3,
+               {_MFG_STEP} * (CASE WHEN b1 >= {_HIST_BINS // 2}
+                              THEN 1 ELSE 0 END)
+                   + {_MFG_SLOPE} * b2 AS yu
+        FROM based
+    ), p0 AS (
+        SELECT CAST(round(CAST(SUM(yu) AS DOUBLE) / COUNT(*)) AS BIGINT)
+            AS p0u
+        FROM lab
+    ), r1 AS (
+        SELECT b1, b2, b3, yu - p0u AS ru FROM lab, p0
+    ), st1 AS (
+        SELECT 1 AS f, b1 AS bin, ru FROM r1
+        UNION ALL
+        SELECT 2, b2, ru FROM r1
+        UNION ALL
+        SELECT 3, b3, ru FROM r1
+    ), {_gbdt_mf_stump_cte('st1', 'm1')}, r2 AS (
+        SELECT b1, b2, b3,
+               ru - (CASE WHEN (CASE WHEN best_m1.f = 1 THEN b1
+                                     WHEN best_m1.f = 2 THEN b2
+                                     ELSE b3 END)
+                              <= split_bin
+                     THEN lmu ELSE rmu END) AS ru
+        FROM r1, best_m1
+    ), st2 AS (
+        SELECT 1 AS f, b1 AS bin, ru FROM r2
+        UNION ALL
+        SELECT 2, b2, ru FROM r2
+        UNION ALL
+        SELECT 3, b3, ru FROM r2
+    ), {_gbdt_mf_stump_cte('st2', 'm2')}
+    SELECT CAST(1 AS BIGINT) AS round,
+           CASE WHEN f = 1 THEN 'extendedprice_cents'
+                WHEN f = 2 THEN 'partkey' ELSE 'suppkey' END
+               AS feature,
+           CAST(split_bin AS BIGINT) AS best_bin,
+           CAST(CASE WHEN f = 1
+                THEN mn1 + ((split_bin + 1) * (mx1 - mn1 + 1))
+                         // {_HIST_BINS}
+                WHEN f = 2
+                THEN mn2 + ((split_bin + 1) * (mx2 - mn2 + 1))
+                         // {_HIST_BINS}
+                ELSE mn3 + ((split_bin + 1) * (mx3 - mn3 + 1))
+                         // {_HIST_BINS} END AS BIGINT) AS threshold,
+           CAST(gain_u AS DOUBLE) / 1e6 AS gain,
+           CAST(lmu AS BIGINT) AS leaf_left_micro,
+           CAST(rmu AS BIGINT) AS leaf_right_micro
+    FROM best_m1, rng
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           CASE WHEN f = 1 THEN 'extendedprice_cents'
+                WHEN f = 2 THEN 'partkey' ELSE 'suppkey' END,
+           CAST(split_bin AS BIGINT),
+           CAST(CASE WHEN f = 1
+                THEN mn1 + ((split_bin + 1) * (mx1 - mn1 + 1))
+                         // {_HIST_BINS}
+                WHEN f = 2
+                THEN mn2 + ((split_bin + 1) * (mx2 - mn2 + 1))
+                         // {_HIST_BINS}
+                ELSE mn3 + ((split_bin + 1) * (mx3 - mn3 + 1))
+                         // {_HIST_BINS} END AS BIGINT),
+           CAST(gain_u AS DOUBLE) / 1e6,
+           CAST(lmu AS BIGINT), CAST(rmu AS BIGINT)
+    FROM best_m2, rng
+"""

@@ -835,11 +835,31 @@ def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
     ]
     for i, acts in enumerate(commits):
         with open(os.path.join(log_dir, f"{i:05d}.json"), "w") as fh:
+            # deterministic commit provenance (one minute apart): the
+            # timestamp-time-travel and history keys resolve against
+            # these, so their oracles can restate the resolution
+            # arithmetic instead of hashing wall-clock noise
+            fh.write(
+                _json.dumps(
+                    {
+                        "commit": i,
+                        "action": "commitInfo",
+                        "op": "WRITE",
+                        "ts": _TXLOG_TS0 + i * 60_000_000,
+                    }
+                )
+                + "\n"
+            )
             for c, a, p in acts:
                 fh.write(
                     _json.dumps({"commit": c, "action": a, "path": p}) + "\n"
                 )
     return log_dir
+
+
+#: fixture commit-timestamp base (microseconds): 2023-11-14T22:13:20Z —
+#: an arbitrary fixed instant, commit v is stamped _TXLOG_TS0 + v*60s
+_TXLOG_TS0 = 1_700_000_000_000_000
 
 
 def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
@@ -854,7 +874,8 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
 
     sch = (
         "commit long, action string, path string, target string,"
-        " constraint string, part string, schema string"
+        " constraint string, part string, schema string,"
+        " ts long, op string"
     )
     ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
     tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
@@ -932,25 +953,21 @@ class TxlogConflictError(RuntimeError):
     budget (Delta's ConcurrentModificationException analogue)."""
 
 
-def _txlog_attempt_commit(log_dir: str, version: int, actions) -> bool:
-    """ONE optimistic-concurrency commit attempt: atomically create
-    ``{version:05d}.json`` (O_CREAT|O_EXCL — the same
-    put-if-absent primitive Delta uses on object stores). Returns False
-    if a concurrent writer already owns this version; the caller must
-    re-read the log, revalidate against the new snapshot, and retry at
-    the next version. Losing a race never corrupts the log: the loser's
-    data files are orphans until a later commit references them."""
-    import json as _json
+def _txlog_attempt_commit(
+    log_dir: str, version: int, actions, op: str = "WRITE"
+) -> bool:
+    """ONE optimistic-concurrency commit attempt (put-if-absent on the
+    version file). Delegates to the connector's `attempt_commit`
+    (io/txlog_source.py) — the format's single commit primitive, shared
+    by the engine's mutators and the `df.write.format("txlog")` path —
+    which also stamps a ``commitInfo`` provenance action (operation
+    name + non-decreasing microsecond timestamp) unless the caller
+    supplied its own, powering ``AS OF TIMESTAMP`` and history audit."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        attempt_commit,
+    )
 
-    path = os.path.join(log_dir, f"{version:05d}.json")
-    try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-    except FileExistsError:
-        return False
-    with os.fdopen(fd, "w") as fh:
-        for a in actions:
-            fh.write(_json.dumps(a) + "\n")
-    return True
+    return attempt_commit(log_dir, version, actions, op=op)
 
 
 #: commit-race retry budget for the mutating txlog operations
@@ -1094,7 +1111,7 @@ def txlog_merge(
         touched_set = set(touched)
         while True:
             attempt += 1
-            if _txlog_attempt_commit(log_dir, version, actions):
+            if _txlog_attempt_commit(log_dir, version, actions, op="MERGE"):
                 return {
                     "version": version,
                     "touched": touched,
@@ -1184,17 +1201,27 @@ def _merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def txlog_vacuum(
-    spark: SparkSession, log_dir: str, retain_versions=(None,)
+    spark: SparkSession,
+    log_dir: str,
+    retain_versions=(None,),
+    older_than_ts=None,
 ) -> dict:
     """VACUUM on a txlog table — the physical-deletion half of the
     copy-on-write contract (MERGE/compaction only tombstone; storage is
     reclaimed here): delete every data file that is NOT live in any of
     ``retain_versions`` (``None`` = current). Production retention is
-    time-based ("every version in the last 7 days"); the union-of-live-
-    sets mechanic is identical — and so is the tradeoff this key's
-    layout test pins: after vacuum, time travel BEFORE the retained
-    horizon must fail (its files are gone) while every retained version
-    still reads exactly.
+    time-based ("every version in the last 7 days"): pass
+    ``older_than_ts`` (microseconds) and a tombstoned file is only
+    reclaimed when the commit that REMOVED it carries a commitInfo
+    timestamp at or before that horizon — Delta's
+    ``RETAIN n HOURS``, resolved against the log's own non-decreasing
+    commit timestamps, never file mtimes. A file whose tombstoning
+    commit is younger (or predates commitInfo stamping) is retained,
+    so a reader that pinned a recent snapshot keeps its files. The
+    union-of-live-sets mechanic is identical either way — and so is
+    the tradeoff this key's layout test pins: after vacuum, time
+    travel BEFORE the retained horizon must fail (its files are gone)
+    while every retained version still reads exactly.
 
     Deletion-vector sidecars are reclaimed by the same rule at the
     action level: a dv FILE dies only when NONE of its target data
@@ -1225,6 +1252,38 @@ def txlog_vacuum(
     live_dvs = set(dv_targets) - dead_dvs
     victims = sorted((ever_added - keep) | dead_dvs)
     keep = keep | live_dvs
+    retained_young: list = []
+    if older_than_ts is not None:
+        ci_ts = {
+            r["commit"]: r["ts"]
+            for r in rows
+            if r["action"] == "commitInfo" and r["ts"] is not None
+        }
+        last_remove: dict = {}
+        for r in sorted(rows, key=lambda r: r["commit"]):
+            if r["action"] == "remove" and r["path"] is not None:
+                last_remove[r["path"]] = r["commit"]
+
+        def _tombstoned_ts(p):
+            # a sidecar dies when its LAST target died; a data file
+            # when its last remove committed. Unknown age (no remove
+            # action, or a pre-commitInfo commit) => retained.
+            cs = (
+                [last_remove.get(t) for t in dv_targets[p]]
+                if p in dv_targets
+                else [last_remove.get(p)]
+            )
+            ts = [ci_ts.get(c) for c in cs if c is not None]
+            ts = [t for t in ts if t is not None]
+            return max(ts) if ts and len(ts) == len(cs) else None
+
+        def _young(p):
+            t = _tombstoned_ts(p)
+            return t is None or t > older_than_ts
+
+        retained_young = sorted(p for p in victims if _young(p))
+        young_set = set(retained_young)
+        victims = [p for p in victims if p not in young_set]
     # ownership scope (Delta's rule): vacuum only ever deletes files
     # under THIS table's root. A shallow clone's log references the
     # source's files by absolute path; tombstoning them in the clone's
@@ -1232,13 +1291,12 @@ def txlog_vacuum(
     root = os.path.dirname(log_dir.rstrip(os.sep)) + os.sep
     external = [p for p in victims if not (p or "").startswith(root)]
     victims = [p for p in victims if (p or "").startswith(root)]
+    out = {"deleted": _vacuum_delete(victims), "kept": sorted(keep)}
     if external:
-        return {
-            "deleted": _vacuum_delete(victims),
-            "kept": sorted(keep),
-            "skipped_external": sorted(external),
-        }
-    return {"deleted": _vacuum_delete(victims), "kept": sorted(keep)}
+        out["skipped_external"] = sorted(external)
+    if older_than_ts is not None:
+        out["retained_young"] = retained_young
+    return out
 
 
 def _vacuum_delete(victims: list) -> list:
@@ -1281,17 +1339,29 @@ def q_sink_txlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def txlog_restore(spark: SparkSession, log_dir: str, to_version: int) -> dict:
-    """RESTORE TABLE ... TO VERSION — metadata-only rollback: one new
-    commit re-adds the files live at ``to_version`` and removes the
-    files live now but not then. No data moves; history is preserved
-    (the bad versions stay readable via time travel until vacuumed) —
-    the reason lakehouse rollback is O(metadata) at any table size.
-    Requires the target version's files to still exist (i.e. not yet
-    vacuumed). Commits through the same optimistic put-if-absent
-    protocol as MERGE (losing a race recomputes both live sets against
-    the new snapshot). Returns ``{"version", "re_added", "removed",
-    "attempts"}``."""
+def txlog_restore(
+    spark: SparkSession, log_dir: str, to_version=None, to_ts=None
+) -> dict:
+    """RESTORE TABLE ... TO VERSION | TO TIMESTAMP — metadata-only
+    rollback: one new commit re-adds the files live at the target
+    version and removes the files live now but not then. ``to_ts``
+    (microseconds) resolves to the latest commit whose commitInfo
+    timestamp is at or before it (`_txlog_version_as_of_ts` — the same
+    resolution AS OF TIMESTAMP reads use), then version rollback takes
+    over. No data moves; history is preserved (the bad versions stay
+    readable via time travel until vacuumed) — the reason lakehouse
+    rollback is O(metadata) at any table size. Requires the target
+    version's files to still exist (i.e. not yet vacuumed). Commits
+    through the same optimistic put-if-absent protocol as MERGE
+    (losing a race recomputes both live sets against the new
+    snapshot). Returns ``{"version", "re_added", "removed",
+    "attempts", "restored_to"}``."""
+    if (to_version is None) == (to_ts is None):
+        raise ValueError("pass exactly one of to_version / to_ts")
+    if to_ts is not None:
+        to_version = _txlog_version_as_of_ts(
+            _txlog_log_rows(spark, log_dir), to_ts
+        )
     for attempt in range(1, _TXLOG_MAX_RETRIES + 1):
         # single log read per attempt (see _txlog_log_rows): target,
         # current, and the attempt version all derive from one snapshot
@@ -1308,12 +1378,13 @@ def txlog_restore(spark: SparkSession, log_dir: str, to_version: int) -> dict:
         ] + [
             {"commit": version, "action": "add", "path": p} for p in re_added
         ]
-        if _txlog_attempt_commit(log_dir, version, actions):
+        if _txlog_attempt_commit(log_dir, version, actions, op="RESTORE"):
             return {
                 "version": version,
                 "re_added": re_added,
                 "removed": removed,
                 "attempts": attempt,
+                "restored_to": to_version,
             }
     raise TxlogConflictError(
         f"restore lost the commit race {_TXLOG_MAX_RETRIES} times"
@@ -1923,7 +1994,7 @@ def txlog_delete_with_dv(
                     "target": None,
                 }
             ]
-        if _txlog_attempt_commit(log_dir, version, actions):
+        if _txlog_attempt_commit(log_dir, version, actions, op="DELETE"):
             return {
                 "version": version,
                 "dv": dv_path,
@@ -2009,7 +2080,7 @@ def txlog_dv_materialize(
             for p in targets
         ]
         actions.append({"commit": version, "action": "add", "path": out})
-        if _txlog_attempt_commit(log_dir, version, actions):
+        if _txlog_attempt_commit(log_dir, version, actions, op="OPTIMIZE"):
             return {
                 "version": version,
                 "rewritten": targets,
@@ -2331,7 +2402,7 @@ def txlog_update_with_dv(
         actions.append(
             {"commit": version, "action": "add", "path": delta_path}
         )
-        if _txlog_attempt_commit(log_dir, version, actions):
+        if _txlog_attempt_commit(log_dir, version, actions, op="UPDATE"):
             return {
                 "version": version,
                 "dv": dv_path,
@@ -2400,7 +2471,7 @@ def txlog_shallow_clone(
     clone_log = os.path.join(clone_base, "_log")
     os.makedirs(clone_log, exist_ok=True)
     actions = [{"commit": 0, "action": "add", "path": p} for p in live]
-    assert _txlog_attempt_commit(clone_log, 0, actions)
+    assert _txlog_attempt_commit(clone_log, 0, actions, op="CLONE")
     return clone_log
 
 
@@ -2464,6 +2535,12 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
         elif r["action"] == "metaData":
             # every metaData row survives (schema history, constraint)
             state[("meta", r["commit"])] = r
+        elif r["action"] == "commitInfo":
+            # one provenance row per commit (metadata-sized) survives,
+            # so AS OF TIMESTAMP resolution and history audit work on
+            # compacted tables too — dropping them (as Delta does)
+            # would force timestamp resolution onto file mtimes
+            state[("ci", r["commit"])] = r
     ckpt_dir = os.path.join(log_dir, f"_checkpoint_{version:05d}")
 
     def g(r, k):
@@ -2482,11 +2559,14 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
                 g(r, "constraint"),
                 g(r, "part"),
                 g(r, "schema"),
+                g(r, "ts"),
+                g(r, "op"),
             )
             for r in state.values()
         ],
         "commit long, action string, path string, target string,"
-        " constraint string, part string, schema string",
+        " constraint string, part string, schema string,"
+        " ts long, op string",
     ).write.mode("overwrite").parquet(ckpt_dir)
     for i in range(version + 1):
         f = os.path.join(log_dir, f"{i:05d}.json")
@@ -3327,7 +3407,7 @@ def txlog_replace_where(
                 "part": part_value,
             }
         ]
-        if _txlog_attempt_commit(log_dir, version, actions):
+        if _txlog_attempt_commit(log_dir, version, actions, op="REPLACE WHERE"):
             return {
                 "version": version,
                 "attempts": attempts,
@@ -3665,7 +3745,7 @@ def txlog_constrained_append(
     while attempts < _TXLOG_MAX_RETRIES:
         attempts += 1
         actions = [{"commit": version, "action": "add", "path": path}]
-        if _txlog_attempt_commit(log_dir, version, actions):
+        if _txlog_attempt_commit(log_dir, version, actions, op="APPEND"):
             return {
                 "committed": True,
                 "n_rejected": 0,
@@ -3812,4 +3892,955 @@ ORACLES["scan_txlog_datasource_mor"] = """
     WHERE o_orderkey % 4 != 1
       AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
     GROUP BY o_orderstatus
+"""
+
+
+def _txlog_version_as_of_ts(rows: list, ts_us: int) -> int:
+    """``AS OF TIMESTAMP`` resolution: the latest commit whose
+    commitInfo timestamp is at or before ``ts_us`` (Delta's rule).
+    Well-defined because `attempt_commit` clamps commit timestamps to
+    be non-decreasing. Pure metadata — resolves over collected log
+    rows, then version time travel takes over."""
+    cand = [
+        r["commit"]
+        for r in rows
+        if r["action"] == "commitInfo"
+        and r["ts"] is not None
+        and r["ts"] <= ts_us
+    ]
+    if not cand:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_us}; table history "
+            "begins later"
+        )
+    return max(cand)
+
+
+def _build_txlog_table_with_delete(
+    spark: SparkSession, sf_dir: str, name: str
+) -> str:
+    """The 3-commit fixture plus a deterministic 4th commit: a DELETE
+    tombstoning batch-0, stamped op='DELETE' at _TXLOG_TS0 + 180s — so
+    the timestamp/history keys see a 4-operation, 4-timestamp log whose
+    provenance the oracle can restate exactly."""
+    log_dir = _build_txlog_table(spark, sf_dir, name)
+    rows = _txlog_log_rows(spark, log_dir)
+    b0 = next(
+        p for p in _txlog_live_from_rows(rows) if p.endswith("batch-0")
+    )
+    ok = _txlog_attempt_commit(
+        log_dir,
+        3,
+        [
+            {
+                "commit": 3,
+                "action": "commitInfo",
+                "op": "DELETE",
+                "ts": _TXLOG_TS0 + 180_000_000,
+            },
+            {"commit": 3, "action": "remove", "path": b0},
+        ],
+    )
+    assert ok, "fresh fixture cannot lose the version-3 commit race"
+    return log_dir
+
+
+def q_sink_txlog_time_travel_ts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``AS OF TIMESTAMP`` — timestamp time travel over the commit
+    provenance the log now stamps on every commit (commitInfo action:
+    operation + non-decreasing microsecond timestamp; io/txlog_source
+    `attempt_commit`). Three probes against the 4-commit fixture
+    (commits land one minute apart at _TXLOG_TS0): +90s resolves to
+    version 1 (latest commit <= t), +150s to version 2, +10h to the
+    head (version 3, after the DELETE removed batch-0). Each probe's
+    snapshot must equal the resolved VERSION's replay — timestamp
+    travel is a pure metadata resolution layered on version travel,
+    O(log) at any table size."""
+    log_dir = _build_txlog_table_with_delete(
+        spark, sf_dir, "txlog_table_tt_ts"
+    )
+    rows = _txlog_log_rows(spark, log_dir)
+    probes = [
+        ("t_plus_090s", _TXLOG_TS0 + 90_000_000),
+        ("t_plus_150s", _TXLOG_TS0 + 150_000_000),
+        ("t_plus_10h", _TXLOG_TS0 + 36_000_000_000),
+    ]
+    out = None
+    for label, ts in probes:
+        v = _txlog_version_as_of_ts(rows, ts)
+        df = (
+            _txlog_read(spark, log_dir, as_of=v)
+            .withColumn("probe", F.lit(label))
+            .withColumn("version", F.lit(v).cast("long"))
+        )
+        out = df if out is None else out.unionByName(df)
+    return out.select(
+        "probe", "version", "o_orderstatus", "n_rows", "sum_price_cents"
+    )
+
+
+def q_sink_txlog_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY — the commit provenance audit: one row per
+    commit with its timestamp, operation name, add/remove action
+    counts, and rows_added (operation metrics) recomputed from the
+    added files' footer counts in ONE scan grouped by source dir. The
+    oracle restates every row from the fixture's bucket arithmetic —
+    rows_added per commit must equal the orders-bucket counts, so a
+    history that miscounted actions or misattributed files to commits
+    breaks the hash. Pure metadata plus one footer-count scan;
+    collect() is 4 rows (one per data dir)."""
+    log_dir = _build_txlog_table_with_delete(
+        spark, sf_dir, "txlog_table_history"
+    )
+    rows = _txlog_log_rows(spark, log_dir)
+    adds = [
+        (r["commit"], r["path"]) for r in rows if r["action"] == "add"
+    ]
+    removes = [
+        (r["commit"], r["path"]) for r in rows if r["action"] == "remove"
+    ]
+    cis = sorted(
+        (r["commit"], r["ts"], r["op"])
+        for r in rows
+        if r["action"] == "commitInfo"
+    )
+    src_dir = F.regexp_replace(
+        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
+        "/[^/]+$",
+        "",
+    )
+    per_dir = (
+        spark.read.parquet(*sorted({p for _, p in adds}))
+        .select(src_dir.alias("_src"))
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    counts = {r["_src"]: r["n"] for r in per_dir.collect()}
+    hist = [
+        (
+            v,
+            ts,
+            op,
+            sum(1 for c, _ in adds if c == v),
+            sum(1 for c, _ in removes if c == v),
+            sum(counts[p] for c, p in adds if c == v),
+        )
+        for v, ts, op in cis
+    ]
+    return spark.createDataFrame(
+        hist,
+        "version long, ts long, op string, n_adds long,"
+        " n_removes long, rows_added long",
+    )
+
+
+def q_sink_txlog_datasource_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WRITER half of the txlog connector
+    (io/txlog_source.TxlogBatchWriter): a table created, appended, and
+    atomically overwritten purely through ``df.write.format("txlog")``
+    — any Spark job can now commit real log versions via the same
+    put-if-absent primitive the engine's mutators use. Tasks stream
+    Arrow RecordBatches into temp parquet (DataSourceArrowWriter — the
+    write-side twin of the reader's columnar fast path); the driver
+    commit publishes ONE data dir + ONE log version per write.
+
+    Three writes: append buckets 0-1 (creates the table, version 0),
+    append bucket 2 (version 1), OVERWRITE with bucket 3 (version 2 —
+    removes + add in one atomic commit). Three pinned reads: the
+    connector's own reader at the head, the engine's replay at the
+    head (writer/reader/engine can never drift on log semantics), and
+    the engine's replay AS OF version 1 (the overwrite left history
+    time-travelable, nothing was physically deleted)."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    base = _scratch(sf_dir, "txlog_ds_write")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    for pred, mode in (
+        (k % 4 <= 1, "append"),
+        (k % 4 == 2, "append"),
+        (k % 4 == 3, "overwrite"),
+    ):
+        orders.where(pred).write.format("txlog").mode(mode).save(log_dir)
+
+    def lab(df, src):
+        return df.withColumn("src", F.lit(src))
+
+    connector = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+    )
+    return (
+        lab(connector, "connector_head")
+        .unionByName(lab(_txlog_read(spark, log_dir, as_of=None), "engine_head"))
+        .unionByName(lab(_txlog_read(spark, log_dir, as_of=1), "engine_v1"))
+        .select("src", "o_orderstatus", "n_rows", "sum_price_cents")
+    )
+
+
+QUERIES["sink_txlog_time_travel_ts"] = q_sink_txlog_time_travel_ts
+ORACLES["sink_txlog_time_travel_ts"] = """
+    SELECT 't_plus_090s' AS probe, CAST(1 AS BIGINT) AS version,
+           o_orderstatus, COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders WHERE o_orderkey % 4 IN (0, 2)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 't_plus_150s', CAST(2 AS BIGINT), o_orderstatus,
+           COUNT(*)::BIGINT,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders WHERE o_orderkey % 4 != 1
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 't_plus_10h', CAST(3 AS BIGINT), o_orderstatus,
+           COUNT(*)::BIGINT,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders WHERE o_orderkey % 4 IN (2, 3)
+    GROUP BY o_orderstatus
+"""
+
+QUERIES["sink_txlog_history"] = q_sink_txlog_history
+ORACLES["sink_txlog_history"] = """
+    WITH b AS (
+        SELECT o_orderkey % 4 AS bucket, COUNT(*)::BIGINT AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(0 AS BIGINT) AS version,
+           CAST(1700000000000000 AS BIGINT) AS ts,
+           'WRITE' AS op, CAST(2 AS BIGINT) AS n_adds,
+           CAST(0 AS BIGINT) AS n_removes,
+           (SELECT SUM(n) FROM b WHERE bucket IN (0, 1))::BIGINT
+               AS rows_added
+    UNION ALL
+    SELECT 1, 1700000060000000, 'WRITE', 1, 1,
+           (SELECT n FROM b WHERE bucket = 2)
+    UNION ALL
+    SELECT 2, 1700000120000000, 'WRITE', 1, 0,
+           (SELECT n FROM b WHERE bucket = 3)
+    UNION ALL
+    SELECT 3, 1700000180000000, 'DELETE', 0, 1, 0
+"""
+
+QUERIES["sink_txlog_datasource_write"] = q_sink_txlog_datasource_write
+ORACLES["sink_txlog_datasource_write"] = """
+    SELECT 'connector_head' AS src, o_orderstatus,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders WHERE o_orderkey % 4 = 3
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'engine_head', o_orderstatus, COUNT(*)::BIGINT,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders WHERE o_orderkey % 4 = 3
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'engine_v1', o_orderstatus, COUNT(*)::BIGINT,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Column mapping: RENAME / DROP / re-ADD without file rewrites (Delta's
+# columnMapping.mode=name — logical->physical name indirection carried in
+# metaData actions; data files only ever know physical names)
+# ---------------------------------------------------------------------------
+
+
+def _txlog_mapping_latest(rows: list) -> dict:
+    """The CURRENT column mapping: latest metaData action whose schema
+    payload is a mapping document (JSON object), parsed. Plain-DDL
+    metaData rows (the additive-evolution keys) are not mappings."""
+    import json as _json
+
+    cand = [
+        r
+        for r in rows
+        if r["action"] == "metaData"
+        and r["schema"]
+        and r["schema"].lstrip().startswith("{")
+    ]
+    if not cand:
+        raise ValueError("table has no column-mapping metaData")
+    return _json.loads(max(cand, key=lambda r: r["commit"])["schema"])
+
+
+def _txlog_commit_metadata(
+    spark: SparkSession, log_dir: str, mapping: dict, op: str
+) -> int:
+    """Metadata-ONLY commit (no add/remove): the whole point of column
+    mapping — schema surgery is one log action at any table size."""
+    import json as _json
+
+    payload = _json.dumps(mapping, sort_keys=True)
+    for _ in range(_TXLOG_MAX_RETRIES):
+        rows = _txlog_log_rows(spark, log_dir)
+        version = max(r["commit"] for r in rows) + 1
+        if _txlog_attempt_commit(
+            log_dir,
+            version,
+            [
+                {
+                    "commit": version,
+                    "action": "metaData",
+                    "schema": payload,
+                }
+            ],
+            op=op,
+        ):
+            return version
+    raise TxlogConflictError(
+        f"metadata commit lost the race {_TXLOG_MAX_RETRIES} times"
+    )
+
+
+def txlog_rename_column(
+    spark: SparkSession, log_dir: str, old: str, new: str
+) -> int:
+    """ALTER TABLE RENAME COLUMN — logical name changes, physical name
+    (what the parquet files store) stays; ZERO data files touched."""
+    m = _txlog_mapping_latest(_txlog_log_rows(spark, log_dir))
+    cols = [dict(c) for c in m["columns"]]
+    if not any(c["name"] == old for c in cols):
+        raise ValueError(f"no such column: {old}")
+    if any(c["name"] == new for c in cols):
+        raise ValueError(f"column exists: {new}")
+    for c in cols:
+        if c["name"] == old:
+            c["name"] = new
+    return _txlog_commit_metadata(
+        spark, log_dir, {"columns": cols}, op="RENAME COLUMN"
+    )
+
+
+def txlog_drop_column(spark: SparkSession, log_dir: str, name: str) -> int:
+    """ALTER TABLE DROP COLUMN — the mapping entry goes away; the
+    physical column stays in old files, unreadable (soft drop)."""
+    m = _txlog_mapping_latest(_txlog_log_rows(spark, log_dir))
+    cols = [dict(c) for c in m["columns"] if c["name"] != name]
+    if len(cols) == len(m["columns"]):
+        raise ValueError(f"no such column: {name}")
+    return _txlog_commit_metadata(
+        spark, log_dir, {"columns": cols}, op="DROP COLUMN"
+    )
+
+
+def txlog_add_column(
+    spark: SparkSession, log_dir: str, name: str, dtype: str
+) -> int:
+    """ALTER TABLE ADD COLUMN under mapping: the new logical name binds
+    a FRESH physical name (``<name>__v<version>`` — version-unique), so
+    re-adding a previously dropped name can never resurrect the old
+    physical column's bytes: old files simply lack the new physical
+    name and surface NULL."""
+    rows = _txlog_log_rows(spark, log_dir)
+    m = _txlog_mapping_latest(rows)
+    cols = [dict(c) for c in m["columns"]]
+    if any(c["name"] == name for c in cols):
+        raise ValueError(f"column exists: {name}")
+    version = max(r["commit"] for r in rows) + 1
+    cols.append(
+        {"name": name, "physical": f"{name}__v{version}", "type": dtype}
+    )
+    return _txlog_commit_metadata(
+        spark, log_dir, {"columns": cols}, op="ADD COLUMN"
+    )
+
+
+def txlog_mapped_read(spark: SparkSession, log_dir: str) -> DataFrame:
+    """Snapshot read through the mapping: scan every live file under
+    the PHYSICAL schema (a file missing a physical column — written
+    before an ADD — surfaces NULL, Spark's missing-column fill), then
+    project physical -> logical. One scan, no per-file branching."""
+    rows = _txlog_log_rows(spark, log_dir)
+    m = _txlog_mapping_latest(rows)
+    live = _txlog_live_from_rows(rows)
+    phys_ddl = ", ".join(
+        f"`{c['physical']}` {c['type']}" for c in m["columns"]
+    )
+    snap = spark.read.schema(phys_ddl).parquet(*live)
+    return snap.select(
+        *[F.col(f"`{c['physical']}`").alias(c["name"]) for c in m["columns"]]
+    )
+
+
+def txlog_mapped_write(
+    spark: SparkSession, log_dir: str, df: DataFrame, file_tag: str
+) -> int:
+    """Append a file under the CURRENT mapping: logical columns renamed
+    to their physical names at write time — the invariant that makes
+    rename/drop free is that files never contain logical names."""
+    rows = _txlog_log_rows(spark, log_dir)
+    m = _txlog_mapping_latest(rows)
+    version = max(r["commit"] for r in rows) + 1
+    path = os.path.join(
+        os.path.dirname(log_dir), "data", f"{file_tag}-{version:05d}"
+    )
+    df.select(
+        *[F.col(c["name"]).alias(c["physical"]) for c in m["columns"]]
+    ).write.mode("overwrite").parquet(path)
+    for _ in range(_TXLOG_MAX_RETRIES):
+        rows = _txlog_log_rows(spark, log_dir)
+        version2 = max(r["commit"] for r in rows) + 1
+        if _txlog_attempt_commit(
+            log_dir,
+            version2,
+            [{"commit": version2, "action": "add", "path": path}],
+            op="APPEND",
+        ):
+            return version2
+    raise TxlogConflictError(
+        f"mapped append lost the race {_TXLOG_MAX_RETRIES} times"
+    )
+
+
+def _build_txlog_mapped_table(
+    spark: SparkSession, sf_dir: str, name: str
+) -> str:
+    """Fixture for the column-mapping key: file A (even keys) under the
+    identity mapping, then RENAME + DROP + re-ADD (all metadata-only),
+    then file B (odd keys) written under the evolved mapping."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    a_path = os.path.join(data_dir, "batch-a")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"]
+    orders.where(k % 2 == 0).select(*cols).write.mode("overwrite").parquet(
+        a_path
+    )
+    os.makedirs(log_dir, exist_ok=True)
+    mapping = {
+        "columns": [
+            {"name": c, "physical": c, "type": t}
+            for c, t in zip(
+                cols, ["bigint", "string", "double", "bigint"]
+            )
+        ]
+    }
+    ok = _txlog_attempt_commit(
+        log_dir,
+        0,
+        [
+            {
+                "commit": 0,
+                "action": "metaData",
+                "schema": _json.dumps(mapping, sort_keys=True),
+            },
+            {"commit": 0, "action": "add", "path": a_path},
+        ],
+        op="WRITE",
+    )
+    assert ok
+    txlog_rename_column(spark, log_dir, "o_totalprice", "price")  # v1
+    txlog_drop_column(spark, log_dir, "o_custkey")  # v2
+    txlog_add_column(spark, log_dir, "o_custkey", "bigint")  # v3
+    txlog_mapped_write(
+        spark,
+        log_dir,
+        orders.where(k % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").alias("price"),
+            "o_custkey",
+        ),
+        "batch-b",
+    )  # v4
+    return log_dir
+
+
+def q_sink_txlog_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column mapping — RENAME/DROP/re-ADD with ZERO file rewrites
+    (Delta columnMapping.mode=name): file A lands under the identity
+    mapping; o_totalprice is renamed to price, o_custkey dropped,
+    then re-ADDED (fresh physical name ``o_custkey__v3``); file B
+    lands under the evolved mapping. The read projects physical ->
+    logical over ONE scan: price must be non-null everywhere (rename
+    reads both files' original physical column), while o_custkey
+    must be NULL for file A's rows — its old physical bytes are STILL
+    IN the file but unreachable (re-add-same-name never resurrects
+    dropped data) — and real for file B's. The oracle restates both
+    halves; tests/test_sinks.py asserts no data file changed across
+    the three schema commits."""
+    log_dir = _build_txlog_mapped_table(
+        spark, sf_dir, "txlog_table_colmap"
+    )
+    snap = txlog_mapped_read(spark, log_dir)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(price * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+        F.count("o_custkey").cast("long").alias("n_cust"),
+        F.sum(F.coalesce("o_custkey", F.lit(0)))
+        .cast("long")
+        .alias("sum_cust"),
+    )
+
+
+QUERIES["sink_txlog_column_mapping"] = q_sink_txlog_column_mapping
+ORACLES["sink_txlog_column_mapping"] = """
+    SELECT o_orderstatus,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents,
+           SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_cust,
+           SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey
+                    ELSE 0 END)::BIGINT AS sum_cust
+    FROM orders
+    GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Parquet-native row-group skipping: page-indexed, sorted, fixed-size row
+# groups; pruning arithmetic over footer stats (the manifest keys' live-vs-
+# opened discipline, one level down — inside the file)
+# ---------------------------------------------------------------------------
+
+_RG_SIZE = 4096
+_RG_BUCKETS = 8
+
+
+def _build_rowgroup_table(spark: SparkSession, sf_dir: str, name: str):
+    """Fixture: orders as `_RG_BUCKETS` key-range files, each written
+    EXECUTOR-side (applyInPandas per bucket) with pyarrow under a fixed
+    ``row_group_size=_RG_SIZE``, ``write_page_index=True`` and declared
+    ``sorting_columns`` — so the row-group layout (which keys land in
+    which group) is a pure function of the data, restatable by the
+    oracle via ROW_NUMBER arithmetic. Bloom filters are the one
+    skipping structure not written: the baked-in pyarrow (16.x) cannot
+    emit them; column/offset page indexes + row-group min/max are.
+    Scale: one task per key-range bucket, no driver data path — a
+    1000-executor cluster writes 1000 buckets the same way. Returns
+    (data_dir, kmin, kmax)."""
+    base = _scratch(sf_dir, name)
+    out = os.path.join(base, "data")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(out)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    span1 = kmax - kmin + 1
+    df = orders.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(((o_orderkey - {kmin}) * {_RG_BUCKETS})"
+            f" DIV {span1} AS INT)"
+        ),
+    )
+    rg_size = _RG_SIZE
+
+    def write_bucket(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        bkt = int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values("o_orderkey").drop(columns=["bucket"])
+        t = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(
+            t,
+            os.path.join(out, f"bucket-{bkt:03d}.parquet"),
+            row_group_size=rg_size,
+            write_page_index=True,
+            sorting_columns=[
+                pq.SortingColumn(t.schema.get_field_index("o_orderkey"))
+            ],
+        )
+        return pd.DataFrame({"bucket": [bkt], "n": [len(pdf)]})
+
+    df.groupBy("bucket").applyInPandas(
+        write_bucket, "bucket int, n long"
+    ).collect()
+    return out, kmin, kmax
+
+
+def _rowgroup_stats(data_dir: str) -> list:
+    """Driver-side footer read (metadata-sized, the same thing any
+    parquet reader's planner does): (min_key, max_key, n_rows) per row
+    group across all files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    groups = []
+    for f in sorted(_glob.glob(os.path.join(data_dir, "bucket-*.parquet"))):
+        md = pq.read_metadata(f)
+        names = md.schema.names
+        ki = names.index("o_orderkey")
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(ki).statistics
+            groups.append((st.min, st.max, md.row_group(i).num_rows))
+    return groups
+
+
+def q_scan_rowgroup_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group skipping made checkable: the key-range predicate
+    (25%-40% of the key span — the `sink_txlog_stats_skipping`
+    constants) is answered by scanning the page-indexed table, and the
+    result CARRIES the pruning arithmetic — total row groups, row
+    groups a stats-pruning reader opens (min/max intersecting the
+    range), and the rows those groups hold. Because the layout is a
+    pure function of the sorted data, the oracle recomputes all three
+    from ROW_NUMBER arithmetic: a writer that misplaced rows across
+    groups, dropped the sort, or a prune that read too few groups all
+    break the hash. tests/test_sinks.py additionally proves the
+    complement property on the real footers: the SKIPPED row groups
+    contain zero predicate rows, and the pruned read returns exactly
+    the full scan's answer."""
+    data_dir, kmin, kmax = _build_rowgroup_table(
+        spark, sf_dir, "rowgroup_table"
+    )
+    span1 = kmax - kmin + 1
+    lo = kmin + (span1 * _STATS_LO_PCT) // 100
+    hi = kmin + (span1 * _STATS_HI_PCT) // 100
+    groups = _rowgroup_stats(data_dir)
+    match = [g for g in groups if g[1] >= lo and g[0] <= hi]
+    return (
+        spark.read.parquet(data_dir)
+        .where((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+        .select(
+            F.lit(len(groups)).cast("long").alias("n_rowgroups_total"),
+            F.lit(len(match)).cast("long").alias("n_rowgroups_scanned"),
+            F.lit(sum(g[2] for g in match)).cast("long").alias(
+                "n_rows_in_scanned_groups"
+            ),
+            "n_rows",
+            "sum_price_cents",
+        )
+    )
+
+
+QUERIES["scan_rowgroup_skipping"] = q_scan_rowgroup_skipping
+ORACLES["scan_rowgroup_skipping"] = f"""
+    WITH bounds AS (
+        SELECT MIN(o_orderkey) AS kmin,
+               MAX(o_orderkey) - MIN(o_orderkey) + 1 AS span1
+        FROM orders
+    ), lims AS (
+        SELECT kmin + (span1 * {_STATS_LO_PCT}) // 100 AS lo,
+               kmin + (span1 * {_STATS_HI_PCT}) // 100 AS hi
+        FROM bounds
+    ), rg AS (
+        SELECT o_orderkey,
+               CAST(((o_orderkey - kmin) * {_RG_BUCKETS}) // span1 AS INT)
+                   AS bucket,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY CAST(((o_orderkey - kmin) * {_RG_BUCKETS})
+                                      // span1 AS INT)
+                    ORDER BY o_orderkey) - 1) // {_RG_SIZE} AS rgi
+        FROM orders, bounds
+    ), g AS (
+        SELECT bucket, rgi, MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+               COUNT(*) AS n
+        FROM rg GROUP BY 1, 2
+    )
+    SELECT (SELECT COUNT(*) FROM g)::BIGINT AS n_rowgroups_total,
+           (SELECT COUNT(*) FROM g, lims
+             WHERE mx >= lo AND mn <= hi)::BIGINT AS n_rowgroups_scanned,
+           (SELECT COALESCE(SUM(n), 0) FROM g, lims
+             WHERE mx >= lo AND mn <= hi)::BIGINT
+               AS n_rows_in_scanned_groups,
+           (SELECT COUNT(*) FROM orders, lims
+             WHERE o_orderkey BETWEEN lo AND hi)::BIGINT AS n_rows,
+           (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+              FROM orders, lims
+             WHERE o_orderkey BETWEEN lo AND hi)::BIGINT AS sum_price_cents
+"""
+
+
+# ---------------------------------------------------------------------------
+# UniForm-style dual metadata: the two-level manifest plane DERIVED from a
+# live txlog table (one metadata-only export per commit) — the same
+# physical files serve both the log replay and the manifest-list planner
+# ---------------------------------------------------------------------------
+
+#: files per manifest in the exported plane (small so even the 2-file
+#: post-merge fixture exercises the two-level grouping)
+_UNIFORM_PER_MANIFEST = 2
+
+
+def txlog_export_manifests(
+    spark: SparkSession,
+    log_dir: str,
+    meta_dir: str,
+    version=None,
+    key_col: str = "o_orderkey",
+) -> dict:
+    """UniForm mechanic (Delta UniForm / Iceberg metadata export): one
+    METADATA-ONLY pass derives the Iceberg-shaped two-level plane
+    (manifests of per-file key stats + a manifest list of range
+    summaries) from the txlog's replay at ``version`` — the same
+    physical parquet files become readable by a manifest-list planner
+    with zero data movement. Per-file stats come from the parquet
+    FOOTERS (pyarrow ``read_metadata``: min/max/num_rows — the numbers
+    a real writer folds into its commit), so export cost is
+    O(files-worth-of-footers), never O(rows); the export is stamped
+    with the snapshot version (``manifest-list-<v>.json``), so
+    re-exporting after new commits leaves older planes readable —
+    snapshot-addressed metadata, like Iceberg's. Returns
+    {"version", "n_files", "n_manifests", "n_footers_read",
+    "n_data_rows_read"} (the last is structurally zero — asserted in
+    tests/test_sinks.py)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    rows = _txlog_log_rows(spark, log_dir)
+    if version is None:
+        version = max(r["commit"] for r in rows)
+    live = _txlog_live_from_rows(rows, as_of=version)
+    os.makedirs(meta_dir, exist_ok=True)
+    entries = []
+    n_footers = 0
+    for d in live:
+        mn = mx = None
+        n = 0
+        for p in _part_files_local(d):
+            md = pq.read_metadata(p)
+            n_footers += 1
+            ki = md.schema.names.index(key_col)
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ki).statistics
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+            n += md.num_rows
+        entries.append(
+            {"path": d, "min_key": mn, "max_key": mx, "n_rows": n}
+        )
+    mlist = []
+    for m in range(0, len(entries), _UNIFORM_PER_MANIFEST):
+        grp = entries[m : m + _UNIFORM_PER_MANIFEST]
+        mid = m // _UNIFORM_PER_MANIFEST
+        mf = f"manifest-{version:05d}-{mid:03d}.json"
+        with open(os.path.join(meta_dir, mf), "w") as fh:
+            for e in grp:
+                fh.write(_json.dumps(e) + "\n")
+        mlist.append(
+            {
+                "manifest": mf,
+                "min_key": min(e["min_key"] for e in grp),
+                "max_key": max(e["max_key"] for e in grp),
+                "n_files": len(grp),
+                "n_rows": sum(e["n_rows"] for e in grp),
+            }
+        )
+    with open(
+        os.path.join(meta_dir, f"manifest-list-{version:05d}.json"), "w"
+    ) as fh:
+        for row in mlist:
+            fh.write(_json.dumps(row) + "\n")
+    return {
+        "version": version,
+        "n_files": len(entries),
+        "n_manifests": len(mlist),
+        "n_footers_read": n_footers,
+        "n_data_rows_read": 0,
+    }
+
+
+def _part_files_local(d: str) -> list:
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(d, "part-*.parquet"))) or sorted(
+        _glob.glob(os.path.join(d, "part-*"))
+    )
+
+
+def manifest_snapshot_read(
+    spark: SparkSession, meta_dir: str, version: int
+) -> DataFrame:
+    """Full-snapshot read through the exported manifest plane: manifest
+    list -> manifests -> file paths (all driver-side metadata-sized
+    JSON), then ONE parquet scan of the listed files."""
+    import json as _json
+
+    with open(
+        os.path.join(meta_dir, f"manifest-list-{version:05d}.json")
+    ) as fh:
+        mlist = [_json.loads(ln) for ln in fh if ln.strip()]
+    files = []
+    for m in mlist:
+        with open(os.path.join(meta_dir, m["manifest"])) as fh:
+            files.extend(_json.loads(ln)["path"] for ln in fh if ln.strip())
+    return spark.read.parquet(*sorted(files))
+
+
+def q_scan_txlog_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniForm dual metadata end-to-end: the 3-commit table takes the
+    CoW MERGE (version 3), then ONE metadata-only export derives the
+    manifest plane from the log replay — and the SAME snapshot read
+    through both planners (the engine's log replay and the
+    manifest-list reader over the exported plane) must agree row for
+    row. Both halves are in the result under a ``reader`` label and
+    both must hash-equal the post-merge oracle: a drifted export
+    (stale file list, wrong snapshot version) or a manifest reader
+    that resurrected a tombstoned file breaks the hash."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_uniform")
+    txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
+    meta_dir = os.path.join(os.path.dirname(log_dir), "_uniform_meta")
+    exp = txlog_export_manifests(spark, log_dir, meta_dir)
+
+    def agg(df, reader):
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_keys"),
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                ).cast("long").alias("sum_price_cents"),
+            )
+            .select(
+                F.lit(reader).alias("reader"),
+                "o_orderstatus",
+                "n_rows",
+                "sum_keys",
+                "sum_price_cents",
+            )
+        )
+
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    replay = spark.read.parquet(*live)
+    manifest = manifest_snapshot_read(spark, meta_dir, exp["version"])
+    return agg(replay, "log_replay").unionByName(
+        agg(manifest, "manifest_plane")
+    )
+
+
+QUERIES["scan_txlog_uniform"] = q_scan_txlog_uniform
+ORACLES["scan_txlog_uniform"] = """
+    WITH merged AS (
+        SELECT o_orderstatus, o_orderkey,
+               CASE WHEN o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+                    THEN o_totalprice + 10
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 4 != 1
+          AND NOT (o_orderkey % 4 = 0 AND o_orderkey % 3 = 0)
+        UNION ALL
+        SELECT o_orderstatus, o_orderkey + 100000000, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+    ), one AS (
+        SELECT o_orderstatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(o_orderkey)::BIGINT AS sum_keys,
+               SUM(CAST(round(price * 100) AS BIGINT))::BIGINT
+                   AS sum_price_cents
+        FROM merged GROUP BY o_orderstatus
+    )
+    SELECT 'log_replay' AS reader, * FROM one
+    UNION ALL
+    SELECT 'manifest_plane' AS reader, * FROM one
+"""
+
+
+def q_sink_txlog_datasource_write_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The connector writer RECORDS data-skipping stats at write time
+    (Delta's shape): ``df.write.format("txlog").option("stats_col",
+    "o_orderkey")`` folds exact min/max per Arrow batch inside each
+    write task (zero extra passes) and the commit emits ONE ADD PER
+    FILE carrying that task's stats — so a single range-partitioned
+    write of a single job yields a table that the stats-pruning reader
+    (`txlog_stats_read`) serves immediately, opening only the files
+    whose recorded range intersects the predicate. The hashed result
+    is the pruned read's aggregate over the 25-40% key span — stats
+    pruning is a superset guarantee, so ANY correct stats layout must
+    reproduce the plain range aggregate the oracle restates; that the
+    pruning genuinely skips files (and that the recorded stats are
+    exact per file) is asserted in tests/test_sinks.py, where the
+    sampled range-partition boundaries live.
+
+    Scale: this is the production write path — N tasks write N files
+    and N metadata rows in one commit; the log carries the stats, so
+    no reader ever opens a footer to plan."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    base = _scratch(sf_dir, "txlog_ds_write_stats")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.repartitionByRange(_STATS_BUCKETS, "o_orderkey")
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "o_orderkey")
+        .save(log_dir)
+    )
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    span = kmax - kmin
+    lo = kmin + span * _STATS_LO_PCT // 100
+    hi = kmin + span * _STATS_HI_PCT // 100
+    snap, n_live, n_scanned = txlog_stats_read(spark, log_dir, lo, hi)
+    assert n_scanned < n_live, "stats pruning must skip files"
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+QUERIES["sink_txlog_datasource_write_stats"] = (
+    q_sink_txlog_datasource_write_stats
+)
+ORACLES["sink_txlog_datasource_write_stats"] = f"""
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+        FROM orders
+    ), bounds AS (
+        SELECT kmin + (kmax - kmin) * {_STATS_LO_PCT} // 100 AS lo,
+               kmin + (kmax - kmin) * {_STATS_HI_PCT} // 100 AS hi
+        FROM b
+    )
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(o_orderkey)::BIGINT AS sum_keys,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders CROSS JOIN bounds
+    WHERE o_orderkey BETWEEN lo AND hi
 """

@@ -899,3 +899,53 @@ from aind_data_transformation_spark.queries.llm_text import (  # noqa: E402
 )
 
 ORACLES["stream_dedup_minhash"] = _TEXT_ORACLES["dedup_fuzzy_minhash"]
+
+
+def q_stream_txlog_datasource_write(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming ingest through the CONNECTOR's stream
+    writer (``df.writeStream.format("txlog")`` —
+    io/txlog_source.TxlogStreamWriter), not the engine's foreachBatch
+    helper: orders arrive as a 4-file stream (maxFilesPerTrigger=1 → 4
+    micro-batches); each epoch's tasks stage Arrow RecordBatches into
+    temp parquet and the driver commit publishes a deterministic
+    epoch-keyed data dir plus a ``txn`` idempotence marker ATOMICALLY
+    in one log version. After the drain, the snapshot through the
+    ordinary log replay must equal the full orders table — a dropped
+    epoch, a double-committed replay, or rows leaking across epochs
+    all break the hash. Crash-replay idempotence (commit re-invoked
+    for an already-committed epoch) is asserted in
+    tests/test_sinks.py."""
+    import os
+    import tempfile
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries import sinks as _sinks
+
+    src = _txlog_sink_stage(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_txlog_ds_write_")
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("txlog")
+        .option("path", log_dir)
+        .option(
+            "checkpointLocation", os.path.join(base, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _sinks._txlog_read(spark, log_dir, as_of=None)
+
+
+QUERIES["stream_txlog_datasource_write"] = q_stream_txlog_datasource_write
+ORACLES["stream_txlog_datasource_write"] = ORACLES["stream_txlog_sink"]

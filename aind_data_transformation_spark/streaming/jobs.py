@@ -752,6 +752,7 @@ def txlog_epoch_commit(
         log_dir,
         int(batch_id),
         [{"commit": int(batch_id), "action": "add", "path": path}],
+        op="STREAMING UPDATE",
     )
 
 

@@ -124,6 +124,18 @@ def main() -> None:
         spark.read.format("txlog").option(
             "path", os.path.join(tiny, "_log")
         ).load().count()
+        # the WRITE half runs Arrow-serializer python workers of its
+        # own — one 2-row connector write adopts that pool too, so the
+        # first sink_txlog_datasource_write* key measures the write,
+        # not worker spin-up
+        (
+            spark.range(2)
+            .selectExpr("id AS o_orderkey")
+            .write.format("txlog")
+            .mode("append")
+            .option("stats_col", "o_orderkey")
+            .save(os.path.join(_tempfile.mkdtemp(), "w", "_log"))
+        )
     except Exception as exc:
         print(f"# datasource warmup failed: {exc}", file=sys.stderr)
     for key in sorted(queries):

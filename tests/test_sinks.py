@@ -1638,3 +1638,601 @@ def test_stream_source_rejects_dv_tables_by_default(spark, tmp_path):
     with pytest.raises(Exception, match="deletion vectors"):
         drain({})
     drain({"ignore_deletes": "true"})  # explicit opt-in succeeds
+
+
+# ---------------------------------------------------------------------------
+# txlog connector WRITE path (io/txlog_source.TxlogBatchWriter /
+# TxlogStreamWriter) + commit provenance (commitInfo timestamps)
+# ---------------------------------------------------------------------------
+
+
+def _read_log_json(log_dir):
+    import json as _json
+
+    out = []
+    for f in sorted(glob.glob(os.path.join(log_dir, "*.json"))):
+        with open(f) as fh:
+            out += [_json.loads(ln) for ln in fh if ln.strip()]
+    return out
+
+
+def test_txlog_ds_writer_append_overwrite_lifecycle(spark):
+    """Batch writer: append creates the table (v0), append extends it
+    (v1), overwrite atomically replaces it (v2) while history stays
+    time-travelable; every commit carries exactly one commitInfo with
+    the right operation name; no staging temps leak."""
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_writer_lifecycle")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    nation.where("n_nationkey < 10").write.format("txlog").mode(
+        "append"
+    ).save(log_dir)
+    nation.where("n_nationkey >= 10").write.format("txlog").mode(
+        "append"
+    ).save(log_dir)
+    nation.where("n_regionkey = 0").write.format("txlog").mode(
+        "overwrite"
+    ).save(log_dir)
+
+    rows = _read_log_json(log_dir)
+    by_commit = {}
+    for r in rows:
+        by_commit.setdefault(r["commit"], []).append(r)
+    assert sorted(by_commit) == [0, 1, 2]
+    ops = []
+    for v in (0, 1, 2):
+        cis = [r for r in by_commit[v] if r["action"] == "commitInfo"]
+        assert len(cis) == 1, f"commit {v} must carry exactly one commitInfo"
+        assert cis[0]["ts"] is not None
+        ops.append(cis[0]["op"])
+    assert ops == ["APPEND", "APPEND", "OVERWRITE"]
+    # the overwrite removed BOTH prior files in its own commit (atomic)
+    assert sum(1 for r in by_commit[2] if r["action"] == "remove") == 2
+
+    head = (
+        spark.read.format("txlog").option("path", log_dir).load().collect()
+    )
+    expect = nation.where("n_regionkey = 0").count()
+    assert len(head) == expect
+    live_v1 = sinks._txlog_live_files(spark, log_dir, as_of=1)
+    assert len(live_v1) == 2  # both appends still readable pre-overwrite
+    assert spark.read.parquet(*live_v1).count() == 25
+    # staging temps all published or cleaned
+    assert glob.glob(os.path.join(base, "data", "_ds_tmp", "*")) == []
+
+
+def test_txlog_ds_writer_append_schema_mismatch(spark):
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_writer_schema")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    load_table(spark, TEST_SF_DIR, "nation").write.format("txlog").mode(
+        "append"
+    ).save(log_dir)
+    with pytest.raises(Exception, match="schema mismatch"):
+        load_table(spark, TEST_SF_DIR, "region").write.format(
+            "txlog"
+        ).mode("append").save(log_dir)
+    # the failed write must not have committed a version
+    assert [r["commit"] for r in _read_log_json(log_dir)].count(1) == 0
+
+
+def test_txlog_ds_writer_concurrent_appends(spark):
+    """Two threads appending to the same table: the put-if-absent race
+    gives each its own version; no rows lost, no version clobbered."""
+    import shutil
+    import threading
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_writer_race")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+
+    errs = []
+
+    def appender(lo, hi):
+        try:
+            # a fresh Python thread maps to a fresh JVM thread whose
+            # thread-local active session is unset, and Python data
+            # source lookup resolves through the ACTIVE session — pin
+            # it before writing (what a real multi-writer deployment's
+            # separate driver processes each do implicitly)
+            spark._jvm.org.apache.spark.sql.classic.SparkSession.setActiveSession(
+                spark._jsparkSession
+            )
+            nation.where(
+                f"n_nationkey >= {lo} AND n_nationkey < {hi}"
+            ).write.format("txlog").mode("append").save(log_dir)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=appender, args=a)
+        for a in ((0, 12), (12, 25))
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    rows = _read_log_json(log_dir)
+    versions = sorted({r["commit"] for r in rows})
+    assert versions == [0, 1]
+    got = (
+        spark.read.format("txlog").option("path", log_dir).load().count()
+    )
+    assert got == 25
+
+
+def test_txlog_ds_stream_writer_replay_exactly_once(spark):
+    """Crash-replay idempotence at the commit level: re-invoking the
+    stream writer's commit for an already-committed epoch must drop the
+    replay's temps and leave the log untouched; a half-published epoch
+    dir (crash after publish, before log commit) is cleared and
+    republished completely."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aind_data_transformation_spark.io.txlog_source import (
+        TxlogStreamWriter,
+        _TxlogWriteCommit,
+    )
+
+    base = _scratch("txlog_ds_stream_replay")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    data_root = os.path.join(base, "data")
+    schema = spark.createDataFrame([(1,)], "a bigint").schema
+    w = TxlogStreamWriter({"path": log_dir}, schema)
+
+    def stage(vals):
+        tmp_dir = os.path.join(data_root, "_ds_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(tmp_dir, f"stage-{len(vals)}-{vals[0]}.parquet")
+        pq.write_table(pa.table({"a": pa.array(vals, pa.int64())}), tmp)
+        return _TxlogWriteCommit(tmp, len(vals))
+
+    w.commit([stage([1, 2, 3])], 0)
+    rows0 = _read_log_json(log_dir)
+    assert {r["action"] for r in rows0} == {"commitInfo", "add", "txn"}
+
+    # replay of epoch 0 with different staged bytes: must be a no-op
+    replay = stage([9, 9, 9])
+    w.commit([replay], 0)
+    assert _read_log_json(log_dir) == rows0
+    assert not os.path.exists(replay.tmp_path)
+    got = sorted(
+        r["a"]
+        for r in spark.read.parquet(
+            *sinks._txlog_live_files(spark, log_dir, as_of=None)
+        ).collect()
+    )
+    assert got == [1, 2, 3]
+
+    # crash-after-publish: epoch 1's dir exists with junk, no log entry
+    junk_dir = os.path.join(
+        data_root, "stream-txlog-stream-epoch-0000000001"
+    )
+    os.makedirs(junk_dir)
+    with open(os.path.join(junk_dir, "part-99999.parquet"), "w") as f:
+        f.write("junk")
+    w.commit([stage([4, 5])], 1)
+    assert sorted(os.listdir(junk_dir)) == ["part-00000.parquet"]
+    got = sorted(
+        r["a"]
+        for r in spark.read.parquet(
+            *sinks._txlog_live_files(spark, log_dir, as_of=None)
+        ).collect()
+    )
+    assert got == [1, 2, 3, 4, 5]
+
+    # empty epoch still commits its marker so ITS replay is detected
+    w.commit([], 2)
+    rows2 = _read_log_json(log_dir)
+    assert any(
+        r["action"] == "txn" and r["path"].endswith("-2") for r in rows2
+    )
+    w.commit([], 2)
+    assert _read_log_json(log_dir) == rows2
+
+
+def test_txlog_commit_timestamps_monotonic(spark):
+    """commitInfo timestamps are non-decreasing even across wall-clock
+    skew: a commit stamped in the future forces the next auto-stamped
+    commit to clamp to prev+1, and every mutation path stamps exactly
+    one commitInfo."""
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_ts_mono")
+    sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    future = 4_000_000_000_000_000  # year ~2096, beyond any test clock
+    assert sinks._txlog_attempt_commit(
+        log_dir,
+        4,
+        [
+            {
+                "commit": 4,
+                "action": "commitInfo",
+                "op": "TEST",
+                "ts": future,
+            }
+        ],
+    )
+    assert sinks._txlog_attempt_commit(log_dir, 5, [], op="EMPTY")
+    rows = _read_log_json(log_dir)
+    cis = sorted(
+        (r["commit"], r["ts"], r["op"])
+        for r in rows
+        if r["action"] == "commitInfo"
+    )
+    assert [c for c, _, _ in cis] == [0, 1, 2, 3, 4, 5]
+    ts = [t for _, t, _ in cis]
+    assert ts == sorted(ts)
+    assert all(b > a for a, b in zip(ts, ts[1:])), ts
+    assert ts[5] == future + 1  # clamped past the future-stamped commit
+    assert cis[3][2] == "MERGE"  # merge stamps its operation name
+
+
+def test_txlog_as_of_timestamp_resolution(spark):
+    """Timestamp resolution: exact boundaries inclusive, pre-history
+    raises, and resolution survives log compaction (commitInfo rows are
+    retained in checkpoints)."""
+    import pytest
+
+    log_dir = sinks._build_txlog_table_with_delete(
+        spark, TEST_SF_DIR, "txlog_ts_resolve"
+    )
+    rows = sinks._txlog_log_rows(spark, log_dir)
+    t0 = sinks._TXLOG_TS0
+    assert sinks._txlog_version_as_of_ts(rows, t0) == 0  # inclusive
+    assert sinks._txlog_version_as_of_ts(rows, t0 + 59_999_999) == 0
+    assert sinks._txlog_version_as_of_ts(rows, t0 + 60_000_000) == 1
+    assert sinks._txlog_version_as_of_ts(rows, t0 + 10**12) == 3
+    with pytest.raises(ValueError, match="history begins later"):
+        sinks._txlog_version_as_of_ts(rows, t0 - 1)
+
+    sinks.txlog_checkpoint(spark, log_dir, 3)
+    rows2 = sinks._txlog_log_rows(spark, log_dir)
+    assert sinks._txlog_version_as_of_ts(rows2, t0 + 10**12) == 3
+    assert {
+        r["commit"] for r in rows2 if r["action"] == "commitInfo"
+    } == {0, 1, 2, 3}
+
+
+def test_txlog_vacuum_age_gate(spark):
+    """Time-based retention: only tombstones whose REMOVING commit is
+    at or before the horizon are reclaimed; younger tombstones stay on
+    disk (a pinned recent snapshot keeps reading) until the horizon
+    passes them."""
+    log_dir = sinks._build_txlog_table_with_delete(
+        spark, TEST_SF_DIR, "txlog_vac_age"
+    )
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    b0 = os.path.join(data_dir, "batch-0")  # removed at v3 (+180s)
+    b1 = os.path.join(data_dir, "batch-1")  # removed at v1 (+60s)
+    t0 = sinks._TXLOG_TS0
+
+    res = sinks.txlog_vacuum(
+        spark, log_dir, retain_versions=(None,), older_than_ts=t0 + 120_000_000
+    )
+    assert b1 in res["deleted"] and not os.path.exists(b1)
+    assert b0 in res["retained_young"] and os.path.exists(b0)
+    # current snapshot unchanged by the gated vacuum
+    assert sinks._txlog_read(spark, log_dir, as_of=None).count() == 3
+
+    res2 = sinks.txlog_vacuum(
+        spark, log_dir, retain_versions=(None,), older_than_ts=t0 + 200_000_000
+    )
+    assert b0 in res2["deleted"] and not os.path.exists(b0)
+
+
+def test_txlog_column_mapping_never_rewrites(spark):
+    """The column-mapping contract beyond the row oracle: (1) RENAME /
+    DROP / re-ADD are metadata-ONLY — no data file's bytes or mtime
+    change across the three schema commits; (2) the dropped column's
+    physical bytes remain IN the old file (soft drop) yet are
+    unreachable through the mapped read; (3) mapping mutators validate
+    their preconditions."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_colmap_layout")
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    a_path = os.path.join(data_dir, "batch-a")
+    orders.where("o_orderkey % 2 = 0").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"
+    ).write.parquet(a_path)
+    os.makedirs(log_dir)
+    mapping = {
+        "columns": [
+            {"name": c, "physical": c, "type": t}
+            for c, t in zip(
+                ["o_orderkey", "o_orderstatus", "o_totalprice", "o_custkey"],
+                ["bigint", "string", "double", "bigint"],
+            )
+        ]
+    }
+    assert sinks._txlog_attempt_commit(
+        log_dir,
+        0,
+        [
+            {
+                "commit": 0,
+                "action": "metaData",
+                "schema": _json.dumps(mapping, sort_keys=True),
+            },
+            {"commit": 0, "action": "add", "path": a_path},
+        ],
+    )
+
+    def snapshot_stats():
+        return {
+            f: os.stat(os.path.join(a_path, f)).st_mtime_ns
+            for f in os.listdir(a_path)
+            if f.startswith("part-")
+        }
+
+    before = snapshot_stats()
+    sinks.txlog_rename_column(spark, log_dir, "o_totalprice", "price")
+    sinks.txlog_drop_column(spark, log_dir, "o_custkey")
+    v3 = sinks.txlog_add_column(spark, log_dir, "o_custkey", "bigint")
+    assert snapshot_stats() == before, "schema surgery must not touch data"
+
+    snap = sinks.txlog_mapped_read(spark, log_dir)
+    assert snap.columns == ["o_orderkey", "o_orderstatus", "price", "o_custkey"]
+    # old physical bytes still in the file, unreachable through the map
+    part = next(
+        f for f in os.listdir(a_path) if f.startswith("part-")
+    )
+    assert "o_custkey" in pq.read_schema(os.path.join(a_path, part)).names
+    got = snap.agg(
+        F.count("price").alias("n_price"), F.count("o_custkey").alias("n_cust")
+    ).collect()[0]
+    assert got["n_price"] == snap.count() and got["n_cust"] == 0
+
+    m = sinks._txlog_mapping_latest(sinks._txlog_log_rows(spark, log_dir))
+    recust = next(c for c in m["columns"] if c["name"] == "o_custkey")
+    assert recust["physical"] == f"o_custkey__v{v3}"
+
+    with pytest.raises(ValueError, match="no such column"):
+        sinks.txlog_rename_column(spark, log_dir, "nope", "x")
+    with pytest.raises(ValueError, match="column exists"):
+        sinks.txlog_rename_column(spark, log_dir, "price", "o_custkey")
+    with pytest.raises(ValueError, match="column exists"):
+        sinks.txlog_add_column(spark, log_dir, "price", "double")
+    with pytest.raises(ValueError, match="no such column"):
+        sinks.txlog_drop_column(spark, log_dir, "nope")
+
+
+def test_rowgroup_skipping_layout_and_complement(spark):
+    """Beyond the row oracle: the physical layout really is fixed-size,
+    sorted, page-indexed row groups, and the pruning is EXACT — the
+    skipped row groups contain zero predicate rows, and reading only
+    the matching groups reproduces the full scan's predicate answer."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    data_dir, kmin, kmax = sinks._build_rowgroup_table(
+        spark, TEST_SF_DIR, "rowgroup_layout_test"
+    )
+    span1 = kmax - kmin + 1
+    lo = kmin + (span1 * sinks._STATS_LO_PCT) // 100
+    hi = kmin + (span1 * sinks._STATS_HI_PCT) // 100
+
+    matched_rows, skipped_rows, n_match, n_total = [], [], 0, 0
+    for f in sorted(g.glob(os.path.join(data_dir, "bucket-*.parquet"))):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        ki = md.schema.names.index("o_orderkey")
+        for i in range(md.num_row_groups):
+            col = md.row_group(i).column(ki)
+            # page index structures present; row groups full-size
+            # except the tail; declared sort order
+            assert col.has_offset_index and col.has_column_index
+            if i < md.num_row_groups - 1:
+                assert md.row_group(i).num_rows == sinks._RG_SIZE
+            st = col.statistics
+            n_total += 1
+            keys = pf.read_row_group(i, columns=["o_orderkey"]).column(
+                "o_orderkey"
+            ).to_pylist()
+            assert keys == sorted(keys), "row group must be key-sorted"
+            hits = [k for k in keys if lo <= k <= hi]
+            if st.max >= lo and st.min <= hi:
+                n_match += 1
+                matched_rows += hits
+            else:
+                skipped_rows += hits
+        assert md.row_group(0).sorting_columns, "sorting metadata missing"
+
+    assert skipped_rows == [], "a skipped row group held predicate rows"
+    assert 0 < n_match < n_total, "predicate must prune but not to zero"
+    full = (
+        spark.read.parquet(data_dir)
+        .where(f"o_orderkey BETWEEN {lo} AND {hi}")
+        .count()
+    )
+    assert len(matched_rows) == full
+
+    # the Spark scan pushes the range predicate down to parquet
+    plan = (
+        spark.read.parquet(data_dir)
+        .where(f"o_orderkey BETWEEN {lo} AND {hi}")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderkey" in plan
+
+
+def test_txlog_uniform_export_is_metadata_only_and_versioned(spark):
+    """The UniForm export contract: (1) cost is O(footers) — zero data
+    rows read, footer count == part-file count; (2) the exported
+    plane's row counts reproduce the table count without scanning it;
+    (3) exports are snapshot-addressed: exporting pre- and post-merge
+    versions leaves BOTH planes readable, each equal to its version's
+    replay."""
+    from tests.conftest import canon_frame
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_uniform_t")
+    sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    meta_dir = os.path.join(os.path.dirname(log_dir), "_meta_t")
+
+    for v in (2, 3):
+        exp = sinks.txlog_export_manifests(spark, log_dir, meta_dir, version=v)
+        assert exp["n_data_rows_read"] == 0
+        live = sinks._txlog_live_files(spark, log_dir, as_of=v)
+        n_parts = sum(len(sinks._part_files_local(d)) for d in live)
+        assert exp["n_footers_read"] == n_parts
+        assert exp["n_files"] == len(live)
+        # stats-plane row count == true count, derived without a scan
+        import json as _json
+
+        mlist_path = os.path.join(meta_dir, f"manifest-list-{v:05d}.json")
+        with open(mlist_path) as fh:
+            mlist = [_json.loads(ln) for ln in fh if ln.strip()]
+        assert sum(m["n_rows"] for m in mlist) == spark.read.parquet(
+            *live
+        ).count()
+        got = (
+            sinks.manifest_snapshot_read(spark, meta_dir, v)
+            .groupBy("o_orderstatus")
+            .count()
+            .toPandas()
+        )
+        want = (
+            spark.read.parquet(*live).groupBy("o_orderstatus").count().toPandas()
+        )
+        assert canon_frame(got) == canon_frame(want)
+
+
+def test_txlog_ds_writer_stats_per_file_exact(spark):
+    """The stats-writing connector contract beyond the row oracle: ONE
+    add action per written file, each carrying that file's EXACT key
+    min/max (verified against the parquet footers), and the stats-
+    pruning reader genuinely skips files for a narrow range while
+    reproducing the full predicate answer."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_stats_layout")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "o_orderkey")
+        .save(log_dir)
+    )
+    adds = [
+        r
+        for r in _read_log_json(log_dir)
+        if r["action"] == "add"
+    ]
+    assert len(adds) == 8
+    for a in adds:
+        assert os.path.isfile(a["path"]), "per-file adds log the FILE"
+        md = pq.read_metadata(a["path"])
+        ki = md.schema.names.index("o_orderkey")
+        mn = min(
+            md.row_group(i).column(ki).statistics.min
+            for i in range(md.num_row_groups)
+        )
+        mx = max(
+            md.row_group(i).column(ki).statistics.max
+            for i in range(md.num_row_groups)
+        )
+        assert (a["min_key"], a["max_key"]) == (mn, mx)
+
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    lo = kmin + (kmax - kmin) * 25 // 100
+    hi = kmin + (kmax - kmin) * 40 // 100
+    snap, n_live, n_scanned = sinks.txlog_stats_read(spark, log_dir, lo, hi)
+    assert n_live == 8 and 0 < n_scanned < n_live
+    assert (
+        snap.count()
+        == orders.where(f"o_orderkey BETWEEN {lo} AND {hi}").count()
+    )
+
+
+def test_txlog_restore_by_timestamp_and_op_audit(spark):
+    """RESTORE TO TIMESTAMP resolves through the same commit-provenance
+    rule as AS OF TIMESTAMP reads, rolls back as a new RESTORE-stamped
+    commit, and the history's operation names audit every mutation."""
+    import pytest
+
+    log_dir = sinks._build_txlog_table_with_delete(
+        spark, TEST_SF_DIR, "txlog_restore_ts"
+    )
+    pre = sinks._txlog_read(spark, log_dir, as_of=2).toPandas()
+    res = sinks.txlog_restore(
+        spark, log_dir, to_ts=sinks._TXLOG_TS0 + 150_000_000
+    )
+    assert res["restored_to"] == 2 and res["version"] == 4
+    from tests.conftest import canon_frame
+
+    post = sinks._txlog_read(spark, log_dir, as_of=None).toPandas()
+    assert canon_frame(post) == canon_frame(pre)
+    ops = [
+        (r["commit"], r["op"])
+        for r in sorted(
+            sinks._txlog_log_rows(spark, log_dir), key=lambda r: r["commit"]
+        )
+        if r["action"] == "commitInfo"
+    ]
+    assert ops == [
+        (0, "WRITE"),
+        (1, "WRITE"),
+        (2, "WRITE"),
+        (3, "DELETE"),
+        (4, "RESTORE"),
+    ]
+    with pytest.raises(ValueError, match="exactly one"):
+        sinks.txlog_restore(spark, log_dir)
+    with pytest.raises(ValueError, match="exactly one"):
+        sinks.txlog_restore(spark, log_dir, to_version=1, to_ts=1)

@@ -1056,3 +1056,62 @@ def test_txlog_stream_source_resumes_from_checkpoint(spark, tmp_path):
         p["numInputRows"] for p in q2.recentProgress if p["numInputRows"]
     )
     assert read_rows == n_extra
+
+
+def test_txlog_stream_source_admission_control(spark, tmp_path):
+    """max_commits_per_trigger paces the connector stream in steady
+    state: the first planned batch takes the whole backlog (catch-up —
+    the engine asks for latestOffset before revealing the start, so
+    the cap has no anchor yet), then every subsequent micro-batch
+    admits at most one commit: two commits landed together must drain
+    as two separate batches, never one."""
+    import os
+    import shutil
+    import time
+
+    from tests.conftest import TEST_SF_DIR
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries import sinks
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_admission")
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    txlog_source.register(spark)
+    seen = []
+
+    def collect_batch(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", log_dir)
+        .option("max_commits_per_trigger", "1")
+        .load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and not seen:
+            time.sleep(0.5)
+        assert seen and seen[0][1] == 1125, seen  # backlog catch-up batch
+        # two commits land "at once": re-add the logically removed
+        # batch-1 (its file still exists) and a fresh copy of it
+        b1 = os.path.join(data_dir, "batch-1")
+        b4 = os.path.join(data_dir, "batch-4x")
+        shutil.copytree(b1, b4)
+        assert sinks._txlog_attempt_commit(
+            log_dir, 3, [{"commit": 3, "action": "add", "path": b1}]
+        )
+        assert sinks._txlog_attempt_commit(
+            log_dir, 4, [{"commit": 4, "action": "add", "path": b4}]
+        )
+        while time.monotonic() < deadline and sum(n for _, n in seen) < 1875:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    tail = [n for _, n in seen[1:] if n > 0]
+    # one capped batch per commit — a single 750-row batch means the
+    # cap admitted both commits at once
+    assert tail == [375, 375], seen
