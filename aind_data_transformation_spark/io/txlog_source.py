@@ -183,7 +183,9 @@ def _infer_ddl(log_dir: str) -> str:
     return ", ".join(f"`{f.name}` {ddl(f.type)}" for f in schema)
 
 
-def attempt_commit(log_dir: str, version: int, actions, op: str = "WRITE"):
+def attempt_commit(
+    log_dir: str, version: int, actions, op: str = "WRITE", metrics=None
+):
     """ONE optimistic-concurrency commit attempt: atomically create
     ``{version:05d}.json`` (O_CREAT|O_EXCL — the put-if-absent primitive
     Delta uses on object stores). Returns False if a concurrent writer
@@ -215,15 +217,17 @@ def attempt_commit(log_dir: str, version: int, actions, op: str = "WRITE"):
             ),
             default=0,
         )
-        acts.insert(
-            0,
-            {
-                "commit": version,
-                "action": "commitInfo",
-                "op": op,
-                "ts": max(int(time.time() * 1_000_000), prev + 1),
-            },
-        )
+        ci = {
+            "commit": version,
+            "action": "commitInfo",
+            "op": op,
+            "ts": max(int(time.time() * 1_000_000), prev + 1),
+        }
+        if metrics:
+            # operation metrics (Delta's operationMetrics): driver-known
+            # counters only — recording them must never cost a data pass
+            ci["metrics"] = json.dumps(metrics, sort_keys=True)
+        acts.insert(0, ci)
     path = os.path.join(log_dir, f"{version:05d}.json")
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -277,6 +281,67 @@ def _read_part(path: str, names: list, data_dir: str = "",
     yield from table.select(names).to_batches()
 
 
+def _prunes_file(f, add: dict) -> bool:
+    """True iff pushed filter ``f`` PROVES the file behind ``add``
+    holds no matching rows, from the add action's own metadata:
+    partition value (part/part_col) or recorded column bounds
+    (min_key/max_key/stats_col). Conservative by construction — any
+    unprovable case keeps the file, and Spark re-applies every filter
+    post-scan, so pruning is a pure superset guarantee."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    if len(f.attribute) != 1:
+        return False
+    col = f.attribute[0]
+    if add.get("part_col") == col and add.get("part") is not None:
+        v = add["part"]
+        if isinstance(f, EqualTo) and isinstance(f.value, str):
+            return v != f.value
+        if isinstance(f, In):
+            vals = [x for x in f.value if isinstance(x, str)]
+            return len(vals) == len(f.value) and v not in vals
+        return False
+    if (
+        add.get("stats_col") == col
+        and add.get("min_key") is not None
+        and add.get("max_key") is not None
+    ):
+        mn, mx = add["min_key"], add["max_key"]
+        try:
+            if isinstance(f, EqualTo):
+                return f.value < mn or f.value > mx
+            if isinstance(f, GreaterThan):
+                return mx <= f.value
+            if isinstance(f, GreaterThanOrEqual):
+                return mx < f.value
+            if isinstance(f, LessThan):
+                return mn >= f.value
+            if isinstance(f, LessThanOrEqual):
+                return mn > f.value
+            if isinstance(f, In):
+                return all(v < mn or v > mx for v in f.value)
+        except TypeError:
+            return False  # incomparable types: keep the file
+    return False
+
+
+def _live_adds(rows: list) -> dict:
+    """{live path: its winning add action} — the per-file metadata
+    (part values, recorded stats) pruning evaluates against."""
+    last: dict = {}
+    for r in sorted(rows, key=lambda r: (r["commit"], r["action"] or "")):
+        if r["action"] in ("add", "remove") and r.get("path") is not None:
+            last[r["path"]] = r
+    return {p: r for p, r in last.items() if r["action"] == "add"}
+
+
 class TxlogBatchReader(DataSourceReader):
     def __init__(self, options, names):
         self.log_dir = options.get("path")
@@ -285,12 +350,34 @@ class TxlogBatchReader(DataSourceReader):
         #: carries row positions; this format carries keys) — required
         #: only when the log holds live dv actions
         self.dv_key = options.get("dv_key", "")
+        #: filters Spark pushed down (pushFilters) — used ONLY to
+        #: prune whole files at planning time from log metadata
+        self._pushed = []
         if not self.log_dir:
             raise ValueError("txlog source requires a path option")
+
+    def pushFilters(self, filters):
+        """Planning-time file pruning from pushed predicates (the
+        Python DataSource pushdown hook, Spark 4.1): equality/range/IN
+        filters on columns whose bounds the LOG records — partition
+        values of partitioned writes, min/max of stats-recording
+        writes — shrink the file list in ``partitions()``. EVERY
+        filter is returned as residual so Spark re-applies it exactly:
+        metadata pruning is a superset guarantee, never a row filter,
+        so a loose bound can only cost performance, never rows."""
+        self._pushed = list(filters)
+        return filters
 
     def partitions(self):
         rows = _log_rows(self.log_dir)
         live = _live_files(rows)
+        if self._pushed:
+            adds = _live_adds(rows)
+            live = [
+                p
+                for p in live
+                if not any(_prunes_file(f, adds[p]) for f in self._pushed)
+            ]
         dvs = _live_dvs(rows, live)
         if dvs and not self.dv_key:
             raise ValueError(
@@ -409,6 +496,8 @@ class _TxlogWriteCommit(WriterCommitMessage):
         self.n_rows = n_rows
         self.mn = mn
         self.mx = mx
+        #: partitioned writes: list of (tmp_path, partition value, rows)
+        self.parts = None
 
 
 def _writer_dirs(options) -> tuple:
@@ -465,6 +554,56 @@ def _chain(first, rest):
     yield from rest
 
 
+def _stage_partitioned(
+    data_root: str, iterator, partition_col: str
+) -> _TxlogWriteCommit:
+    """Task-side staging for a PARTITIONED write: each Arrow batch is
+    split by the partition column's values (pyarrow compute — columnar
+    masks, no Python rows) and streamed into one temp parquet file per
+    partition value seen by this task. Returns the (tmp, value, rows)
+    triples in ``parts`` — the driver groups them into per-partition
+    data dirs and per-partition add actions."""
+    import uuid
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    writers: dict = {}
+    counts: dict = {}
+    paths: dict = {}
+    n_total = 0
+    try:
+        for b in iterator:
+            if b.num_rows == 0:
+                continue
+            col = b.column(partition_col)
+            if col.null_count:
+                raise ValueError(
+                    f"partition column {partition_col!r} must be non-null"
+                )
+            for v in pc.unique(col).to_pylist():
+                mask = pc.equal(col, v)
+                sub = b.filter(mask)
+                w = writers.get(v)
+                if w is None:
+                    tmp_dir = os.path.join(data_root, "_ds_tmp")
+                    os.makedirs(tmp_dir, exist_ok=True)
+                    paths[v] = os.path.join(
+                        tmp_dir, f"stage-{uuid.uuid4().hex}.parquet"
+                    )
+                    w = writers[v] = pq.ParquetWriter(paths[v], b.schema)
+                    counts[v] = 0
+                w.write_batch(sub)
+                counts[v] += sub.num_rows
+                n_total += sub.num_rows
+    finally:
+        for w in writers.values():
+            w.close()
+    msg = _TxlogWriteCommit(None, n_total)
+    msg.parts = [(paths[v], str(v), counts[v]) for v in sorted(paths)]
+    return msg
+
+
 def _publish(msgs, final_dir: str) -> None:
     """Rename the tasks' temp files into the commit's data dir with
     part-file names the replay readers glob (`_part_files`)."""
@@ -477,9 +616,13 @@ def _publish(msgs, final_dir: str) -> None:
 
 def _drop_temps(messages) -> None:
     for m in messages:
-        if m is not None and m.tmp_path:
+        if m is None:
+            continue
+        tmps = [m.tmp_path] if m.tmp_path else []
+        tmps += [t for t, _, _ in (m.parts or [])]
+        for t in tmps:
             try:
-                os.remove(m.tmp_path)
+                os.remove(t)
             except FileNotFoundError:
                 pass
 
@@ -526,8 +669,26 @@ class TxlogBatchWriter(DataSourceArrowWriter):
             raise ValueError(
                 f"stats_col {self.stats_col!r} not in write schema"
             )
+        #: Hive/Delta-style partitioned layout: tasks split their Arrow
+        #: batches by this column's value; the commit publishes one
+        #: data dir per partition value and one ``part``-valued add
+        #: action each, so partition-pruned reads
+        #: (queries/sinks._txlog_part_live) plan on pure log metadata
+        self.partition_col = options.get("partition_col", "")
+        if self.partition_col and self.partition_col not in self.names:
+            raise ValueError(
+                f"partition_col {self.partition_col!r} not in write schema"
+            )
+        if self.partition_col and self.stats_col:
+            raise ValueError(
+                "partition_col and stats_col are mutually exclusive"
+            )
 
     def write(self, iterator):
+        if self.partition_col:
+            return _stage_partitioned(
+                self.data_root, iterator, self.partition_col
+            )
         return _stage_batches(self.data_root, iterator, self.stats_col)
 
     def commit(self, messages):
@@ -540,7 +701,25 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         final_dir = os.path.join(
             self.data_root, f"ds-write-{uuid.uuid4().hex[:8]}"
         )
-        if msgs:
+        part_adds = []
+        if self.partition_col:
+            from urllib.parse import quote
+
+            groups: dict = {}
+            for m in messages:
+                for tmp, v, _ in (m.parts or []) if m else []:
+                    groups.setdefault(v, []).append(tmp)
+            for v in sorted(groups):
+                pdir = os.path.join(
+                    final_dir, f"{self.partition_col}={quote(v, safe='')}"
+                )
+                os.makedirs(pdir, exist_ok=True)
+                for k, tmp in enumerate(groups[v]):
+                    os.replace(
+                        tmp, os.path.join(pdir, f"part-{k:05d}.parquet")
+                    )
+                part_adds.append((pdir, v))
+        elif msgs:
             _publish(msgs, final_dir)
         for _ in range(_WRITE_MAX_RETRIES):
             rows = _log_rows(self.log_dir)
@@ -551,7 +730,18 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     {"commit": version, "action": "remove", "path": p}
                     for p in _live_files(rows)
                 ]
-            if msgs and self.stats_col:
+            if part_adds:
+                actions += [
+                    {
+                        "commit": version,
+                        "action": "add",
+                        "path": pdir,
+                        "part": v,
+                        "part_col": self.partition_col,
+                    }
+                    for pdir, v in part_adds
+                ]
+            elif msgs and self.stats_col:
                 # Delta's shape: one add PER FILE, each carrying that
                 # task's exact stats — a range-partitioned write yields
                 # per-file key ranges the stats-skipping reader prunes
@@ -565,6 +755,9 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                         ),
                         "min_key": m.mn,
                         "max_key": m.mx,
+                        # which column the bounds describe — lets the
+                        # reader's pushFilters prune without options
+                        "stats_col": self.stats_col,
                     }
                     for k, m in enumerate(msgs)
                 ]
@@ -690,5 +883,13 @@ class TxlogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration: ``spark.read.format('txlog')``."""
+    """Idempotent registration: ``spark.read.format('txlog')``.
+
+    Also enables Python data source filter pushdown (a runtime SQL
+    conf, default false in Spark 4.1): the batch reader implements
+    ``pushFilters``, and Spark HARD-FAILS a pushFilters-implementing
+    reader when the conf is off rather than silently skipping pruning
+    — so the connector's one registration entry point turns it on,
+    vanilla driver sessions included."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxlogDataSource)

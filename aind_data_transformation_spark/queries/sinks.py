@@ -875,7 +875,7 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
     sch = (
         "commit long, action string, path string, target string,"
         " constraint string, part string, schema string,"
-        " ts long, op string"
+        " ts long, op string, metrics string"
     )
     ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
     tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
@@ -954,7 +954,7 @@ class TxlogConflictError(RuntimeError):
 
 
 def _txlog_attempt_commit(
-    log_dir: str, version: int, actions, op: str = "WRITE"
+    log_dir: str, version: int, actions, op: str = "WRITE", metrics=None
 ) -> bool:
     """ONE optimistic-concurrency commit attempt (put-if-absent on the
     version file). Delegates to the connector's `attempt_commit`
@@ -967,7 +967,7 @@ def _txlog_attempt_commit(
         attempt_commit,
     )
 
-    return attempt_commit(log_dir, version, actions, op=op)
+    return attempt_commit(log_dir, version, actions, op=op, metrics=metrics)
 
 
 #: commit-race retry budget for the mutating txlog operations
@@ -1111,7 +1111,16 @@ def txlog_merge(
         touched_set = set(touched)
         while True:
             attempt += 1
-            if _txlog_attempt_commit(log_dir, version, actions, op="MERGE"):
+            if _txlog_attempt_commit(
+                log_dir,
+                version,
+                actions,
+                op="MERGE",
+                metrics={
+                    "n_removed_files": len(touched),
+                    "n_added_files": 1,
+                },
+            ):
                 return {
                     "version": version,
                     "touched": touched,
@@ -2561,12 +2570,13 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
                 g(r, "schema"),
                 g(r, "ts"),
                 g(r, "op"),
+                g(r, "metrics"),
             )
             for r in state.values()
         ],
         "commit long, action string, path string, target string,"
         " constraint string, part string, schema string,"
-        " ts long, op string",
+        " ts long, op string, metrics string",
     ).write.mode("overwrite").parquet(ckpt_dir)
     for i in range(version + 1):
         f = os.path.join(log_dir, f"{i:05d}.json")
@@ -4829,6 +4839,229 @@ QUERIES["sink_txlog_datasource_write_stats"] = (
     q_sink_txlog_datasource_write_stats
 )
 ORACLES["sink_txlog_datasource_write_stats"] = f"""
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+        FROM orders
+    ), bounds AS (
+        SELECT kmin + (kmax - kmin) * {_STATS_LO_PCT} // 100 AS lo,
+               kmin + (kmax - kmin) * {_STATS_HI_PCT} // 100 AS hi
+        FROM b
+    )
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(o_orderkey)::BIGINT AS sum_keys,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders CROSS JOIN bounds
+    WHERE o_orderkey BETWEEN lo AND hi
+"""
+
+
+def q_stream_txlog_cdf_consume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental CHANGE-DATA-FEED consumption — Delta's streaming
+    ``readChangeFeed`` mechanic on this log: a consumer checkpointed at
+    version v drains the feed one commit window at a time (offsets are
+    commit versions, exactly like the txlog stream source), each batch
+    reconstructing row-level changes from ONLY that window's log diff.
+    Two mutation epochs land after the 3-commit fixture: the CoW MERGE
+    (version 3) and a merge-on-read DV DELETE of the %4=3,%5=0 keys
+    (version 4) — so the accumulated feed must contain the merge's
+    insert/delete/update images under window 3 AND the MoR deletes'
+    pre-images under window 4, each tagged with its window. The oracle
+    restates both windows from the mutations' defining predicates; that
+    the per-window accumulation equals the one-shot (2,4] feed is
+    asserted in tests/test_sinks.py.
+
+    Scale: per-batch cost ∝ the window's changed bytes (the same
+    guarantee as the incremental reader); nothing rescans the table."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_cdf_stream")
+    txlog_merge(spark, log_dir, _merge_changes(spark, sf_dir), "o_orderkey")
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, sf_dir, "orders")
+        .where((k % 4 == 3) & (k % 5 == 0))
+        .select("o_orderkey")
+    )
+    txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    out = None
+    for v in (3, 4):
+        agg = (
+            txlog_table_changes(
+                spark,
+                log_dir,
+                "o_orderkey",
+                from_version=v - 1,
+                to_version=v,
+            )
+            .groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("o_orderkey").cast("long").alias("sum_keys"),
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                ).cast("long").alias("sum_price_cents"),
+            )
+            .withColumn("win_to", F.lit(v).cast("long"))
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "win_to", "_change_type", "n_rows", "sum_keys", "sum_price_cents"
+    )
+
+
+QUERIES["stream_txlog_cdf_consume"] = q_stream_txlog_cdf_consume
+ORACLES["stream_txlog_cdf_consume"] = """
+    WITH feed3 AS (
+        SELECT 'delete' AS _change_type, o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 = 0
+        UNION ALL
+        SELECT 'insert', o_orderkey + 100000000, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT 'update_preimage', o_orderkey, o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+        UNION ALL
+        SELECT 'update_postimage', o_orderkey, o_totalprice + 10
+        FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 5 = 0
+    )
+    SELECT CAST(3 AS BIGINT) AS win_to, _change_type,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(o_orderkey)::BIGINT AS sum_keys,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM feed3 GROUP BY _change_type
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'delete',
+           COUNT(*)::BIGINT,
+           SUM(o_orderkey)::BIGINT,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders WHERE o_orderkey % 4 = 3 AND o_orderkey % 5 = 0
+"""
+
+
+def q_sink_txlog_datasource_write_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hive/Delta-style PARTITIONED write through the connector:
+    ``.option("partition_col", "o_orderstatus")`` makes each write task
+    split its Arrow batches by partition value (columnar masks, no
+    Python rows) and the commit publish one data dir + one
+    ``part``-valued add action per partition — the same metadata shape
+    `sink_txlog_replace_where` mutates, so partition-pruned reads plan
+    on pure log metadata from day one. The result carries partitions
+    live vs opened for a single-status read (3 order statuses -> open
+    exactly 1) plus the scanned aggregate; the oracle restates all of
+    it. A reader that opened a partition it could prove irrelevant, or
+    a writer that misrouted rows across partition dirs, breaks the
+    hash (misrouted rows change the scanned aggregate)."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    base = _scratch(sf_dir, "txlog_ds_write_part")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.write.format("txlog")
+        .mode("append")
+        .option("partition_col", "o_orderstatus")
+        .save(log_dir)
+    )
+    pairs = _txlog_part_live(_txlog_part_log_rows(spark, log_dir))
+    opened = sorted(p for p, v in pairs if v == "F")
+    # read back through the CONNECTOR: Spark pushes the partition
+    # filter into the reader (pushFilters), which prunes the other
+    # partitions' dirs at planning time — end-to-end partition
+    # pushdown, unit-asserted at the reader level in tests
+    snap = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .where(F.col("o_orderstatus") == "F")
+    )
+    return snap.agg(
+        F.lit(len(pairs)).cast("long").alias("n_parts_live"),
+        F.lit(len(opened)).cast("long").alias("n_parts_opened"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+QUERIES["sink_txlog_datasource_write_partitioned"] = (
+    q_sink_txlog_datasource_write_partitioned
+)
+ORACLES["sink_txlog_datasource_write_partitioned"] = """
+    SELECT (SELECT COUNT(DISTINCT o_orderstatus) FROM orders)::BIGINT
+               AS n_parts_live,
+           CAST(1 AS BIGINT) AS n_parts_opened,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(o_orderkey)::BIGINT AS sum_keys,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_scan_txlog_datasource_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Range-filter pushdown through the connector (Spark 4.1's Python
+    DataSource ``pushFilters`` hook): a connector-written table with
+    per-file o_orderkey stats, read back through
+    ``spark.read.format("txlog")`` with a key-range predicate Spark
+    pushes into the reader — which prunes whole files at PLANNING time
+    from the log's recorded min/max alone. Every filter is also
+    returned as residual so Spark re-applies it (pruning is a superset
+    guarantee), and the hashed aggregate proves no row was lost or
+    leaked. That the file list genuinely shrinks (strict subset of the
+    8 stats-ranged files; partition-value pruning likewise) is
+    asserted at the reader level in tests/test_sinks.py; the
+    partition-pushdown end-to-end read lives in
+    `sink_txlog_datasource_write_partitioned`."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    base = _scratch(sf_dir, "txlog_ds_pruned")
+    shutil.rmtree(base, ignore_errors=True)
+    txlog_source.register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    stats_log = os.path.join(base, "stats", "_log")
+    (
+        orders.repartitionByRange(_STATS_BUCKETS, "o_orderkey")
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "o_orderkey")
+        .save(stats_log)
+    )
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    lo = kmin + (kmax - kmin) * _STATS_LO_PCT // 100
+    hi = kmin + (kmax - kmin) * _STATS_HI_PCT // 100
+    return (
+        spark.read.format("txlog")
+        .option("path", stats_log)
+        .load()
+        .where(F.col("o_orderkey").between(lo, hi))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_keys"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+    )
+
+
+QUERIES["scan_txlog_datasource_pruned"] = q_scan_txlog_datasource_pruned
+ORACLES["scan_txlog_datasource_pruned"] = f"""
     WITH b AS (
         SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
         FROM orders

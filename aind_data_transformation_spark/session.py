@@ -39,6 +39,9 @@ BUILD_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.parquet.filterPushdown": "true",
+    # Python DataSource pushFilters (the txlog connector implements it;
+    # Spark hard-fails such a reader when this is off)
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
 }
 

@@ -124,6 +124,11 @@ def main() -> None:
         spark.read.format("txlog").option(
             "path", os.path.join(tiny, "_log")
         ).load().count()
+        # a FILTERED read plans through the pushFilters worker path —
+        # warm it too so the pruned-scan keys measure the scan
+        spark.read.format("txlog").option(
+            "path", os.path.join(tiny, "_log")
+        ).load().where("o_orderkey >= 0").count()
         # the WRITE half runs Arrow-serializer python workers of its
         # own — one 2-row connector write adopts that pool too, so the
         # first sink_txlog_datasource_write* key measures the write,

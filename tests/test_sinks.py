@@ -2236,3 +2236,197 @@ def test_txlog_restore_by_timestamp_and_op_audit(spark):
         sinks.txlog_restore(spark, log_dir)
     with pytest.raises(ValueError, match="exactly one"):
         sinks.txlog_restore(spark, log_dir, to_version=1, to_ts=1)
+
+
+def test_txlog_commit_operation_metrics(spark):
+    """commitInfo carries operation metrics (Delta's operationMetrics)
+    for the mutators that know them driver-side: a MERGE's commit
+    records exactly how many files it tombstoned and added — numbers a
+    storage auditor can reconcile against the commit's own
+    add/remove actions — and they survive log checkpoint compaction."""
+    import json as _json
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_opmetrics")
+    res = sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+
+    def merge_ci(rows):
+        return next(
+            r
+            for r in rows
+            if r["action"] == "commitInfo" and r["commit"] == res["version"]
+        )
+
+    rows = sinks._txlog_log_rows(spark, log_dir)
+    m = _json.loads(merge_ci(rows)["metrics"])
+    assert m == {
+        "n_removed_files": len(res["touched"]),
+        "n_added_files": 1,
+    }
+    # reconcile against the commit's own actions
+    acts = [r for r in rows if r["commit"] == res["version"]]
+    assert m["n_removed_files"] == sum(
+        1 for r in acts if r["action"] == "remove"
+    )
+    assert m["n_added_files"] == sum(1 for r in acts if r["action"] == "add")
+    sinks.txlog_checkpoint(spark, log_dir, res["version"])
+    m2 = _json.loads(
+        merge_ci(sinks._txlog_log_rows(spark, log_dir))["metrics"]
+    )
+    assert m2 == m
+
+
+def test_txlog_cdf_incremental_equals_one_shot(spark):
+    """The streaming-CDF guarantee: per-commit window consumption
+    accumulates to exactly the one-shot multi-version feed — no change
+    duplicated across windows, none lost at a boundary."""
+    from tests.conftest import canon_frame
+
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_cdf_inc")
+    sinks.txlog_merge(
+        spark, log_dir, sinks._merge_changes(spark, TEST_SF_DIR), "o_orderkey"
+    )
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where("o_orderkey % 4 = 3 AND o_orderkey % 5 = 0")
+        .select("o_orderkey")
+    )
+    sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+
+    def feed(f, t):
+        return sinks.txlog_table_changes(
+            spark, log_dir, "o_orderkey", from_version=f, to_version=t
+        )
+
+    acc = feed(2, 3).unionByName(feed(3, 4)).toPandas()
+    one = feed(2, 4).toPandas()
+    assert canon_frame(acc) == canon_frame(one)
+
+
+def test_txlog_ds_writer_partitioned_layout(spark):
+    """Partitioned connector writes beyond the row oracle: each add
+    action's ``part`` value matches its dir name; every file under a
+    partition dir holds ONLY that partition's rows; option validation
+    (unknown column, stats_col conflict) fails before any write."""
+    import shutil
+    from urllib.parse import quote
+
+    import pyarrow.parquet as pq
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_part_layout")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.write.format("txlog")
+        .mode("append")
+        .option("partition_col", "o_orderstatus")
+        .save(log_dir)
+    )
+    pairs = sinks._txlog_part_live(
+        sinks._txlog_part_log_rows(spark, log_dir)
+    )
+    assert sorted(v for _, v in pairs) == ["F", "O", "P"]
+    total = 0
+    for pdir, v in pairs:
+        assert pdir.endswith(f"o_orderstatus={quote(v, safe='')}")
+        for f in os.listdir(pdir):
+            t = pq.read_table(os.path.join(pdir, f), columns=["o_orderstatus"])
+            vals = set(t.column("o_orderstatus").to_pylist())
+            assert vals == {v}, (pdir, f, vals)
+            total += t.num_rows
+    assert total == orders.count()
+
+    with pytest.raises(Exception, match="not in write schema"):
+        orders.write.format("txlog").mode("append").option(
+            "partition_col", "nope"
+        ).save(log_dir)
+    with pytest.raises(Exception, match="mutually exclusive"):
+        orders.write.format("txlog").mode("append").option(
+            "partition_col", "o_orderstatus"
+        ).option("stats_col", "o_orderkey").save(log_dir)
+
+
+def test_txlog_ds_reader_pushdown_prunes_files(spark):
+    """pushFilters-level pruning contract: partition EqualTo/In prunes
+    whole partition dirs, range filters on the stats column prune
+    files by recorded min/max, every filter stays residual (Spark
+    re-applies), unprovable or incomparable filters keep all files,
+    and reads through the real Spark path stay exact."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        In,
+        LessThanOrEqual,
+        StringContains,
+    )
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_pushdown_unit")
+    shutil.rmtree(base, ignore_errors=True)
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    part_log = os.path.join(base, "part", "_log")
+    orders.write.format("txlog").mode("append").option(
+        "partition_col", "o_orderstatus"
+    ).save(part_log)
+    stats_log = os.path.join(base, "stats", "_log")
+    orders.repartitionByRange(8, "o_orderkey").write.format("txlog").mode(
+        "append"
+    ).option("stats_col", "o_orderkey").save(stats_log)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+
+    r = txlog_source.TxlogBatchReader({"path": part_log}, cols)
+    n_all = len(r.partitions())
+    residual = list(r.pushFilters([EqualTo(("o_orderstatus",), "F")]))
+    assert len(residual) == 1  # every filter re-applied by Spark
+    assert len(r.partitions()) == 1 < n_all
+    r2 = txlog_source.TxlogBatchReader({"path": part_log}, cols)
+    r2.pushFilters([In(("o_orderstatus",), ("F", "O"))])
+    assert len(r2.partitions()) == 2
+    # a filter the metadata can't prove keeps everything
+    r3 = txlog_source.TxlogBatchReader({"path": part_log}, cols)
+    r3.pushFilters([StringContains(("o_orderstatus",), "F")])
+    assert len(r3.partitions()) == n_all
+
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    mid = (kmin + kmax) // 2
+    s = txlog_source.TxlogBatchReader({"path": stats_log}, cols)
+    s_all = len(s.partitions())
+    s.pushFilters([GreaterThan(("o_orderkey",), mid)])
+    upper = len(s.partitions())
+    assert 0 < upper < s_all
+    s2 = txlog_source.TxlogBatchReader({"path": stats_log}, cols)
+    s2.pushFilters(
+        [GreaterThan(("o_orderkey",), mid), LessThanOrEqual(("o_orderkey",), mid + 1)]
+    )
+    assert len(s2.partitions()) <= 2  # AND semantics: a point range
+
+    # real Spark read through the pushdown path stays exact
+    got = (
+        spark.read.format("txlog")
+        .option("path", stats_log)
+        .load()
+        .where(f"o_orderkey > {mid}")
+        .count()
+    )
+    assert got == orders.where(f"o_orderkey > {mid}").count()
