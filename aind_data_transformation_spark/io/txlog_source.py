@@ -116,20 +116,92 @@ def _incremental_files(rows: list, start: int, end: int) -> list:
     return sorted(added & live_at_end)
 
 
-def _live_dvs(rows: list, live: list) -> dict:
+def _live_dvs(rows: list, live: list, as_of=None) -> dict:
     """Deletion-vector applicability from pure log metadata (matching
     queries/sinks._txlog_live_dvs): sidecar -> its targets, kept only
-    where a target is still live. Returned as {target data dir:
-    [sidecar paths]} so each partition can resolve its own tombstones
+    where a target is still live (and, for time travel, only DVs
+    committed at or before ``as_of`` — later deletes must not apply to
+    an earlier snapshot). Returned as {target data dir: [sidecar
+    paths]} so each partition can resolve its own tombstones
     executor-side."""
     live_set = set(live)
     by_target: dict = {}
     for r in rows:
+        if as_of is not None and r["commit"] > as_of:
+            continue
         if r.get("action") == "dv" and r.get("path") is not None:
             t = r.get("target")
             if t in live_set:
                 by_target.setdefault(t, []).append(r["path"])
     return by_target
+
+
+def _resolve_as_of(rows: list, options) -> "int | None":
+    """Time-travel resolution for the reader options: ``version_as_of``
+    (a commit number) or ``timestamp_as_of`` (microseconds, resolved to
+    the latest commit whose commitInfo ts <= t — the same rule as the
+    engine's AS OF TIMESTAMP). None = head."""
+    v = options.get("version_as_of")
+    t = options.get("timestamp_as_of")
+    if v is not None and t is not None:
+        raise ValueError(
+            "pass at most one of version_as_of / timestamp_as_of"
+        )
+    if v is not None:
+        return int(v)
+    if t is not None:
+        ts = int(t)
+        cand = [
+            r["commit"]
+            for r in rows
+            if r.get("action") == "commitInfo"
+            and r.get("ts") is not None
+            and r["ts"] <= ts
+        ]
+        if not cand:
+            raise ValueError(
+                f"no commit at or before timestamp {ts}; table history"
+                " begins later"
+            )
+        return max(cand)
+    return None
+
+
+#: Spark DDL type -> pyarrow type factory, for null-filling columns a
+#: pre-evolution file lacks (inverse of _infer_ddl's mapping)
+def _arrow_type(ddl: str):
+    import pyarrow as pa
+
+    m = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us"),
+    }
+    if ddl in m:
+        return m[ddl]
+    raise ValueError(f"unsupported mapped column type: {ddl}")
+
+
+def _mapping_as_of(rows: list, as_of=None):
+    """The column mapping in force at ``as_of`` (None = head): latest
+    metaData action whose schema payload is a JSON mapping document.
+    None when the table is unmapped."""
+    cand = [
+        r
+        for r in rows
+        if r["action"] == "metaData"
+        and (as_of is None or r["commit"] <= as_of)
+        and r.get("schema")
+        and str(r["schema"]).lstrip().startswith("{")
+    ]
+    if not cand:
+        return None
+    return json.loads(max(cand, key=lambda r: r["commit"])["schema"])
 
 
 def _part_files(data_dirs: list) -> list:
@@ -148,12 +220,22 @@ def _part_files(data_dirs: list) -> list:
     return out
 
 
-def _infer_ddl(log_dir: str) -> str:
-    """Spark DDL from the first live file's parquet footer (pyarrow) —
-    the same footer-driven inference a JVM parquet scan performs."""
+def _infer_ddl(log_dir: str, options=None) -> str:
+    """Spark DDL for the table at the requested snapshot: a
+    column-MAPPED table's schema is its mapping's logical names/types
+    (the log owns the schema, files only know physical names);
+    otherwise the first live file's parquet footer (pyarrow) — the
+    same footer-driven inference a JVM parquet scan performs."""
     import pyarrow.parquet as pq
 
-    live = _live_files(_log_rows(log_dir))
+    rows = _log_rows(log_dir)
+    as_of = _resolve_as_of(rows, options or {})
+    mapping = _mapping_as_of(rows, as_of)
+    if mapping is not None:
+        return ", ".join(
+            f"`{c['name']}` {c['type']}" for c in mapping["columns"]
+        )
+    live = _live_files(rows, as_of=as_of)
     if not live:
         raise ValueError(f"txlog table has no live files: {log_dir}")
     parts = _part_files(live[:1])
@@ -240,24 +322,52 @@ def attempt_commit(
 
 
 class _PartFilePartition(InputPartition):
-    def __init__(self, path: str, data_dir: str = "", dv_paths=None):
+    def __init__(self, path: str, data_dir: str = "", dv_paths=None,
+                 colmap=None):
         self.path = path
         self.data_dir = data_dir
         self.dv_paths = dv_paths or []
+        #: logical -> (physical, ddl type) when the snapshot is
+        #: column-mapped; pickled WITH the partition so executors see
+        #: the planning-time mapping (only pushFilters-era self
+        #: mutations are guaranteed visible to read())
+        self.colmap = colmap
 
 
 def _read_part(path: str, names: list, data_dir: str = "",
-               dv_paths=None, dv_key: str = ""):
+               dv_paths=None, dv_key: str = "", colmap=None):
     """Executor-side decode of one parquet part file via pyarrow,
     yielding whole Arrow RecordBatches (the Spark 4 Python DataSource
     fast path — columnar hand-off, no per-row Python tuples). When the
     file has live deletion vectors, their keys are anti-filtered HERE,
     still columnar (pyarrow compute is_in): merge-on-read tables read
     through the connector see exactly what the engine's DV-aware replay
-    sees, never resurrected rows."""
+    sees, never resurrected rows. A column-MAPPED table's files are
+    read under their PHYSICAL names and projected to logical; a
+    physical column the file predates (re-ADD after DROP binds a fresh
+    physical name) null-fills — so dropped data can never resurrect
+    through the connector either."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if colmap:
+        import pyarrow as pa
+
+        avail = set(pq.read_schema(path).names)
+        present = [colmap[n][0] for n in names if colmap[n][0] in avail]
+        table = pq.read_table(path, columns=present)
+        cols, fields = [], []
+        for n in names:
+            phys, ddl = colmap[n]
+            typ = _arrow_type(ddl)
+            if phys in avail:
+                col = table.column(phys).cast(typ)
+            else:
+                col = pa.nulls(table.num_rows, type=typ)
+            cols.append(col)
+            fields.append(pa.field(n, typ))
+        yield from pa.table(cols, schema=pa.schema(fields)).to_batches()
+        return
     if not (dv_paths and dv_key):
         yield from pq.read_table(path, columns=names).to_batches()
         return
@@ -332,11 +442,13 @@ def _prunes_file(f, add: dict) -> bool:
     return False
 
 
-def _live_adds(rows: list) -> dict:
+def _live_adds(rows: list, as_of=None) -> dict:
     """{live path: its winning add action} — the per-file metadata
     (part values, recorded stats) pruning evaluates against."""
     last: dict = {}
     for r in sorted(rows, key=lambda r: (r["commit"], r["action"] or "")):
+        if as_of is not None and r["commit"] > as_of:
+            continue
         if r["action"] in ("add", "remove") and r.get("path") is not None:
             last[r["path"]] = r
     return {p: r for p, r in last.items() if r["action"] == "add"}
@@ -350,11 +462,21 @@ class TxlogBatchReader(DataSourceReader):
         #: carries row positions; this format carries keys) — required
         #: only when the log holds live dv actions
         self.dv_key = options.get("dv_key", "")
+        #: time travel: version_as_of / timestamp_as_of reader options
+        #: (resolved against the log at planning time)
+        self.version_as_of = options.get("version_as_of")
+        self.timestamp_as_of = options.get("timestamp_as_of")
         #: filters Spark pushed down (pushFilters) — used ONLY to
         #: prune whole files at planning time from log metadata
         self._pushed = []
         if not self.log_dir:
             raise ValueError("txlog source requires a path option")
+
+    def _as_of_opts(self) -> dict:
+        return {
+            "version_as_of": self.version_as_of,
+            "timestamp_as_of": self.timestamp_as_of,
+        }
 
     def pushFilters(self, filters):
         """Planning-time file pruning from pushed predicates (the
@@ -370,23 +492,35 @@ class TxlogBatchReader(DataSourceReader):
 
     def partitions(self):
         rows = _log_rows(self.log_dir)
-        live = _live_files(rows)
+        as_of = _resolve_as_of(rows, self._as_of_opts())
+        mapping = _mapping_as_of(rows, as_of)
+        live = _live_files(rows, as_of=as_of)
         if self._pushed:
-            adds = _live_adds(rows)
+            adds = _live_adds(rows, as_of=as_of)
             live = [
                 p
                 for p in live
                 if not any(_prunes_file(f, adds[p]) for f in self._pushed)
             ]
-        dvs = _live_dvs(rows, live)
+        dvs = _live_dvs(rows, live, as_of=as_of)
+        if dvs and mapping is not None:
+            raise ValueError(
+                "txlog reader: column-mapped tables with live deletion"
+                " vectors are not supported through the connector yet"
+            )
         if dvs and not self.dv_key:
             raise ValueError(
                 "txlog table has live deletion vectors; pass "
                 ".option('dv_key', <key column>) so the reader can "
                 "apply them"
             )
+        colmap = (
+            {c["name"]: (c["physical"], c["type"]) for c in mapping["columns"]}
+            if mapping is not None
+            else None
+        )
         return [
-            _PartFilePartition(p, d, dvs.get(d, []))
+            _PartFilePartition(p, d, dvs.get(d, []), colmap)
             for d in live
             for p in _part_files([d])
         ]
@@ -398,6 +532,7 @@ class TxlogBatchReader(DataSourceReader):
             partition.data_dir,
             partition.dv_paths,
             self.dv_key,
+            partition.colmap,
         )
 
 
@@ -865,7 +1000,7 @@ class TxlogDataSource(DataSource):
         return "txlog"
 
     def schema(self):
-        return _infer_ddl(self.options.get("path"))
+        return _infer_ddl(self.options.get("path"), self.options)
 
     def reader(self, schema):
         return TxlogBatchReader(self.options, [f.name for f in schema.fields])

@@ -5077,3 +5077,103 @@ ORACLES["scan_txlog_datasource_pruned"] = f"""
     FROM orders CROSS JOIN bounds
     WHERE o_orderkey BETWEEN lo AND hi
 """
+
+
+def q_scan_txlog_datasource_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time travel through the CONNECTOR (Delta's versionAsOf /
+    timestampAsOf reader options): the 4-commit fixture read at
+    ``version_as_of=1`` and at ``timestamp_as_of`` probes resolved by
+    the commit provenance (latest commitInfo ts <= t — the same rule
+    the engine's AS OF TIMESTAMP uses, now in the reader's planning
+    path). Each probe's snapshot must hash-equal the resolved
+    version's replay; deletion vectors committed AFTER the travel
+    point provably do not apply (the as_of-scoped DV resolution) —
+    that case is pinned in tests/test_sinks.py."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    log_dir = _build_txlog_table_with_delete(
+        spark, sf_dir, "txlog_table_ds_tt"
+    )
+    txlog_source.register(spark)
+
+    def agg(df, probe):
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+                ).cast("long").alias("sum_price_cents"),
+            )
+            .select(F.lit(probe).alias("probe"), "*")
+        )
+
+    v1 = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("version_as_of", "1")
+        .load()
+    )
+    t150 = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("timestamp_as_of", str(_TXLOG_TS0 + 150_000_000))
+        .load()
+    )
+    return agg(v1, "version_1").unionByName(agg(t150, "ts_plus_150s"))
+
+
+QUERIES["scan_txlog_datasource_time_travel"] = (
+    q_scan_txlog_datasource_time_travel
+)
+ORACLES["scan_txlog_datasource_time_travel"] = """
+    SELECT 'version_1' AS probe, o_orderstatus,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders WHERE o_orderkey % 4 IN (0, 2)
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ts_plus_150s', o_orderstatus,
+           COUNT(*)::BIGINT,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+    FROM orders WHERE o_orderkey % 4 != 1
+    GROUP BY o_orderstatus
+"""
+
+
+def q_scan_txlog_datasource_mapped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A column-MAPPED table read through the CONNECTOR: the log owns
+    the schema (the mapping's logical names/types — ``schema()``
+    serves them, never a footer), executors read each file under its
+    PHYSICAL names and project to logical, and a physical column a
+    file predates (the re-ADDed o_custkey) null-fills — so the
+    connector shows exactly what the engine's mapped read shows,
+    dropped bytes stay unreachable, and external Spark jobs survive
+    RENAME/DROP/re-ADD without coordination. Must hash-equal
+    `sink_txlog_column_mapping`'s oracle."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    log_dir = _build_txlog_mapped_table(
+        spark, sf_dir, "txlog_table_ds_colmap"
+    )
+    txlog_source.register(spark)
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    return snap.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(price * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+        F.count("o_custkey").cast("long").alias("n_cust"),
+        F.sum(F.coalesce("o_custkey", F.lit(0)))
+        .cast("long")
+        .alias("sum_cust"),
+    )
+
+
+QUERIES["scan_txlog_datasource_mapped"] = q_scan_txlog_datasource_mapped
+ORACLES["scan_txlog_datasource_mapped"] = ORACLES["sink_txlog_column_mapping"]

@@ -2430,3 +2430,58 @@ def test_txlog_ds_reader_pushdown_prunes_files(spark):
         .count()
     )
     assert got == orders.where(f"o_orderkey > {mid}").count()
+
+
+def test_txlog_ds_reader_time_travel_scopes_dvs(spark):
+    """Connector time travel beyond the row oracle: a DV committed at
+    version N must NOT apply when reading as of N-1 (the as_of-scoped
+    DV resolution), while the head read still needs dv_key; and the
+    two as_of options are mutually exclusive."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_ds_tt_dv")
+    pre = sinks._txlog_read(spark, log_dir, as_of=None).toPandas()
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where("o_orderkey % 8 = 0")
+        .select("o_orderkey")
+    )
+    res = sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    txlog_source.register(spark)
+
+    # as of the pre-DV version: full snapshot, NO dv_key required
+    old = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("version_as_of", str(res["version"] - 1))
+        .load()
+    )
+    from tests.conftest import canon_frame
+
+    got = (
+        old.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+        .toPandas()
+    )
+    assert canon_frame(got) == canon_frame(pre)
+    # head read still enforces the DV guard
+    with pytest.raises(Exception, match="deletion vectors"):
+        spark.read.format("txlog").option("path", log_dir).load().count()
+    with pytest.raises(Exception, match="at most one"):
+        (
+            spark.read.format("txlog")
+            .option("path", log_dir)
+            .option("version_as_of", "1")
+            .option("timestamp_as_of", "1")
+            .load()
+            .count()
+        )
