@@ -99,7 +99,7 @@ def test_txlog_merge_survives_commit_race(spark, monkeypatch):
     real = sinks._txlog_attempt_commit
     state = {"injected": False}
 
-    def racy(log_dir_, version, actions):
+    def racy(log_dir_, version, actions, **kw):
         if not state["injected"]:
             state["injected"] = True
             # the winner: a benign re-add of the already-live batch-3
@@ -118,7 +118,7 @@ def test_txlog_merge_survives_commit_race(spark, monkeypatch):
                     )
                     + "\n"
                 )
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
     res = sinks.txlog_merge(
@@ -171,7 +171,7 @@ def test_txlog_merge_disjoint_writers_skip_recompute(spark, monkeypatch):
     real = sinks._txlog_attempt_commit
     state = {"injected": False}
 
-    def racy(log_dir_, version, actions):
+    def racy(log_dir_, version, actions, **kw):
         if not state["injected"]:
             state["injected"] = True
             # writer B: a complete merge that wins version 3
@@ -180,7 +180,7 @@ def test_txlog_merge_disjoint_writers_skip_recompute(spark, monkeypatch):
             )
             assert res_b["version"] == 3
             assert res_b["attempts"] == 1 and res_b["recomputes"] == 0
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
     res_a = sinks.txlog_merge(spark, log_dir, a_changes, "o_orderkey")
@@ -236,11 +236,11 @@ def test_txlog_merge_overlapping_writers_do_recompute(spark, monkeypatch):
     real = sinks._txlog_attempt_commit
     state = {"injected": False}
 
-    def racy(log_dir_, version, actions):
+    def racy(log_dir_, version, actions, **kw):
         if not state["injected"]:
             state["injected"] = True
             sinks.txlog_merge(spark, log_dir_, b_changes, "o_orderkey")
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
     res_a = sinks.txlog_merge(spark, log_dir, a_changes, "o_orderkey")
@@ -1235,12 +1235,12 @@ def test_txlog_replace_where_disjoint_partitions_skip_recompute(
     real = sinks._txlog_attempt_commit
     state = {"injected": False}
 
-    def racy(log_dir_, version, actions):
+    def racy(log_dir_, version, actions, **kw):
         if not state["injected"]:
             state["injected"] = True
             res_b = sinks.txlog_replace_where(spark, log_dir_, "F", repl_f)
             assert res_b["attempts"] == 1 and res_b["recomputes"] == 0
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
     res_a = sinks.txlog_replace_where(spark, log_dir, "O", repl_o)
@@ -1312,11 +1312,11 @@ def test_txlog_replace_where_error_mode_raises_on_overlap(
     real = sinks._txlog_attempt_commit
     state = {"injected": False}
 
-    def racy(log_dir_, version, actions):
+    def racy(log_dir_, version, actions, **kw):
         if not state["injected"]:
             state["injected"] = True
             sinks.txlog_replace_where(spark, log_dir_, "O", repl_b)
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy)
     with pytest.raises(sinks.TxlogConflictError):
@@ -1400,7 +1400,7 @@ def test_txlog_constrained_append_race_paths(spark, monkeypatch):
     log_a = build("txlog_check_race_a")
     state = {"injected": False}
 
-    def racy_append(log_dir_, version, actions):
+    def racy_append(log_dir_, version, actions, **kw):
         if not state["injected"]:
             state["injected"] = True
             real(
@@ -1408,7 +1408,7 @@ def test_txlog_constrained_append_race_paths(spark, monkeypatch):
                 version,
                 [{"commit": version, "action": "add", "path": None}],
             )
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy_append)
     res = sinks.txlog_constrained_append(spark, log_a, good)
@@ -1418,7 +1418,7 @@ def test_txlog_constrained_append_race_paths(spark, monkeypatch):
     log_b = build("txlog_check_race_b")
     state2 = {"injected": False}
 
-    def racy_meta(log_dir_, version, actions):
+    def racy_meta(log_dir_, version, actions, **kw):
         if not state2["injected"]:
             state2["injected"] = True
             real(
@@ -1432,7 +1432,7 @@ def test_txlog_constrained_append_race_paths(spark, monkeypatch):
                     }
                 ],
             )
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", racy_meta)
     with pytest.raises(sinks.TxlogConflictError):

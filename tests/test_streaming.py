@@ -834,11 +834,11 @@ def test_txlog_stream_sink_exactly_once_across_kill_restart(
     real = sinks._txlog_attempt_commit
     state = {"armed": True}
 
-    def bombed(log_dir_, version, actions):
+    def bombed(log_dir_, version, actions, **kw):
         if state["armed"] and version == 2:
             state["armed"] = False
             raise RuntimeError("injected crash before epoch-2 commit")
-        return real(log_dir_, version, actions)
+        return real(log_dir_, version, actions, **kw)
 
     monkeypatch.setattr(sinks, "_txlog_attempt_commit", bombed)
     import pytest as _pytest
@@ -945,8 +945,8 @@ def test_txlog_cdc_apply_exactly_once_across_kill_restart(
     state = {"armed": True}
     skipped = []
 
-    def bombed(log_dir_, version, actions):
-        ok = real(log_dir_, version, actions)
+    def bombed(log_dir_, version, actions, **kw):
+        ok = real(log_dir_, version, actions, **kw)
         if (
             state["armed"]
             and ok
