@@ -762,23 +762,56 @@ def _drop_temps(messages) -> None:
                 pass
 
 
-def _check_append_schema(log_dir: str, names) -> None:
+def _check_append_schema(log_dir: str, names, arrow_schema=None) -> None:
     """Appending to a non-empty table must match its column set — the
     footer of any live part file is the table's physical schema (same
     footer `_infer_ddl` reads). Order-insensitive: the log stores whole
-    files, so per-file column order is self-describing."""
+    files, so per-file column order is self-describing. When the
+    incoming Arrow schema is available, TYPES are checked too (by DDL
+    normalization, so string/large_string unify); a type the DDL map
+    doesn't know is skipped, never a false reject."""
     import pyarrow.parquet as pq
 
     live = _live_files(_log_rows(log_dir))
     parts = _part_files(live[:1])
     if not parts:
         return
-    have = sorted(pq.read_schema(parts[0]).names)
+    table_schema = pq.read_schema(parts[0])
+    have = sorted(table_schema.names)
     if sorted(names) != have:
         raise ValueError(
             f"txlog append schema mismatch: table has {have}, "
             f"write has {sorted(names)}"
         )
+    if arrow_schema is None:
+        return
+
+    def _ddl_of(t) -> str:
+        s = str(t)
+        m = {
+            "int64": "bigint",
+            "int32": "int",
+            "double": "double",
+            "float": "float",
+            "string": "string",
+            "large_string": "string",
+            "bool": "boolean",
+            "date32[day]": "date",
+        }
+        if s in m:
+            return m[s]
+        if s.startswith("timestamp"):
+            return "timestamp"
+        return ""  # unknown: skip the type check for this column
+
+    for n in names:
+        want = _ddl_of(table_schema.field(n).type)
+        got = _ddl_of(arrow_schema.field(n).type)
+        if want and got and want != got:
+            raise ValueError(
+                f"txlog append type mismatch on {n!r}: table has "
+                f"{want}, write has {got}"
+            )
 
 
 class TxlogBatchWriter(DataSourceArrowWriter):
@@ -795,6 +828,12 @@ class TxlogBatchWriter(DataSourceArrowWriter):
     def __init__(self, options, schema, overwrite: bool):
         self.log_dir, self.data_root = _writer_dirs(options)
         self.names = [f.name for f in schema.fields]
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self.arrow_schema = to_arrow_schema(schema)
+        except Exception:
+            self.arrow_schema = None  # names-only check still applies
         self.overwrite = overwrite
         #: column whose exact min/max the commit records on its add
         #: action (min_key/max_key) — feeds the stats-skipping reader
@@ -831,7 +870,9 @@ class TxlogBatchWriter(DataSourceArrowWriter):
 
         os.makedirs(self.log_dir, exist_ok=True)
         if not self.overwrite:
-            _check_append_schema(self.log_dir, self.names)
+            _check_append_schema(
+                self.log_dir, self.names, self.arrow_schema
+            )
         msgs = [m for m in messages if m is not None and m.tmp_path]
         final_dir = os.path.join(
             self.data_root, f"ds-write-{uuid.uuid4().hex[:8]}"

@@ -2485,3 +2485,87 @@ def test_txlog_ds_reader_time_travel_scopes_dvs(spark):
             .load()
             .count()
         )
+
+
+def test_txlog_ds_writer_append_type_mismatch(spark):
+    """Append type safety: same column names with a different type
+    (o_totalprice written as string) must be rejected BEFORE any log
+    version is committed — a silently type-drifted file would poison
+    every later footer-schema read."""
+    import shutil
+
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_type_check")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.write.format("txlog").mode("append").save(log_dir)
+    drifted = orders.selectExpr(
+        "o_orderkey", "CAST(o_totalprice AS STRING) AS o_totalprice"
+    )
+    with pytest.raises(Exception, match="type mismatch"):
+        drifted.write.format("txlog").mode("append").save(log_dir)
+    assert len(_read_log_json(log_dir)) and max(
+        r["commit"] for r in _read_log_json(log_dir)
+    ) == 0  # the failed write committed nothing
+
+
+def test_txlog_ds_two_stream_writers_share_one_table(spark, tmp_path):
+    """Two streaming writers with distinct txn_id options feed ONE
+    table: each stream's epochs commit under its own idempotence
+    marker namespace, the commit race interleaves them at distinct
+    versions, and the drained table holds both streams' rows exactly
+    once."""
+    import os
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries import sinks
+
+    txlog_source.register(spark)
+    base = str(tmp_path)
+    log_dir = os.path.join(base, "tbl", "_log")
+    for tag, lo, hi in (("wa", 0, 50), ("wb", 50, 100)):
+        src = os.path.join(base, f"src_{tag}")
+        (
+            spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+            .where(f"o_orderkey >= {lo * 100} AND o_orderkey < {hi * 100}")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.parquet(src)
+        )
+        q = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string,"
+                " o_totalprice double"
+            )
+            .parquet(src)
+            .writeStream.format("txlog")
+            .option("path", log_dir)
+            .option("txn_id", tag)
+            .option(
+                "checkpointLocation", os.path.join(base, f"ckpt_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rows = sinks._txlog_log_rows(spark, log_dir)
+    txns = sorted(
+        r["path"] for r in rows if r["action"] == "txn"
+    )
+    assert any(t.startswith("wa-") for t in txns)
+    assert any(t.startswith("wb-") for t in txns)
+    got = spark.read.format("txlog").option("path", log_dir).load().count()
+    want = (
+        spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+        .where("o_orderkey < 10000")
+        .count()
+    )
+    assert got == want
