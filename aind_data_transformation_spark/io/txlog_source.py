@@ -620,6 +620,77 @@ class TxlogStreamReader(DataSourceStreamReader):
 _WRITE_MAX_RETRIES = 20
 
 
+def checkpoint_log(log_dir: str, version: int) -> str:
+    """Action-complete log CHECKPOINT, stdlib+pyarrow only (the
+    connector's writers run in Spark's Python planning worker, where no
+    SparkSession exists) — the same reconciliation as
+    queries/sinks.txlog_checkpoint: add/remove last-wins per path, dv
+    kept per (sidecar, target), txn markers and metaData rows kept,
+    one commitInfo per commit kept (timestamp resolution and history
+    survive compaction). Writes ONE parquet file named
+    ``_checkpoint_<version>`` carrying every column of the engine's
+    action schema and DELETES the compacted JSON commits. Two racers
+    checkpointing the same version write identical content from the
+    same immutable log prefix — last rename wins, benign."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _log_rows(log_dir)
+    state: dict = {}
+    for r in sorted(
+        (r for r in rows if r["commit"] <= version),
+        key=lambda r: (r["commit"], r["action"] or ""),
+    ):
+        if r["action"] in ("add", "remove"):
+            state[("file", r["path"])] = r
+        elif r["action"] == "dv":
+            state[("dv", r["path"], r.get("target"))] = r
+        elif r["action"] == "txn":
+            state[("txn", r["path"])] = r
+        elif r["action"] == "metaData":
+            state[("meta", r["commit"])] = r
+        elif r["action"] == "commitInfo":
+            state[("ci", r["commit"])] = r
+    cols = [
+        ("commit", pa.int64()),
+        ("action", pa.string()),
+        ("path", pa.string()),
+        ("target", pa.string()),
+        ("constraint", pa.string()),
+        ("part", pa.string()),
+        ("schema", pa.string()),
+        ("ts", pa.int64()),
+        ("op", pa.string()),
+        ("metrics", pa.string()),
+        ("min_key", pa.int64()),
+        ("max_key", pa.int64()),
+        ("part_col", pa.string()),
+        ("stats_col", pa.string()),
+    ]
+    vals = list(state.values())
+    table = pa.table(
+        {n: pa.array([v.get(n) for v in vals], type=t) for n, t in cols}
+    )
+    # a DIRECTORY of part files, matching the engine's layout — a bare
+    # file named _checkpoint_* would be invisible to Spark readers
+    # (leading underscore = Hadoop hidden-file convention)
+    ckpt = os.path.join(log_dir, f"_checkpoint_{version:05d}")
+    tmp = ckpt + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.replace(tmp, ckpt)
+    for f in glob.glob(os.path.join(log_dir, "*.json")):
+        base = os.path.basename(f).split(".")[0]
+        if base.isdigit() and int(base) <= version:
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    return ckpt
+
+
 class _TxlogWriteCommit(WriterCommitMessage):
     """Per-task commit message: the temp parquet file the task staged
     (None for an empty partition), its row count, and — when the write
@@ -978,6 +1049,11 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 f"stats_col {self.stats_col!r} not in write schema"
             )
+        #: Delta's checkpointInterval: after every Nth commit, compact
+        #: the log into a parquet checkpoint (stdlib `checkpoint_log`)
+        #: so a long-lived streaming table's replay cost stays
+        #: O(live state + tail), not O(commits ever)
+        self.ckpt_interval = int(options.get("checkpoint_interval", "0"))
 
     def write(self, iterator):
         return _stage_batches(self.data_root, iterator, self.stats_col)
@@ -1025,6 +1101,11 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             if attempt_commit(
                 self.log_dir, version, actions, op="STREAMING UPDATE"
             ):
+                if (
+                    self.ckpt_interval > 0
+                    and (version + 1) % self.ckpt_interval == 0
+                ):
+                    checkpoint_log(self.log_dir, version)
                 return
         raise RuntimeError(
             f"txlog stream write lost the commit race "

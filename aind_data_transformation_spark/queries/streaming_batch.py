@@ -911,12 +911,17 @@ def q_stream_txlog_datasource_write(
     micro-batches); each epoch's tasks stage Arrow RecordBatches into
     temp parquet and the driver commit publishes a deterministic
     epoch-keyed data dir plus a ``txn`` idempotence marker ATOMICALLY
-    in one log version. After the drain, the snapshot through the
-    ordinary log replay must equal the full orders table — a dropped
-    epoch, a double-committed replay, or rows leaking across epochs
-    all break the hash. Crash-replay idempotence (commit re-invoked
-    for an already-committed epoch) is asserted in
-    tests/test_sinks.py."""
+    in one log version, with ``checkpoint_interval=2`` compacting the
+    log into a parquet checkpoint every second commit (Delta's
+    checkpointInterval — replay cost stays O(live state + tail) on a
+    long-lived streaming table; it runs stdlib-side because the writer
+    commits where no SparkSession exists). After the drain, the
+    snapshot through the ordinary log replay must equal the full
+    orders table — a dropped epoch, a double-committed replay, rows
+    leaking across epochs, or a checkpoint that lost an action all
+    break the hash. Crash-replay idempotence (commit re-invoked for an
+    already-committed epoch, markers surviving compaction) is asserted
+    in tests/test_sinks.py."""
     import os
     import tempfile
 
@@ -937,6 +942,7 @@ def q_stream_txlog_datasource_write(
     q = (
         stream.writeStream.format("txlog")
         .option("path", log_dir)
+        .option("checkpoint_interval", "2")
         .option(
             "checkpointLocation", os.path.join(base, "ckpt")
         )

@@ -2569,3 +2569,76 @@ def test_txlog_ds_two_stream_writers_share_one_table(spark, tmp_path):
         .count()
     )
     assert got == want
+
+
+def test_txlog_ds_stream_writer_auto_checkpoint(spark, tmp_path):
+    """checkpoint_interval compacts the log mid-stream, stdlib-only
+    (the writer commits in Spark's planning worker where no session
+    exists): with interval 5, a 12-epoch stream leaves checkpoints at
+    versions 4 and 9, JSON files <= 9 deleted, and BOTH readers (the
+    engine's replay and the connector) reconstruct exactly; txn
+    idempotence markers survive compaction so a replayed old epoch
+    still skips."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.io.txlog_source import (
+        TxlogStreamWriter,
+        _TxlogWriteCommit,
+    )
+    from aind_data_transformation_spark.queries import sinks
+
+    base = str(tmp_path)
+    log_dir = os.path.join(base, "_log")
+    data_root = os.path.join(base, "data")
+    schema = spark.createDataFrame([(1,)], "a bigint").schema
+    w = TxlogStreamWriter(
+        {"path": log_dir, "checkpoint_interval": "5"}, schema
+    )
+
+    def stage(vals):
+        tmp_dir = os.path.join(data_root, "_ds_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        import uuid
+
+        tmp = os.path.join(tmp_dir, f"s-{uuid.uuid4().hex}.parquet")
+        pq.write_table(pa.table({"a": pa.array(vals, pa.int64())}), tmp)
+        return _TxlogWriteCommit(tmp, len(vals))
+
+    for epoch in range(12):
+        w.commit([stage([epoch * 10, epoch * 10 + 1])], epoch)
+
+    names = sorted(os.listdir(log_dir))
+    assert "_checkpoint_00004" in names and "_checkpoint_00009" in names
+    jsons = [n for n in names if n.endswith(".json")]
+    assert jsons == ["00010.json", "00011.json"], jsons
+
+    want = sorted(x for e in range(12) for x in (e * 10, e * 10 + 1))
+    live = sinks._txlog_live_files(spark, log_dir, as_of=None)
+    got_engine = sorted(
+        r["a"] for r in spark.read.parquet(*live).collect()
+    )
+    assert got_engine == want
+    txlog_source.register(spark)
+    got_conn = sorted(
+        r["a"]
+        for r in spark.read.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .collect()
+    )
+    assert got_conn == want
+
+    # replay of a compacted epoch still finds its txn marker and skips
+    replay = stage([999])
+    w.commit([replay], 3)
+    assert not os.path.exists(replay.tmp_path)
+    assert sorted(
+        r["a"]
+        for r in spark.read.parquet(
+            *sinks._txlog_live_files(spark, log_dir, as_of=None)
+        ).collect()
+    ) == want
