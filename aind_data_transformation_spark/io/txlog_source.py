@@ -64,6 +64,19 @@ from pyspark.sql.datasource import (
 )
 
 
+def _local_path(p):
+    """Normalize a path option to a local filesystem path: the SQL
+    catalog (`CREATE TABLE ... USING txlog OPTIONS (path ...)`) hands
+    the option through Hadoop path resolution, which prefixes the
+    ``file:`` scheme — strip it so the stdlib/pyarrow IO below sees a
+    plain path."""
+    if p and p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p and p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 def _log_rows(log_dir: str) -> list:
     """Driver-side log replay input: every action line of every commit
     file (metadata-sized), via stdlib json — no Spark needed, so the
@@ -204,6 +217,109 @@ def _mapping_as_of(rows: list, as_of=None):
     return json.loads(max(cand, key=lambda r: r["commit"])["schema"])
 
 
+def _ddl_schema_as_of(rows: list, as_of=None):
+    """The DDL schema in force at ``as_of`` (None = head): latest
+    metaData action whose schema payload is a plain DDL string — the
+    additive schema-evolution mechanic (`sink_txlog_schema_evolution`
+    and the connector's ``merge_schema`` writes). None when the table
+    has never evolved (its schema is whatever the file footers say).
+    Mapping documents (JSON payloads) are a different mechanic and are
+    excluded here; constraint-only metaData rows carry no schema."""
+    cand = [
+        r
+        for r in rows
+        if r["action"] == "metaData"
+        and (as_of is None or r["commit"] <= as_of)
+        and r.get("schema")
+        and not str(r["schema"]).lstrip().startswith("{")
+    ]
+    if not cand:
+        return None
+    return max(cand, key=lambda r: r["commit"])["schema"]
+
+
+def _parse_ddl(ddl: str) -> list:
+    """``"a bigint, b decimal(10,2)"`` -> ``[("a","bigint"), ...]``,
+    splitting on commas outside parentheses (decimal types carry one)
+    and stripping optional backtick quoting."""
+    cols, depth, cur = [], 0, []
+    for ch in ddl + ",":
+        if ch == "," and depth == 0:
+            part = "".join(cur).strip()
+            if part:
+                name, typ = part.split(None, 1)
+                cols.append((name.strip("`"), typ.strip().lower()))
+            cur = []
+            continue
+        depth += ch == "("
+        depth -= ch == ")"
+        cur.append(ch)
+    return cols
+
+
+#: bloom index geometry: number of hash probes per value (double
+#: hashing over one 64-bit avalanche — classic Kirsch–Mitzenmacher)
+_BLOOM_K = 4
+#: default filter size in bits (128 KiB raw; zlib+base64 in the log —
+#: a sparse filter compresses to almost nothing)
+_BLOOM_DEFAULT_BITS = 1 << 20
+
+
+def _bloom_hashes(vals, m: int):
+    """k probe positions per value, vectorized (numpy uint64, wrapping
+    arithmetic): splitmix64-style avalanche for two independent hashes
+    h1/h2, probes (h1 + i*h2) mod m. Deterministic across processes —
+    no Python hash randomization anywhere."""
+    import numpy as np
+
+    x = np.asarray(vals, dtype=np.int64).astype(np.uint64)
+
+    def mix(v):
+        v = v.copy()
+        v ^= v >> np.uint64(30)
+        v *= np.uint64(0xBF58476D1CE4E5B9)
+        v ^= v >> np.uint64(27)
+        v *= np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+        return v
+
+    h1 = mix(x + np.uint64(0x9E3779B97F4A7C15))
+    h2 = mix(x ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    mm = np.uint64(m)
+    return [
+        ((h1 + np.uint64(i) * h2) % mm).astype(np.int64)
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_encode(bits) -> str:
+    """uint8 bit array -> zlib+base64 string for the add action."""
+    import base64
+    import zlib
+
+    return base64.b64encode(zlib.compress(bits.tobytes(), 6)).decode()
+
+
+def _bloom_maybe_contains(add: dict, value) -> bool:
+    """Membership probe against the add action's recorded bloom: True
+    unless some probe bit is UNSET (definitely absent — safe to prune;
+    false positives only ever keep a file)."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    m = int(add["bloom_bits"])
+    bits = np.frombuffer(
+        zlib.decompress(base64.b64decode(add["bloom"])), dtype=np.uint8
+    )
+    for pos in _bloom_hashes([value], m):
+        p = int(pos[0])
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def _part_files(data_dirs: list) -> list:
     """Part files under each logged path. A logged path is usually a
     data DIR; stats-carrying writes (Delta-style one-add-per-file)
@@ -235,6 +351,11 @@ def _infer_ddl(log_dir: str, options=None) -> str:
         return ", ".join(
             f"`{c['name']}` {c['type']}" for c in mapping["columns"]
         )
+    evolved = _ddl_schema_as_of(rows, as_of)
+    if evolved is not None:
+        # an EVOLVED table's schema is owned by the log (the additive
+        # mechanic: old files null-fill the added columns at read time)
+        return ", ".join(f"`{n}` {t}" for n, t in _parse_ddl(evolved))
     live = _live_files(rows, as_of=as_of)
     if not live:
         raise ValueError(f"txlog table has no live files: {log_dir}")
@@ -342,52 +463,64 @@ def _read_part(path: str, names: list, data_dir: str = "",
     file has live deletion vectors, their keys are anti-filtered HERE,
     still columnar (pyarrow compute is_in): merge-on-read tables read
     through the connector see exactly what the engine's DV-aware replay
-    sees, never resurrected rows. A column-MAPPED table's files are
-    read under their PHYSICAL names and projected to logical; a
-    physical column the file predates (re-ADD after DROP binds a fresh
-    physical name) null-fills — so dropped data can never resurrect
-    through the connector either."""
+    sees, never resurrected rows. A column-MAPPED (or additively
+    EVOLVED) table's files are read under their PHYSICAL names and
+    projected to logical; a physical column the file predates (re-ADD
+    after DROP binds a fresh physical name, evolution adds a new one)
+    null-fills — so dropped data can never resurrect through the
+    connector either. The two mechanics COMPOSE: DV keys are logical
+    VALUES (unchanged by renames), so tombstones are applied to the
+    logical table after projection — a rename between the delete and
+    the read never resurrects a deleted row."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    # the dv key column must be readable even when the projection
+    # pruned it — read it alongside, filter, then drop it back out
+    want_dv = bool(dv_paths) and bool(dv_key)
+    read_names = (
+        list(names) + [dv_key]
+        if want_dv and dv_key not in names
+        else names
+    )
     if colmap:
         import pyarrow as pa
 
         avail = set(pq.read_schema(path).names)
-        present = [colmap[n][0] for n in names if colmap[n][0] in avail]
-        table = pq.read_table(path, columns=present)
+        present = [
+            colmap[n][0] for n in read_names if colmap[n][0] in avail
+        ]
+        raw = pq.read_table(path, columns=present)
         cols, fields = [], []
-        for n in names:
+        for n in read_names:
             phys, ddl = colmap[n]
             typ = _arrow_type(ddl)
             if phys in avail:
-                col = table.column(phys).cast(typ)
+                col = raw.column(phys).cast(typ)
             else:
-                col = pa.nulls(table.num_rows, type=typ)
+                col = pa.nulls(raw.num_rows, type=typ)
             cols.append(col)
             fields.append(pa.field(n, typ))
-        yield from pa.table(cols, schema=pa.schema(fields)).to_batches()
-        return
-    if not (dv_paths and dv_key):
-        yield from pq.read_table(path, columns=names).to_batches()
-        return
-    import pyarrow as pa
+        table = pa.table(cols, schema=pa.schema(fields))
+    else:
+        table = pq.read_table(path, columns=read_names)
+    if want_dv:
+        import pyarrow as pa
 
-    # the key column must be readable even when the projection pruned
-    # it — read it alongside, filter, then drop it back out
-    read_cols = names if dv_key in names else list(names) + [dv_key]
-    table = pq.read_table(path, columns=read_cols)
-    dead = []
-    for dv in dv_paths:
-        t = pq.read_table(dv, columns=["target", "key"])
-        mask = pc.equal(t.column("target"), data_dir)
-        dead.append(t.filter(mask).column("key"))
-    keys = pa.concat_arrays([c.combine_chunks() for c in dead])
-    if len(keys):
-        keep = pc.invert(
-            pc.is_in(table.column(dv_key), value_set=keys)
-        )
-        table = table.filter(keep)
+        dead = []
+        for dv in dv_paths:
+            t = pq.read_table(dv, columns=["target", "key"])
+            mask = pc.equal(t.column("target"), data_dir)
+            dead.append(t.filter(mask).column("key"))
+        keys = pa.concat_arrays([c.combine_chunks() for c in dead])
+        if len(keys):
+            key_col = table.column(dv_key)
+            if colmap:
+                # dv sidecars store raw key values; cast to the logical
+                # type already applied to the table's key column
+                keys = keys.cast(key_col.type)
+            keep = pc.invert(pc.is_in(key_col, value_set=keys))
+            table = table.filter(keep)
     yield from table.select(names).to_batches()
 
 
@@ -424,21 +557,40 @@ def _prunes_file(f, add: dict) -> bool:
         and add.get("max_key") is not None
     ):
         mn, mx = add["min_key"], add["max_key"]
+        # each proof only early-returns when it PRUNES — an unproven
+        # range check falls through to the bloom probe (a file can
+        # carry both kinds of metadata on the same column)
         try:
-            if isinstance(f, EqualTo):
-                return f.value < mn or f.value > mx
-            if isinstance(f, GreaterThan):
-                return mx <= f.value
-            if isinstance(f, GreaterThanOrEqual):
-                return mx < f.value
-            if isinstance(f, LessThan):
-                return mn >= f.value
-            if isinstance(f, LessThanOrEqual):
-                return mn > f.value
-            if isinstance(f, In):
-                return all(v < mn or v > mx for v in f.value)
+            if isinstance(f, EqualTo) and (f.value < mn or f.value > mx):
+                return True
+            if isinstance(f, GreaterThan) and mx <= f.value:
+                return True
+            if isinstance(f, GreaterThanOrEqual) and mx < f.value:
+                return True
+            if isinstance(f, LessThan) and mn >= f.value:
+                return True
+            if isinstance(f, LessThanOrEqual) and mn > f.value:
+                return True
+            if isinstance(f, In) and all(
+                v < mn or v > mx for v in f.value
+            ):
+                return True
         except TypeError:
-            return False  # incomparable types: keep the file
+            pass  # incomparable types: no range proof for this filter
+    if add.get("bloom_col") == col and add.get("bloom"):
+        # bloom membership: an unset probe bit PROVES absence (prune);
+        # a set bit may be a false positive (keep — superset guarantee)
+        try:
+            if isinstance(f, EqualTo) and isinstance(f.value, int):
+                return not _bloom_maybe_contains(add, f.value)
+            if isinstance(f, In) and all(
+                isinstance(v, int) for v in f.value
+            ):
+                return not any(
+                    _bloom_maybe_contains(add, v) for v in f.value
+                )
+        except Exception:
+            return False  # undecodable filter metadata: keep the file
     return False
 
 
@@ -454,9 +606,18 @@ def _live_adds(rows: list, as_of=None) -> dict:
     return {p: r for p, r in last.items() if r["action"] == "add"}
 
 
+#: planning-worker registry: relation id -> every filter-set (as stable
+#: reprs) ever pushed for that relation. Defense against SPARK's shared
+#: readInfo (see TxlogBatchReader.pushFilters); worker processes are
+#: long-lived (spark.python.worker.reuse), so the registry sees every
+#: planning of a relation. Bounded FIFO so a long session can't grow it.
+_PUSHED_SETS: dict = {}
+_PUSHED_SETS_MAX = 1024
+
+
 class TxlogBatchReader(DataSourceReader):
-    def __init__(self, options, names):
-        self.log_dir = options.get("path")
+    def __init__(self, options, names, relation_id=None):
+        self.log_dir = _local_path(options.get("path"))
         self.names = names
         #: key column the dv sidecars tombstone (Delta's DV descriptor
         #: carries row positions; this format carries keys) — required
@@ -469,6 +630,10 @@ class TxlogBatchReader(DataSourceReader):
         #: filters Spark pushed down (pushFilters) — used ONLY to
         #: prune whole files at planning time from log metadata
         self._pushed = []
+        #: identity of the spark.read...load() relation this reader
+        #: plans for (None for directly constructed readers) — keys the
+        #: shared-readInfo defense in pushFilters
+        self._relation_id = relation_id
         if not self.log_dir:
             raise ValueError("txlog source requires a path option")
 
@@ -483,11 +648,44 @@ class TxlogBatchReader(DataSourceReader):
         Python DataSource pushdown hook, Spark 4.1): equality/range/IN
         filters on columns whose bounds the LOG records — partition
         values of partitioned writes, min/max of stats-recording
-        writes — shrink the file list in ``partitions()``. EVERY
-        filter is returned as residual so Spark re-applies it exactly:
-        metadata pruning is a superset guarantee, never a row filter,
-        so a loose bound can only cost performance, never rows."""
-        self._pushed = list(filters)
+        writes, bloom membership of bloom-indexed writes — shrink the
+        file list in ``partitions()``. EVERY filter is returned as
+        residual so Spark re-applies it exactly: metadata pruning is a
+        superset guarantee, never a row filter, so a loose bound can
+        only cost performance, never rows.
+
+        SHARED-READINFO SAFETY (upstream Spark 4.1 defect, verified on
+        the bytecode: ``PythonScanBuilder.pushFilters`` stores each
+        branch's planned read via ``PythonDataSourceV2.setReadInfo`` on
+        the ONE object shared by every scan of the same ``load()``, and
+        execution's ``getOrCreateReadInfo`` returns whichever plan was
+        set LAST): two differently-filtered branches of one loaded
+        DataFrame would both execute the last branch's pruned file
+        list, and the other branch's residual re-filter would silently
+        DROP ROWS. Defense: the planning worker keeps a registry of
+        every filter set ever pushed for this RELATION (a uuid minted
+        per load(); the pickled DataSource instance is cached per
+        relation, so all its plannings share it), and pruning uses the
+        INTERSECTION of those sets. Any readInfo that survives the
+        last-write-wins race was therefore planned against a file list
+        that is a SUPERSET for every scan whose push preceded it — each
+        scan's own residual re-apply restores exactness — while the
+        common single-scan case (one push ever) keeps full pruning.
+        Directly constructed readers (unit probes) have no relation id
+        and keep plain per-instance semantics."""
+        filters = list(filters)
+        self._pushed = filters
+        if self._relation_id is not None:
+            if (
+                self._relation_id not in _PUSHED_SETS
+                and len(_PUSHED_SETS) >= _PUSHED_SETS_MAX
+            ):
+                _PUSHED_SETS.pop(next(iter(_PUSHED_SETS)))
+            sets = _PUSHED_SETS.setdefault(self._relation_id, [])
+            sets.append({repr(f) for f in filters})
+            if len(sets) > 1:
+                common = set.intersection(*sets)
+                self._pushed = [f for f in filters if repr(f) in common]
         return filters
 
     def partitions(self):
@@ -503,22 +701,31 @@ class TxlogBatchReader(DataSourceReader):
                 if not any(_prunes_file(f, adds[p]) for f in self._pushed)
             ]
         dvs = _live_dvs(rows, live, as_of=as_of)
-        if dvs and mapping is not None:
-            raise ValueError(
-                "txlog reader: column-mapped tables with live deletion"
-                " vectors are not supported through the connector yet"
-            )
         if dvs and not self.dv_key:
             raise ValueError(
                 "txlog table has live deletion vectors; pass "
                 ".option('dv_key', <key column>) so the reader can "
                 "apply them"
             )
-        colmap = (
-            {c["name"]: (c["physical"], c["type"]) for c in mapping["columns"]}
-            if mapping is not None
-            else None
-        )
+        if mapping is not None:
+            colmap = {
+                c["name"]: (c["physical"], c["type"])
+                for c in mapping["columns"]
+            }
+            if dvs and self.dv_key not in colmap:
+                raise ValueError(
+                    f"dv_key {self.dv_key!r} is not a logical column of"
+                    " the column-mapped table"
+                )
+        else:
+            evolved = _ddl_schema_as_of(rows, as_of)
+            # an EVOLVED table reads like an identity-mapped one: files
+            # that predate an added column null-fill it at decode time
+            colmap = (
+                {n: (n, t) for n, t in _parse_ddl(evolved)}
+                if evolved is not None
+                else None
+            )
         return [
             _PartFilePartition(p, d, dvs.get(d, []), colmap)
             for d in live
@@ -544,7 +751,7 @@ class TxlogStreamReader(DataSourceStreamReader):
     re-plans exactly the same window."""
 
     def __init__(self, options, names):
-        self.log_dir = options.get("path")
+        self.log_dir = _local_path(options.get("path"))
         self.names = names
         #: Delta's streaming contract: a source over a mutated table
         #: fails by default — set ignore_deletes=true to consume the
@@ -666,6 +873,9 @@ def checkpoint_log(log_dir: str, version: int) -> str:
         ("max_key", pa.int64()),
         ("part_col", pa.string()),
         ("stats_col", pa.string()),
+        ("bloom", pa.string()),
+        ("bloom_col", pa.string()),
+        ("bloom_bits", pa.int64()),
     ]
     vals = list(state.values())
     table = pa.table(
@@ -702,8 +912,11 @@ class _TxlogWriteCommit(WriterCommitMessage):
         self.n_rows = n_rows
         self.mn = mn
         self.mx = mx
-        #: partitioned writes: list of (tmp_path, partition value, rows)
+        #: partitioned writes: (tmp_path, partition value, rows, mn, mx)
         self.parts = None
+        #: bloom-indexed writes: encoded filter over this file's
+        #: ``bloom_col`` values
+        self.bloom = None
 
 
 def _writer_dirs(options) -> tuple:
@@ -711,7 +924,7 @@ def _writer_dirs(options) -> tuple:
     option the readers take); data files land in the sibling ``data``
     dir unless ``data_dir`` overrides it — matching the layout
     `queries/sinks._build_txlog_table` creates."""
-    log_dir = options.get("path")
+    log_dir = _local_path(options.get("path"))
     if not log_dir:
         raise ValueError("txlog sink requires a path option (the log dir)")
     data_root = options.get("data_dir") or os.path.join(
@@ -721,14 +934,18 @@ def _writer_dirs(options) -> tuple:
 
 
 def _stage_batches(
-    data_root: str, iterator, stats_col: str = ""
+    data_root: str, iterator, stats_col: str = "",
+    bloom_col: str = "", bloom_bits: int = 0,
 ) -> _TxlogWriteCommit:
     """Task-side staging: stream Arrow RecordBatches into ONE temp
     parquet file (columnar hand-off from Spark, columnar write via
     pyarrow — no Python rows anywhere), folding exact ``stats_col``
     min/max per batch when requested (pyarrow compute — the stats a
-    real lakehouse writer records in its add action). Empty partitions
-    stage nothing."""
+    real lakehouse writer records in its add action) and, when
+    ``bloom_col`` is set, a per-file BLOOM FILTER over that column's
+    values (numpy-vectorized probe positions — point-lookup pruning
+    where a hash-distributed layout gives min/max stats nothing to
+    prune on). Empty partitions stage nothing."""
     import uuid
 
     import pyarrow.compute as pc
@@ -743,6 +960,11 @@ def _stage_batches(
     tmp = os.path.join(tmp_dir, f"stage-{uuid.uuid4().hex}.parquet")
     n = 0
     mn = mx = None
+    bloom_arr = None
+    if bloom_col:
+        import numpy as np
+
+        bloom_arr = np.zeros(bloom_bits >> 3, dtype=np.uint8)
     with pq.ParquetWriter(tmp, first.schema) as w:
         for b in _chain(first, it):
             w.write_batch(b)
@@ -752,7 +974,21 @@ def _stage_batches(
                 bmn, bmx = s["min"].as_py(), s["max"].as_py()
                 mn = bmn if mn is None else min(mn, bmn)
                 mx = bmx if mx is None else max(mx, bmx)
-    return _TxlogWriteCommit(tmp, n, mn, mx)
+            if bloom_col and b.num_rows:
+                import numpy as np
+
+                vals = b.column(bloom_col).to_numpy(zero_copy_only=False)
+                for pos in _bloom_hashes(vals, bloom_bits):
+                    np.bitwise_or.at(
+                        bloom_arr, pos >> 3,
+                        np.left_shift(
+                            np.uint8(1), (pos & 7).astype(np.uint8)
+                        ),
+                    )
+    msg = _TxlogWriteCommit(tmp, n, mn, mx)
+    if bloom_col:
+        msg.bloom = _bloom_encode(bloom_arr)
+    return msg
 
 
 def _chain(first, rest):
@@ -761,14 +997,18 @@ def _chain(first, rest):
 
 
 def _stage_partitioned(
-    data_root: str, iterator, partition_col: str
+    data_root: str, iterator, partition_col: str, stats_col: str = ""
 ) -> _TxlogWriteCommit:
     """Task-side staging for a PARTITIONED write: each Arrow batch is
     split by the partition column's values (pyarrow compute — columnar
     masks, no Python rows) and streamed into one temp parquet file per
-    partition value seen by this task. Returns the (tmp, value, rows)
-    triples in ``parts`` — the driver groups them into per-partition
-    data dirs and per-partition add actions."""
+    partition value seen by this task, folding exact ``stats_col``
+    min/max per partition value when requested (so a partitioned table
+    gets range pruning WITHIN each partition, not just partition
+    pruning — Delta records stats on partitioned adds too). Returns
+    (tmp, value, rows, min, max) tuples in ``parts`` — the driver
+    groups them into per-partition data dirs and per-partition add
+    actions."""
     import uuid
 
     import pyarrow.compute as pc
@@ -777,6 +1017,7 @@ def _stage_partitioned(
     writers: dict = {}
     counts: dict = {}
     paths: dict = {}
+    stats: dict = {}
     n_total = 0
     try:
         for b in iterator:
@@ -802,11 +1043,23 @@ def _stage_partitioned(
                 w.write_batch(sub)
                 counts[v] += sub.num_rows
                 n_total += sub.num_rows
+                if stats_col and sub.num_rows:
+                    s = pc.min_max(sub.column(stats_col))
+                    bmn, bmx = s["min"].as_py(), s["max"].as_py()
+                    old = stats.get(v)
+                    stats[v] = (
+                        (bmn, bmx)
+                        if old is None
+                        else (min(old[0], bmn), max(old[1], bmx))
+                    )
     finally:
         for w in writers.values():
             w.close()
     msg = _TxlogWriteCommit(None, n_total)
-    msg.parts = [(paths[v], str(v), counts[v]) for v in sorted(paths)]
+    msg.parts = [
+        (paths[v], str(v), counts[v], *stats.get(v, (None, None)))
+        for v in sorted(paths)
+    ]
     return msg
 
 
@@ -820,12 +1073,45 @@ def _publish(msgs, final_dir: str) -> None:
         )
 
 
+def _publish_partitioned(messages, final_dir: str, partition_col: str):
+    """Group the tasks' per-partition temp files into Hive-style
+    ``col=value`` dirs under ``final_dir``, folding each value's
+    min/max stats across tasks. Returns [(pdir, value, stats|None)] —
+    the driver commits one add action per tuple. Shared by the batch
+    and streaming writer halves so the partitioned layout cannot
+    drift between them."""
+    from urllib.parse import quote
+
+    groups: dict = {}
+    pstats: dict = {}
+    for m in messages:
+        for tmp, v, _, mn, mx in (m.parts or []) if m else []:
+            groups.setdefault(v, []).append(tmp)
+            if mn is not None:
+                old = pstats.get(v)
+                pstats[v] = (
+                    (mn, mx)
+                    if old is None
+                    else (min(old[0], mn), max(old[1], mx))
+                )
+    out = []
+    for v in sorted(groups):
+        pdir = os.path.join(
+            final_dir, f"{partition_col}={quote(v, safe='')}"
+        )
+        os.makedirs(pdir, exist_ok=True)
+        for k, tmp in enumerate(groups[v]):
+            os.replace(tmp, os.path.join(pdir, f"part-{k:05d}.parquet"))
+        out.append((pdir, v, pstats.get(v)))
+    return out
+
+
 def _drop_temps(messages) -> None:
     for m in messages:
         if m is None:
             continue
         tmps = [m.tmp_path] if m.tmp_path else []
-        tmps += [t for t, _, _ in (m.parts or [])]
+        tmps += [p[0] for p in (m.parts or [])]
         for t in tmps:
             try:
                 os.remove(t)
@@ -833,56 +1119,140 @@ def _drop_temps(messages) -> None:
                 pass
 
 
-def _check_append_schema(log_dir: str, names, arrow_schema=None) -> None:
-    """Appending to a non-empty table must match its column set — the
-    footer of any live part file is the table's physical schema (same
-    footer `_infer_ddl` reads). Order-insensitive: the log stores whole
-    files, so per-file column order is self-describing. When the
-    incoming Arrow schema is available, TYPES are checked too (by DDL
-    normalization, so string/large_string unify); a type the DDL map
-    doesn't know is skipped, never a false reject."""
+def _arrow_ddl(t) -> str:
+    """Best-effort Arrow type -> Spark DDL normalization (the shared
+    vocabulary of the append type check and schema merge); '' for a
+    type the map doesn't know — callers skip the check, never falsely
+    reject."""
+    s = str(t)
+    m = {
+        "int64": "bigint",
+        "int32": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "bool": "boolean",
+        "date32[day]": "date",
+    }
+    if s in m:
+        return m[s]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    return ""
+
+
+def _table_schema_cols(log_dir: str):
+    """[(name, ddl)] of the table's CURRENT schema: the latest DDL
+    metaData when the table has evolved (the log owns the schema),
+    else the footer of any live part file (same footer `_infer_ddl`
+    reads; unmappable footer types get ddl ''). None for an empty
+    table."""
     import pyarrow.parquet as pq
 
-    live = _live_files(_log_rows(log_dir))
-    parts = _part_files(live[:1])
+    rows = _log_rows(log_dir)
+    evolved = _ddl_schema_as_of(rows)
+    if evolved is not None:
+        return _parse_ddl(evolved)
+    parts = _part_files(_live_files(rows)[:1])
     if not parts:
-        return
-    table_schema = pq.read_schema(parts[0])
-    have = sorted(table_schema.names)
-    if sorted(names) != have:
+        return None
+    sch = pq.read_schema(parts[0])
+    return [(f.name, _arrow_ddl(f.type)) for f in sch]
+
+
+def _check_append_schema(
+    log_dir: str, names, arrow_schema=None, merge: bool = False
+):
+    """Appending to a non-empty table must match its column set —
+    order-insensitive (the log stores whole files, so per-file column
+    order is self-describing), types checked by DDL normalization when
+    the incoming Arrow schema is available (string/large_string unify;
+    an unknown type is skipped, never a false reject). With
+    ``merge=True`` (the connector's ``merge_schema`` option — Delta's
+    mergeSchema), NEW columns are admitted instead of rejected and the
+    evolved union DDL is returned for the commit to record as a
+    metaData action; a column the write OMITS is also fine under merge
+    (its rows null-fill at read, like any pre-evolution file). Returns
+    the evolved DDL string when the schema widened, else None."""
+    table_cols = _table_schema_cols(log_dir)
+    if table_cols is None:
+        return None
+    have = dict(table_cols)
+    extra = sorted(set(names) - set(have))
+    missing = sorted(set(have) - set(names))
+    if (extra or missing) and not merge:
         raise ValueError(
-            f"txlog append schema mismatch: table has {have}, "
-            f"write has {sorted(names)}"
+            f"txlog append schema mismatch: table has {sorted(have)}, "
+            f"write has {sorted(names)}; pass"
+            " .option('merge_schema', 'true') to evolve the table"
+            " schema additively"
         )
+    if arrow_schema is not None:
+        for n in names:
+            if n not in have:
+                continue
+            got = _arrow_ddl(arrow_schema.field(n).type)
+            if have[n] and got and have[n] != got:
+                raise ValueError(
+                    f"txlog append type mismatch on {n!r}: table has "
+                    f"{have[n]}, write has {got}"
+                )
+    if not extra:
+        return None
     if arrow_schema is None:
-        return
-
-    def _ddl_of(t) -> str:
-        s = str(t)
-        m = {
-            "int64": "bigint",
-            "int32": "int",
-            "double": "double",
-            "float": "float",
-            "string": "string",
-            "large_string": "string",
-            "bool": "boolean",
-            "date32[day]": "date",
-        }
-        if s in m:
-            return m[s]
-        if s.startswith("timestamp"):
-            return "timestamp"
-        return ""  # unknown: skip the type check for this column
-
+        raise ValueError(
+            "merge_schema needs the write's Arrow schema to type the"
+            " new columns"
+        )
+    added = []
     for n in names:
-        want = _ddl_of(table_schema.field(n).type)
-        got = _ddl_of(arrow_schema.field(n).type)
-        if want and got and want != got:
+        if n in have:
+            continue
+        t = _arrow_ddl(arrow_schema.field(n).type)
+        if not t:
             raise ValueError(
-                f"txlog append type mismatch on {n!r}: table has "
-                f"{want}, write has {got}"
+                f"merge_schema: new column {n!r} has a type the txlog"
+                " DDL vocabulary cannot record"
             )
+        added.append((n, t))
+    evolved_cols = table_cols + added
+    if any(not t for _, t in evolved_cols):
+        raise ValueError(
+            "merge_schema: an existing table column's type is not"
+            " DDL-expressible; cannot record the evolved schema"
+        )
+    return ", ".join(f"`{n}` {t}" for n, t in evolved_cols)
+
+
+def _validate_stats_col(
+    schema, stats_col: str, names: list, label: str = "stats_col"
+) -> None:
+    """stats_col / bloom_col must exist and be integer-typed: the
+    checkpoint schema stores min_key/max_key as int64 (both the
+    connector's `checkpoint_log` and the engine's `txlog_checkpoint`),
+    so a float/string stats column would crash the auto-checkpoint
+    AFTER the log commit already succeeded — reject at writer
+    construction instead. (The bloom index shares the constraint so
+    write-side and probe-side hashing agree on one vocabulary.)"""
+    if not stats_col:
+        return
+    if stats_col not in names:
+        raise ValueError(f"{label} {stats_col!r} not in write schema")
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    dt = schema[stats_col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"{label} {stats_col!r} must be an integer column (got"
+            f" {dt.simpleString()}): the log's checkpoint schema stores"
+            " min_key/max_key as int64"
+        )
 
 
 class TxlogBatchWriter(DataSourceArrowWriter):
@@ -910,39 +1280,67 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         #: action (min_key/max_key) — feeds the stats-skipping reader
         #: (queries/sinks.txlog_stats_read) with zero extra passes
         self.stats_col = options.get("stats_col", "")
-        if self.stats_col and self.stats_col not in self.names:
-            raise ValueError(
-                f"stats_col {self.stats_col!r} not in write schema"
-            )
+        _validate_stats_col(schema, self.stats_col, self.names)
         #: Hive/Delta-style partitioned layout: tasks split their Arrow
         #: batches by this column's value; the commit publishes one
         #: data dir per partition value and one ``part``-valued add
         #: action each, so partition-pruned reads
-        #: (queries/sinks._txlog_part_live) plan on pure log metadata
+        #: (queries/sinks._txlog_part_live) plan on pure log metadata.
+        #: Combines with stats_col: each partition's add also records
+        #: that partition's exact min/max (partition pruning AND range
+        #: pruning from one commit's metadata).
         self.partition_col = options.get("partition_col", "")
         if self.partition_col and self.partition_col not in self.names:
             raise ValueError(
                 f"partition_col {self.partition_col!r} not in write schema"
             )
-        if self.partition_col and self.stats_col:
+        #: Delta's mergeSchema: an append whose column set differs from
+        #: the table's evolves the schema additively (metaData action in
+        #: the SAME commit) instead of rejecting
+        self.merge_schema = (
+            str(options.get("merge_schema", "false")).lower() == "true"
+        )
+        #: Delta's bloom filter index: each task folds a bloom filter
+        #: over this column's values and the add action records it —
+        #: point lookups (EqualTo/In) prune files a hash-distributed
+        #: layout's min/max stats never could. Integer columns only
+        #: (same hashing vocabulary everywhere).
+        self.bloom_col = options.get("bloom_col", "")
+        _validate_stats_col(schema, self.bloom_col, self.names, "bloom_col")
+        self.bloom_bits = int(
+            options.get("bloom_bits", str(_BLOOM_DEFAULT_BITS))
+        )
+        if self.bloom_col and self.bloom_bits & (self.bloom_bits - 1):
+            raise ValueError("bloom_bits must be a power of two")
+        if self.bloom_col and self.partition_col:
             raise ValueError(
-                "partition_col and stats_col are mutually exclusive"
+                "bloom_col on partitioned writes is not supported yet"
             )
+        #: Delta's checkpointInterval on the batch path: after every Nth
+        #: commit, compact the log (stdlib `checkpoint_log`) so a
+        #: long-lived batch-appended table's replay stays O(live + tail)
+        self.ckpt_interval = int(options.get("checkpoint_interval", "0"))
 
     def write(self, iterator):
         if self.partition_col:
             return _stage_partitioned(
-                self.data_root, iterator, self.partition_col
+                self.data_root, iterator, self.partition_col,
+                self.stats_col,
             )
-        return _stage_batches(self.data_root, iterator, self.stats_col)
+        return _stage_batches(
+            self.data_root, iterator, self.stats_col,
+            self.bloom_col, self.bloom_bits,
+        )
 
     def commit(self, messages):
         import uuid
 
         os.makedirs(self.log_dir, exist_ok=True)
+        evolved_ddl = None
         if not self.overwrite:
-            _check_append_schema(
-                self.log_dir, self.names, self.arrow_schema
+            evolved_ddl = _check_append_schema(
+                self.log_dir, self.names, self.arrow_schema,
+                merge=self.merge_schema,
             )
         msgs = [m for m in messages if m is not None and m.tmp_path]
         final_dir = os.path.join(
@@ -950,64 +1348,65 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         )
         part_adds = []
         if self.partition_col:
-            from urllib.parse import quote
-
-            groups: dict = {}
-            for m in messages:
-                for tmp, v, _ in (m.parts or []) if m else []:
-                    groups.setdefault(v, []).append(tmp)
-            for v in sorted(groups):
-                pdir = os.path.join(
-                    final_dir, f"{self.partition_col}={quote(v, safe='')}"
-                )
-                os.makedirs(pdir, exist_ok=True)
-                for k, tmp in enumerate(groups[v]):
-                    os.replace(
-                        tmp, os.path.join(pdir, f"part-{k:05d}.parquet")
-                    )
-                part_adds.append((pdir, v))
+            part_adds = _publish_partitioned(
+                messages, final_dir, self.partition_col
+            )
         elif msgs:
             _publish(msgs, final_dir)
         for _ in range(_WRITE_MAX_RETRIES):
             rows = _log_rows(self.log_dir)
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
+            if evolved_ddl is not None:
+                actions.append(
+                    {
+                        "commit": version,
+                        "action": "metaData",
+                        "schema": evolved_ddl,
+                    }
+                )
             if self.overwrite:
                 actions += [
                     {"commit": version, "action": "remove", "path": p}
                     for p in _live_files(rows)
                 ]
             if part_adds:
-                actions += [
-                    {
+                for pdir, v, st in part_adds:
+                    add = {
                         "commit": version,
                         "action": "add",
                         "path": pdir,
                         "part": v,
                         "part_col": self.partition_col,
                     }
-                    for pdir, v in part_adds
-                ]
-            elif msgs and self.stats_col:
+                    if st is not None:
+                        add["min_key"], add["max_key"] = st
+                        add["stats_col"] = self.stats_col
+                    actions.append(add)
+            elif msgs and (self.stats_col or self.bloom_col):
                 # Delta's shape: one add PER FILE, each carrying that
-                # task's exact stats — a range-partitioned write yields
-                # per-file key ranges the stats-skipping reader prunes
-                # on, from a single commit of a single job
-                actions += [
-                    {
+                # task's exact stats and/or bloom filter — a single
+                # write of a single job yields per-file metadata the
+                # pruning reader serves immediately
+                for k, m in enumerate(msgs):
+                    add = {
                         "commit": version,
                         "action": "add",
                         "path": os.path.join(
                             final_dir, f"part-{k:05d}.parquet"
                         ),
-                        "min_key": m.mn,
-                        "max_key": m.mx,
+                    }
+                    if self.stats_col:
+                        add["min_key"] = m.mn
+                        add["max_key"] = m.mx
                         # which column the bounds describe — lets the
                         # reader's pushFilters prune without options
-                        "stats_col": self.stats_col,
-                    }
-                    for k, m in enumerate(msgs)
-                ]
+                        add["stats_col"] = self.stats_col
+                    if self.bloom_col and m.bloom is not None:
+                        add["bloom"] = m.bloom
+                        add["bloom_col"] = self.bloom_col
+                        add["bloom_bits"] = self.bloom_bits
+                    actions.append(add)
             elif msgs:
                 actions.append(
                     {"commit": version, "action": "add", "path": final_dir}
@@ -1020,6 +1419,11 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                 actions,
                 op="OVERWRITE" if self.overwrite else "APPEND",
             ):
+                if (
+                    self.ckpt_interval > 0
+                    and (version + 1) % self.ckpt_interval == 0
+                ):
+                    checkpoint_log(self.log_dir, version)
                 return
         raise RuntimeError(
             f"txlog write lost the commit race {_WRITE_MAX_RETRIES} times"
@@ -1045,9 +1449,16 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         self.names = [f.name for f in schema.fields]
         self.txn_prefix = options.get("txn_id", "txlog-stream")
         self.stats_col = options.get("stats_col", "")
-        if self.stats_col and self.stats_col not in self.names:
+        _validate_stats_col(schema, self.stats_col, self.names)
+        #: Hive/Delta-style partitioned epochs (same layout + metadata
+        #: as the batch writer — `_publish_partitioned` is shared):
+        #: each epoch commits one ``part``-valued add per partition
+        #: value it saw, so partition-pruned reads work on streaming
+        #: tables from the first micro-batch
+        self.partition_col = options.get("partition_col", "")
+        if self.partition_col and self.partition_col not in self.names:
             raise ValueError(
-                f"stats_col {self.stats_col!r} not in write schema"
+                f"partition_col {self.partition_col!r} not in write schema"
             )
         #: Delta's checkpointInterval: after every Nth commit, compact
         #: the log into a parquet checkpoint (stdlib `checkpoint_log`)
@@ -1056,6 +1467,11 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         self.ckpt_interval = int(options.get("checkpoint_interval", "0"))
 
     def write(self, iterator):
+        if self.partition_col:
+            return _stage_partitioned(
+                self.data_root, iterator, self.partition_col,
+                self.stats_col,
+            )
         return _stage_batches(self.data_root, iterator, self.stats_col)
 
     def _txn_done(self, rows, txn: str) -> bool:
@@ -1069,17 +1485,22 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         os.makedirs(self.log_dir, exist_ok=True)
         if self._txn_done(_log_rows(self.log_dir), txn):
             # replayed epoch: its version is already in the log
-            _drop_temps(msgs)
+            _drop_temps(messages)
             return
         final_dir = os.path.join(
             self.data_root, f"stream-{self.txn_prefix}-epoch-{batchId:010d}"
         )
         # a crashed prior attempt may have published files without
         # committing the log version; clear so the rename set below is
-        # the COMPLETE content of this epoch
+        # the COMPLETE content of this epoch (partition dirs included)
         if os.path.isdir(final_dir):
             shutil.rmtree(final_dir)
-        if msgs:
+        part_adds = []
+        if self.partition_col:
+            part_adds = _publish_partitioned(
+                messages, final_dir, self.partition_col
+            )
+        elif msgs:
             _publish(msgs, final_dir)
         for _ in range(_WRITE_MAX_RETRIES):
             rows = _log_rows(self.log_dir)
@@ -1087,7 +1508,19 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 return  # a concurrent replayer committed this epoch
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
-            if msgs:
+            for pdir, v, st in part_adds:
+                add = {
+                    "commit": version,
+                    "action": "add",
+                    "path": pdir,
+                    "part": v,
+                    "part_col": self.partition_col,
+                }
+                if st is not None:
+                    add["min_key"], add["max_key"] = st
+                    add["stats_col"] = self.stats_col
+                actions.append(add)
+            if msgs and not self.partition_col:
                 add = {"commit": version, "action": "add", "path": final_dir}
                 if self.stats_col:
                     add["min_key"] = min(m.mn for m in msgs)
@@ -1117,15 +1550,30 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
 
 
 class TxlogDataSource(DataSource):
+    def __init__(self, options):
+        super().__init__(options)
+        import uuid
+
+        #: one id per spark.read...load() relation: the JVM pickles
+        #: this instance ONCE per relation and replays the bytes into
+        #: every planning, so the id identifies the relation across
+        #: branch plannings — the key of the shared-readInfo defense
+        #: (TxlogBatchReader.pushFilters)
+        self._relation_id = uuid.uuid4().hex
+
     @classmethod
     def name(cls):
         return "txlog"
 
     def schema(self):
-        return _infer_ddl(self.options.get("path"), self.options)
+        return _infer_ddl(_local_path(self.options.get("path")), self.options)
 
     def reader(self, schema):
-        return TxlogBatchReader(self.options, [f.name for f in schema.fields])
+        return TxlogBatchReader(
+            self.options,
+            [f.name for f in schema.fields],
+            relation_id=self._relation_id,
+        )
 
     def streamReader(self, schema):
         return TxlogStreamReader(
@@ -1136,17 +1584,32 @@ class TxlogDataSource(DataSource):
         return TxlogBatchWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            # complete/truncate output modes would need to replace the
+            # table's contents per epoch; this writer only appends —
+            # fail loudly instead of silently accumulating epochs
+            raise ValueError(
+                "txlog streaming sink supports append output mode only"
+                " (got an overwrite/truncate epoch contract)"
+            )
         return TxlogStreamWriter(self.options, schema)
 
 
-def register(spark) -> None:
+def register(spark, enable_pushdown: bool = True) -> None:
     """Idempotent registration: ``spark.read.format('txlog')``.
 
-    Also enables Python data source filter pushdown (a runtime SQL
-    conf, default false in Spark 4.1): the batch reader implements
-    ``pushFilters``, and Spark HARD-FAILS a pushFilters-implementing
-    reader when the conf is off rather than silently skipping pruning
-    — so the connector's one registration entry point turns it on,
-    vanilla driver sessions included."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    SIDE EFFECT (session-wide): also enables Python data source filter
+    pushdown (``spark.sql.python.filterPushdown.enabled``, a runtime
+    SQL conf that defaults to false in Spark 4.1) — for EVERY Python
+    DataSource in the session, not just txlog. The batch reader
+    implements ``pushFilters``, and Spark HARD-FAILS a
+    pushFilters-implementing reader when the conf is off rather than
+    silently skipping pruning, so registration turns it on by default;
+    other pushFilters-implementing Python sources registered in the
+    same session will start receiving pushed filters too (a behavior
+    change their own hard-fail semantics may depend on). Pass
+    ``enable_pushdown=False`` to leave the conf untouched — txlog
+    reads will then fail until the caller sets it themselves."""
+    if enable_pushdown:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxlogDataSource)

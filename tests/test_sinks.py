@@ -2316,6 +2316,7 @@ def test_txlog_ds_writer_partitioned_layout(spark):
 
     import pyarrow.parquet as pq
     import pytest
+    from pyspark.sql import functions as F
 
     from aind_data_transformation_spark.io import txlog_source
     from aind_data_transformation_spark.queries.relational import load_table
@@ -2351,10 +2352,38 @@ def test_txlog_ds_writer_partitioned_layout(spark):
         orders.write.format("txlog").mode("append").option(
             "partition_col", "nope"
         ).save(log_dir)
-    with pytest.raises(Exception, match="mutually exclusive"):
-        orders.write.format("txlog").mode("append").option(
-            "partition_col", "o_orderstatus"
-        ).option("stats_col", "o_orderkey").save(log_dir)
+
+    # partition_col + stats_col COMBINE (r10 verdict gap #2): each
+    # partition's add action records that partition's exact min/max of
+    # the stats column, so the table gets partition pruning AND range
+    # pruning from one commit's metadata
+    both_log = os.path.join(base, "both", "_log")
+    (
+        orders.write.format("txlog")
+        .mode("append")
+        .option("partition_col", "o_orderstatus")
+        .option("stats_col", "o_orderkey")
+        .save(both_log)
+    )
+    adds = [
+        r
+        for r in sinks._txlog_log_rows(spark, both_log)
+        if r["action"] == "add"
+    ]
+    assert sorted(a["part"] for a in adds) == ["F", "O", "P"]
+    exact = {
+        (r["o_orderstatus"], r["mn"], r["mx"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+        )
+        .collect()
+    }
+    assert {
+        (a["part"], a["min_key"], a["max_key"]) for a in adds
+    } == exact
+    assert all(a["stats_col"] == "o_orderkey" for a in adds)
+    assert all(a["part_col"] == "o_orderstatus" for a in adds)
 
 
 def test_txlog_ds_reader_pushdown_prunes_files(spark):
@@ -2642,3 +2671,394 @@ def test_txlog_ds_stream_writer_auto_checkpoint(spark, tmp_path):
             *sinks._txlog_live_files(spark, log_dir, as_of=None)
         ).collect()
     ) == want
+
+
+def test_txlog_stream_writer_rejects_overwrite_modes(spark):
+    """A writeStream in complete/truncate output mode must fail loudly
+    (the streaming sink only appends) instead of silently appending
+    epochs that the mode contract says replace the table."""
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    schema = load_table(spark, TEST_SF_DIR, "nation").schema
+    ds = txlog_source.TxlogDataSource({"path": "/tmp/nowhere/_log"})
+    with pytest.raises(ValueError, match="append output mode only"):
+        ds.streamWriter(schema, overwrite=True)
+    # append contract still constructs fine
+    assert ds.streamWriter(schema, overwrite=False) is not None
+
+
+def test_txlog_stats_col_must_be_integer(spark):
+    """stats_col type validation at WRITER CONSTRUCTION (the advisor's
+    crash: a non-integer stats column died in pa.array() during the
+    auto-checkpoint, AFTER the log commit) — both writer halves reject
+    a double/string stats column before staging a single byte."""
+    import shutil
+
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_stats_type")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    with pytest.raises(Exception, match="must be an integer column"):
+        orders.write.format("txlog").mode("append").option(
+            "stats_col", "o_totalprice"
+        ).save(log_dir)
+    assert not os.path.exists(os.path.join(log_dir, "00000.json"))
+    with pytest.raises(ValueError, match="must be an integer column"):
+        txlog_source.TxlogStreamWriter(
+            {"path": log_dir, "stats_col": "o_orderstatus"}, orders.schema
+        )
+    # integer stats still fine on both halves
+    txlog_source.TxlogBatchWriter(
+        {"path": log_dir, "stats_col": "o_orderkey"}, orders.schema, False
+    )
+    txlog_source.TxlogStreamWriter(
+        {"path": log_dir, "stats_col": "o_orderkey"}, orders.schema
+    )
+
+
+def test_txlog_register_pushdown_opt_out(spark):
+    """register(enable_pushdown=False) leaves the session-wide Python
+    filter-pushdown conf untouched (the documented side effect is
+    opt-outable); the default register() turns it on."""
+    from aind_data_transformation_spark.io import txlog_source
+
+    key = "spark.sql.python.filterPushdown.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        txlog_source.register(spark, enable_pushdown=False)
+        assert spark.conf.get(key) == "false"
+        txlog_source.register(spark)
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_txlog_checkpoint_twins_share_one_schema(spark):
+    """The advisor's twin-divergence hazard, pinned: a connector
+    STATS-recording table compacted through the ENGINE's
+    txlog_checkpoint (fully — no JSON tail at all) keeps every add's
+    min_key/max_key/stats_col in the checkpoint parquet, and the
+    stats-pruning reader still prunes and returns exact rows. Before
+    unification this silently stripped the skipping metadata (and the
+    fully-compacted read crashed on an empty glob)."""
+    import glob as _glob
+    import shutil
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ckpt_twins")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    for pred in (k % 2 == 0, k % 2 == 1):
+        (
+            orders.where(pred)
+            .repartitionByRange(4, "o_orderkey")
+            .write.format("txlog")
+            .mode("append")
+            .option("stats_col", "o_orderkey")
+            .save(log_dir)
+        )
+    sinks.txlog_checkpoint(spark, log_dir, 1)
+    assert not _glob.glob(os.path.join(log_dir, "*.json"))
+    ckpt = _glob.glob(os.path.join(log_dir, "_checkpoint_*"))
+    assert len(ckpt) == 1
+    t = pq.read_table(ckpt[0]).to_pylist()
+    adds = [r for r in t if r["action"] == "add"]
+    assert len(adds) == 8
+    assert all(
+        r["min_key"] is not None
+        and r["max_key"] is not None
+        and r["stats_col"] == "o_orderkey"
+        for r in adds
+    )
+    kmin, kmax = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    lo = kmin + (kmax - kmin) * 25 // 100
+    hi = kmin + (kmax - kmin) * 40 // 100
+    snap, n_live, n_scanned = sinks.txlog_stats_read(spark, log_dir, lo, hi)
+    assert n_live == 8 and n_scanned < n_live
+    want = orders.where(k.between(lo, hi)).count()
+    assert snap.count() == want
+    # the compacted table also reads exactly through the connector
+    assert (
+        spark.read.format("txlog").option("path", log_dir).load().count()
+        == orders.count()
+    )
+
+
+def test_txlog_ds_merge_schema_mechanics(spark):
+    """merge_schema unit contracts beyond the row oracle: the evolved
+    union DDL lands as a metaData action IN THE SAME COMMIT as the
+    adds; connector schema() serves the evolved DDL (log-owned, never
+    a footer); a write that OMITS existing columns under merge is
+    admitted and null-fills; type drift on a common column is still
+    rejected even under merge."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_merge_mech")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.format("txlog").mode("append").save(log_dir)
+    # write OMITTING o_orderstatus/o_totalprice but adding a new column
+    (
+        orders.where(k % 2 == 1)
+        .select("o_orderkey", (k % 10).cast("int").alias("kmod"))
+        .write.format("txlog")
+        .mode("append")
+        .option("merge_schema", "true")
+        .save(log_dir)
+    )
+    rows = _read_log_json(log_dir)
+    metas = [r for r in rows if r["action"] == "metaData"]
+    assert len(metas) == 1 and metas[0]["commit"] == 1
+    assert "kmod" in metas[0]["schema"]
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    assert set(snap.columns) == {
+        "o_orderkey", "o_orderstatus", "o_totalprice", "kmod",
+    }
+    n_even = orders.where(k % 2 == 0).count()
+    n_odd = orders.where(k % 2 == 1).count()
+    got = snap.agg(
+        F.count(F.lit(1)),
+        F.count("o_orderstatus"),
+        F.count("kmod"),
+    ).collect()[0]
+    assert tuple(got) == (n_even + n_odd, n_even, n_odd)
+    # type drift on a shared column still rejected under merge
+    drifted = orders.where(k % 2 == 1).selectExpr(
+        "o_orderkey", "CAST(o_totalprice AS STRING) AS o_totalprice"
+    )
+    with pytest.raises(Exception, match="type mismatch"):
+        drifted.write.format("txlog").mode("append").option(
+            "merge_schema", "true"
+        ).save(log_dir)
+
+
+def test_txlog_ds_branched_filters_no_row_loss(spark):
+    """Regression for an upstream Spark 4.1 defect (verified on the
+    bytecode: PythonScanBuilder.pushFilters stores each branch's
+    planned read via PythonDataSourceV2.setReadInfo on the ONE object
+    shared by every scan of a load(); execution returns whichever plan
+    was set last): two differently-filtered branches of one loaded
+    DataFrame both executed the LAST branch's pruned file list and
+    silently dropped the other branch's rows. The connector's defense
+    prunes by the intersection of every filter set pushed for the
+    relation (planning-worker registry keyed by a per-load uuid), so
+    branched unions are exact while fresh single-scan loads keep full
+    pruning."""
+    import shutil
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_branch_union")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.format("txlog").mode("append").option(
+        "partition_col", "o_orderstatus"
+    ).save(log_dir)
+    tbl = spark.read.format("txlog").option("path", log_dir).load()
+    u = tbl.where("o_orderstatus='F'").unionByName(
+        tbl.where("o_orderstatus='O'")
+    )
+    want = orders.where("o_orderstatus IN ('F','O')").count()
+    assert u.count() == want
+    # 3-way branch reconstructs the full table
+    t3 = spark.read.format("txlog").option("path", log_dir).load()
+    w = (
+        t3.where("o_orderstatus='F'")
+        .unionByName(t3.where("o_orderstatus='O'"))
+        .unionByName(t3.where("o_orderstatus='P'"))
+    )
+    assert w.count() == orders.count()
+    # sequential reuse of ONE load with changing filters stays exact
+    t2 = spark.read.format("txlog").option("path", log_dir).load()
+    for status in ("F", "O", "P", "F"):
+        got = t2.where(f"o_orderstatus='{status}'").count()
+        assert got == orders.where(f"o_orderstatus='{status}'").count()
+    # a FRESH load still gets full single-scan pruning (log metadata)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    from pyspark.sql.datasource import EqualTo
+
+    r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    n_all = len(r.partitions())
+    r.pushFilters([EqualTo(("o_orderstatus",), "F")])
+    assert len(r.partitions()) == 1 < n_all
+
+
+def test_txlog_ds_bloom_index_mechanics(spark):
+    """Bloom index unit contracts beyond the row oracle: the add
+    actions carry a decodable filter (bloom/bloom_col/bloom_bits);
+    NO file containing a probed key is ever pruned (membership is
+    exact for present values — only absence can be proven); a key
+    absent from the whole table prunes EVERY file (modulo false
+    positives: asserted ≤ half the files at these sizes); bloom_col
+    rejects non-integer columns and non-power-of-two sizes."""
+    import shutil
+
+    import pytest
+    from pyspark.sql.datasource import EqualTo
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base = _scratch("txlog_ds_bloom_unit")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.repartition(8, "o_orderkey")
+        .write.format("txlog")
+        .mode("append")
+        .option("bloom_col", "o_orderkey")
+        .save(log_dir)
+    )
+    rows = sinks._txlog_log_rows(spark, log_dir)
+    adds = [r for r in rows if r["action"] == "add"]
+    assert all(
+        r["bloom"] and r["bloom_col"] == "o_orderkey" and r["bloom_bits"]
+        for r in adds
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    # every present key must keep exactly the file(s) that hold it
+    import pyarrow.parquet as pq
+
+    sample_keys = [
+        r["o_orderkey"]
+        for r in orders.where("o_orderkey % 131 = 7").limit(10).collect()
+    ]
+    for key in sample_keys:
+        r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+        r.pushFilters([EqualTo(("o_orderkey",), key)])
+        kept = {p.path for p in r.partitions()}
+        holders = {
+            p
+            for a in adds
+            for p in [a["path"]]
+            if key
+            in pq.read_table(p, columns=["o_orderkey"])
+            .column("o_orderkey")
+            .to_pylist()
+        }
+        assert holders <= kept, (key, holders - kept)
+    # an absent key prunes (false positives bounded at this density)
+    absent = (
+        orders.agg({"o_orderkey": "max"}).collect()[0][0] + 123456789
+    )
+    r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    r.pushFilters([EqualTo(("o_orderkey",), absent)])
+    assert len(r.partitions()) <= len(adds) // 2
+    # option validation
+    with pytest.raises(Exception, match="must be an integer column"):
+        orders.write.format("txlog").mode("append").option(
+            "bloom_col", "o_orderstatus"
+        ).save(log_dir)
+    with pytest.raises(Exception, match="power of two"):
+        orders.write.format("txlog").mode("append").option(
+            "bloom_col", "o_orderkey"
+        ).option("bloom_bits", "1000").save(log_dir)
+
+
+def test_txlog_stream_writer_partitioned_epochs(spark, tmp_path):
+    """Streaming PARTITIONED epochs: each micro-batch commits one
+    part-valued add per partition value (same Hive layout + metadata
+    as the batch writer — `_publish_partitioned` is shared), with
+    per-partition stats folded in; a replayed epoch finds its txn
+    marker and skips; partition-pruned reads work on the streaming
+    table immediately."""
+    import os
+
+    import pyarrow as pa
+    from pyspark.sql.datasource import EqualTo
+
+    from aind_data_transformation_spark.io import txlog_source
+
+    log_dir = os.path.join(str(tmp_path), "tbl", "_log")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "a")], "k long, s string"
+    )
+    w = txlog_source.TxlogStreamWriter(
+        {
+            "path": log_dir,
+            "partition_col": "s",
+            "stats_col": "k",
+        },
+        df.schema,
+    )
+
+    def stage(rows):
+        batch = pa.record_batch(
+            {
+                "k": pa.array([r[0] for r in rows], pa.int64()),
+                "s": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        return w.write(iter([batch]))
+
+    w.commit([stage([(1, "a"), (2, "b"), (3, "a")])], 0)
+    w.commit([stage([(4, "b"), (5, "a")])], 1)
+    rows = sinks._txlog_log_rows(spark, log_dir)
+    adds = [r for r in rows if r["action"] == "add"]
+    assert sorted((a["part"], a["min_key"], a["max_key"]) for a in adds) == [
+        ("a", 1, 3),
+        ("a", 5, 5),
+        ("b", 2, 2),
+        ("b", 4, 4),
+    ]
+    assert all(a["part_col"] == "s" for a in adds)
+    # replayed epoch is a no-op (its txn marker is already committed)
+    n_commits = max(r["commit"] for r in rows)
+    w.commit([stage([(99, "zzz")])], 1)
+    rows2 = sinks._txlog_log_rows(spark, log_dir)
+    assert max(r["commit"] for r in rows2) == n_commits
+    # partition-pruned read through the connector
+    txlog_source.register(spark)
+    tbl = spark.read.format("txlog").option("path", log_dir).load()
+    assert sorted(
+        r["k"] for r in tbl.where("s = 'a'").collect()
+    ) == [1, 3, 5]
+    r = txlog_source.TxlogBatchReader({"path": log_dir}, ["k", "s"])
+    n_all = len({p.data_dir for p in r.partitions()})
+    r.pushFilters([EqualTo(("s",), "a")])
+    n_a = len({p.data_dir for p in r.partitions()})
+    assert n_a == 2 < n_all == 4
