@@ -1595,3 +1595,57 @@ ORACLES["privacy_dp_sums"] = f"""
            CAST(10000000 AS BIGINT) AS clip_cents
     FROM rel
 """
+
+
+def q_diag_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime pipeline metrics via Spark's Observation API (the
+    production monitoring hook: named aggregates piggyback on a job's
+    OWN pass — `df.observe(...)` — so collecting row counts / sums /
+    maxima for data-quality dashboards costs ZERO extra scans, unlike
+    a separate .agg() job). The key runs a filter pipeline over
+    lineitem with three observed metrics attached, drives it with one
+    action, and returns the observed values as a row — the oracle
+    restates them from the table, so a metric computed on the wrong
+    side of the filter (observe sees PRE-filter rows here) or a lost
+    accumulator update breaks the hash.
+
+    Scale: observation metrics are AccumulatorV2s merged driver-side —
+    constant driver memory per metric regardless of table size."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+        ).alias("sum_price_cents"),
+        F.sum((F.col("l_discount") > 0.05).cast("long")).alias(
+            "n_discounted"
+        ),
+    )
+    # one real action drives the pipeline; the metrics ride along
+    downstream = observed.where(F.col("l_quantity") >= 25).agg(
+        F.count(F.lit(1)).cast("long").alias("n_heavy")
+    )
+    n_heavy = downstream.collect()[0]["n_heavy"]
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price_cents"], m["n_discounted"], n_heavy)],
+        "n_rows long, sum_price_cents long, n_discounted long,"
+        " n_heavy long",
+    )
+
+
+QUERIES["diag_observe_metrics"] = q_diag_observe_metrics
+ORACLES["diag_observe_metrics"] = """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents,
+           SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END)::BIGINT
+               AS n_discounted,
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity >= 25)::BIGINT
+               AS n_heavy
+    FROM lineitem
+"""

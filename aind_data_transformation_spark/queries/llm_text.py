@@ -786,3 +786,164 @@ ORACLES = {
                  / CAST(len(list_distinct(list_concat(a.trigrams, b.trigrams))) AS DOUBLE) > 0.0
     """,
 }
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup — the daily-crawl shape: the existing
+    corpus (doc_id % 10 != 0) is represented ONLY by its persisted LSH
+    band index (~40 bytes/doc: id + 2 band keys — the artifact a real
+    pipeline writes once and reuses every day); an incoming batch
+    (doc_id % 10 == 0) is signed, band-joined AGAINST THE INDEX (never
+    against the corpus text), and only the candidate corpus docs are
+    pulled for exact trigram-Jaccard verification (semi-join before the
+    shingling transform). Output: one verdict row per batch doc —
+    candidate count, verified-dup count (>= 0.7), and the is_new
+    admission bit.
+
+    Scale: per-batch cost ∝ batch size + candidate set; the 100-TB
+    corpus is touched only through its index and the (tiny) candidate
+    pull — this is what makes continuous dedup affordable where a full
+    self-join dedup per crawl is not."""
+    from aind_data_transformation_spark.ops import local_materializer
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 10 != 0)
+    batch = d.where(F.col("doc_id") % 10 == 0)
+
+    def banded(df):
+        return minhash_signatures(df, "doc_id", "text").select(
+            "doc_id",
+            F.concat_ws("_", "mh0", "mh1", "mh2", "mh3").alias("band1"),
+            F.concat_ws("_", "mh4", "mh5", "mh6", "mh7").alias("band2"),
+        )
+
+    idx = local_materializer(banded(corpus), "inc_dedup_index")
+    bb = local_materializer(banded(batch), "inc_dedup_batch")
+    cands = None
+    for band in ("band1", "band2"):
+        a = bb.select(
+            F.col("doc_id").alias("batch_id"), F.col(band).alias("bk")
+        )
+        c = idx.select(
+            F.col("doc_id").alias("corpus_id"), F.col(band).alias("bk")
+        )
+        p = a.join(c, "bk").select("batch_id", "corpus_id")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = local_materializer(cands.distinct(), "inc_dedup_cands")
+
+    def tri(df):
+        return df.select(
+            "doc_id", F.expr("split(text, ' ')").alias("__toks")
+        ).select(
+            "doc_id",
+            F.expr(trigram_set_expr("__toks", "spark")).alias("tri"),
+        )
+
+    bt = tri(
+        batch.join(
+            cands.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    ct = tri(
+        corpus.join(
+            cands.select(F.col("corpus_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    j = cands.join(
+        bt.select(
+            F.col("doc_id").alias("batch_id"), F.col("tri").alias("tri_b")
+        ),
+        "batch_id",
+    ).join(
+        ct.select(
+            F.col("doc_id").alias("corpus_id"), F.col("tri").alias("tri_c")
+        ),
+        "corpus_id",
+    )
+    union_sz = F.size(F.array_union("tri_b", "tri_c"))
+    jac = F.when(
+        union_sz > 0,
+        F.size(F.array_intersect("tri_b", "tri_c")).cast("double")
+        / union_sz.cast("double"),
+    ).otherwise(F.lit(0.0))
+    per_doc = (
+        j.select("batch_id", (jac >= 0.7).cast("long").alias("dup"))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("dup").alias("n_dups"),
+        )
+    )
+    out = batch.select(F.col("doc_id").alias("batch_id")).join(
+        per_doc, "batch_id", "left"
+    )
+    return out.select(
+        F.col("batch_id").alias("doc_id"),
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+            "n_candidates"
+        ),
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        (F.coalesce("n_dups", F.lit(0)) == 0).alias("is_new"),
+    )
+
+
+QUERIES["dedup_incremental_minhash"] = q_dedup_incremental_minhash
+ORACLES["dedup_incremental_minhash"] = f"""
+    WITH tv AS (
+        SELECT doc_id, {_tokvals_expr(_TOKS_DUCK, 'duck')} AS tok_vals
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, {_shingles_expr('tok_vals', 'duck')} AS shingle_vals
+        FROM tv
+    ), banded AS (
+        SELECT doc_id,
+               concat_ws('_',
+                   {_minhash_from_shingles(0, 'shingle_vals', 'duck')},
+                   {_minhash_from_shingles(1, 'shingle_vals', 'duck')},
+                   {_minhash_from_shingles(2, 'shingle_vals', 'duck')},
+                   {_minhash_from_shingles(3, 'shingle_vals', 'duck')}
+               ) AS band1,
+               concat_ws('_',
+                   {_minhash_from_shingles(4, 'shingle_vals', 'duck')},
+                   {_minhash_from_shingles(5, 'shingle_vals', 'duck')},
+                   {_minhash_from_shingles(6, 'shingle_vals', 'duck')},
+                   {_minhash_from_shingles(7, 'shingle_vals', 'duck')}
+               ) AS band2
+        FROM sh
+    ), cands AS (
+        SELECT DISTINCT batch_id, corpus_id FROM (
+            SELECT b.doc_id AS batch_id, i.doc_id AS corpus_id
+            FROM banded b JOIN banded i ON b.band1 = i.band1
+            WHERE b.doc_id % 10 = 0 AND i.doc_id % 10 != 0
+            UNION ALL
+            SELECT b.doc_id, i.doc_id
+            FROM banded b JOIN banded i ON b.band2 = i.band2
+            WHERE b.doc_id % 10 = 0 AND i.doc_id % 10 != 0
+        )
+    ), tris AS (
+        SELECT doc_id, {trigram_set_expr(_TOKS_DUCK, 'duck')} AS tri
+        FROM documents
+    ), per AS (
+        SELECT batch_id,
+               COUNT(*)::BIGINT AS n_candidates,
+               SUM(CASE WHEN len(list_distinct(list_concat(tb.tri, tc.tri))) > 0
+                         AND CAST(len(list_intersect(tb.tri, tc.tri)) AS DOUBLE)
+                             / CAST(len(list_distinct(list_concat(tb.tri, tc.tri)))
+                                    AS DOUBLE) >= 0.7
+                        THEN 1 ELSE 0 END)::BIGINT AS n_dups
+        FROM cands
+        JOIN tris tb ON tb.doc_id = batch_id
+        JOIN tris tc ON tc.doc_id = corpus_id
+        GROUP BY batch_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_candidates, 0)::BIGINT AS n_candidates,
+           COALESCE(per.n_dups, 0)::BIGINT AS n_dups,
+           COALESCE(per.n_dups, 0) = 0 AS is_new
+    FROM documents d LEFT JOIN per ON per.batch_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+"""

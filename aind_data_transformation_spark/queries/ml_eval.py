@@ -2173,3 +2173,172 @@ ORACLES["ml_gbdt_multifeature"] = f"""
            CAST(lmu AS BIGINT), CAST(rmu AS BIGINT)
     FROM best_m2, rng
 """
+
+
+def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE K-fold target encoding (the feature-engineering op
+    every tabular pipeline runs before a GBDT): each row's categorical
+    (o_orderpriority) is replaced by the smoothed mean of the target
+    (o_orderstatus = 'F') computed ONLY over the OTHER folds — fold id
+    from the portable md5 hash (`ml_kfold_assign`'s split), so the
+    encoding is reshuffle-proof and the row's own target can never
+    leak into its feature. Smoothing shrinks rare categories toward
+    the global prior: enc = (s_out + α·prior)/(n_out + α), α = 10,
+    computed in EXACT integer arithmetic as
+    ppm = 10⁶·(s_out·g_n + α·g_s) DIV ((n_out + α)·g_n), so the
+    engines cannot drift. Output: one row per (fold, category) — the
+    entire encoder table a scorer would broadcast.
+
+    Scale: ONE fact shuffle to (fold, category); out-of-fold sums are
+    per-category totals minus own-fold counts (no second scan); the
+    encoder domain is folds×categories — metadata-sized at any table
+    size, which is exactly why target encoding scales where one-hot
+    doesn't."""
+    o = load_table(spark, sf_dir, "orders")
+    fold = F.expr(
+        "conv(substr(md5(cast(o_orderkey AS STRING)), 1, 7), 16, 10) % 5"
+    ).cast("long")
+    rows = o.select(
+        fold.alias("fold"),
+        F.col("o_orderpriority").alias("category"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    per = rows.groupBy("fold", "category").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    tot = per.groupBy("category").agg(
+        F.sum("n").alias("tn"), F.sum("s").alias("ts")
+    )
+    g = per.agg(F.sum("n").alias("gn"), F.sum("s").alias("gs"))
+    j = per.join(F.broadcast(tot), "category").transform(
+        attach_broadcast, F.broadcast(g)
+    )
+    return j.select(
+        "fold",
+        "category",
+        F.col("n").cast("long").alias("n_rows"),
+        (F.col("tn") - F.col("n")).cast("long").alias("n_out"),
+        (F.col("ts") - F.col("s")).cast("long").alias("s_out"),
+        F.expr(
+            "(1000000 * ((ts - s) * gn + 10 * gs))"
+            " DIV (((tn - n) + 10) * gn)"
+        ).cast("long").alias("enc_ppm"),
+    )
+
+
+QUERIES["ml_target_encoding"] = q_ml_target_encoding
+ORACLES["ml_target_encoding"] = """
+    WITH r AS (
+        SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)
+                    AS BIGINT) % 5 AS fold,
+               o_orderpriority AS category,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), per AS (
+        SELECT fold, category, COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS s
+        FROM r GROUP BY fold, category
+    ), tot AS (
+        SELECT category, SUM(n)::BIGINT AS tn, SUM(s)::BIGINT AS ts
+        FROM per GROUP BY category
+    ), g AS (
+        SELECT SUM(n)::BIGINT AS gn, SUM(s)::BIGINT AS gs FROM per
+    )
+    SELECT fold, per.category,
+           n AS n_rows,
+           (tn - n)::BIGINT AS n_out,
+           (ts - s)::BIGINT AS s_out,
+           ((1000000 * ((ts - s) * gn + 10 * gs))
+               // (((tn - n) + 10) * gn))::BIGINT AS enc_ppm
+    FROM per JOIN tot ON per.category = tot.category CROSS JOIN g
+"""
+
+
+def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value per category — the
+    credit-scorecard feature-screening pair: WOE_i =
+    ln(good_share_i / bad_share_i) with Laplace-smoothed shares
+    (p = (g_i+1)/(G+k), q = (b_i+1)/(B+k), k = #categories), and the
+    category's IV contribution (p−q)·WOE_i. good = o_orderstatus 'F'.
+    Doubles close over nano-scaled integers (the `ml_psi_drift`
+    idiom), so a last-ulp ln() difference between engines is rounded
+    away. Output: one row per category with counts, shares, WOE, the
+    IV term, and the total IV replicated per row (window sum over the
+    k-row domain).
+
+    Scale: one fact shuffle to the category domain; everything after
+    is k rows."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(
+            (F.col("o_orderstatus") == "F").cast("long")
+        ).alias("n_good"),
+        F.sum(
+            (F.col("o_orderstatus") != "F").cast("long")
+        ).alias("n_bad"),
+    )
+    k = per.count()
+    tot = per.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    j = per.transform(attach_broadcast, F.broadcast(tot))
+    p = (F.col("n_good") + 1).cast("double") / (
+        F.col("tg") + F.lit(k)
+    ).cast("double")
+    q = (F.col("n_bad") + 1).cast("double") / (
+        F.col("tb") + F.lit(k)
+    ).cast("double")
+    woe_nano = F.round(F.log(p / q) * F.lit(1.0e9)).cast("long")
+    iv_nano = F.round((p - q) * F.log(p / q) * F.lit(1.0e9)).cast("long")
+    staged = j.select(
+        "category",
+        F.col("n_good").cast("long").alias("n_good"),
+        F.col("n_bad").cast("long").alias("n_bad"),
+        woe_nano.alias("woe_nano"),
+        iv_nano.alias("iv_term_nano"),
+    )
+    w = Window.partitionBy()
+    return staged.select(
+        "category",
+        "n_good",
+        "n_bad",
+        (F.col("woe_nano").cast("double") / 1.0e9).alias("woe"),
+        (F.col("iv_term_nano").cast("double") / 1.0e9).alias("iv_term"),
+        (
+            F.sum("iv_term_nano").over(w).cast("double") / 1.0e9
+        ).alias("iv_total"),
+    )
+
+
+QUERIES["ml_woe_iv"] = q_ml_woe_iv
+ORACLES["ml_woe_iv"] = """
+    WITH per AS (
+        SELECT o_orderpriority AS category,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_good,
+               SUM(CASE WHEN o_orderstatus != 'F' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_bad
+        FROM orders GROUP BY o_orderpriority
+    ), tot AS (
+        SELECT SUM(n_good)::BIGINT AS tg, SUM(n_bad)::BIGINT AS tb,
+               COUNT(*)::BIGINT AS k
+        FROM per
+    ), t AS (
+        SELECT category, n_good, n_bad,
+               CAST(round(ln(
+                   ((n_good + 1)::DOUBLE / (tg + k)::DOUBLE)
+                   / ((n_bad + 1)::DOUBLE / (tb + k)::DOUBLE)
+               ) * 1e9) AS BIGINT) AS woe_nano,
+               CAST(round(
+                   (((n_good + 1)::DOUBLE / (tg + k)::DOUBLE)
+                    - ((n_bad + 1)::DOUBLE / (tb + k)::DOUBLE))
+                   * ln(((n_good + 1)::DOUBLE / (tg + k)::DOUBLE)
+                        / ((n_bad + 1)::DOUBLE / (tb + k)::DOUBLE))
+                   * 1e9) AS BIGINT) AS iv_term_nano
+        FROM per CROSS JOIN tot
+    )
+    SELECT category, n_good, n_bad,
+           woe_nano::DOUBLE / 1e9 AS woe,
+           iv_term_nano::DOUBLE / 1e9 AS iv_term,
+           (SUM(iv_term_nano) OVER ())::DOUBLE / 1e9 AS iv_total
+    FROM t
+"""
