@@ -1175,6 +1175,19 @@ def _check_append_schema(
     metaData action; a column the write OMITS is also fine under merge
     (its rows null-fill at read, like any pre-evolution file). Returns
     the evolved DDL string when the schema widened, else None."""
+    rows = _log_rows(log_dir)
+    if _mapping_as_of(rows) is not None:
+        # a column-MAPPED table's files carry version-unique PHYSICAL
+        # names the log owns — a plain connector append would write
+        # files under logical names that the mapped projection then
+        # misreads. Fail with the right tool named instead of a
+        # confusing name-mismatch against a physical footer.
+        raise ValueError(
+            "txlog append to a column-mapped table is not supported"
+            " through the plain connector writer: use the engine's"
+            " mapped write (queries/sinks.txlog_mapped_write), which"
+            " maps logical to physical names at write time"
+        )
     table_cols = _table_schema_cols(log_dir)
     if table_cols is None:
         return None

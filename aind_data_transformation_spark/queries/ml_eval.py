@@ -2175,9 +2175,11 @@ ORACLES["ml_gbdt_multifeature"] = f"""
 """
 
 
-def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEAKAGE-SAFE K-fold target encoding (the feature-engineering op
-    every tabular pipeline runs before a GBDT): each row's categorical
+def q_ml_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE K-fold OUT-OF-FOLD target encoding — the
+    cross-validation-grade companion of the in-sample
+    `ml_target_encoding` key (the feature-engineering op every tabular
+    pipeline runs before a GBDT): each row's categorical
     (o_orderpriority) is replaced by the smoothed mean of the target
     (o_orderstatus = 'F') computed ONLY over the OTHER folds — fold id
     from the portable md5 hash (`ml_kfold_assign`'s split), so the
@@ -2189,11 +2191,15 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines cannot drift. Output: one row per (fold, category) — the
     entire encoder table a scorer would broadcast.
 
-    Scale: ONE fact shuffle to (fold, category); out-of-fold sums are
-    per-category totals minus own-fold counts (no second scan); the
-    encoder domain is folds×categories — metadata-sized at any table
-    size, which is exactly why target encoding scales where one-hot
+    Scale: ONE fact scan and ONE fact shuffle to (fold, category) —
+    the folds×categories aggregate is materialized (metadata-sized),
+    so the per-category totals and the global prior derive from 25
+    rows, never from a re-scan; out-of-fold sums are totals minus own
+    fold. The encoder domain stays metadata-sized at any table size,
+    which is exactly why target encoding scales where one-hot
     doesn't."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     o = load_table(spark, sf_dir, "orders")
     fold = F.expr(
         "conv(substr(md5(cast(o_orderkey AS STRING)), 1, 7), 16, 10) % 5"
@@ -2203,8 +2209,11 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("category"),
         (F.col("o_orderstatus") == "F").cast("long").alias("y"),
     )
-    per = rows.groupBy("fold", "category").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    per = local_materializer(
+        rows.groupBy("fold", "category").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+        ),
+        "target_enc_per",
     )
     tot = per.groupBy("category").agg(
         F.sum("n").alias("tn"), F.sum("s").alias("ts")
@@ -2226,8 +2235,8 @@ def q_ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["ml_target_encoding"] = q_ml_target_encoding
-ORACLES["ml_target_encoding"] = """
+QUERIES["ml_target_encoding_oof"] = q_ml_target_encoding_oof
+ORACLES["ml_target_encoding_oof"] = """
     WITH r AS (
         SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 7)
                     AS BIGINT) % 5 AS fold,
@@ -2265,27 +2274,35 @@ def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     IV term, and the total IV replicated per row (window sum over the
     k-row domain).
 
-    Scale: one fact shuffle to the category domain; everything after
-    is k rows."""
+    Scale: ONE fact scan, one shuffle to the category domain; the
+    materialized k-row aggregate feeds both the per-category rows and
+    the broadcast totals (which carry k itself — no separate count
+    action), so nothing re-scans the table."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     o = load_table(spark, sf_dir, "orders")
-    per = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
-        F.sum(
-            (F.col("o_orderstatus") == "F").cast("long")
-        ).alias("n_good"),
-        F.sum(
-            (F.col("o_orderstatus") != "F").cast("long")
-        ).alias("n_bad"),
+    per = local_materializer(
+        o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+            F.sum(
+                (F.col("o_orderstatus") == "F").cast("long")
+            ).alias("n_good"),
+            F.sum(
+                (F.col("o_orderstatus") != "F").cast("long")
+            ).alias("n_bad"),
+        ),
+        "woe_per",
     )
-    k = per.count()
     tot = per.agg(
-        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+        F.sum("n_good").alias("tg"),
+        F.sum("n_bad").alias("tb"),
+        F.count(F.lit(1)).alias("k"),
     )
     j = per.transform(attach_broadcast, F.broadcast(tot))
     p = (F.col("n_good") + 1).cast("double") / (
-        F.col("tg") + F.lit(k)
+        F.col("tg") + F.col("k")
     ).cast("double")
     q = (F.col("n_bad") + 1).cast("double") / (
-        F.col("tb") + F.lit(k)
+        F.col("tb") + F.col("k")
     ).cast("double")
     woe_nano = F.round(F.log(p / q) * F.lit(1.0e9)).cast("long")
     iv_nano = F.round((p - q) * F.log(p / q) * F.lit(1.0e9)).cast("long")

@@ -5609,11 +5609,17 @@ def q_sink_txlog_datasource_bloom_prune(
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+    # size the filter for the layout (a real writer sizes from expected
+    # rows/file): ~16 bits per key keeps the false-positive rate low at
+    # ANY sf, so the pruning assertion below is scale-proof
+    n_rows = orders.count()
+    bits = 1 << max(17, (n_rows * 16 // 8).bit_length())
     (
         orders.repartition(8, "o_orderkey")  # hash layout: stats useless
         .write.format("txlog")
         .mode("append")
         .option("bloom_col", "o_orderkey")
+        .option("bloom_bits", str(bits))
         .option("stats_col", "o_orderkey")
         .save(log_dir)
     )

@@ -955,3 +955,95 @@ def q_stream_txlog_datasource_write(
 
 QUERIES["stream_txlog_datasource_write"] = q_stream_txlog_datasource_write
 ORACLES["stream_txlog_datasource_write"] = ORACLES["stream_txlog_sink"]
+
+
+def q_stream_txlog_write_partitioned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITIONED exactly-once streaming ingest through the connector
+    (``.option("partition_col", ...)`` on the stream writer): each
+    micro-batch's tasks split their Arrow batches by o_orderstatus
+    (columnar masks) and the epoch commits one Hive-style dir + one
+    ``part``-valued add PER PARTITION VALUE, atomically with the
+    epoch's txn marker — the same layout and metadata the batch writer
+    publishes (`_publish_partitioned` is shared), so partition-pruned
+    reads work on the streaming table from the first micro-batch. One
+    file per trigger makes each epoch exactly one deterministic hash
+    chunk (o_orderkey % 4) REGARDLESS of file pickup order, so the
+    pruning evidence is restatable: dirs live = sum of distinct
+    statuses per chunk, dirs opened for the 'F' probe = chunks holding
+    an F row — a writer that misrouted rows or a reader that opened a
+    partition it could prove irrelevant breaks the hash.
+
+    Scale: epochs × partitions metadata rows; each epoch's commit cost
+    is its own rows, and the planner never lists a directory."""
+    import os
+    import tempfile
+
+    from pyspark.sql.datasource import EqualTo
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries import sinks as _sinks
+
+    src = _txlog_sink_stage(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="stream_txlog_part_write_")
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    stream = (
+        spark.readStream.schema(
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("txlog")
+        .option("path", log_dir)
+        .option("partition_col", "o_orderstatus")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    rdr = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    n_live = len({p.data_dir for p in rdr.partitions()})
+    rdr2 = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    rdr2.pushFilters([EqualTo(("o_orderstatus",), "F")])
+    n_scanned = len({p.data_dir for p in rdr2.partitions()})
+    snap = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .where(F.col("o_orderstatus") == "F")
+    )
+    return snap.agg(
+        F.lit(n_live).cast("long").alias("n_parts_live"),
+        F.lit(n_scanned).cast("long").alias("n_parts_scanned"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+        ).cast("long").alias("sum_price_cents"),
+    )
+
+
+QUERIES["stream_txlog_write_partitioned"] = q_stream_txlog_write_partitioned
+ORACLES["stream_txlog_write_partitioned"] = """
+    WITH e AS (
+        SELECT o_orderkey % 4 AS chunk, o_orderstatus FROM orders
+    ), live AS (
+        SELECT COUNT(*)::BIGINT AS n
+        FROM (SELECT DISTINCT chunk, o_orderstatus FROM e)
+    ), scanned AS (
+        SELECT COUNT(DISTINCT chunk)::BIGINT AS n
+        FROM e WHERE o_orderstatus = 'F'
+    )
+    SELECT (SELECT n FROM live) AS n_parts_live,
+           (SELECT n FROM scanned) AS n_parts_scanned,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM(o_orderkey)::BIGINT AS sum_keys,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+               AS sum_price_cents
+    FROM orders WHERE o_orderstatus = 'F'
+"""

@@ -3062,3 +3062,92 @@ def test_txlog_stream_writer_partitioned_epochs(spark, tmp_path):
     r.pushFilters([EqualTo(("s",), "a")])
     n_a = len({p.data_dir for p in r.partitions()})
     assert n_a == 2 < n_all == 4
+
+
+def test_txlog_ds_edge_compositions(spark):
+    """Edge compositions across the r11 features: (1) a plain
+    connector append to a column-MAPPED table fails loudly naming the
+    mapped-write tool (a silent logical-name file would be misread by
+    the physical->logical projection); (2) time travel to BEFORE a
+    merge_schema evolution serves the pre-evolution schema (the added
+    column must not exist at the earlier snapshot); (3) merge_schema
+    composes with partitioned writes (the metaData action and the
+    part-valued adds land in ONE commit)."""
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+
+    # (1) mapped table rejects the plain writer
+    mapped_log = sinks._build_txlog_mapped_table(
+        spark, TEST_SF_DIR, "txlog_ds_edge_mapped"
+    )
+    with pytest.raises(Exception, match="column-mapped table"):
+        orders.select("o_orderkey").write.format("txlog").mode(
+            "append"
+        ).save(mapped_log)
+
+    # (2) evolution x time travel
+    base = _scratch("txlog_ds_edge_evo_tt")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.format("txlog").mode("append").save(log_dir)
+    (
+        orders.where(k % 2 == 1)
+        .select("o_orderkey", "o_totalprice", (k % 7).cast("int").alias("k7"))
+        .write.format("txlog")
+        .mode("append")
+        .option("merge_schema", "true")
+        .save(log_dir)
+    )
+    now = spark.read.format("txlog").option("path", log_dir).load()
+    assert "k7" in now.columns
+    v0 = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("version_as_of", "0")
+        .load()
+    )
+    assert "k7" not in v0.columns
+    assert v0.count() == orders.where(k % 2 == 0).count()
+
+    # (3) merge_schema x partitioned write: one commit holds both the
+    # metaData and the part-valued adds
+    base2 = _scratch("txlog_ds_edge_merge_part")
+    shutil.rmtree(base2, ignore_errors=True)
+    log2 = os.path.join(base2, "_log")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).write.format("txlog").mode("append").option(
+        "partition_col", "o_orderstatus"
+    ).save(log2)
+    (
+        orders.where(k % 2 == 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            (k % 7).cast("int").alias("k7"),
+        )
+        .write.format("txlog")
+        .mode("append")
+        .option("partition_col", "o_orderstatus")
+        .option("merge_schema", "true")
+        .save(log2)
+    )
+    rows = sinks._txlog_log_rows(spark, log2)
+    v1 = [r for r in rows if r["commit"] == 1]
+    assert any(r["action"] == "metaData" and "k7" in r["schema"] for r in v1)
+    assert sum(1 for r in v1 if r["action"] == "add") == 3
+    snap = spark.read.format("txlog").option("path", log2).load()
+    assert snap.count() == orders.count()
+    assert snap.where("k7 IS NULL").count() == orders.where(k % 2 == 0).count()
