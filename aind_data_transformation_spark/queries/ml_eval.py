@@ -2306,23 +2306,26 @@ def q_ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     woe_nano = F.round(F.log(p / q) * F.lit(1.0e9)).cast("long")
     iv_nano = F.round((p - q) * F.log(p / q) * F.lit(1.0e9)).cast("long")
-    staged = j.select(
-        "category",
-        F.col("n_good").cast("long").alias("n_good"),
-        F.col("n_bad").cast("long").alias("n_bad"),
-        woe_nano.alias("woe_nano"),
-        iv_nano.alias("iv_term_nano"),
+    staged = local_materializer(
+        j.select(
+            "category",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            woe_nano.alias("woe_nano"),
+            iv_nano.alias("iv_term_nano"),
+        ),
+        "woe_terms",
     )
-    w = Window.partitionBy()
-    return staged.select(
+    # total IV via a broadcast of the 1-row sum, not a global window —
+    # an empty-partition window would be a single-partition exchange
+    tot_iv = staged.agg(F.sum("iv_term_nano").alias("iv_total_nano"))
+    return staged.transform(attach_broadcast, F.broadcast(tot_iv)).select(
         "category",
         "n_good",
         "n_bad",
         (F.col("woe_nano").cast("double") / 1.0e9).alias("woe"),
         (F.col("iv_term_nano").cast("double") / 1.0e9).alias("iv_term"),
-        (
-            F.sum("iv_term_nano").over(w).cast("double") / 1.0e9
-        ).alias("iv_total"),
+        (F.col("iv_total_nano").cast("double") / 1.0e9).alias("iv_total"),
     )
 
 
