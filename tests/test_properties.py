@@ -1339,3 +1339,117 @@ def test_gbdt_multifeature_elects_across_features(spark):
     assert rows[1]["gain"] > rows[2]["gain"] > 0
     # the uninformative third candidate never wins a round
     assert all(r["feature"] != "suppkey" for r in rows.values())
+
+
+# --- r11: bloom index, DDL parsing, pushdown intersection ---------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    members=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), max_size=200
+    ),
+    probes=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_bloom_never_false_negative(members, probes):
+    """The bloom index's one hard guarantee: a value that was folded
+    into the filter ALWAYS probes present (pruning on it would drop
+    rows); absent values may false-positive but never the reverse.
+    Also pins write/probe hash agreement across the two call sites."""
+    import numpy as np
+
+    from aind_data_transformation_spark.io.txlog_source import (
+        _bloom_encode,
+        _bloom_hashes,
+        _bloom_maybe_contains,
+    )
+
+    m = 1 << 12
+    bits = np.zeros(m >> 3, dtype=np.uint8)
+    if members:
+        for pos in _bloom_hashes(np.array(members, dtype=np.int64), m):
+            np.bitwise_or.at(
+                bits, pos >> 3,
+                np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)),
+            )
+    add = {"bloom": _bloom_encode(bits), "bloom_bits": m}
+    for v in members:
+        assert _bloom_maybe_contains(add, v), v
+    for v in probes:
+        got = _bloom_maybe_contains(add, v)
+        if v in set(members):
+            assert got
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    cols=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll",), max_codepoint=122
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            st.sampled_from(
+                ["bigint", "int", "double", "string", "boolean",
+                 "date", "timestamp", "decimal(10,2)", "decimal(38,0)"]
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_parse_ddl_roundtrip(cols):
+    """_parse_ddl inverts the DDL the connector emits — including
+    paren-carrying decimal types and backtick quoting — so an evolved
+    schema survives commit -> replay -> projection unchanged."""
+    from aind_data_transformation_spark.io.txlog_source import _parse_ddl
+
+    ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
+    assert _parse_ddl(ddl) == [(n, t) for n, t in cols]
+    ddl_unquoted = ", ".join(f"{n} {t}" for n, t in cols)
+    assert _parse_ddl(ddl_unquoted) == [(n, t) for n, t in cols]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pushes=st.lists(
+        st.lists(st.sampled_from(["F", "O", "P"]), max_size=3),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_pushdown_intersection_is_superset_for_every_push(spark, pushes):
+    """The shared-readInfo defense's invariant, property-tested: after
+    ANY sequence of pushFilters calls for one relation, the effective
+    pruning filter set is contained in EVERY pushed set — so whichever
+    planning's partitions survive the JVM's last-write-wins, they are
+    a superset for every scan whose push preceded them."""
+    from pyspark.sql.datasource import EqualTo
+
+    from aind_data_transformation_spark.io.txlog_source import (
+        TxlogBatchReader,
+        _PUSHED_SETS,
+    )
+
+    rid = f"prop-{id(pushes)}-{len(_PUSHED_SETS)}"
+    effective = None
+    for vals in pushes:
+        r = TxlogBatchReader(
+            {"path": "/tmp/nonexistent/_log"}, ["s"], relation_id=rid
+        )
+        filters = [EqualTo(("s",), v) for v in vals]
+        residual = r.pushFilters(filters)
+        assert list(residual) == filters  # everything stays residual
+        effective = {repr(f) for f in r._pushed}
+        # invariant: effective ⊆ every set pushed so far (incl. this)
+        for prior in _PUSHED_SETS[rid]:
+            assert effective <= prior
+    # and ⊆ the final push's set specifically
+    assert effective <= {repr(EqualTo(("s",), v)) for v in pushes[-1]}

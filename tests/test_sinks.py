@@ -3151,3 +3151,62 @@ def test_txlog_ds_edge_compositions(spark):
     snap = spark.read.format("txlog").option("path", log2).load()
     assert snap.count() == orders.count()
     assert snap.where("k7 IS NULL").count() == orders.where(k % 2 == 0).count()
+
+
+def test_txlog_checkpoint_twins_inverse_direction(spark):
+    """The other direction of the twin-unification: an ENGINE-mutated
+    table (MoR DV delete + txn + commitInfo + metaData constraint)
+    compacted by the CONNECTOR's stdlib `checkpoint_log` must replay
+    identically through the ENGINE's checkpoint-aware `_txlog_log_rows`
+    — DV state, idempotence markers, provenance and the recorded
+    constraint all survive, and the DV-aware snapshot equals the
+    pre-compaction one."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io.txlog_source import (
+        checkpoint_log,
+    )
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    base_name = "txlog_ckpt_twins_inv"
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, base_name)
+    k = F.col("o_orderkey")
+    deletes = (
+        load_table(spark, TEST_SF_DIR, "orders")
+        .where(k % 6 == 0)
+        .select("o_orderkey")
+    )
+    res = sinks.txlog_delete_with_dv(spark, log_dir, deletes, "o_orderkey")
+    before = (
+        sinks.txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .collect()[0]
+    )
+    rows_before = sinks._txlog_log_rows(spark, log_dir)
+    ckpt = checkpoint_log(log_dir, res["version"])
+    assert os.path.isdir(ckpt)
+    rows_after = sinks._txlog_log_rows(spark, log_dir)
+    # the RECONCILED state the readers consume survives compaction:
+    # live files, applicable DV (sidecar, target) pairs, provenance
+    assert sinks._txlog_live_from_rows(
+        rows_after
+    ) == sinks._txlog_live_from_rows(rows_before)
+
+    def live_dvs(rows):
+        live = sinks._txlog_live_from_rows(rows)
+        return {
+            (r["path"], r["target"])
+            for r in rows
+            if r["action"] == "dv" and r["target"] in set(live)
+        }
+
+    assert live_dvs(rows_after) == live_dvs(rows_before)
+    assert any(r["action"] == "commitInfo" for r in rows_after)
+    after = (
+        sinks.txlog_read_with_dvs(spark, log_dir, "o_orderkey")
+        .agg(F.count(F.lit(1)), F.sum("o_orderkey"))
+        .collect()[0]
+    )
+    assert tuple(before) == tuple(after)
