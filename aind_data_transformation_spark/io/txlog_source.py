@@ -300,6 +300,26 @@ def _bloom_encode(bits) -> str:
     return base64.b64encode(zlib.compress(bits.tobytes(), 6)).decode()
 
 
+def _bloom_merge(encs: list) -> str:
+    """OR-merge encoded bloom filters (same bit width by construction —
+    one writer's option) into one encoded filter. Blooms are unions'
+    fixed point, which is what makes them per-task foldable."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    if len(encs) == 1:
+        return encs[0]
+    acc = None
+    for e in encs:
+        bits = np.frombuffer(
+            zlib.decompress(base64.b64decode(e)), dtype=np.uint8
+        )
+        acc = bits.copy() if acc is None else (acc | bits)
+    return _bloom_encode(acc)
+
+
 def _bloom_maybe_contains(add: dict, value) -> bool:
     """Membership probe against the add action's recorded bloom: True
     unless some probe bit is UNSET (definitely absent — safe to prune;
@@ -997,27 +1017,33 @@ def _chain(first, rest):
 
 
 def _stage_partitioned(
-    data_root: str, iterator, partition_col: str, stats_col: str = ""
+    data_root: str, iterator, partition_col: str, stats_col: str = "",
+    bloom_col: str = "", bloom_bits: int = 0,
 ) -> _TxlogWriteCommit:
     """Task-side staging for a PARTITIONED write: each Arrow batch is
     split by the partition column's values (pyarrow compute — columnar
     masks, no Python rows) and streamed into one temp parquet file per
     partition value seen by this task, folding exact ``stats_col``
-    min/max per partition value when requested (so a partitioned table
-    gets range pruning WITHIN each partition, not just partition
-    pruning — Delta records stats on partitioned adds too). Returns
-    (tmp, value, rows, min, max) tuples in ``parts`` — the driver
-    groups them into per-partition data dirs and per-partition add
-    actions."""
+    min/max AND (when requested) a ``bloom_col`` bloom filter per
+    partition value (so a partitioned table gets range pruning and
+    point-lookup pruning WITHIN each partition, not just partition
+    pruning — Delta records per-add stats likewise). Returns
+    (tmp, value, rows, min, max, bloom) tuples in ``parts`` — the
+    driver groups them into per-partition data dirs and per-partition
+    add actions, OR-merging the tasks' blooms per value."""
     import uuid
 
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if bloom_col:
+        import numpy as np
+
     writers: dict = {}
     counts: dict = {}
     paths: dict = {}
     stats: dict = {}
+    blooms: dict = {}
     n_total = 0
     try:
         for b in iterator:
@@ -1052,12 +1078,34 @@ def _stage_partitioned(
                         if old is None
                         else (min(old[0], bmn), max(old[1], bmx))
                     )
+                if bloom_col and sub.num_rows:
+                    arr = blooms.get(v)
+                    if arr is None:
+                        arr = blooms[v] = np.zeros(
+                            bloom_bits >> 3, dtype=np.uint8
+                        )
+                    vals = sub.column(bloom_col).to_numpy(
+                        zero_copy_only=False
+                    )
+                    for pos in _bloom_hashes(vals, bloom_bits):
+                        np.bitwise_or.at(
+                            arr, pos >> 3,
+                            np.left_shift(
+                                np.uint8(1), (pos & 7).astype(np.uint8)
+                            ),
+                        )
     finally:
         for w in writers.values():
             w.close()
     msg = _TxlogWriteCommit(None, n_total)
     msg.parts = [
-        (paths[v], str(v), counts[v], *stats.get(v, (None, None)))
+        (
+            paths[v],
+            str(v),
+            counts[v],
+            *stats.get(v, (None, None)),
+            _bloom_encode(blooms[v]) if v in blooms else None,
+        )
         for v in sorted(paths)
     ]
     return msg
@@ -1076,16 +1124,18 @@ def _publish(msgs, final_dir: str) -> None:
 def _publish_partitioned(messages, final_dir: str, partition_col: str):
     """Group the tasks' per-partition temp files into Hive-style
     ``col=value`` dirs under ``final_dir``, folding each value's
-    min/max stats across tasks. Returns [(pdir, value, stats|None)] —
-    the driver commits one add action per tuple. Shared by the batch
-    and streaming writer halves so the partitioned layout cannot
-    drift between them."""
+    min/max stats and OR-merging its bloom filters across tasks.
+    Returns [(pdir, value, stats|None, bloom|None)] — the driver
+    commits one add action per tuple. Shared by the batch and
+    streaming writer halves so the partitioned layout cannot drift
+    between them."""
     from urllib.parse import quote
 
     groups: dict = {}
     pstats: dict = {}
+    pblooms: dict = {}
     for m in messages:
-        for tmp, v, _, mn, mx in (m.parts or []) if m else []:
+        for tmp, v, _, mn, mx, bloom in (m.parts or []) if m else []:
             groups.setdefault(v, []).append(tmp)
             if mn is not None:
                 old = pstats.get(v)
@@ -1094,6 +1144,9 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
                     if old is None
                     else (min(old[0], mn), max(old[1], mx))
                 )
+            if bloom is not None:
+                pblooms.setdefault(v, []).append(bloom)
+    merged = {v: _bloom_merge(encs) for v, encs in pblooms.items()}
     out = []
     for v in sorted(groups):
         pdir = os.path.join(
@@ -1102,7 +1155,7 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
         os.makedirs(pdir, exist_ok=True)
         for k, tmp in enumerate(groups[v]):
             os.replace(tmp, os.path.join(pdir, f"part-{k:05d}.parquet"))
-        out.append((pdir, v, pstats.get(v)))
+        out.append((pdir, v, pstats.get(v), merged.get(v)))
     return out
 
 
@@ -1325,10 +1378,6 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         )
         if self.bloom_col and self.bloom_bits & (self.bloom_bits - 1):
             raise ValueError("bloom_bits must be a power of two")
-        if self.bloom_col and self.partition_col:
-            raise ValueError(
-                "bloom_col on partitioned writes is not supported yet"
-            )
         #: Delta's checkpointInterval on the batch path: after every Nth
         #: commit, compact the log (stdlib `checkpoint_log`) so a
         #: long-lived batch-appended table's replay stays O(live + tail)
@@ -1338,7 +1387,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         if self.partition_col:
             return _stage_partitioned(
                 self.data_root, iterator, self.partition_col,
-                self.stats_col,
+                self.stats_col, self.bloom_col, self.bloom_bits,
             )
         return _stage_batches(
             self.data_root, iterator, self.stats_col,
@@ -1384,7 +1433,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     for p in _live_files(rows)
                 ]
             if part_adds:
-                for pdir, v, st in part_adds:
+                for pdir, v, st, bloom in part_adds:
                     add = {
                         "commit": version,
                         "action": "add",
@@ -1395,6 +1444,10 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     if st is not None:
                         add["min_key"], add["max_key"] = st
                         add["stats_col"] = self.stats_col
+                    if bloom is not None:
+                        add["bloom"] = bloom
+                        add["bloom_col"] = self.bloom_col
+                        add["bloom_bits"] = self.bloom_bits
                     actions.append(add)
             elif msgs and (self.stats_col or self.bloom_col):
                 # Delta's shape: one add PER FILE, each carrying that
@@ -1463,6 +1516,15 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         self.txn_prefix = options.get("txn_id", "txlog-stream")
         self.stats_col = options.get("stats_col", "")
         _validate_stats_col(schema, self.stats_col, self.names)
+        #: per-epoch bloom index, same mechanic as the batch writer —
+        #: a continuously-ingested table stays point-lookup-prunable
+        self.bloom_col = options.get("bloom_col", "")
+        _validate_stats_col(schema, self.bloom_col, self.names, "bloom_col")
+        self.bloom_bits = int(
+            options.get("bloom_bits", str(_BLOOM_DEFAULT_BITS))
+        )
+        if self.bloom_col and self.bloom_bits & (self.bloom_bits - 1):
+            raise ValueError("bloom_bits must be a power of two")
         #: Hive/Delta-style partitioned epochs (same layout + metadata
         #: as the batch writer — `_publish_partitioned` is shared):
         #: each epoch commits one ``part``-valued add per partition
@@ -1483,9 +1545,12 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         if self.partition_col:
             return _stage_partitioned(
                 self.data_root, iterator, self.partition_col,
-                self.stats_col,
+                self.stats_col, self.bloom_col, self.bloom_bits,
             )
-        return _stage_batches(self.data_root, iterator, self.stats_col)
+        return _stage_batches(
+            self.data_root, iterator, self.stats_col,
+            self.bloom_col, self.bloom_bits,
+        )
 
     def _txn_done(self, rows, txn: str) -> bool:
         return any(
@@ -1521,7 +1586,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 return  # a concurrent replayer committed this epoch
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
-            for pdir, v, st in part_adds:
+            for pdir, v, st, bloom in part_adds:
                 add = {
                     "commit": version,
                     "action": "add",
@@ -1532,12 +1597,22 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 if st is not None:
                     add["min_key"], add["max_key"] = st
                     add["stats_col"] = self.stats_col
+                if bloom is not None:
+                    add["bloom"] = bloom
+                    add["bloom_col"] = self.bloom_col
+                    add["bloom_bits"] = self.bloom_bits
                 actions.append(add)
             if msgs and not self.partition_col:
                 add = {"commit": version, "action": "add", "path": final_dir}
                 if self.stats_col:
                     add["min_key"] = min(m.mn for m in msgs)
                     add["max_key"] = max(m.mx for m in msgs)
+                if self.bloom_col:
+                    encs = [m.bloom for m in msgs if m.bloom is not None]
+                    if encs:
+                        add["bloom"] = _bloom_merge(encs)
+                        add["bloom_col"] = self.bloom_col
+                        add["bloom_bits"] = self.bloom_bits
                 actions.append(add)
             # the marker commits even for an empty epoch, so replay
             # detection never depends on the epoch having had rows

@@ -3210,3 +3210,90 @@ def test_txlog_checkpoint_twins_inverse_direction(spark):
         .collect()[0]
     )
     assert tuple(before) == tuple(after)
+
+
+def test_txlog_bloom_on_partitioned_and_stream_writes(spark, tmp_path):
+    """Bloom indexing composes with the rest of the writer matrix:
+    (1) a PARTITIONED batch write with bloom_col records one OR-merged
+    filter per partition dir (tasks contribute independently), and a
+    point lookup through pushFilters keeps only dirs whose bloom
+    admits the key while every dir holding it is kept (no false
+    negatives); (2) the STREAM writer records a per-epoch bloom and an
+    absent-key probe prunes the epoch dirs."""
+    import os
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log_dir = os.path.join(str(tmp_path), "part_bloom", "_log")
+    (
+        orders.repartition(4)  # tasks don't align with partition values
+        .write.format("txlog")
+        .mode("append")
+        .option("partition_col", "o_orderstatus")
+        .option("bloom_col", "o_orderkey")
+        .option("bloom_bits", str(1 << 18))
+        .save(log_dir)
+    )
+    adds = [
+        r
+        for r in sinks._txlog_log_rows(spark, log_dir)
+        if r["action"] == "add"
+    ]
+    assert len(adds) == 3 and all(
+        a["bloom"] and a["bloom_col"] == "o_orderkey" for a in adds
+    )
+    # a key from one known status: its dir must be kept, most others
+    # pruned (FP-tolerant: strictly fewer dirs than live)
+    probe = orders.where("o_orderstatus = 'P'").limit(1).collect()[0]
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    r.pushFilters([EqualTo(("o_orderkey",), probe["o_orderkey"])])
+    kept_dirs = {p.data_dir for p in r.partitions()}
+    assert any(d.endswith("o_orderstatus=P") for d in kept_dirs)
+    assert len(kept_dirs) < 3
+    # end-to-end exactness of the probed read
+    got = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .where(F.col("o_orderkey") == probe["o_orderkey"])
+        .collect()
+    )
+    assert [tuple(x) for x in got] == [tuple(probe)]
+
+    # (2) stream writer bloom
+    slog = os.path.join(str(tmp_path), "stream_bloom", "_log")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    w = txlog_source.TxlogStreamWriter(
+        {"path": slog, "bloom_col": "k", "bloom_bits": str(1 << 12)},
+        df.schema,
+    )
+    batch = pa.record_batch(
+        {"k": pa.array([10, 20, 30], pa.int64()),
+         "s": pa.array(["a", "b", "c"], pa.string())}
+    )
+    w.commit([w.write(iter([batch]))], 0)
+    batch2 = pa.record_batch(
+        {"k": pa.array([40, 50], pa.int64()),
+         "s": pa.array(["d", "e"], pa.string())}
+    )
+    w.commit([w.write(iter([batch2]))], 1)
+    sadds = [
+        r
+        for r in sinks._txlog_log_rows(spark, slog)
+        if r["action"] == "add"
+    ]
+    assert len(sadds) == 2 and all(a["bloom"] for a in sadds)
+    r2 = txlog_source.TxlogBatchReader({"path": slog}, ["k", "s"])
+    r2.pushFilters([EqualTo(("k",), 40)])
+    kept = {p.data_dir for p in r2.partitions()}
+    assert len(kept) == 1 and kept.pop().endswith("epoch-0000000001")
