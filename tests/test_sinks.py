@@ -3297,3 +3297,111 @@ def test_txlog_bloom_on_partitioned_and_stream_writes(spark, tmp_path):
     r2.pushFilters([EqualTo(("k",), 40)])
     kept = {p.data_dir for p in r2.partitions()}
     assert len(kept) == 1 and kept.pop().endswith("epoch-0000000001")
+
+
+def test_txlog_pruning_respects_time_travel_snapshot(spark, tmp_path):
+    """pushFilters pruning composes with version_as_of: the prune
+    evaluates each LIVE-AT-SNAPSHOT file's OWN add metadata, so a v0
+    read of a later-overwritten stats table prunes from v0's recorded
+    bounds and returns exactly v0's rows — never the overwriting
+    commit's layout."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThanOrEqual
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    log_dir = os.path.join(str(tmp_path), "tt_prune", "_log")
+    half = orders.where("o_orderkey % 2 = 0")
+    (
+        half.repartitionByRange(4, "o_orderkey")
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "o_orderkey")
+        .save(log_dir)
+    )
+    # v1 OVERWRITES with the other half — different files, different stats
+    (
+        orders.where("o_orderkey % 2 = 1")
+        .repartitionByRange(4, "o_orderkey")
+        .write.format("txlog")
+        .mode("overwrite")
+        .option("stats_col", "o_orderkey")
+        .save(log_dir)
+    )
+    kmin, kmax = half.agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    lo = kmin + (kmax - kmin) * 25 // 100
+    hi = kmin + (kmax - kmin) * 40 // 100
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    r = txlog_source.TxlogBatchReader(
+        {"path": log_dir, "version_as_of": "0"}, cols
+    )
+    n_all_v0 = len(r.partitions())
+    r2 = txlog_source.TxlogBatchReader(
+        {"path": log_dir, "version_as_of": "0"}, cols
+    )
+    r2.pushFilters(
+        [GreaterThanOrEqual(("o_orderkey",), lo),
+         LessThanOrEqual(("o_orderkey",), hi)]
+    )
+    assert len(r2.partitions()) < n_all_v0 == 4
+    got = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("version_as_of", "0")
+        .load()
+        .where(F.col("o_orderkey").between(lo, hi))
+        .count()
+    )
+    assert got == half.where(F.col("o_orderkey").between(lo, hi)).count()
+
+
+def test_txlog_merge_schema_survives_compaction(spark, tmp_path):
+    """The evolved-DDL metaData action survives log compaction (both
+    checkpoint twins keep metaData rows), so a compacted evolved table
+    still serves the log-owned schema and null-fills pre-evolution
+    files through the connector."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.io.txlog_source import (
+        checkpoint_log,
+    )
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    log_dir = os.path.join(str(tmp_path), "evo_ckpt", "_log")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.format("txlog").mode("append").save(log_dir)
+    (
+        orders.where(k % 2 == 1)
+        .select("o_orderkey", "o_totalprice", (k % 9).cast("int").alias("k9"))
+        .write.format("txlog")
+        .mode("append")
+        .option("merge_schema", "true")
+        .save(log_dir)
+    )
+    checkpoint_log(log_dir, 1)  # fully compacted: no JSON tail
+    assert not [
+        f for f in os.listdir(log_dir) if f.endswith(".json")
+    ]
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    assert set(snap.columns) == {"o_orderkey", "o_totalprice", "k9"}
+    assert snap.count() == orders.count()
+    assert (
+        snap.where("k9 IS NULL").count()
+        == orders.where(k % 2 == 0).count()
+    )
