@@ -239,16 +239,22 @@ def _ddl_schema_as_of(rows: list, as_of=None):
 
 
 def _parse_ddl(ddl: str) -> list:
-    """``"a bigint, b decimal(10,2)"`` -> ``[("a","bigint"), ...]``,
-    splitting on commas outside parentheses (decimal types carry one)
-    and stripping optional backtick quoting."""
+    """``"a bigint, `my col` decimal(10,2)"`` -> ``[("a","bigint"),
+    ("my col","decimal(10,2)")]``: split on commas outside parentheses
+    (decimal types carry one), then split name from type respecting
+    backtick quoting — a quoted name may contain spaces."""
     cols, depth, cur = [], 0, []
     for ch in ddl + ",":
         if ch == "," and depth == 0:
             part = "".join(cur).strip()
             if part:
-                name, typ = part.split(None, 1)
-                cols.append((name.strip("`"), typ.strip().lower()))
+                if part.startswith("`"):
+                    close = part.index("`", 1)
+                    name = part[1:close]
+                    typ = part[close + 1:]
+                else:
+                    name, typ = part.split(None, 1)
+                cols.append((name, typ.strip().lower()))
             cur = []
             continue
         depth += ch == "("
@@ -626,11 +632,12 @@ def _live_adds(rows: list, as_of=None) -> dict:
     return {p: r for p, r in last.items() if r["action"] == "add"}
 
 
-#: planning-worker registry: relation id -> every filter-set (as stable
-#: reprs) ever pushed for that relation. Defense against SPARK's shared
-#: readInfo (see TxlogBatchReader.pushFilters); worker processes are
-#: long-lived (spark.python.worker.reuse), so the registry sees every
-#: planning of a relation. Bounded FIFO so a long session can't grow it.
+#: planning-worker registry: relation id -> (push count, RUNNING
+#: INTERSECTION of every filter-set pushed for that relation, as stable
+#: reprs). Defense against SPARK's shared readInfo (see
+#: TxlogBatchReader.pushFilters); worker processes are long-lived
+#: (spark.python.worker.reuse), so sequential plannings of a relation
+#: share it. Bounded FIFO so a long session can't grow it.
 _PUSHED_SETS: dict = {}
 _PUSHED_SETS_MAX = 1024
 
@@ -692,7 +699,17 @@ class TxlogBatchReader(DataSourceReader):
         scan's own residual re-apply restores exactness — while the
         common single-scan case (one push ever) keeps full pruning.
         Directly constructed readers (unit probes) have no relation id
-        and keep plain per-instance semantics."""
+        and keep plain per-instance semantics.
+
+        Scope honesty: the registry lives in ONE planning worker's
+        module globals. With worker reuse on (the default) sequential
+        plannings of a relation share it; plannings dispatched to
+        DIFFERENT planning workers (heavily concurrent multi-thread
+        drivers) or a relation evicted by the bounded FIFO fall back to
+        full per-planning pruning — i.e. the upstream defect's exposure
+        narrows to those windows rather than vanishing. The real fix is
+        upstream (per-scan readInfo); until then prefer separate
+        load() calls per concurrent branch pipeline."""
         filters = list(filters)
         self._pushed = filters
         if self._relation_id is not None:
@@ -701,11 +718,18 @@ class TxlogBatchReader(DataSourceReader):
                 and len(_PUSHED_SETS) >= _PUSHED_SETS_MAX
             ):
                 _PUSHED_SETS.pop(next(iter(_PUSHED_SETS)))
-            sets = _PUSHED_SETS.setdefault(self._relation_id, [])
-            sets.append({repr(f) for f in filters})
-            if len(sets) > 1:
-                common = set.intersection(*sets)
-                self._pushed = [f for f in filters if repr(f) in common]
+            cur = {repr(f) for f in filters}
+            seen = _PUSHED_SETS.get(self._relation_id)
+            if seen is None:
+                _PUSHED_SETS[self._relation_id] = (1, cur)
+            else:
+                # running intersection: O(1) state per relation, same
+                # invariant (effective ⊆ every pushed set ever)
+                common = seen[1] & cur
+                _PUSHED_SETS[self._relation_id] = (seen[0] + 1, common)
+                self._pushed = [
+                    f for f in filters if repr(f) in common
+                ]
         return filters
 
     def partitions(self):
@@ -832,10 +856,32 @@ class TxlogStreamReader(DataSourceStreamReader):
         files = _incremental_files(
             rows, int(start["version"]), int(end["version"])
         )
-        return [_PartFilePartition(p) for p in _part_files(files)]
+        # evolved or column-mapped tables: stream partitions carry the
+        # window-end snapshot's logical projection, so pre-evolution
+        # files null-fill instead of crashing the micro-batch
+        end_v = int(end["version"])
+        mapping = _mapping_as_of(rows, as_of=end_v)
+        if mapping is not None:
+            colmap = {
+                c["name"]: (c["physical"], c["type"])
+                for c in mapping["columns"]
+            }
+        else:
+            evolved = _ddl_schema_as_of(rows, as_of=end_v)
+            colmap = (
+                {n: (n, t) for n, t in _parse_ddl(evolved)}
+                if evolved is not None
+                else None
+            )
+        return [
+            _PartFilePartition(p, colmap=colmap)
+            for p in _part_files(files)
+        ]
 
     def read(self, partition):
-        yield from _read_part(partition.path, self.names)
+        yield from _read_part(
+            partition.path, self.names, colmap=partition.colmap
+        )
 
     def commit(self, end):
         pass
@@ -992,19 +1038,28 @@ def _stage_batches(
             if stats_col and b.num_rows:
                 s = pc.min_max(b.column(stats_col))
                 bmn, bmx = s["min"].as_py(), s["max"].as_py()
-                mn = bmn if mn is None else min(mn, bmn)
-                mx = bmx if mx is None else max(mx, bmx)
+                if bmn is not None:  # all-null batch: nothing to fold
+                    mn = bmn if mn is None else min(mn, bmn)
+                    mx = bmx if mx is None else max(mx, bmx)
             if bloom_col and b.num_rows:
                 import numpy as np
 
-                vals = b.column(bloom_col).to_numpy(zero_copy_only=False)
-                for pos in _bloom_hashes(vals, bloom_bits):
-                    np.bitwise_or.at(
-                        bloom_arr, pos >> 3,
-                        np.left_shift(
-                            np.uint8(1), (pos & 7).astype(np.uint8)
-                        ),
-                    )
+                # drop nulls BEFORE to_numpy: a null in the column makes
+                # pyarrow hand back float64, and a key above 2^53 would
+                # hash its ROUNDED value — a probe of the exact int then
+                # proves a false absence and prunes a file holding the
+                # row. drop_null keeps the dtype exact int64.
+                vals = pc.drop_null(b.column(bloom_col)).to_numpy(
+                    zero_copy_only=False
+                )
+                if len(vals):
+                    for pos in _bloom_hashes(vals, bloom_bits):
+                        np.bitwise_or.at(
+                            bloom_arr, pos >> 3,
+                            np.left_shift(
+                                np.uint8(1), (pos & 7).astype(np.uint8)
+                            ),
+                        )
     msg = _TxlogWriteCommit(tmp, n, mn, mx)
     if bloom_col:
         msg.bloom = _bloom_encode(bloom_arr)
@@ -1072,28 +1127,32 @@ def _stage_partitioned(
                 if stats_col and sub.num_rows:
                     s = pc.min_max(sub.column(stats_col))
                     bmn, bmx = s["min"].as_py(), s["max"].as_py()
-                    old = stats.get(v)
-                    stats[v] = (
-                        (bmn, bmx)
-                        if old is None
-                        else (min(old[0], bmn), max(old[1], bmx))
-                    )
+                    if bmn is not None:  # all-null batch: no fold
+                        old = stats.get(v)
+                        stats[v] = (
+                            (bmn, bmx)
+                            if old is None
+                            else (min(old[0], bmn), max(old[1], bmx))
+                        )
                 if bloom_col and sub.num_rows:
                     arr = blooms.get(v)
                     if arr is None:
                         arr = blooms[v] = np.zeros(
                             bloom_bits >> 3, dtype=np.uint8
                         )
-                    vals = sub.column(bloom_col).to_numpy(
+                    # drop_null before to_numpy: see _stage_batches —
+                    # a null would force a lossy float64 conversion
+                    vals = pc.drop_null(sub.column(bloom_col)).to_numpy(
                         zero_copy_only=False
                     )
-                    for pos in _bloom_hashes(vals, bloom_bits):
-                        np.bitwise_or.at(
-                            arr, pos >> 3,
-                            np.left_shift(
-                                np.uint8(1), (pos & 7).astype(np.uint8)
-                            ),
-                        )
+                    if len(vals):
+                        for pos in _bloom_hashes(vals, bloom_bits):
+                            np.bitwise_or.at(
+                                arr, pos >> 3,
+                                np.left_shift(
+                                    np.uint8(1), (pos & 7).astype(np.uint8)
+                                ),
+                            )
     finally:
         for w in writers.values():
             w.close()
@@ -1195,15 +1254,16 @@ def _arrow_ddl(t) -> str:
     return ""
 
 
-def _table_schema_cols(log_dir: str):
+def _table_schema_cols(log_dir: str, rows=None):
     """[(name, ddl)] of the table's CURRENT schema: the latest DDL
     metaData when the table has evolved (the log owns the schema),
     else the footer of any live part file (same footer `_infer_ddl`
     reads; unmappable footer types get ddl ''). None for an empty
-    table."""
+    table. Pass pre-read ``rows`` to stay on one log snapshot."""
     import pyarrow.parquet as pq
 
-    rows = _log_rows(log_dir)
+    if rows is None:
+        rows = _log_rows(log_dir)
     evolved = _ddl_schema_as_of(rows)
     if evolved is not None:
         return _parse_ddl(evolved)
@@ -1215,7 +1275,8 @@ def _table_schema_cols(log_dir: str):
 
 
 def _check_append_schema(
-    log_dir: str, names, arrow_schema=None, merge: bool = False
+    log_dir: str, names, arrow_schema=None, merge: bool = False,
+    rows=None,
 ):
     """Appending to a non-empty table must match its column set —
     order-insensitive (the log stores whole files, so per-file column
@@ -1228,7 +1289,8 @@ def _check_append_schema(
     metaData action; a column the write OMITS is also fine under merge
     (its rows null-fill at read, like any pre-evolution file). Returns
     the evolved DDL string when the schema widened, else None."""
-    rows = _log_rows(log_dir)
+    if rows is None:
+        rows = _log_rows(log_dir)
     if _mapping_as_of(rows) is not None:
         # a column-MAPPED table's files carry version-unique PHYSICAL
         # names the log owns — a plain connector append would write
@@ -1241,7 +1303,7 @@ def _check_append_schema(
             " mapped write (queries/sinks.txlog_mapped_write), which"
             " maps logical to physical names at write time"
         )
-    table_cols = _table_schema_cols(log_dir)
+    table_cols = _table_schema_cols(log_dir, rows=rows)
     if table_cols is None:
         return None
     have = dict(table_cols)
@@ -1264,8 +1326,20 @@ def _check_append_schema(
                     f"txlog append type mismatch on {n!r}: table has "
                     f"{have[n]}, write has {got}"
                 )
-    if not extra:
+    if not extra and not missing:
         return None
+    if not extra:
+        # the write only OMITS columns: no new types needed, but the
+        # table must become log-owned-schema (evolved) so the narrow
+        # file's rows null-fill the omitted columns at read time — a
+        # footer-served table would crash or silently narrow depending
+        # on which file's footer planning happens to read
+        if any(not t for _, t in table_cols):
+            raise ValueError(
+                "merge_schema: an existing table column's type is not"
+                " DDL-expressible; cannot record the evolved schema"
+            )
+        return ", ".join(f"`{n}` {t}" for n, t in table_cols)
     if arrow_schema is None:
         raise ValueError(
             "merge_schema needs the write's Arrow schema to type the"
@@ -1280,6 +1354,11 @@ def _check_append_schema(
             raise ValueError(
                 f"merge_schema: new column {n!r} has a type the txlog"
                 " DDL vocabulary cannot record"
+            )
+        if "`" in n:
+            raise ValueError(
+                f"merge_schema: column name {n!r} contains a backtick,"
+                " which the DDL schema cannot quote"
             )
         added.append((n, t))
     evolved_cols = table_cols + added
@@ -1394,16 +1473,43 @@ class TxlogBatchWriter(DataSourceArrowWriter):
             self.bloom_col, self.bloom_bits,
         )
 
+    def _overwrite_ddl(self, rows):
+        """Schema handling for OVERWRITE: a column-mapped table cannot
+        take plain-writer files (reject, same as append), and a table
+        whose schema is LOG-OWNED (a prior merge_schema evolution) must
+        have its metaData RESET to this write's schema in the same
+        commit — leaving the stale evolved DDL in force would make the
+        overwritten table read back as all-NULL ghost columns. Runs on
+        the commit attempt's OWN log snapshot."""
+        if _mapping_as_of(rows) is not None:
+            raise ValueError(
+                "txlog overwrite of a column-mapped table is not"
+                " supported through the plain connector writer: use the"
+                " engine's mapped write"
+                " (queries/sinks.txlog_mapped_write)"
+            )
+        if _ddl_schema_as_of(rows) is None:
+            return None  # footer-served table: stays self-consistent
+        if self.arrow_schema is None:
+            raise ValueError(
+                "txlog overwrite of a schema-evolved table needs the"
+                " write's Arrow schema to reset the logged DDL"
+            )
+        cols = []
+        for n in self.names:
+            t = _arrow_ddl(self.arrow_schema.field(n).type)
+            if not t:
+                raise ValueError(
+                    f"txlog overwrite: column {n!r} has a type the"
+                    " evolved table's DDL vocabulary cannot record"
+                )
+            cols.append((n, t))
+        return ", ".join(f"`{n}` {t}" for n, t in cols)
+
     def commit(self, messages):
         import uuid
 
         os.makedirs(self.log_dir, exist_ok=True)
-        evolved_ddl = None
-        if not self.overwrite:
-            evolved_ddl = _check_append_schema(
-                self.log_dir, self.names, self.arrow_schema,
-                merge=self.merge_schema,
-            )
         msgs = [m for m in messages if m is not None and m.tmp_path]
         final_dir = os.path.join(
             self.data_root, f"ds-write-{uuid.uuid4().hex[:8]}"
@@ -1416,7 +1522,21 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         elif msgs:
             _publish(msgs, final_dir)
         for _ in range(_WRITE_MAX_RETRIES):
+            # ONE log snapshot per attempt feeds BOTH the schema
+            # decision and the attempt version: a concurrent
+            # merge_schema commit between attempts changes the schema
+            # this write must validate/evolve against, and a decision
+            # made on an earlier snapshot than the version claim would
+            # be a lost update (the other writer's column silently
+            # dropped from the head schema)
             rows = _log_rows(self.log_dir)
+            if self.overwrite:
+                evolved_ddl = self._overwrite_ddl(rows)
+            else:
+                evolved_ddl = _check_append_schema(
+                    self.log_dir, self.names, self.arrow_schema,
+                    merge=self.merge_schema, rows=rows,
+                )
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
             if evolved_ddl is not None:
@@ -1605,8 +1725,11 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             if msgs and not self.partition_col:
                 add = {"commit": version, "action": "add", "path": final_dir}
                 if self.stats_col:
-                    add["min_key"] = min(m.mn for m in msgs)
-                    add["max_key"] = max(m.mx for m in msgs)
+                    mns = [m.mn for m in msgs if m.mn is not None]
+                    if mns:  # an all-null epoch records no bounds
+                        add["min_key"] = min(mns)
+                        add["max_key"] = max(m.mx for m in msgs
+                                             if m.mx is not None)
                 if self.bloom_col:
                     encs = [m.bloom for m in msgs if m.bloom is not None]
                     if encs:

@@ -1440,6 +1440,7 @@ def test_pushdown_intersection_is_superset_for_every_push(spark, pushes):
 
     rid = f"prop-{id(pushes)}-{len(_PUSHED_SETS)}"
     effective = None
+    pushed_so_far = []
     for vals in pushes:
         r = TxlogBatchReader(
             {"path": "/tmp/nonexistent/_log"}, ["s"], relation_id=rid
@@ -1447,9 +1448,14 @@ def test_pushdown_intersection_is_superset_for_every_push(spark, pushes):
         filters = [EqualTo(("s",), v) for v in vals]
         residual = r.pushFilters(filters)
         assert list(residual) == filters  # everything stays residual
+        pushed_so_far.append({repr(f) for f in filters})
         effective = {repr(f) for f in r._pushed}
         # invariant: effective ⊆ every set pushed so far (incl. this)
-        for prior in _PUSHED_SETS[rid]:
+        for prior in pushed_so_far:
             assert effective <= prior
+        # and the registry's running intersection agrees
+        n, common = _PUSHED_SETS[rid]
+        assert n == len(pushed_so_far)
+        assert common == set.intersection(*pushed_so_far)
     # and ⊆ the final push's set specifically
     assert effective <= {repr(EqualTo(("s",), v)) for v in pushes[-1]}

@@ -3405,3 +3405,129 @@ def test_txlog_merge_schema_survives_compaction(spark, tmp_path):
         snap.where("k9 IS NULL").count()
         == orders.where(k % 2 == 0).count()
     )
+
+
+def test_txlog_review_regressions_r11(spark, tmp_path):
+    """Regressions from the r11 self-review, each a confirmed defect:
+    (1) OVERWRITE of a merge_schema-evolved table resets the log-owned
+    DDL to the new write's schema (stale evolved metaData would read
+    the table back as all-NULL ghost columns); (2) a merge append that
+    only OMITS columns evolves the table so the narrow file null-fills
+    instead of crashing footer-served reads; (3) bloom staging drops
+    nulls BEFORE numpy conversion, so a >2^53 key sharing a batch with
+    a NULL still probes present (the float64 path would hash its
+    rounded value and prune the file that holds it); (4) a streaming
+    read of an evolved table null-fills pre-evolution files instead of
+    crashing; (5) all-NULL stats batches record no bounds instead of
+    folding None into min/max."""
+    import os
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import EqualTo
+
+    from aind_data_transformation_spark.io import txlog_source
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+
+    # (1) overwrite resets the evolved DDL
+    log1 = os.path.join(str(tmp_path), "ow_evo", "_log")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.format("txlog").mode("append").save(log1)
+    (
+        orders.where(k % 2 == 1)
+        .select("o_orderkey", "o_totalprice", (k % 3).cast("int").alias("k3"))
+        .write.format("txlog")
+        .mode("append")
+        .option("merge_schema", "true")
+        .save(log1)
+    )
+    orders.select("o_orderkey", "o_orderstatus").write.format(
+        "txlog"
+    ).mode("overwrite").save(log1)
+    snap = spark.read.format("txlog").option("path", log1).load()
+    assert set(snap.columns) == {"o_orderkey", "o_orderstatus"}
+    assert snap.count() == orders.count()
+    assert snap.where("o_orderstatus IS NULL").count() == 0
+
+    # (2) merge append that only omits columns on a never-evolved table
+    log2 = os.path.join(str(tmp_path), "omit_only", "_log")
+    orders.where(k % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.format("txlog").mode("append").save(log2)
+    (
+        orders.where(k % 2 == 1)
+        .select("o_orderkey")
+        .write.format("txlog")
+        .mode("append")
+        .option("merge_schema", "true")
+        .save(log2)
+    )
+    snap2 = spark.read.format("txlog").option("path", log2).load()
+    assert set(snap2.columns) == {"o_orderkey", "o_totalprice"}
+    assert snap2.count() == orders.count()
+    assert (
+        snap2.where("o_totalprice IS NULL").count()
+        == orders.where(k % 2 == 1).count()
+    )
+
+    # (3) bloom exactness with NULLs + >2^53 keys in one batch
+    log3 = os.path.join(str(tmp_path), "bloom_null", "_log")
+    big = (1 << 60) + 1
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "n"), (big, "b")], "k long, s string"
+    )
+    df.write.format("txlog").mode("append").option("bloom_col", "k").option(
+        "bloom_bits", str(1 << 12)
+    ).save(log3)
+    r = txlog_source.TxlogBatchReader({"path": log3}, ["k", "s"])
+    r.pushFilters([EqualTo(("k",), big)])
+    assert len(r.partitions()) >= 1, "exact big key must probe present"
+    got = (
+        spark.read.format("txlog")
+        .option("path", log3)
+        .load()
+        .where(F.col("k") == big)
+        .collect()
+    )
+    assert [tuple(x) for x in got] == [(big, "b")]
+
+    # (4) streaming read of an evolved table null-fills old files
+    stream = (
+        spark.readStream.format("txlog").option("path", log2).load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("evo_stream_t")
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "ck4")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    mem = spark.table("evo_stream_t")
+    assert set(mem.columns) == {"o_orderkey", "o_totalprice"}
+    assert mem.count() == orders.count()
+
+    # (5) all-NULL stats batches record no bounds (no None-fold crash)
+    log5 = os.path.join(str(tmp_path), "null_stats", "_log")
+    df5 = spark.createDataFrame(
+        [(None, "x"), (None, "y")], "k long, s string"
+    )
+    df5.coalesce(1).write.format("txlog").mode("append").option(
+        "stats_col", "k"
+    ).save(log5)
+    adds = [
+        r
+        for r in sinks._txlog_log_rows(spark, log5)
+        if r["action"] == "add"
+    ]
+    assert adds and all(a["min_key"] is None for a in adds)
+    assert (
+        spark.read.format("txlog").option("path", log5).load().count() == 2
+    )
