@@ -242,25 +242,62 @@ def _parse_ddl(ddl: str) -> list:
     """``"a bigint, `my col` decimal(10,2)"`` -> ``[("a","bigint"),
     ("my col","decimal(10,2)")]``: split on commas outside parentheses
     (decimal types carry one), then split name from type respecting
-    backtick quoting — a quoted name may contain spaces."""
-    cols, depth, cur = [], 0, []
+    backtick quoting — a quoted name may contain spaces, commas, or
+    parens (all legal Spark column-name characters; Spark's own DDL
+    parser accepts them quoted), so the comma/paren bookkeeping is
+    suspended INSIDE backticks. Backticks themselves cannot occur in
+    names (the write path rejects them — the one character the
+    quoting cannot represent)."""
+    cols, depth, cur, quoted = [], 0, [], False
     for ch in ddl + ",":
-        if ch == "," and depth == 0:
-            part = "".join(cur).strip()
-            if part:
-                if part.startswith("`"):
-                    close = part.index("`", 1)
-                    name = part[1:close]
-                    typ = part[close + 1:]
-                else:
-                    name, typ = part.split(None, 1)
-                cols.append((name, typ.strip().lower()))
-            cur = []
+        if ch == "`":
+            quoted = not quoted
+            cur.append(ch)
             continue
-        depth += ch == "("
-        depth -= ch == ")"
+        if not quoted:
+            if ch == "," and depth == 0:
+                part = "".join(cur).strip()
+                if part:
+                    if part.startswith("`"):
+                        close = part.index("`", 1)
+                        name = part[1:close]
+                        typ = part[close + 1:]
+                    else:
+                        name, typ = part.split(None, 1)
+                    cols.append((name, typ.strip().lower()))
+                cur = []
+                continue
+            depth += ch == "("
+            depth -= ch == ")"
         cur.append(ch)
+    if quoted:
+        raise ValueError(f"unbalanced backtick quoting in DDL: {ddl!r}")
     return cols
+
+
+def _roundtrip_ddl(cols: list, context: str) -> str:
+    """Render ``[(name, ddl_type)]`` as the quoted DDL string the log
+    records, PROVING first that `_parse_ddl` reads it back to exactly
+    the same columns — the self-check that makes "write succeeds,
+    table unreadable" impossible: any name/type the DDL round-trip
+    cannot preserve is rejected at COMMIT time instead of poisoning
+    every subsequent read."""
+    ddl = ", ".join(f"`{n}` {t}" for n, t in cols)
+    try:
+        back = _parse_ddl(ddl)
+    except Exception as e:
+        raise ValueError(
+            f"{context}: schema is not DDL-round-trippable ({e})"
+        )
+    want = [(n, t.lower()) for n, t in cols]
+    if back != want:
+        raise ValueError(
+            f"{context}: schema does not survive the DDL round-trip"
+            f" (wrote {want}, read back {back}) — a column name or type"
+            " contains characters the log's DDL vocabulary cannot"
+            " preserve"
+        )
+    return ddl
 
 
 #: bloom index geometry: number of hash probes per value (double
@@ -326,24 +363,54 @@ def _bloom_merge(encs: list) -> str:
     return _bloom_encode(acc)
 
 
-def _bloom_maybe_contains(add: dict, value) -> bool:
-    """Membership probe against the add action's recorded bloom: True
-    unless some probe bit is UNSET (definitely absent — safe to prune;
-    false positives only ever keep a file)."""
+def _bloom_decode(enc: str):
+    """base64+zlib -> uint8 bit array, MEMOIZED: planning an ``In``
+    filter with k values over N bloom-indexed files would otherwise
+    decompress the same (up to 128 KiB raw) filter k*N times —
+    quadratic planning overhead for exactly the point-lookup workload
+    the index targets. Keyed by the encoded string itself; bounded
+    (64 × 128 KiB = 8 MiB worst case in the planning worker)."""
     import base64
     import zlib
 
     import numpy as np
 
-    m = int(add["bloom_bits"])
-    bits = np.frombuffer(
-        zlib.decompress(base64.b64decode(add["bloom"])), dtype=np.uint8
+    return np.frombuffer(
+        zlib.decompress(base64.b64decode(enc)), dtype=np.uint8
     )
-    for pos in _bloom_hashes([value], m):
-        p = int(pos[0])
-        if not (bits[p >> 3] >> (p & 7)) & 1:
-            return False
-    return True
+
+
+try:
+    from functools import lru_cache as _lru_cache
+
+    _bloom_decode = _lru_cache(maxsize=64)(_bloom_decode)
+except Exception:  # pragma: no cover - functools is stdlib
+    pass
+
+
+def _bloom_maybe_contains(add: dict, value) -> bool:
+    """Membership probe against the add action's recorded bloom: True
+    unless some probe bit is UNSET (definitely absent — safe to prune;
+    false positives only ever keep a file)."""
+    return _bloom_any_contains(add, [value])
+
+
+def _bloom_any_contains(add: dict, values) -> bool:
+    """Vectorized any-membership probe: decode the filter ONCE (see
+    `_bloom_decode`), probe every value's k positions as numpy index
+    arithmetic. True unless EVERY value has some unset probe bit
+    (all definitely absent — safe to prune the file)."""
+    import numpy as np
+
+    m = int(add["bloom_bits"])
+    bits = _bloom_decode(add["bloom"])
+    vals = np.asarray(list(values), dtype=np.int64)
+    maybe = np.ones(len(vals), dtype=bool)
+    for pos in _bloom_hashes(vals, m):
+        maybe &= (
+            (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).astype(bool)
+    return bool(maybe.any())
 
 
 def _part_files(data_dirs: list) -> list:
@@ -550,13 +617,83 @@ def _read_part(path: str, names: list, data_dir: str = "",
     yield from table.select(names).to_batches()
 
 
-def _prunes_file(f, add: dict) -> bool:
-    """True iff pushed filter ``f`` PROVES the file behind ``add``
-    holds no matching rows, from the add action's own metadata:
-    partition value (part/part_col) or recorded column bounds
-    (min_key/max_key/stats_col). Conservative by construction — any
-    unprovable case keeps the file, and Spark re-applies every filter
-    post-scan, so pruning is a pure superset guarantee."""
+def _stats_encode(v):
+    """Typed-JSON encoding of a recorded bound: int/float/str are
+    JSON-native; date/timestamp become self-describing ISO documents
+    (Delta stores per-type stats in its add-action JSON likewise).
+    Self-describing, so no separate type column is needed and mixed
+    tables replay without a schema registry."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return {"t": "timestamp", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    return v
+
+
+def _stats_decode(e):
+    """Inverse of `_stats_encode` — returns a value comparable with
+    the pushed filter's Python value (str/int/float compare natively;
+    dates/timestamps decode to datetime objects)."""
+    if isinstance(e, dict):
+        import datetime
+
+        if e.get("t") == "date":
+            return datetime.date.fromisoformat(e["v"])
+        return datetime.datetime.fromisoformat(e["v"])
+    return e
+
+
+def _fold_stats(stats_dicts) -> dict:
+    """Fold per-column (min, max) bound dicts across tasks/files."""
+    out: dict = {}
+    for d in stats_dicts:
+        for c, (mn, mx) in (d or {}).items():
+            old = out.get(c)
+            out[c] = (
+                (mn, mx)
+                if old is None
+                else (min(old[0], mn), max(old[1], mx))
+            )
+    return out
+
+
+def _stats_json(stats: dict) -> str:
+    """Render a {col: (mn, mx)} fold as the add action's
+    ``stats_json`` payload (sorted keys — deterministic commits)."""
+    return json.dumps(
+        {
+            c: {"min": _stats_encode(mn), "max": _stats_encode(mx)}
+            for c, (mn, mx) in stats.items()
+        },
+        sort_keys=True,
+    )
+
+
+def _attach_stats(add: dict, stats, stats_cols, legacy: bool) -> None:
+    """Record a ``{col: (mn, mx)}`` fold on an add action — the ONE
+    place the two stats vocabularies diverge: a single integer column
+    keeps the original int64 ``min_key``/``max_key``/``stats_col``
+    fields (existing tables and readers unchanged); everything else
+    (comma lists, strings, dates, timestamps, floats) records
+    typed-JSON ``stats_json`` bounds."""
+    if not stats_cols:
+        return
+    if legacy:
+        c = stats_cols[0]
+        mn, mx = (stats or {}).get(c, (None, None))
+        add["min_key"] = mn
+        add["max_key"] = mx
+        add["stats_col"] = c
+    elif stats:
+        add["stats_json"] = _stats_json(stats)
+
+
+def _range_prunes(f, mn, mx) -> bool:
+    """True iff filter ``f`` PROVES [mn, mx] holds no matching value.
+    Each proof only returns True when it PRUNES; incomparable types
+    (TypeError) prove nothing and keep the file."""
     from pyspark.sql.datasource import (
         EqualTo,
         GreaterThan,
@@ -565,6 +702,34 @@ def _prunes_file(f, add: dict) -> bool:
         LessThan,
         LessThanOrEqual,
     )
+
+    try:
+        if isinstance(f, EqualTo) and (f.value < mn or f.value > mx):
+            return True
+        if isinstance(f, GreaterThan) and mx <= f.value:
+            return True
+        if isinstance(f, GreaterThanOrEqual) and mx < f.value:
+            return True
+        if isinstance(f, LessThan) and mn >= f.value:
+            return True
+        if isinstance(f, LessThanOrEqual) and mn > f.value:
+            return True
+        if isinstance(f, In) and all(v < mn or v > mx for v in f.value):
+            return True
+    except TypeError:
+        pass  # incomparable types: no range proof for this filter
+    return False
+
+
+def _prunes_file(f, add: dict) -> bool:
+    """True iff pushed filter ``f`` PROVES the file behind ``add``
+    holds no matching rows, from the add action's own metadata:
+    partition value (part/part_col), recorded integer column bounds
+    (min_key/max_key/stats_col), typed multi-column bounds
+    (stats_json), or bloom membership. Conservative by construction —
+    any unprovable case keeps the file, and Spark re-applies every
+    filter post-scan, so pruning is a pure superset guarantee."""
+    from pyspark.sql.datasource import EqualTo, In
 
     if len(f.attribute) != 1:
         return False
@@ -582,27 +747,30 @@ def _prunes_file(f, add: dict) -> bool:
         and add.get("min_key") is not None
         and add.get("max_key") is not None
     ):
-        mn, mx = add["min_key"], add["max_key"]
-        # each proof only early-returns when it PRUNES — an unproven
-        # range check falls through to the bloom probe (a file can
-        # carry both kinds of metadata on the same column)
+        # a range proof that fails falls through to stats_json/bloom —
+        # a file can carry several kinds of metadata on one column
+        if _range_prunes(f, add["min_key"], add["max_key"]):
+            return True
+    if add.get("stats_json"):
         try:
-            if isinstance(f, EqualTo) and (f.value < mn or f.value > mx):
+            sj = add["stats_json"]
+            bounds = (json.loads(sj) if isinstance(sj, str) else sj).get(
+                col
+            )
+        except Exception:
+            bounds = None  # undecodable stats: keep the file
+        if (
+            bounds
+            and bounds.get("min") is not None
+            and bounds.get("max") is not None
+        ):
+            try:
+                mn = _stats_decode(bounds["min"])
+                mx = _stats_decode(bounds["max"])
+            except Exception:
+                mn = mx = None
+            if mn is not None and _range_prunes(f, mn, mx):
                 return True
-            if isinstance(f, GreaterThan) and mx <= f.value:
-                return True
-            if isinstance(f, GreaterThanOrEqual) and mx < f.value:
-                return True
-            if isinstance(f, LessThan) and mn >= f.value:
-                return True
-            if isinstance(f, LessThanOrEqual) and mn > f.value:
-                return True
-            if isinstance(f, In) and all(
-                v < mn or v > mx for v in f.value
-            ):
-                return True
-        except TypeError:
-            pass  # incomparable types: no range proof for this filter
     if add.get("bloom_col") == col and add.get("bloom"):
         # bloom membership: an unset probe bit PROVES absence (prune);
         # a set bit may be a false positive (keep — superset guarantee)
@@ -612,9 +780,7 @@ def _prunes_file(f, add: dict) -> bool:
             if isinstance(f, In) and all(
                 isinstance(v, int) for v in f.value
             ):
-                return not any(
-                    _bloom_maybe_contains(add, v) for v in f.value
-                )
+                return not _bloom_any_contains(add, f.value)
         except Exception:
             return False  # undecodable filter metadata: keep the file
     return False
@@ -719,7 +885,12 @@ class TxlogBatchReader(DataSourceReader):
             ):
                 _PUSHED_SETS.pop(next(iter(_PUSHED_SETS)))
             cur = {repr(f) for f in filters}
-            seen = _PUSHED_SETS.get(self._relation_id)
+            # LRU, not FIFO: pop-and-reinsert on every hit so the
+            # eviction victim at capacity is the LEAST recently
+            # planned relation — a long-lived, actively branched
+            # relation (exactly where the shared-readInfo defense
+            # matters most) is never the one evicted
+            seen = _PUSHED_SETS.pop(self._relation_id, None)
             if seen is None:
                 _PUSHED_SETS[self._relation_id] = (1, cur)
             else:
@@ -942,6 +1113,7 @@ def checkpoint_log(log_dir: str, version: int) -> str:
         ("bloom", pa.string()),
         ("bloom_col", pa.string()),
         ("bloom_bits", pa.int64()),
+        ("stats_json", pa.string()),
     ]
     vals = list(state.values())
     table = pa.table(
@@ -970,15 +1142,16 @@ def checkpoint_log(log_dir: str, version: int) -> str:
 class _TxlogWriteCommit(WriterCommitMessage):
     """Per-task commit message: the temp parquet file the task staged
     (None for an empty partition), its row count, and — when the write
-    carries a ``stats_col`` — the task's exact min/max of that column.
-    Must be picklable (travels task -> driver)."""
+    carries ``stats_col`` columns — the task's exact per-column
+    min/max as ``{col: (mn, mx)}``. Must be picklable (travels task ->
+    driver)."""
 
-    def __init__(self, tmp_path, n_rows: int, mn=None, mx=None):
+    def __init__(self, tmp_path, n_rows: int, stats=None):
         self.tmp_path = tmp_path
         self.n_rows = n_rows
-        self.mn = mn
-        self.mx = mx
-        #: partitioned writes: (tmp_path, partition value, rows, mn, mx)
+        #: {stats col: (exact min, exact max)} over this file's rows
+        self.stats = stats
+        #: partitioned writes: (tmp, partition value, rows, stats, bloom)
         self.parts = None
         #: bloom-indexed writes: encoded filter over this file's
         #: ``bloom_col`` values
@@ -999,19 +1172,37 @@ def _writer_dirs(options) -> tuple:
     return log_dir, data_root
 
 
+def _fold_batch_stats(stats: dict, batch, stats_cols) -> None:
+    """Fold one Arrow batch's exact per-column min/max into the
+    running ``{col: (mn, mx)}`` fold (pyarrow compute — the stats a
+    real lakehouse writer records in its add action; all-null batches
+    fold nothing)."""
+    import pyarrow.compute as pc
+
+    for c in stats_cols:
+        s = pc.min_max(batch.column(c))
+        bmn, bmx = s["min"].as_py(), s["max"].as_py()
+        if bmn is not None:
+            old = stats.get(c)
+            stats[c] = (
+                (bmn, bmx)
+                if old is None
+                else (min(old[0], bmn), max(old[1], bmx))
+            )
+
+
 def _stage_batches(
-    data_root: str, iterator, stats_col: str = "",
+    data_root: str, iterator, stats_cols=(),
     bloom_col: str = "", bloom_bits: int = 0,
 ) -> _TxlogWriteCommit:
     """Task-side staging: stream Arrow RecordBatches into ONE temp
     parquet file (columnar hand-off from Spark, columnar write via
-    pyarrow — no Python rows anywhere), folding exact ``stats_col``
-    min/max per batch when requested (pyarrow compute — the stats a
-    real lakehouse writer records in its add action) and, when
-    ``bloom_col`` is set, a per-file BLOOM FILTER over that column's
-    values (numpy-vectorized probe positions — point-lookup pruning
-    where a hash-distributed layout gives min/max stats nothing to
-    prune on). Empty partitions stage nothing."""
+    pyarrow — no Python rows anywhere), folding exact per-column
+    ``stats_cols`` min/max per batch when requested (pyarrow compute)
+    and, when ``bloom_col`` is set, a per-file BLOOM FILTER over that
+    column's values (numpy-vectorized probe positions — point-lookup
+    pruning where a hash-distributed layout gives min/max stats
+    nothing to prune on). Empty partitions stage nothing."""
     import uuid
 
     import pyarrow.compute as pc
@@ -1025,7 +1216,7 @@ def _stage_batches(
     os.makedirs(tmp_dir, exist_ok=True)
     tmp = os.path.join(tmp_dir, f"stage-{uuid.uuid4().hex}.parquet")
     n = 0
-    mn = mx = None
+    stats: dict = {}
     bloom_arr = None
     if bloom_col:
         import numpy as np
@@ -1035,12 +1226,8 @@ def _stage_batches(
         for b in _chain(first, it):
             w.write_batch(b)
             n += b.num_rows
-            if stats_col and b.num_rows:
-                s = pc.min_max(b.column(stats_col))
-                bmn, bmx = s["min"].as_py(), s["max"].as_py()
-                if bmn is not None:  # all-null batch: nothing to fold
-                    mn = bmn if mn is None else min(mn, bmn)
-                    mx = bmx if mx is None else max(mx, bmx)
+            if stats_cols and b.num_rows:
+                _fold_batch_stats(stats, b, stats_cols)
             if bloom_col and b.num_rows:
                 import numpy as np
 
@@ -1060,7 +1247,7 @@ def _stage_batches(
                                 np.uint8(1), (pos & 7).astype(np.uint8)
                             ),
                         )
-    msg = _TxlogWriteCommit(tmp, n, mn, mx)
+    msg = _TxlogWriteCommit(tmp, n, stats or None)
     if bloom_col:
         msg.bloom = _bloom_encode(bloom_arr)
     return msg
@@ -1071,21 +1258,36 @@ def _chain(first, rest):
     yield from rest
 
 
+#: bound on SIMULTANEOUSLY open ParquetWriters per task in a
+#: partitioned write: one open writer per DISTINCT partition value
+#: would exhaust file descriptors the first time a task sees a
+#: high-cardinality partition column (the failure Delta avoids by
+#: sorting/spilling). Beyond the bound the least-recently-written
+#: value's file is closed; if that value recurs, a FRESH temp file is
+#: opened for it — the publish step already groups multiple files per
+#: value, so the layout is unchanged, just more part files.
+_MAX_OPEN_PART_WRITERS = 64
+
+
 def _stage_partitioned(
-    data_root: str, iterator, partition_col: str, stats_col: str = "",
+    data_root: str, iterator, partition_col: str, stats_cols=(),
     bloom_col: str = "", bloom_bits: int = 0,
+    max_open: int = _MAX_OPEN_PART_WRITERS,
 ) -> _TxlogWriteCommit:
     """Task-side staging for a PARTITIONED write: each Arrow batch is
     split by the partition column's values (pyarrow compute — columnar
-    masks, no Python rows) and streamed into one temp parquet file per
+    masks, no Python rows) and streamed into temp parquet files per
     partition value seen by this task, folding exact ``stats_col``
     min/max AND (when requested) a ``bloom_col`` bloom filter per
     partition value (so a partitioned table gets range pruning and
     point-lookup pruning WITHIN each partition, not just partition
-    pruning — Delta records per-add stats likewise). Returns
-    (tmp, value, rows, min, max, bloom) tuples in ``parts`` — the
-    driver groups them into per-partition data dirs and per-partition
-    add actions, OR-merging the tasks' blooms per value."""
+    pruning — Delta records per-add stats likewise). At most
+    ``max_open`` writers are open at once (LRU close-and-reopen — see
+    `_MAX_OPEN_PART_WRITERS`), so task fd usage is bounded regardless
+    of partition-value cardinality. Returns (tmp, value, rows, min,
+    max, bloom) tuples in ``parts`` — the driver groups them into
+    per-partition data dirs and per-partition add actions, OR-merging
+    the tasks' blooms per value."""
     import uuid
 
     import pyarrow.compute as pc
@@ -1095,11 +1297,26 @@ def _stage_partitioned(
         import numpy as np
 
     writers: dict = {}
+    order: list = []  # LRU over OPEN writers (most recently written last)
     counts: dict = {}
-    paths: dict = {}
+    paths: dict = {}  # value -> [every temp file staged for it]
     stats: dict = {}
     blooms: dict = {}
     n_total = 0
+
+    def _open_writer(v, schema):
+        if len(writers) >= max_open:
+            evict = order.pop(0)
+            writers.pop(evict).close()
+        tmp_dir = os.path.join(data_root, "_ds_tmp")
+        os.makedirs(tmp_dir, exist_ok=True)
+        p = os.path.join(tmp_dir, f"stage-{uuid.uuid4().hex}.parquet")
+        paths.setdefault(v, []).append(p)
+        counts.setdefault(v, 0)
+        w = writers[v] = pq.ParquetWriter(p, schema)
+        order.append(v)
+        return w
+
     try:
         for b in iterator:
             if b.num_rows == 0:
@@ -1114,26 +1331,18 @@ def _stage_partitioned(
                 sub = b.filter(mask)
                 w = writers.get(v)
                 if w is None:
-                    tmp_dir = os.path.join(data_root, "_ds_tmp")
-                    os.makedirs(tmp_dir, exist_ok=True)
-                    paths[v] = os.path.join(
-                        tmp_dir, f"stage-{uuid.uuid4().hex}.parquet"
-                    )
-                    w = writers[v] = pq.ParquetWriter(paths[v], b.schema)
-                    counts[v] = 0
+                    w = _open_writer(v, b.schema)
+                else:
+                    # refresh LRU position (len(order) <= max_open)
+                    order.remove(v)
+                    order.append(v)
                 w.write_batch(sub)
                 counts[v] += sub.num_rows
                 n_total += sub.num_rows
-                if stats_col and sub.num_rows:
-                    s = pc.min_max(sub.column(stats_col))
-                    bmn, bmx = s["min"].as_py(), s["max"].as_py()
-                    if bmn is not None:  # all-null batch: no fold
-                        old = stats.get(v)
-                        stats[v] = (
-                            (bmn, bmx)
-                            if old is None
-                            else (min(old[0], bmn), max(old[1], bmx))
-                        )
+                if stats_cols and sub.num_rows:
+                    _fold_batch_stats(
+                        stats.setdefault(v, {}), sub, stats_cols
+                    )
                 if bloom_col and sub.num_rows:
                     arr = blooms.get(v)
                     if arr is None:
@@ -1157,15 +1366,24 @@ def _stage_partitioned(
         for w in writers.values():
             w.close()
     msg = _TxlogWriteCommit(None, n_total)
+    # one tuple per TEMP FILE (a value evicted and revisited has
+    # several); the per-value stats/bloom ride on the value's first
+    # tuple only — `_publish_partitioned` folds/merges per value, so
+    # attaching once is exact and avoids redundant bloom encodes
     msg.parts = [
         (
-            paths[v],
+            p,
             str(v),
             counts[v],
-            *stats.get(v, (None, None)),
-            _bloom_encode(blooms[v]) if v in blooms else None,
+            stats.get(v) if i == 0 else None,
+            (
+                _bloom_encode(blooms[v])
+                if i == 0 and v in blooms
+                else None
+            ),
         )
         for v in sorted(paths)
+        for i, p in enumerate(paths[v])
     ]
     return msg
 
@@ -1194,15 +1412,10 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
     pstats: dict = {}
     pblooms: dict = {}
     for m in messages:
-        for tmp, v, _, mn, mx, bloom in (m.parts or []) if m else []:
+        for tmp, v, _, stats, bloom in (m.parts or []) if m else []:
             groups.setdefault(v, []).append(tmp)
-            if mn is not None:
-                old = pstats.get(v)
-                pstats[v] = (
-                    (mn, mx)
-                    if old is None
-                    else (min(old[0], mn), max(old[1], mx))
-                )
+            if stats:
+                pstats[v] = _fold_stats([pstats.get(v), stats])
             if bloom is not None:
                 pblooms.setdefault(v, []).append(bloom)
     merged = {v: _bloom_merge(encs) for v, encs in pblooms.items()}
@@ -1339,7 +1552,7 @@ def _check_append_schema(
                 "merge_schema: an existing table column's type is not"
                 " DDL-expressible; cannot record the evolved schema"
             )
-        return ", ".join(f"`{n}` {t}" for n, t in table_cols)
+        return _roundtrip_ddl(table_cols, "merge_schema")
     if arrow_schema is None:
         raise ValueError(
             "merge_schema needs the write's Arrow schema to type the"
@@ -1367,23 +1580,10 @@ def _check_append_schema(
             "merge_schema: an existing table column's type is not"
             " DDL-expressible; cannot record the evolved schema"
         )
-    return ", ".join(f"`{n}` {t}" for n, t in evolved_cols)
+    return _roundtrip_ddl(evolved_cols, "merge_schema")
 
 
-def _validate_stats_col(
-    schema, stats_col: str, names: list, label: str = "stats_col"
-) -> None:
-    """stats_col / bloom_col must exist and be integer-typed: the
-    checkpoint schema stores min_key/max_key as int64 (both the
-    connector's `checkpoint_log` and the engine's `txlog_checkpoint`),
-    so a float/string stats column would crash the auto-checkpoint
-    AFTER the log commit already succeeded — reject at writer
-    construction instead. (The bloom index shares the constraint so
-    write-side and probe-side hashing agree on one vocabulary.)"""
-    if not stats_col:
-        return
-    if stats_col not in names:
-        raise ValueError(f"{label} {stats_col!r} not in write schema")
+def _is_integer_type(dt) -> bool:
     from pyspark.sql.types import (
         ByteType,
         IntegerType,
@@ -1391,13 +1591,80 @@ def _validate_stats_col(
         ShortType,
     )
 
+    return isinstance(dt, (ByteType, ShortType, IntegerType, LongType))
+
+
+def _validate_stats_col(
+    schema, stats_col: str, names: list, label: str = "stats_col"
+) -> None:
+    """stats_col columns must exist and be ORDERABLE with a recordable
+    encoding: the integer family rides the legacy int64
+    min_key/max_key fields; string/date/timestamp/float/double record
+    typed-JSON bounds in ``stats_json`` (Delta records min/max for all
+    orderable types likewise). ``bloom_col`` keeps the integer-only
+    constraint so write-side and probe-side hashing agree on one
+    vocabulary — rejected at writer construction, never mid-stream."""
+    if not stats_col:
+        return
+    if stats_col not in names:
+        raise ValueError(f"{label} {stats_col!r} not in write schema")
     dt = schema[stats_col].dataType
-    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
-        raise ValueError(
-            f"{label} {stats_col!r} must be an integer column (got"
-            f" {dt.simpleString()}): the log's checkpoint schema stores"
-            " min_key/max_key as int64"
+    if label == "bloom_col":
+        if not _is_integer_type(dt):
+            raise ValueError(
+                f"{label} {stats_col!r} must be an integer column (got"
+                f" {dt.simpleString()}): the bloom index hashes int64"
+                " values"
+            )
+        return
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        FloatType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    if not (
+        _is_integer_type(dt)
+        or isinstance(
+            dt,
+            (
+                StringType,
+                DateType,
+                TimestampType,
+                TimestampNTZType,
+                DoubleType,
+                FloatType,
+            ),
         )
+    ):
+        raise ValueError(
+            f"{label} {stats_col!r} must be an orderable column type"
+            " (integer, string, date, timestamp, float, double); got"
+            f" {dt.simpleString()}"
+        )
+
+
+def _parse_stats_option(options, schema, names) -> tuple:
+    """Parse the ``stats_col`` option — a single column or a comma
+    list (Delta's dataSkippingNumIndexedCols shape: one write serves
+    range pruning on several keys). Returns ``(cols, legacy)`` where
+    ``legacy`` means EXACTLY one integer column: that case keeps
+    recording the original int64 ``min_key``/``max_key`` add fields
+    (existing tables, readers, and hashes unchanged); every other
+    shape records typed-JSON ``stats_json`` bounds."""
+    raw = options.get("stats_col", "")
+    cols = [c.strip() for c in raw.split(",") if c.strip()]
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"stats_col has duplicate columns: {raw!r}")
+    for c in cols:
+        _validate_stats_col(schema, c, names)
+    legacy = len(cols) == 1 and _is_integer_type(
+        schema[cols[0]].dataType
+    )
+    return cols, legacy
 
 
 class TxlogBatchWriter(DataSourceArrowWriter):
@@ -1421,11 +1688,14 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         except Exception:
             self.arrow_schema = None  # names-only check still applies
         self.overwrite = overwrite
-        #: column whose exact min/max the commit records on its add
-        #: action (min_key/max_key) — feeds the stats-skipping reader
-        #: (queries/sinks.txlog_stats_read) with zero extra passes
-        self.stats_col = options.get("stats_col", "")
-        _validate_stats_col(schema, self.stats_col, self.names)
+        #: columns whose exact min/max the commit records on its add
+        #: actions — feeds the stats-skipping readers with zero extra
+        #: passes. ONE integer column = the legacy int64
+        #: min_key/max_key fields; a comma list and/or non-integer
+        #: orderable types = typed-JSON ``stats_json`` bounds.
+        self.stats_cols, self.legacy_stats = _parse_stats_option(
+            options, schema, self.names
+        )
         #: Hive/Delta-style partitioned layout: tasks split their Arrow
         #: batches by this column's value; the commit publishes one
         #: data dir per partition value and one ``part``-valued add
@@ -1439,6 +1709,13 @@ class TxlogBatchWriter(DataSourceArrowWriter):
             raise ValueError(
                 f"partition_col {self.partition_col!r} not in write schema"
             )
+        #: fd-exhaustion bound for partitioned staging (see
+        #: `_MAX_OPEN_PART_WRITERS`)
+        self.max_open = int(
+            options.get("max_open_files", str(_MAX_OPEN_PART_WRITERS))
+        )
+        if self.max_open < 1:
+            raise ValueError("max_open_files must be >= 1")
         #: Delta's mergeSchema: an append whose column set differs from
         #: the table's evolves the schema additively (metaData action in
         #: the SAME commit) instead of rejecting
@@ -1466,10 +1743,11 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         if self.partition_col:
             return _stage_partitioned(
                 self.data_root, iterator, self.partition_col,
-                self.stats_col, self.bloom_col, self.bloom_bits,
+                self.stats_cols, self.bloom_col, self.bloom_bits,
+                self.max_open,
             )
         return _stage_batches(
-            self.data_root, iterator, self.stats_col,
+            self.data_root, iterator, self.stats_cols,
             self.bloom_col, self.bloom_bits,
         )
 
@@ -1504,7 +1782,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     " evolved table's DDL vocabulary cannot record"
                 )
             cols.append((n, t))
-        return ", ".join(f"`{n}` {t}" for n, t in cols)
+        return _roundtrip_ddl(cols, "txlog overwrite")
 
     def commit(self, messages):
         import uuid
@@ -1521,6 +1799,30 @@ class TxlogBatchWriter(DataSourceArrowWriter):
             )
         elif msgs:
             _publish(msgs, final_dir)
+        try:
+            version = self._commit_published(msgs, part_adds, final_dir)
+        except BaseException:
+            # commit-time rejection (schema validation, mapped-table
+            # reject, lost race budget) happens AFTER the task files
+            # were renamed into final_dir — abort's _drop_temps only
+            # knows the (already renamed away) tmp paths, so without
+            # this the rejected write leaks an orphaned ds-write-* dir
+            # forever. Nothing references final_dir until attempt_commit
+            # succeeds (we return immediately after), so removal here is
+            # always safe.
+            shutil.rmtree(final_dir, ignore_errors=True)
+            raise
+        # checkpointing runs OUTSIDE the cleanup guard: once
+        # attempt_commit succeeded the log references final_dir, and a
+        # checkpoint failure must never delete committed data
+        if (
+            version is not None
+            and self.ckpt_interval > 0
+            and (version + 1) % self.ckpt_interval == 0
+        ):
+            checkpoint_log(self.log_dir, version)
+
+    def _commit_published(self, msgs, part_adds, final_dir):
         for _ in range(_WRITE_MAX_RETRIES):
             # ONE log snapshot per attempt feeds BOTH the schema
             # decision and the attempt version: a concurrent
@@ -1561,19 +1863,22 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                         "part": v,
                         "part_col": self.partition_col,
                     }
-                    if st is not None:
-                        add["min_key"], add["max_key"] = st
-                        add["stats_col"] = self.stats_col
+                    if st:
+                        _attach_stats(
+                            add, st, self.stats_cols, self.legacy_stats
+                        )
                     if bloom is not None:
                         add["bloom"] = bloom
                         add["bloom_col"] = self.bloom_col
                         add["bloom_bits"] = self.bloom_bits
                     actions.append(add)
-            elif msgs and (self.stats_col or self.bloom_col):
+            elif msgs and (self.stats_cols or self.bloom_col):
                 # Delta's shape: one add PER FILE, each carrying that
                 # task's exact stats and/or bloom filter — a single
                 # write of a single job yields per-file metadata the
-                # pruning reader serves immediately
+                # pruning reader serves immediately (which columns the
+                # bounds describe rides in the action, so readers
+                # prune without options)
                 for k, m in enumerate(msgs):
                     add = {
                         "commit": version,
@@ -1582,12 +1887,9 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                             final_dir, f"part-{k:05d}.parquet"
                         ),
                     }
-                    if self.stats_col:
-                        add["min_key"] = m.mn
-                        add["max_key"] = m.mx
-                        # which column the bounds describe — lets the
-                        # reader's pushFilters prune without options
-                        add["stats_col"] = self.stats_col
+                    _attach_stats(
+                        add, m.stats, self.stats_cols, self.legacy_stats
+                    )
                     if self.bloom_col and m.bloom is not None:
                         add["bloom"] = m.bloom
                         add["bloom_col"] = self.bloom_col
@@ -1598,19 +1900,14 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     {"commit": version, "action": "add", "path": final_dir}
                 )
             if not actions:
-                return  # empty append: nothing to commit
+                return None  # empty append: nothing to commit
             if attempt_commit(
                 self.log_dir,
                 version,
                 actions,
                 op="OVERWRITE" if self.overwrite else "APPEND",
             ):
-                if (
-                    self.ckpt_interval > 0
-                    and (version + 1) % self.ckpt_interval == 0
-                ):
-                    checkpoint_log(self.log_dir, version)
-                return
+                return version
         raise RuntimeError(
             f"txlog write lost the commit race {_WRITE_MAX_RETRIES} times"
         )
@@ -1634,8 +1931,12 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         self.log_dir, self.data_root = _writer_dirs(options)
         self.names = [f.name for f in schema.fields]
         self.txn_prefix = options.get("txn_id", "txlog-stream")
-        self.stats_col = options.get("stats_col", "")
-        _validate_stats_col(schema, self.stats_col, self.names)
+        #: same two stats vocabularies as the batch writer (see
+        #: `_parse_stats_option`) — a continuously-ingested table gets
+        #: per-epoch data-skipping bounds on every stats column
+        self.stats_cols, self.legacy_stats = _parse_stats_option(
+            options, schema, self.names
+        )
         #: per-epoch bloom index, same mechanic as the batch writer —
         #: a continuously-ingested table stays point-lookup-prunable
         self.bloom_col = options.get("bloom_col", "")
@@ -1655,6 +1956,13 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             raise ValueError(
                 f"partition_col {self.partition_col!r} not in write schema"
             )
+        #: fd-exhaustion bound for partitioned staging (see
+        #: `_MAX_OPEN_PART_WRITERS`)
+        self.max_open = int(
+            options.get("max_open_files", str(_MAX_OPEN_PART_WRITERS))
+        )
+        if self.max_open < 1:
+            raise ValueError("max_open_files must be >= 1")
         #: Delta's checkpointInterval: after every Nth commit, compact
         #: the log into a parquet checkpoint (stdlib `checkpoint_log`)
         #: so a long-lived streaming table's replay cost stays
@@ -1665,10 +1973,11 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         if self.partition_col:
             return _stage_partitioned(
                 self.data_root, iterator, self.partition_col,
-                self.stats_col, self.bloom_col, self.bloom_bits,
+                self.stats_cols, self.bloom_col, self.bloom_bits,
+                self.max_open,
             )
         return _stage_batches(
-            self.data_root, iterator, self.stats_col,
+            self.data_root, iterator, self.stats_cols,
             self.bloom_col, self.bloom_bits,
         )
 
@@ -1714,9 +2023,10 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                     "part": v,
                     "part_col": self.partition_col,
                 }
-                if st is not None:
-                    add["min_key"], add["max_key"] = st
-                    add["stats_col"] = self.stats_col
+                if st:
+                    _attach_stats(
+                        add, st, self.stats_cols, self.legacy_stats
+                    )
                 if bloom is not None:
                     add["bloom"] = bloom
                     add["bloom_col"] = self.bloom_col
@@ -1724,12 +2034,13 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 actions.append(add)
             if msgs and not self.partition_col:
                 add = {"commit": version, "action": "add", "path": final_dir}
-                if self.stats_col:
-                    mns = [m.mn for m in msgs if m.mn is not None]
-                    if mns:  # an all-null epoch records no bounds
-                        add["min_key"] = min(mns)
-                        add["max_key"] = max(m.mx for m in msgs
-                                             if m.mx is not None)
+                if self.stats_cols:
+                    folded = _fold_stats([m.stats for m in msgs])
+                    if folded:  # an all-null epoch records no bounds
+                        _attach_stats(
+                            add, folded, self.stats_cols,
+                            self.legacy_stats,
+                        )
                 if self.bloom_col:
                     encs = [m.bloom for m in msgs if m.bloom is not None]
                     if encs:

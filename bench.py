@@ -18,6 +18,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 warnings.filterwarnings("ignore")
 os.environ.setdefault("PYTHONWARNINGS", "ignore")
 
+# --interleave <rev>: delegate to the paired A/B harness
+# (tools/bench_interleave.py) — frozen-rev and HEAD timings measured
+# adjacent in time so no-regression claims stop depending on
+# cross-day medians. Everything after <rev> passes through.
+if len(sys.argv) > 2 and sys.argv[1] == "--interleave":
+    _tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools",
+        "bench_interleave.py",
+    )
+    os.execv(
+        sys.executable,
+        [sys.executable, _tool, "--rev", sys.argv[2], *sys.argv[3:]],
+    )
+
 # The driver parses stdout as a single JSON line. The JVM (log4j banner,
 # "Setting default log level", ivy) and any library print can land on fd 1,
 # so swap fd 1 to stderr for the whole run and keep a private dup of the
@@ -143,7 +158,15 @@ def main() -> None:
         )
     except Exception as exc:
         print(f"# datasource warmup failed: {exc}", file=sys.stderr)
-    for key in sorted(queries):
+    # SPARK_GRAFT_KEYS=k1,k2 restricts the run (new-key spot timing /
+    # drift adjudication); unset = the full registry, the driver's mode
+    only = {
+        k.strip()
+        for k in os.environ.get("SPARK_GRAFT_KEYS", "").split(",")
+        if k.strip()
+    }
+    run_keys = sorted(only & set(queries)) if only else sorted(queries)
+    for key in run_keys:
         start = time.monotonic()
         try:
             force(queries[key](spark, sf_dir))

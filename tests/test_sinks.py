@@ -2690,14 +2690,18 @@ def test_txlog_stream_writer_rejects_overwrite_modes(spark):
     assert ds.streamWriter(schema, overwrite=False) is not None
 
 
-def test_txlog_stats_col_must_be_integer(spark):
-    """stats_col type validation at WRITER CONSTRUCTION (the advisor's
-    crash: a non-integer stats column died in pa.array() during the
-    auto-checkpoint, AFTER the log commit) — both writer halves reject
-    a double/string stats column before staging a single byte."""
+def test_txlog_stats_col_types_and_bloom_guard(spark):
+    """Write-time stats validation under the r12 GENERALIZED tier:
+    orderable non-integer columns (string/double/date/timestamp) are
+    now ACCEPTED for stats_col (typed-JSON ``stats_json`` bounds —
+    Delta records min/max for all orderable types), comma lists parse
+    per column, a non-orderable column is rejected at construction,
+    and bloom_col keeps the integer-only hashing contract. The legacy
+    flag is exactly "one integer column"."""
     import shutil
 
     import pytest
+    from pyspark.sql.types import StructType
 
     from aind_data_transformation_spark.io import txlog_source
     from aind_data_transformation_spark.queries.relational import load_table
@@ -2707,24 +2711,50 @@ def test_txlog_stats_col_must_be_integer(spark):
     log_dir = os.path.join(base, "_log")
     txlog_source.register(spark)
     orders = load_table(spark, TEST_SF_DIR, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
-    with pytest.raises(Exception, match="must be an integer column"):
-        orders.write.format("txlog").mode("append").option(
-            "stats_col", "o_totalprice"
-        ).save(log_dir)
-    assert not os.path.exists(os.path.join(log_dir, "00000.json"))
-    with pytest.raises(ValueError, match="must be an integer column"):
-        txlog_source.TxlogStreamWriter(
-            {"path": log_dir, "stats_col": "o_orderstatus"}, orders.schema
+    # orderable non-integer types accepted on both writer halves now
+    for col in ("o_totalprice", "o_orderstatus", "o_orderdate"):
+        w = txlog_source.TxlogBatchWriter(
+            {"path": log_dir, "stats_col": col}, orders.schema, False
         )
-    # integer stats still fine on both halves
-    txlog_source.TxlogBatchWriter(
+        assert w.stats_cols == [col] and not w.legacy_stats
+        txlog_source.TxlogStreamWriter(
+            {"path": log_dir, "stats_col": col}, orders.schema
+        )
+    # comma list parses per column; single integer column = legacy
+    w = txlog_source.TxlogBatchWriter(
+        {"path": log_dir, "stats_col": "o_orderkey, o_totalprice"},
+        orders.schema,
+        False,
+    )
+    assert w.stats_cols == ["o_orderkey", "o_totalprice"]
+    assert not w.legacy_stats
+    w = txlog_source.TxlogBatchWriter(
         {"path": log_dir, "stats_col": "o_orderkey"}, orders.schema, False
     )
-    txlog_source.TxlogStreamWriter(
-        {"path": log_dir, "stats_col": "o_orderkey"}, orders.schema
-    )
+    assert w.legacy_stats
+    # a non-orderable column type is rejected at construction
+    arr_schema = StructType.fromDDL("k bigint, v array<bigint>")
+    with pytest.raises(ValueError, match="orderable"):
+        txlog_source.TxlogBatchWriter(
+            {"path": log_dir, "stats_col": "v"}, arr_schema, False
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        txlog_source.TxlogBatchWriter(
+            {"path": log_dir, "stats_col": "k,k"}, arr_schema, False
+        )
+    # bloom_col keeps the integer-only hashing vocabulary, both halves
+    with pytest.raises(ValueError, match="must be an integer column"):
+        txlog_source.TxlogBatchWriter(
+            {"path": log_dir, "bloom_col": "o_orderstatus"},
+            orders.schema,
+            False,
+        )
+    with pytest.raises(ValueError, match="must be an integer column"):
+        txlog_source.TxlogStreamWriter(
+            {"path": log_dir, "bloom_col": "o_totalprice"}, orders.schema
+        )
 
 
 def test_txlog_register_pushdown_opt_out(spark):

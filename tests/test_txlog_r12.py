@@ -1,0 +1,515 @@
+"""Round-12 regression tests: the four ADVICE defects in the txlog
+connector (quote-aware DDL round-trip, LRU pushed-set registry,
+orphaned-dir cleanup on rejected commits, memoized bloom decode) plus
+their guard rails. End-to-end through ``df.write.format("txlog")``
+where the defect was end-to-end; unit-level where the state is
+planning-worker-internal."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import TEST_SF_DIR
+
+from aind_data_transformation_spark.io import txlog_source
+from aind_data_transformation_spark.queries import sinks
+from aind_data_transformation_spark.queries.relational import load_table
+
+
+def _scratch(name: str) -> str:
+    return sinks._scratch(TEST_SF_DIR, name)
+
+
+def test_parse_ddl_is_backtick_quote_aware():
+    """A quoted name may contain commas, parens, and spaces — the
+    comma/paren bookkeeping must be suspended inside backticks
+    (ADVICE r11 medium: a committed `a,b` column made every
+    subsequent read raise in _parse_ddl)."""
+    ddl = "`a,b` bigint, `c(d` string, `e f` double, g decimal(10,2)"
+    assert txlog_source._parse_ddl(ddl) == [
+        ("a,b", "bigint"),
+        ("c(d", "string"),
+        ("e f", "double"),
+        ("g", "decimal(10,2)"),
+    ]
+    # unbalanced quoting is a loud error, not a silent mis-split
+    with pytest.raises(ValueError, match="unbalanced backtick"):
+        txlog_source._parse_ddl("`a,b bigint")
+    # round-trip helper proves render(parse(x)) == x for these names
+    cols = [("a,b", "bigint"), ("c(d", "string")]
+    assert txlog_source._roundtrip_ddl(cols, "t") == "`a,b` bigint, `c(d` string"
+
+
+def test_merge_schema_comma_name_table_stays_readable(spark):
+    """End-to-end for the ADVICE medium: evolving a column literally
+    named ``a,b`` (legal in Spark) must leave the table READABLE —
+    the write committing and every later read crashing was the
+    defect. The evolved schema is served by the connector and the
+    new column's rows come back exact."""
+    base = _scratch("txlog_r12_comma_name")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    k = F.col("o_orderkey")
+    orders.where(k % 2 == 0).select("o_orderkey", "o_totalprice").write.format(
+        "txlog"
+    ).mode("append").save(log_dir)
+    (
+        orders.where(k % 2 == 1)
+        .select(
+            "o_orderkey",
+            (k % 7).cast("int").alias("a,b"),
+            (k % 3).alias("c(d)"),
+        )
+        .write.format("txlog")
+        .mode("append")
+        .option("merge_schema", "true")
+        .save(log_dir)
+    )
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    assert set(snap.columns) == {"o_orderkey", "o_totalprice", "a,b", "c(d)"}
+    n_odd = orders.where(k % 2 == 1).count()
+    got = snap.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col("`a,b`")).alias("n_ab"),
+        F.sum(F.col("`a,b`")).alias("s_ab"),
+        F.sum(F.col("`c(d)`")).alias("s_cd"),
+    ).collect()[0]
+    want_ab = (
+        orders.where(k % 2 == 1).agg(F.sum((k % 7).cast("int"))).collect()[0][0]
+    )
+    want_cd = orders.where(k % 2 == 1).agg(F.sum(k % 3)).collect()[0][0]
+    assert got["n"] == orders.count()
+    assert got["n_ab"] == n_odd
+    assert got["s_ab"] == want_ab
+    assert got["s_cd"] == want_cd
+    # backticks remain the one unrepresentable character — still loud
+    with pytest.raises(Exception, match="backtick"):
+        (
+            orders.limit(5)
+            .select("o_orderkey", F.lit(1).alias("bad`name"))
+            .write.format("txlog")
+            .mode("append")
+            .option("merge_schema", "true")
+            .save(log_dir)
+        )
+
+
+def test_pushed_sets_registry_is_lru(monkeypatch):
+    """ADVICE r11 low: at capacity the eviction victim must be the
+    LEAST recently planned relation — FIFO evicted the oldest ever
+    inserted, i.e. exactly the long-lived actively-branched relation
+    the shared-readInfo defense exists for."""
+    from pyspark.sql.datasource import EqualTo
+
+    monkeypatch.setattr(txlog_source, "_PUSHED_SETS_MAX", 2)
+    monkeypatch.setattr(txlog_source, "_PUSHED_SETS", {})
+    reg = txlog_source._PUSHED_SETS
+
+    def push(rel, val):
+        r = txlog_source.TxlogBatchReader(
+            {"path": "/nonexistent"}, ["k"], relation_id=rel
+        )
+        r.pushFilters([EqualTo(("k",), val)])
+        return r
+
+    push("relA", 1)
+    push("relB", 2)
+    assert list(reg) == ["relA", "relB"]
+    # a fresh planning of relA refreshes its recency (pop+reinsert)
+    push("relA", 3)
+    assert list(reg) == ["relB", "relA"]
+    # capacity eviction now removes relB (least recent), NOT relA
+    push("relC", 4)
+    assert "relA" in reg and "relB" not in reg and "relC" in reg
+    # and relA's running intersection survived the refresh
+    assert reg["relA"][0] == 2
+
+
+def test_rejected_commit_leaves_no_orphan_dir(spark):
+    """ADVICE r11 low: commit-time schema rejection happens after the
+    task files were renamed into the final ds-write-* dir; abort only
+    knows the (renamed-away) tmp paths, so each rejected write leaked
+    an orphaned data dir. The commit wrapper must rmtree the
+    unreferenced dir on ANY pre-commit failure."""
+    base = _scratch("txlog_r12_orphan")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    data_root = os.path.join(base, "data")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders")
+    orders.select("o_orderkey", "o_totalprice").write.format("txlog").mode(
+        "append"
+    ).save(log_dir)
+    before = set(glob.glob(os.path.join(data_root, "ds-write-*")))
+    assert len(before) == 1
+    # schema-mismatched append (no merge) → rejected at commit time
+    with pytest.raises(Exception, match="schema mismatch"):
+        orders.select("o_orderkey", "o_orderstatus").write.format(
+            "txlog"
+        ).mode("append").save(log_dir)
+    after = set(glob.glob(os.path.join(data_root, "ds-write-*")))
+    assert after == before, "rejected write leaked an orphaned data dir"
+    assert glob.glob(os.path.join(data_root, "_ds_tmp", "*")) == []
+    # the table is untouched and still exact
+    n = (
+        spark.read.format("txlog").option("path", log_dir).load().count()
+    )
+    assert n == orders.count()
+
+
+def test_checkpoint_failure_never_deletes_committed_data(
+    spark, monkeypatch
+):
+    """Guard on the orphan-cleanup fix: the auto-checkpoint runs AFTER
+    a successful commit, so a checkpoint failure must propagate
+    WITHOUT the cleanup path deleting the (now log-referenced) data
+    dir. Driven in-process (a real write's commit runs in a Python
+    worker the monkeypatch cannot reach): stage one file, commit via
+    the writer object directly with checkpoint_log exploding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructType
+
+    base = _scratch("txlog_r12_ckpt_fail")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    data_root = os.path.join(base, "data")
+    os.makedirs(os.path.join(data_root, "_ds_tmp"))
+    tmp = os.path.join(data_root, "_ds_tmp", "stage-x.parquet")
+    pq.write_table(pa.table({"k": pa.array([1, 2, 3], pa.int64())}), tmp)
+    schema = StructType.fromDDL("k bigint")
+    w = txlog_source.TxlogBatchWriter(
+        {"path": log_dir, "checkpoint_interval": "1"}, schema, False
+    )
+    msg = txlog_source._TxlogWriteCommit(tmp, 3)
+
+    def boom(*a, **kw):
+        raise RuntimeError("checkpoint exploded")
+
+    monkeypatch.setattr(txlog_source, "checkpoint_log", boom)
+    os.makedirs(log_dir, exist_ok=True)
+    with pytest.raises(RuntimeError, match="checkpoint exploded"):
+        w.commit([msg])
+    monkeypatch.undo()
+    # the commit itself landed and its data survived the failure
+    live = txlog_source._live_files(txlog_source._log_rows(log_dir))
+    assert len(live) == 1 and os.path.isdir(live[0])
+    assert txlog_source._part_files(live), "published part files survive"
+
+
+def test_bloom_decode_memoized_and_vectorized():
+    """ADVICE r11 low: probing an In(k values) filter over N files
+    decompressed the same filter k*N times. _bloom_decode is now an
+    lru_cache; _bloom_any_contains probes all values against ONE
+    decoded array with identical semantics to the per-value probe."""
+    import numpy as np
+
+    bits_n = 1 << 12
+    arr = np.zeros(bits_n >> 3, dtype=np.uint8)
+    present = np.array([5, 1 << 40, -3, 0, 999983], dtype=np.int64)
+    for pos in txlog_source._bloom_hashes(present, bits_n):
+        np.bitwise_or.at(
+            arr, pos >> 3,
+            np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)),
+        )
+    add = {
+        "bloom": txlog_source._bloom_encode(arr),
+        "bloom_bits": bits_n,
+        "bloom_col": "k",
+    }
+    txlog_source._bloom_decode.cache_clear()
+    # present values can never be reported absent
+    for v in present.tolist():
+        assert txlog_source._bloom_maybe_contains(add, v)
+    # a sparse filter proves absence for (almost all) other values;
+    # pick ones verified absent by direct bit probing
+    absent = [
+        v
+        for v in range(100, 3000)
+        if not txlog_source._bloom_maybe_contains(add, v)
+    ]
+    assert len(absent) > 2000, "filter should prove most absences"
+    assert not txlog_source._bloom_any_contains(add, absent)
+    assert txlog_source._bloom_any_contains(add, absent + [5])
+    info = txlog_source._bloom_decode.cache_info()
+    assert info.misses == 1 and info.hits >= len(present)
+
+
+def test_stage_partitioned_bounds_open_writers(monkeypatch):
+    """VERDICT r11 item 1: one open ParquetWriter per distinct
+    partition value per task exhausts fds on high-cardinality
+    partition columns. The staging path must never hold more than
+    ``max_open`` writers open at once — evicted values reopen FRESH
+    temp files on revisit (the publish step already groups several
+    files per value), and per-value counts/stats/blooms stay exact
+    across evictions."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    gauge = {"cur": 0, "max": 0}
+    real_writer = pq.ParquetWriter
+
+    class CountingWriter(real_writer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._counted_open = True
+            gauge["cur"] += 1
+            gauge["max"] = max(gauge["max"], gauge["cur"])
+
+        def close(self):
+            if getattr(self, "_counted_open", False):
+                self._counted_open = False
+                gauge["cur"] -= 1
+            super().close()
+
+    monkeypatch.setattr(pq, "ParquetWriter", CountingWriter)
+    base = _scratch("txlog_r12_fd_cap")
+    shutil.rmtree(base, ignore_errors=True)
+    data_root = os.path.join(base, "data")
+    os.makedirs(data_root)
+    n_vals = 200
+
+    def batches():
+        # two passes over all values → every value is evicted between
+        # passes (cap 8 << 200) and must reopen a second temp file
+        for _ in range(2):
+            for start in range(0, n_vals, 20):
+                vals = list(range(start, start + 20))
+                yield pa.record_batch(
+                    {
+                        "part": pa.array(
+                            [f"v{v:03d}" for v in vals for _ in (0, 1)]
+                        ),
+                        "k": pa.array(
+                            [v * 10 + i for v in vals for i in (0, 1)],
+                            pa.int64(),
+                        ),
+                    }
+                )
+
+    msg = txlog_source._stage_partitioned(
+        data_root, batches(), "part", stats_cols=["k"],
+        bloom_col="k", bloom_bits=1 << 12, max_open=8,
+    )
+    assert gauge["max"] <= 8, f"held {gauge['max']} writers open"
+    assert gauge["cur"] == 0, "writers left open after staging"
+    by_val: dict = {}
+    for tmp, v, rows, stats, bloom in msg.parts:
+        by_val.setdefault(v, []).append((tmp, rows, stats, bloom))
+    assert len(by_val) == n_vals
+    for v, entries in by_val.items():
+        i = int(v[1:])
+        assert len(entries) == 2, f"{v}: expected 2 temp files (eviction)"
+        # per-value stats/bloom ride the first tuple, folded over BOTH
+        # files' rows (two passes × two rows each)
+        stats = [e[2] for e in entries if e[2] is not None]
+        assert stats == [{"k": (i * 10, i * 10 + 1)}]
+        blooms = [e[3] for e in entries if e[3] is not None]
+        assert len(blooms) == 1
+        add = {"bloom": blooms[0], "bloom_bits": 1 << 12, "bloom_col": "k"}
+        assert txlog_source._bloom_maybe_contains(add, i * 10)
+        assert txlog_source._bloom_maybe_contains(add, i * 10 + 1)
+    assert msg.n_rows == n_vals * 4
+
+
+def test_partitioned_write_high_cardinality_end_to_end(spark):
+    """End-to-end fd-cap stress: ONE task writes 150 distinct
+    partition values with max_open_files=8 — the exact shape that
+    previously risked fd exhaustion. The table must read back exact
+    (per-partition counts and key sums), one add per value, and
+    partition pruning must still plan from pure log metadata."""
+    from pyspark.sql.datasource import EqualTo
+
+    base = _scratch("txlog_r12_highcard")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey",
+        F.lpad((F.col("o_orderkey") % 150).cast("string"), 3, "0").alias(
+            "bucket"
+        ),
+    )
+    (
+        orders.coalesce(1)
+        .write.format("txlog")
+        .mode("append")
+        .option("partition_col", "bucket")
+        .option("max_open_files", "8")
+        .option("stats_col", "o_orderkey")
+        .save(log_dir)
+    )
+    rows = txlog_source._log_rows(log_dir)
+    adds = [r for r in rows if r["action"] == "add"]
+    n_vals = orders.select("bucket").distinct().count()
+    assert len(adds) == n_vals
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    got = {
+        r["bucket"]: (r["n"], r["s"])
+        for r in snap.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .collect()
+    }
+    want = {
+        r["bucket"]: (r["n"], r["s"])
+        for r in orders.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_orderkey").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # per-partition stats recorded exactly despite writer eviction
+    mm = {
+        r["bucket"]: (r["mn"], r["mx"])
+        for r in orders.groupBy("bucket")
+        .agg(F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx"))
+        .collect()
+    }
+    for a in adds:
+        assert (a["min_key"], a["max_key"]) == mm[a["part"]]
+    # partition pruning still plans on log metadata alone
+    r = txlog_source.TxlogBatchReader(
+        {"path": log_dir}, ["o_orderkey", "bucket"]
+    )
+    n_all = len(r.partitions())
+    r.pushFilters([EqualTo(("bucket",), "007")])
+    assert len(r.partitions()) < n_all
+
+
+def test_stats_json_string_and_timestamp_pruning(spark):
+    """The generalized stats tier beyond the date/multi oracle keys:
+    STRING bounds prune equality probes outside a file's range;
+    TIMESTAMP bounds prune range probes; and the legacy single-int
+    vocabulary is untouched (min_key/max_key, no stats_json)."""
+    import datetime
+
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+    base = _scratch("txlog_r12_stats_str")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    (
+        orders.repartitionByRange(4, "o_orderpriority")
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "o_orderpriority,o_orderdate")
+        .save(log_dir)
+    )
+    cols = ["o_orderkey", "o_orderpriority", "o_orderdate"]
+    r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    n_all = len(r.partitions())
+    assert n_all >= 3
+    # string equality on the lexicographically-last priority prunes
+    # every file whose recorded [min,max] excludes it
+    r1 = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    r1.pushFilters([EqualTo(("o_orderpriority",), "5-LOW")])
+    assert 0 < len(r1.partitions()) < n_all
+    # timestamp range probe prunes too (o_orderdate is timestamp[us])
+    hi = datetime.datetime(1997, 1, 1)
+    r2 = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    r2.pushFilters([GreaterThanOrEqual(("o_orderdate",), hi)])
+    assert len(r2.partitions()) == n_all, (
+        "priority-ranged files all span the full date range — a date "
+        "probe must not prune (proves column attribution is per-column)"
+    )
+    # every value still served exactly (superset guarantee end-to-end)
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    got = snap.where(F.col("o_orderpriority") == "5-LOW").count()
+    assert got == orders.where(F.col("o_orderpriority") == "5-LOW").count()
+    # legacy single-int vocabulary untouched
+    base2 = _scratch("txlog_r12_stats_legacy")
+    shutil.rmtree(base2, ignore_errors=True)
+    log2 = os.path.join(base2, "_log")
+    orders.select("o_orderkey").write.format("txlog").mode("append").option(
+        "stats_col", "o_orderkey"
+    ).save(log2)
+    adds = [
+        r for r in txlog_source._log_rows(log2) if r["action"] == "add"
+    ]
+    assert all(
+        a.get("min_key") is not None
+        and a.get("stats_col") == "o_orderkey"
+        and a.get("stats_json") is None
+        for a in adds
+    )
+
+
+def test_stats_json_survives_both_checkpoint_paths(spark):
+    """VERDICT item 2's checkpoint-survival clause: typed-JSON bounds
+    must ride the ONE unified checkpoint action schema through BOTH
+    compaction paths — the connector's stdlib `checkpoint_log` and
+    the engine's `txlog_checkpoint` — so a compacted table keeps
+    pruning and keeps serving exact rows."""
+    import datetime
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    for label, compact in (
+        (
+            "connector",
+            lambda log_dir, v: txlog_source.checkpoint_log(log_dir, v),
+        ),
+        (
+            "engine",
+            lambda log_dir, v: sinks.txlog_checkpoint(spark, log_dir, v),
+        ),
+    ):
+        base = _scratch(f"txlog_r12_sjckpt_{label}")
+        shutil.rmtree(base, ignore_errors=True)
+        log_dir = os.path.join(base, "_log")
+        txlog_source.register(spark)
+        orders = load_table(spark, TEST_SF_DIR, "orders").select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("d"),
+        )
+        (
+            orders.repartitionByRange(4, "d")
+            .write.format("txlog")
+            .mode("append")
+            .option("stats_col", "d")
+            .save(log_dir)
+        )
+        before = (
+            spark.read.format("txlog")
+            .option("path", log_dir)
+            .load()
+            .groupBy("d")
+            .count()
+            .collect()
+        )
+        compact(log_dir, 0)
+        assert glob.glob(os.path.join(log_dir, "_checkpoint_*")), label
+        assert not glob.glob(os.path.join(log_dir, "0*.json")), label
+        rows = txlog_source._log_rows(log_dir)
+        adds = [r for r in rows if r["action"] == "add"]
+        assert adds and all(r.get("stats_json") for r in adds), label
+        # pruning still plans from the CHECKPOINTED metadata
+        cols = ["o_orderkey", "d"]
+        r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+        n_all = len(r.partitions())
+        r2 = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+        r2.pushFilters(
+            [GreaterThanOrEqual(("d",), datetime.date(1998, 1, 1))]
+        )
+        n_pruned = len(r2.partitions())
+        assert n_pruned < n_all, f"{label}: no pruning after checkpoint"
+        after = (
+            spark.read.format("txlog")
+            .option("path", log_dir)
+            .load()
+            .groupBy("d")
+            .count()
+            .collect()
+        )
+        assert sorted(map(tuple, before)) == sorted(map(tuple, after)), label
