@@ -413,6 +413,15 @@ def _bloom_any_contains(add: dict, values) -> bool:
     return bool(maybe.any())
 
 
+def _dir_bytes(path: str) -> int:
+    """On-disk bytes behind one logged add path (a data dir or a
+    single part file) — recorded on add actions at write time so
+    byte-based stream admission paces on pure log metadata."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(os.path.getsize(p) for p in _part_files([path]))
+
+
 def _part_files(data_dirs: list) -> list:
     """Part files under each logged path. A logged path is usually a
     data DIR; stats-carrying writes (Delta-style one-add-per-file)
@@ -535,9 +544,50 @@ def attempt_commit(
     return True
 
 
+#: default row-group split threshold: files larger than this are split
+#: into one input partition per PACK of row groups (~threshold bytes
+#: each) — a table of few huge files otherwise under-parallelizes (one
+#: partition per file starves a wide cluster). Matches the spirit of
+#: spark.sql.files.maxPartitionBytes.
+_RG_SPLIT_DEFAULT = 128 << 20
+
+
+def _rg_splits(path: str, threshold: int) -> list:
+    """Input-partition split plan for one part file: ``[None]`` (whole
+    file, the common small-file case — one stat syscall, no footer
+    read) or row-group index packs of ~``threshold`` bytes each for an
+    OVERSIZE file. Only oversize files pay a footer read, and the
+    footer is metadata-sized — the same planning cost profile as a JVM
+    file source's split computation."""
+    if threshold <= 0:
+        return [None]
+    try:
+        if os.path.getsize(path) <= threshold:
+            return [None]
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return [None]  # unreadable metadata: fall back to whole-file
+    n = md.num_row_groups
+    if n <= 1:
+        return [None]
+    packs, cur, cur_bytes = [], [], 0
+    for i in range(n):
+        sz = md.row_group(i).total_byte_size
+        if cur and cur_bytes + sz > threshold:
+            packs.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(i)
+        cur_bytes += sz
+    if cur:
+        packs.append(cur)
+    return packs if len(packs) > 1 else [None]
+
+
 class _PartFilePartition(InputPartition):
     def __init__(self, path: str, data_dir: str = "", dv_paths=None,
-                 colmap=None):
+                 colmap=None, row_groups=None):
         self.path = path
         self.data_dir = data_dir
         self.dv_paths = dv_paths or []
@@ -546,10 +596,27 @@ class _PartFilePartition(InputPartition):
         #: the planning-time mapping (only pushFilters-era self
         #: mutations are guaranteed visible to read())
         self.colmap = colmap
+        #: row-group indices this partition serves (None = whole file)
+        self.row_groups = row_groups
+
+
+def _read_pq(path: str, columns, row_groups=None):
+    """One part file (or a row-group pack of it) as a pyarrow Table —
+    the split unit `_rg_splits` planned."""
+    import pyarrow.parquet as pq
+
+    if row_groups is None:
+        return pq.read_table(path, columns=columns)
+    f = pq.ParquetFile(path)
+    try:
+        return f.read_row_groups(row_groups, columns=columns)
+    finally:
+        f.close()
 
 
 def _read_part(path: str, names: list, data_dir: str = "",
-               dv_paths=None, dv_key: str = "", colmap=None):
+               dv_paths=None, dv_key: str = "", colmap=None,
+               row_groups=None):
     """Executor-side decode of one parquet part file via pyarrow,
     yielding whole Arrow RecordBatches (the Spark 4 Python DataSource
     fast path — columnar hand-off, no per-row Python tuples). When the
@@ -583,7 +650,7 @@ def _read_part(path: str, names: list, data_dir: str = "",
         present = [
             colmap[n][0] for n in read_names if colmap[n][0] in avail
         ]
-        raw = pq.read_table(path, columns=present)
+        raw = _read_pq(path, present, row_groups)
         cols, fields = [], []
         for n in read_names:
             phys, ddl = colmap[n]
@@ -596,7 +663,7 @@ def _read_part(path: str, names: list, data_dir: str = "",
             fields.append(pa.field(n, typ))
         table = pa.table(cols, schema=pa.schema(fields))
     else:
-        table = pq.read_table(path, columns=read_names)
+        table = _read_pq(path, read_names, row_groups)
     if want_dv:
         import pyarrow as pa
 
@@ -669,6 +736,19 @@ def _stats_json(stats: dict) -> str:
         },
         sort_keys=True,
     )
+
+
+def _attach_bytes(actions: list) -> None:
+    """Record each add action's on-disk size (Delta's add.size):
+    driver-side stat of already-published files, metadata-cost only.
+    Best-effort — a stat failure just leaves the add byte-less, and
+    byte-based admission falls back to stat-at-planning for those."""
+    for a in actions:
+        if a.get("action") == "add" and "bytes" not in a:
+            try:
+                a["bytes"] = _dir_bytes(a["path"])
+            except OSError:
+                pass
 
 
 def _attach_stats(add: dict, stats, stats_cols, legacy: bool) -> None:
@@ -820,6 +900,12 @@ class TxlogBatchReader(DataSourceReader):
         #: (resolved against the log at planning time)
         self.version_as_of = options.get("version_as_of")
         self.timestamp_as_of = options.get("timestamp_as_of")
+        #: row-group split threshold (0 disables): oversize files plan
+        #: one input partition per ~threshold-byte row-group pack, so
+        #: a few-huge-files table parallelizes across a wide cluster
+        self.rg_split_bytes = int(
+            options.get("rowgroup_split_bytes", str(_RG_SPLIT_DEFAULT))
+        )
         #: filters Spark pushed down (pushFilters) — used ONLY to
         #: prune whole files at planning time from log metadata
         self._pushed = []
@@ -942,9 +1028,10 @@ class TxlogBatchReader(DataSourceReader):
                 else None
             )
         return [
-            _PartFilePartition(p, d, dvs.get(d, []), colmap)
+            _PartFilePartition(p, d, dvs.get(d, []), colmap, rgs)
             for d in live
             for p in _part_files([d])
+            for rgs in _rg_splits(p, self.rg_split_bytes)
         ]
 
     def read(self, partition):
@@ -955,6 +1042,7 @@ class TxlogBatchReader(DataSourceReader):
             partition.dv_paths,
             self.dv_key,
             partition.colmap,
+            partition.row_groups,
         )
 
 
@@ -987,6 +1075,23 @@ class TxlogStreamReader(DataSourceStreamReader):
         #: Correctness never depends on the cap — offsets stay pure
         #: log metadata; under-admitting only defers commits.
         self.max_commits = int(options.get("max_commits_per_trigger", "0"))
+        #: Delta's maxBytesPerTrigger analogue, in commit units: after
+        #: the catch-up batch, admit commits while their cumulative
+        #: add-action bytes fit the budget (always at least one —
+        #: a single over-budget commit must still drain). Bytes come
+        #: from the adds' recorded ``bytes`` (connector writes stamp
+        #: them); an engine-written add without one is statted at
+        #: planning time and memoized. 0 = unbounded. Commit-size skew
+        #: no longer makes max_commits_per_trigger the only (wrong)
+        #: lever. Both caps compose: commits AND bytes each bound the
+        #: admitted window.
+        self.max_bytes = int(options.get("max_bytes_per_trigger", "0"))
+        self._bytes_cache: dict = {}
+        #: same row-group split plan as the batch reader — a stream
+        #: micro-batch over a few huge files parallelizes too
+        self.rg_split_bytes = int(
+            options.get("rowgroup_split_bytes", str(_RG_SPLIT_DEFAULT))
+        )
         self._cursor = None
         if not self.log_dir:
             raise ValueError("txlog stream source requires a path option")
@@ -998,6 +1103,27 @@ class TxlogStreamReader(DataSourceStreamReader):
         rows = _log_rows(self.log_dir)
         return max((r["commit"] for r in rows), default=-1)
 
+    def _commit_bytes(self, rows, version: int) -> int:
+        """Total add-action bytes of one commit, from recorded sizes
+        where present, statted-and-memoized where not (engine-side
+        writers predate byte recording)."""
+        total = 0
+        for r in rows:
+            if r["commit"] != version or r["action"] != "add":
+                continue
+            b = r.get("bytes")
+            if b is None:
+                p = r.get("path")
+                b = self._bytes_cache.get(p)
+                if b is None:
+                    try:
+                        b = _dir_bytes(p)
+                    except OSError:
+                        b = 0
+                    self._bytes_cache[p] = b
+            total += b
+        return total
+
     def latestOffset(self):
         # the current log head: each micro-batch consumes every commit
         # that landed since the last one (with admission control on,
@@ -1005,9 +1131,27 @@ class TxlogStreamReader(DataSourceStreamReader):
         # one giant batch; a continuous trigger gets one capped batch
         # per poll — the standard file-source pacing).
         head = self._head()
-        if self.max_commits > 0 and self._cursor is not None:
-            return {"version": min(head, self._cursor + self.max_commits)}
-        return {"version": head}
+        if self._cursor is None or (
+            self.max_commits <= 0 and self.max_bytes <= 0
+        ):
+            return {"version": head}
+        end = head
+        if self.max_commits > 0:
+            end = min(end, self._cursor + self.max_commits)
+        if self.max_bytes > 0 and end > self._cursor:
+            rows = _log_rows(self.log_dir)
+            budget = self.max_bytes
+            admitted = self._cursor
+            for v in range(self._cursor + 1, end + 1):
+                b = self._commit_bytes(rows, v)
+                if admitted > self._cursor and b > budget:
+                    break  # budget spent; defer the rest
+                budget -= b
+                admitted = v
+            # at least one commit always drains (a single over-budget
+            # commit must not wedge the stream)
+            end = max(admitted, min(self._cursor + 1, end))
+        return {"version": end}
 
     def partitions(self, start, end):
         self._cursor = int(end["version"])
@@ -1045,13 +1189,15 @@ class TxlogStreamReader(DataSourceStreamReader):
                 else None
             )
         return [
-            _PartFilePartition(p, colmap=colmap)
+            _PartFilePartition(p, colmap=colmap, row_groups=rgs)
             for p in _part_files(files)
+            for rgs in _rg_splits(p, self.rg_split_bytes)
         ]
 
     def read(self, partition):
         yield from _read_part(
-            partition.path, self.names, colmap=partition.colmap
+            partition.path, self.names, colmap=partition.colmap,
+            row_groups=partition.row_groups,
         )
 
     def commit(self, end):
@@ -1062,6 +1208,122 @@ class TxlogStreamReader(DataSourceStreamReader):
 #: revalidates against a fresh log snapshot, so this bounds live-lock
 #: under heavy writer contention, not correctness)
 _WRITE_MAX_RETRIES = 20
+
+
+#: DESCRIBE surfaces the connector serves without engine imports
+#: (Delta's DESCRIBE HISTORY / DESCRIBE DETAIL shape): option
+#: ``describe`` -> result schema
+_DESCRIBE_SCHEMAS = {
+    "history": (
+        "version bigint, ts bigint, op string, n_adds bigint,"
+        " n_removes bigint, rows_added bigint"
+    ),
+    "files": (
+        "path string, commit bigint, part string, part_col string,"
+        " bytes bigint, n_files bigint"
+    ),
+}
+
+
+class _HistoryPartition(InputPartition):
+    def __init__(self, version, ts, op, n_adds, n_removes, add_paths):
+        self.version = version
+        self.ts = ts
+        self.op = op
+        self.n_adds = n_adds
+        self.n_removes = n_removes
+        self.add_paths = add_paths
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, row):
+        self.row = row
+
+
+class TxlogDescribeReader(DataSourceReader):
+    """Provenance/inventory reads THROUGH the connector —
+    ``spark.read.format("txlog").option("describe", "history")`` — so
+    external readers get DESCRIBE HISTORY / DESCRIBE DETAIL-style
+    metadata without importing the engine (whose
+    `queries/sinks.q_sink_txlog_history` computes the identical
+    history; the connector key's oracle pins the two equal).
+
+    ``history``: one row per commit — version, commitInfo ts/op,
+    add/remove action counts, and rows_added recomputed from the
+    added files' parquet FOOTER counts (one partition per commit, so
+    a long history parallelizes; footers are metadata-sized — no data
+    scan anywhere). ``files``: the LIVE file inventory at the head —
+    winning add per path with its partition value and on-disk bytes
+    (recorded add bytes where present, statted otherwise)."""
+
+    def __init__(self, options):
+        self.log_dir = _local_path(options.get("path"))
+        self.what = options.get("describe")
+        if not self.log_dir:
+            raise ValueError("txlog describe requires a path option")
+
+    def partitions(self):
+        rows = _log_rows(self.log_dir)
+        if self.what == "files":
+            out = []
+            for p, r in sorted(_live_adds(rows).items()):
+                b = r.get("bytes")
+                if b is None:
+                    try:
+                        b = _dir_bytes(p)
+                    except OSError:
+                        b = None
+                out.append(
+                    _FilesPartition(
+                        (
+                            p,
+                            r["commit"],
+                            r.get("part"),
+                            r.get("part_col"),
+                            b,
+                            len(_part_files([p])),
+                        )
+                    )
+                )
+            return out
+        adds: dict = {}
+        removes: dict = {}
+        for r in rows:
+            if r["action"] == "add":
+                adds.setdefault(r["commit"], []).append(r["path"])
+            elif r["action"] == "remove":
+                removes[r["commit"]] = removes.get(r["commit"], 0) + 1
+        cis = sorted(
+            (r["commit"], r["ts"], r["op"])
+            for r in rows
+            if r["action"] == "commitInfo"
+        )
+        return [
+            _HistoryPartition(
+                v, ts, op, len(adds.get(v, [])), removes.get(v, 0),
+                adds.get(v, []),
+            )
+            for v, ts, op in cis
+        ]
+
+    def read(self, partition):
+        if isinstance(partition, _FilesPartition):
+            yield partition.row
+            return
+        import pyarrow.parquet as pq
+
+        n = 0
+        for d in partition.add_paths:
+            for p in _part_files([d]):
+                n += pq.ParquetFile(p).metadata.num_rows
+        yield (
+            partition.version,
+            partition.ts,
+            partition.op,
+            partition.n_adds,
+            partition.n_removes,
+            n,
+        )
 
 
 def checkpoint_log(log_dir: str, version: int) -> str:
@@ -1114,6 +1376,7 @@ def checkpoint_log(log_dir: str, version: int) -> str:
         ("bloom_col", pa.string()),
         ("bloom_bits", pa.int64()),
         ("stats_json", pa.string()),
+        ("bytes", pa.int64()),
     ]
     vals = list(state.values())
     table = pa.table(
@@ -1901,6 +2164,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                 )
             if not actions:
                 return None  # empty append: nothing to commit
+            _attach_bytes(actions)
             if attempt_commit(
                 self.log_dir,
                 version,
@@ -2053,6 +2317,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             actions.append(
                 {"commit": version, "action": "txn", "path": txn}
             )
+            _attach_bytes(actions)
             if attempt_commit(
                 self.log_dir, version, actions, op="STREAMING UPDATE"
             ):
@@ -2087,10 +2352,24 @@ class TxlogDataSource(DataSource):
     def name(cls):
         return "txlog"
 
+    def _describe(self):
+        what = self.options.get("describe")
+        if what and what not in _DESCRIBE_SCHEMAS:
+            raise ValueError(
+                f"unknown describe surface {what!r}; supported:"
+                f" {sorted(_DESCRIBE_SCHEMAS)}"
+            )
+        return what
+
     def schema(self):
+        what = self._describe()
+        if what:
+            return _DESCRIBE_SCHEMAS[what]
         return _infer_ddl(_local_path(self.options.get("path")), self.options)
 
     def reader(self, schema):
+        if self._describe():
+            return TxlogDescribeReader(self.options)
         return TxlogBatchReader(
             self.options,
             [f.name for f in schema.fields],
@@ -2098,11 +2377,18 @@ class TxlogDataSource(DataSource):
         )
 
     def streamReader(self, schema):
+        if self._describe():
+            raise ValueError(
+                "describe surfaces are batch-only (one snapshot of the"
+                " log); use spark.read, not readStream"
+            )
         return TxlogStreamReader(
             self.options, [f.name for f in schema.fields]
         )
 
     def writer(self, schema, overwrite: bool):
+        if self._describe():
+            raise ValueError("describe surfaces are read-only")
         return TxlogBatchWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool):

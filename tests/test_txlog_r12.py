@@ -513,3 +513,367 @@ def test_stats_json_survives_both_checkpoint_paths(spark):
             .collect()
         )
         assert sorted(map(tuple, before)) == sorted(map(tuple, after)), label
+
+
+def test_rowgroup_split_partitions_and_exact_rows(spark):
+    """VERDICT r11 item 3: the connector planned ONE input partition
+    per data file, so a few-huge-files table under-parallelized at
+    scale. Oversize files (past ``rowgroup_split_bytes``) now split
+    into row-group packs: a 1-file/10-row-group table must plan ~10
+    partitions, serve IDENTICAL rows to the unsplit read, and compose
+    with deletion vectors and schema evolution (both are value-level
+    mechanics, indifferent to the split boundary)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _scratch("txlog_r12_rgsplit")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    data_dir = os.path.join(base, "data", "batch-0")
+    os.makedirs(log_dir)
+    os.makedirs(data_dir)
+    n = 1000
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "v": pa.array([i * 3 for i in range(n)], pa.int64()),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(data_dir, "part-00000.parquet"),
+        row_group_size=100,
+    )
+    with open(os.path.join(log_dir, "00000.json"), "w") as fh:
+        fh.write(
+            json.dumps({"commit": 0, "action": "add", "path": data_dir})
+            + "\n"
+        )
+    txlog_source.register(spark)
+    cols = ["k", "v"]
+    # split plan: ~10 partitions for the 10-row-group file
+    r = txlog_source.TxlogBatchReader(
+        {"path": log_dir, "rowgroup_split_bytes": "1"}, cols
+    )
+    n_split = len(r.partitions())
+    assert 5 <= n_split <= 10, f"expected ~10 split partitions, {n_split}"
+    r0 = txlog_source.TxlogBatchReader(
+        {"path": log_dir, "rowgroup_split_bytes": "0"}, cols
+    )
+    assert len(r0.partitions()) == 1
+    # identical rows either way, through real Spark reads
+    split = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("rowgroup_split_bytes", "1")
+        .load()
+    )
+    whole = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("rowgroup_split_bytes", "0")
+        .load()
+    )
+    assert split.rdd.getNumPartitions() == n_split
+    assert sorted(map(tuple, split.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # compose with a DV delete: tombstoned keys stay gone under split
+    dv_dir = os.path.join(base, "data", "dv-0")
+    os.makedirs(dv_dir)
+    dead = [5, 250, 999]
+    pq.write_table(
+        pa.table(
+            {
+                "target": pa.array([data_dir] * len(dead)),
+                "key": pa.array(dead, pa.int64()),
+            }
+        ),
+        os.path.join(dv_dir, "part-00000.parquet"),
+    )
+    with open(os.path.join(log_dir, "00001.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "commit": 1,
+                    "action": "dv",
+                    "path": os.path.join(dv_dir, "part-00000.parquet"),
+                    "target": data_dir,
+                }
+            )
+            + "\n"
+        )
+    got = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("rowgroup_split_bytes", "1")
+        .option("dv_key", "k")
+        .load()
+    )
+    assert got.count() == n - len(dead)
+    assert got.where(F.col("k").isin(dead)).count() == 0
+    # compose with additive evolution: old row groups null-fill
+    with open(os.path.join(log_dir, "00002.json"), "w") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "commit": 2,
+                    "action": "metaData",
+                    "schema": "`k` bigint, `v` bigint, `w` double",
+                }
+            )
+            + "\n"
+        )
+    evolved = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("rowgroup_split_bytes", "1")
+        .option("dv_key", "k")
+        .load()
+    )
+    assert evolved.columns == ["k", "v", "w"]
+    row = evolved.agg(
+        F.count(F.lit(1)).alias("n"), F.count("w").alias("nw")
+    ).collect()[0]
+    assert (row["n"], row["nw"]) == (n - len(dead), 0)
+
+
+def test_adds_record_bytes_and_stream_paces_by_bytes(spark, tmp_path):
+    """VERDICT r11 item 4: add actions now record on-disk bytes
+    (Delta's add.size) and the stream source takes
+    ``max_bytes_per_trigger`` — commit-size skew no longer makes the
+    commit-count cap the only pacing lever. Steady state: after the
+    catch-up batch, a budget of ~1.5 commits drains two
+    simultaneously-landed commits as TWO batches; an engine-side add
+    without recorded bytes is statted and memoized (fallback path
+    exercised by the fixture's hand-built commits)."""
+    import time
+
+    log_dir = sinks._build_txlog_table(spark, TEST_SF_DIR, "txlog_r12_bytes")
+    data_dir = os.path.join(os.path.dirname(log_dir), "data")
+    txlog_source.register(spark)
+    # connector writes stamp bytes on their adds
+    wbase = _scratch("txlog_r12_bytes_w")
+    shutil.rmtree(wbase, ignore_errors=True)
+    wlog = os.path.join(wbase, "_log")
+    load_table(spark, TEST_SF_DIR, "orders").select(
+        "o_orderkey"
+    ).write.format("txlog").mode("append").save(wlog)
+    adds = [
+        r for r in txlog_source._log_rows(wlog) if r["action"] == "add"
+    ]
+    assert adds and all(
+        a.get("bytes") == txlog_source._dir_bytes(a["path"]) > 0
+        for a in adds
+    )
+    # byte budget: one fixture commit fits, two do not
+    b1 = os.path.join(data_dir, "batch-1")
+    budget = int(txlog_source._dir_bytes(b1) * 1.5)
+    seen = []
+
+    def collect_batch(df, batch_id):
+        seen.append((batch_id, df.count()))
+
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", log_dir)
+        .option("max_bytes_per_trigger", str(budget))
+        .load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and not seen:
+            time.sleep(0.5)
+        assert seen and seen[0][1] == 1125, seen  # catch-up batch
+        b4 = os.path.join(data_dir, "batch-4x")
+        shutil.copytree(b1, b4)
+        assert sinks._txlog_attempt_commit(
+            log_dir, 3, [{"commit": 3, "action": "add", "path": b1}]
+        )
+        assert sinks._txlog_attempt_commit(
+            log_dir, 4, [{"commit": 4, "action": "add", "path": b4}]
+        )
+        while time.monotonic() < deadline and sum(n for _, n in seen) < 1875:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    tail = [n for _, n in seen[1:] if n > 0]
+    # one ~budget batch per commit — a single 750-row batch means the
+    # byte cap admitted both commits at once
+    assert tail == [375, 375], seen
+
+
+def test_bloom_pruning_is_snapshot_scoped_under_time_travel(spark):
+    """VERDICT r11 item 6: a versionAsOf read must prune from the
+    winning add action AT THE TRAVEL POINT only — a bloom committed
+    after the travel point (e.g. a later stats/bloom re-commit of the
+    same path) must not prune a historical read, and symmetrically a
+    bloom in force at the travel point keeps pruning there even after
+    a later commit dropped it. Built on a hand-written log so the two
+    adds can disagree about the same path."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.datasource import EqualTo
+
+    base = _scratch("txlog_r12_bloom_travel")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    data_dir = os.path.join(base, "data", "batch-0")
+    os.makedirs(log_dir)
+    os.makedirs(data_dir)
+    pq.write_table(
+        pa.table({"k": pa.array(range(100), pa.int64())}),
+        os.path.join(data_dir, "part-00000.parquet"),
+    )
+    bits_n = 1 << 12
+    arr = np.zeros(bits_n >> 3, dtype=np.uint8)
+    vals = np.arange(1000, 1100, dtype=np.int64)  # does NOT contain 50
+    for pos in txlog_source._bloom_hashes(vals, bits_n):
+        np.bitwise_or.at(
+            arr, pos >> 3,
+            np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8)),
+        )
+    bloom = txlog_source._bloom_encode(arr)
+    acts = [
+        {"commit": 0, "action": "commitInfo", "op": "WRITE", "ts": 1},
+        {"commit": 0, "action": "add", "path": data_dir},
+        {"commit": 1, "action": "commitInfo", "op": "STATS", "ts": 2},
+        # a metadata re-commit is a plain re-add: last action per path
+        # wins ACROSS commits (remove would beat add WITHIN one)
+        {
+            "commit": 1,
+            "action": "add",
+            "path": data_dir,
+            "bloom": bloom,
+            "bloom_col": "k",
+            "bloom_bits": bits_n,
+        },
+    ]
+    for v in (0, 1):
+        with open(os.path.join(log_dir, f"{v:05d}.json"), "w") as fh:
+            for a in acts:
+                if a["commit"] == v:
+                    fh.write(json.dumps(a) + "\n")
+    txlog_source.register(spark)
+    probe = EqualTo(("k",), 50)
+    # head: commit 1's bloom is the winning add — it prunes
+    r_head = txlog_source.TxlogBatchReader({"path": log_dir}, ["k"])
+    r_head.pushFilters([probe])
+    assert len(r_head.partitions()) == 0
+    # as-of 0: the travel point's winning add carries NO bloom — a
+    # post-travel bloom must not prune the historical read
+    r_v0 = txlog_source.TxlogBatchReader(
+        {"path": log_dir, "version_as_of": "0"}, ["k"]
+    )
+    r_v0.pushFilters([probe])
+    assert len(r_v0.partitions()) == 1
+    # and the historical row actually comes back end to end
+    got = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("version_as_of", "0")
+        .load()
+        .where("k = 50")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [(50,)]
+    # symmetric: commit 2 re-adds WITHOUT the bloom — head stops
+    # pruning, but as-of 1 still prunes from ITS winning add
+    with open(os.path.join(log_dir, "00002.json"), "w") as fh:
+        for a in (
+            {"commit": 2, "action": "commitInfo", "op": "RESET", "ts": 3},
+            {"commit": 2, "action": "add", "path": data_dir},
+        ):
+            fh.write(json.dumps(a) + "\n")
+    r_head2 = txlog_source.TxlogBatchReader({"path": log_dir}, ["k"])
+    r_head2.pushFilters([probe])
+    assert len(r_head2.partitions()) == 1
+    r_v1 = txlog_source.TxlogBatchReader(
+        {"path": log_dir, "version_as_of": "1"}, ["k"]
+    )
+    r_v1.pushFilters([probe])
+    assert len(r_v1.partitions()) == 0
+
+
+def test_describe_surfaces_match_engine_and_inventory(spark):
+    """VERDICT r11 item 8: the connector's describe surfaces.
+    ``describe=history`` must equal the engine's history computation
+    row-for-row on the same table; ``describe=files`` serves the live
+    inventory (winning add per path, partition value, bytes); unknown
+    surfaces and write/stream attempts fail loudly."""
+    log_dir = sinks._build_txlog_table_with_delete(
+        spark, TEST_SF_DIR, "txlog_r12_describe"
+    )
+    txlog_source.register(spark)
+    hist = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("describe", "history")
+        .load()
+    )
+    assert hist.columns == [
+        "version", "ts", "op", "n_adds", "n_removes", "rows_added",
+    ]
+    got = sorted(map(tuple, hist.collect()))
+    # engine-side recomputation on the SAME table (the registered key
+    # uses its own fixture copy; here we pin the exact same log)
+    rows = sinks._txlog_log_rows(spark, log_dir)
+    adds = [(r["commit"], r["path"]) for r in rows if r["action"] == "add"]
+    removes = [r["commit"] for r in rows if r["action"] == "remove"]
+    cis = sorted(
+        (r["commit"], r["ts"], r["op"])
+        for r in rows
+        if r["action"] == "commitInfo"
+    )
+    import pyarrow.parquet as pq
+
+    def n_rows(d):
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in txlog_source._part_files([d])
+        )
+
+    want = sorted(
+        (
+            v,
+            ts,
+            op,
+            sum(1 for c, _ in adds if c == v),
+            sum(1 for c in removes if c == v),
+            sum(n_rows(p) for c, p in adds if c == v),
+        )
+        for v, ts, op in cis
+    )
+    assert got == want
+    # files inventory: winning add per live path with bytes
+    inv = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("describe", "files")
+        .load()
+        .collect()
+    )
+    live = txlog_source._live_files(
+        txlog_source._log_rows(log_dir)
+    )
+    assert sorted(r["path"] for r in inv) == live
+    for r in inv:
+        assert r["bytes"] == txlog_source._dir_bytes(r["path"]) > 0
+        assert r["n_files"] >= 1
+    # loud failures: unknown surface, write, stream
+    with pytest.raises(Exception, match="unknown describe"):
+        spark.read.format("txlog").option("path", log_dir).option(
+            "describe", "nope"
+        ).load().collect()
+    with pytest.raises(Exception, match="read-only"):
+        spark.range(3).write.format("txlog").mode("append").option(
+            "describe", "history"
+        ).save(log_dir)
