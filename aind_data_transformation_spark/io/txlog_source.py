@@ -713,29 +713,41 @@ def _stats_decode(e):
 
 
 def _fold_stats(stats_dicts) -> dict:
-    """Fold per-column (min, max) bound dicts across tasks/files."""
+    """Fold per-column [min, max, nulls] stat entries across
+    tasks/files: None-aware min/max (an all-null file contributes no
+    bounds), summed null counts."""
     out: dict = {}
     for d in stats_dicts:
-        for c, (mn, mx) in (d or {}).items():
+        for c, cur in (d or {}).items():
+            mn, mx = cur[0], cur[1]
+            nulls = cur[2] if len(cur) > 2 else 0
             old = out.get(c)
-            out[c] = (
-                (mn, mx)
-                if old is None
-                else (min(old[0], mn), max(old[1], mx))
-            )
+            if old is None:
+                out[c] = [mn, mx, nulls]
+                continue
+            if mn is not None:
+                old[0] = mn if old[0] is None else min(old[0], mn)
+                old[1] = mx if old[1] is None else max(old[1], mx)
+            old[2] += nulls
     return out
 
 
 def _stats_json(stats: dict) -> str:
-    """Render a {col: (mn, mx)} fold as the add action's
-    ``stats_json`` payload (sorted keys — deterministic commits)."""
-    return json.dumps(
-        {
-            c: {"min": _stats_encode(mn), "max": _stats_encode(mx)}
-            for c, (mn, mx) in stats.items()
-        },
-        sort_keys=True,
-    )
+    """Render a {col: [mn, mx, nulls]} fold as the add action's
+    ``stats_json`` payload (sorted keys — deterministic commits).
+    An all-null column records only its null count (Delta's
+    nullCount stat); bounds appear only when real values exist."""
+    doc: dict = {}
+    for c, cur in stats.items():
+        mn, mx = cur[0], cur[1]
+        e: dict = {}
+        if mn is not None:
+            e["min"] = _stats_encode(mn)
+            e["max"] = _stats_encode(mx)
+        if len(cur) > 2:
+            e["nulls"] = cur[2]
+        doc[c] = e
+    return json.dumps(doc, sort_keys=True)
 
 
 def _attach_bytes(actions: list) -> None:
@@ -762,9 +774,9 @@ def _attach_stats(add: dict, stats, stats_cols, legacy: bool) -> None:
         return
     if legacy:
         c = stats_cols[0]
-        mn, mx = (stats or {}).get(c, (None, None))
-        add["min_key"] = mn
-        add["max_key"] = mx
+        cur = (stats or {}).get(c)
+        add["min_key"] = cur[0] if cur else None
+        add["max_key"] = cur[1] if cur else None
         add["stats_col"] = c
     elif stats:
         add["stats_json"] = _stats_json(stats)
@@ -781,6 +793,7 @@ def _range_prunes(f, mn, mx) -> bool:
         In,
         LessThan,
         LessThanOrEqual,
+        StringStartsWith,
     )
 
     try:
@@ -796,6 +809,20 @@ def _range_prunes(f, mn, mx) -> bool:
             return True
         if isinstance(f, In) and all(v < mn or v > mx for v in f.value):
             return True
+        if (
+            isinstance(f, StringStartsWith)
+            and isinstance(f.value, str)
+            and f.value
+            and isinstance(mn, str)
+            and isinstance(mx, str)
+        ):
+            # strings with prefix p live in [p, p[:-1] + succ(p[-1]))
+            p = f.value
+            if mx < p:
+                return True
+            last = ord(p[-1])
+            if last < 0x10FFFF and mn >= p[:-1] + chr(last + 1):
+                return True
     except TypeError:
         pass  # incomparable types: no range proof for this filter
     return False
@@ -832,6 +859,8 @@ def _prunes_file(f, add: dict) -> bool:
         if _range_prunes(f, add["min_key"], add["max_key"]):
             return True
     if add.get("stats_json"):
+        from pyspark.sql.datasource import IsNotNull, IsNull
+
         try:
             sj = add["stats_json"]
             bounds = (json.loads(sj) if isinstance(sj, str) else sj).get(
@@ -839,18 +868,31 @@ def _prunes_file(f, add: dict) -> bool:
             )
         except Exception:
             bounds = None  # undecodable stats: keep the file
-        if (
-            bounds
-            and bounds.get("min") is not None
-            and bounds.get("max") is not None
-        ):
-            try:
-                mn = _stats_decode(bounds["min"])
-                mx = _stats_decode(bounds["max"])
-            except Exception:
-                mn = mx = None
-            if mn is not None and _range_prunes(f, mn, mx):
+        if bounds is not None:
+            nulls = bounds.get("nulls")
+            # null-count proofs (Delta's nullCount skipping): a file
+            # with zero nulls holds no IS NULL row; a file whose nulls
+            # equal its row count holds no IS NOT NULL row
+            if isinstance(f, IsNull) and nulls == 0:
                 return True
+            if (
+                isinstance(f, IsNotNull)
+                and nulls is not None
+                and add.get("rows") is not None
+                and nulls == add["rows"]
+            ):
+                return True
+            if (
+                bounds.get("min") is not None
+                and bounds.get("max") is not None
+            ):
+                try:
+                    mn = _stats_decode(bounds["min"])
+                    mx = _stats_decode(bounds["max"])
+                except Exception:
+                    mn = mx = None
+                if mn is not None and _range_prunes(f, mn, mx):
+                    return True
     if add.get("bloom_col") == col and add.get("bloom"):
         # bloom membership: an unset probe bit PROVES absence (prune);
         # a set bit may be a false positive (keep — superset guarantee)
@@ -1220,7 +1262,7 @@ _DESCRIBE_SCHEMAS = {
     ),
     "files": (
         "path string, commit bigint, part string, part_col string,"
-        " bytes bigint, n_files bigint"
+        " bytes bigint, rows bigint, n_files bigint"
     ),
 }
 
@@ -1281,6 +1323,7 @@ class TxlogDescribeReader(DataSourceReader):
                             r.get("part"),
                             r.get("part_col"),
                             b,
+                            r.get("rows"),
                             len(_part_files([p])),
                         )
                     )
@@ -1377,6 +1420,7 @@ def checkpoint_log(log_dir: str, version: int) -> str:
         ("bloom_bits", pa.int64()),
         ("stats_json", pa.string()),
         ("bytes", pa.int64()),
+        ("rows", pa.int64()),
     ]
     vals = list(state.values())
     table = pa.table(
@@ -1436,22 +1480,24 @@ def _writer_dirs(options) -> tuple:
 
 
 def _fold_batch_stats(stats: dict, batch, stats_cols) -> None:
-    """Fold one Arrow batch's exact per-column min/max into the
-    running ``{col: (mn, mx)}`` fold (pyarrow compute — the stats a
-    real lakehouse writer records in its add action; all-null batches
-    fold nothing)."""
+    """Fold one Arrow batch's exact per-column min/max AND null count
+    into the running ``{col: [mn, mx, nulls]}`` fold (pyarrow compute
+    — the stats a real lakehouse writer records in its add action;
+    all-null batches fold only nulls)."""
     import pyarrow.compute as pc
 
     for c in stats_cols:
-        s = pc.min_max(batch.column(c))
+        col = batch.column(c)
+        s = pc.min_max(col)
         bmn, bmx = s["min"].as_py(), s["max"].as_py()
+        old = stats.get(c)
+        if old is None:
+            stats[c] = [bmn, bmx, col.null_count]
+            continue
         if bmn is not None:
-            old = stats.get(c)
-            stats[c] = (
-                (bmn, bmx)
-                if old is None
-                else (min(old[0], bmn), max(old[1], bmx))
-            )
+            old[0] = bmn if old[0] is None else min(old[0], bmn)
+            old[1] = bmx if old[1] is None else max(old[1], bmx)
+        old[2] += col.null_count
 
 
 def _stage_batches(
@@ -1637,7 +1683,7 @@ def _stage_partitioned(
         (
             p,
             str(v),
-            counts[v],
+            counts[v] if i == 0 else 0,
             stats.get(v) if i == 0 else None,
             (
                 _bloom_encode(blooms[v])
@@ -1672,11 +1718,15 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
     from urllib.parse import quote
 
     groups: dict = {}
+    prows: dict = {}
     pstats: dict = {}
     pblooms: dict = {}
     for m in messages:
-        for tmp, v, _, stats, bloom in (m.parts or []) if m else []:
+        for tmp, v, rows, stats, bloom in (m.parts or []) if m else []:
             groups.setdefault(v, []).append(tmp)
+            # per-value rows ride each message's FIRST tuple for the
+            # value (like stats/bloom); later tuples carry 0
+            prows[v] = prows.get(v, 0) + rows
             if stats:
                 pstats[v] = _fold_stats([pstats.get(v), stats])
             if bloom is not None:
@@ -1690,7 +1740,7 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
         os.makedirs(pdir, exist_ok=True)
         for k, tmp in enumerate(groups[v]):
             os.replace(tmp, os.path.join(pdir, f"part-{k:05d}.parquet"))
-        out.append((pdir, v, pstats.get(v), merged.get(v)))
+        out.append((pdir, v, prows.get(v, 0), pstats.get(v), merged.get(v)))
     return out
 
 
@@ -2118,13 +2168,14 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     for p in _live_files(rows)
                 ]
             if part_adds:
-                for pdir, v, st, bloom in part_adds:
+                for pdir, v, nrows, st, bloom in part_adds:
                     add = {
                         "commit": version,
                         "action": "add",
                         "path": pdir,
                         "part": v,
                         "part_col": self.partition_col,
+                        "rows": nrows,
                     }
                     if st:
                         _attach_stats(
@@ -2149,6 +2200,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                         "path": os.path.join(
                             final_dir, f"part-{k:05d}.parquet"
                         ),
+                        "rows": m.n_rows,
                     }
                     _attach_stats(
                         add, m.stats, self.stats_cols, self.legacy_stats
@@ -2160,7 +2212,12 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     actions.append(add)
             elif msgs:
                 actions.append(
-                    {"commit": version, "action": "add", "path": final_dir}
+                    {
+                        "commit": version,
+                        "action": "add",
+                        "path": final_dir,
+                        "rows": sum(m.n_rows for m in msgs),
+                    }
                 )
             if not actions:
                 return None  # empty append: nothing to commit
@@ -2279,13 +2336,14 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 return  # a concurrent replayer committed this epoch
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
-            for pdir, v, st, bloom in part_adds:
+            for pdir, v, nrows, st, bloom in part_adds:
                 add = {
                     "commit": version,
                     "action": "add",
                     "path": pdir,
                     "part": v,
                     "part_col": self.partition_col,
+                    "rows": nrows,
                 }
                 if st:
                     _attach_stats(
@@ -2297,7 +2355,12 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                     add["bloom_bits"] = self.bloom_bits
                 actions.append(add)
             if msgs and not self.partition_col:
-                add = {"commit": version, "action": "add", "path": final_dir}
+                add = {
+                    "commit": version,
+                    "action": "add",
+                    "path": final_dir,
+                    "rows": sum(m.n_rows for m in msgs),
+                }
                 if self.stats_cols:
                     folded = _fold_stats([m.stats for m in msgs])
                     if folded:  # an all-null epoch records no bounds

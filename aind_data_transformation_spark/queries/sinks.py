@@ -878,7 +878,7 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
         " ts long, op string, metrics string,"
         " min_key long, max_key long, part_col string, stats_col string,"
         " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long"
+        " stats_json string, bytes long, rows long"
     )
     ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
     tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
@@ -2592,6 +2592,7 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
                 g(r, "bloom_bits"),
                 g(r, "stats_json"),
                 g(r, "bytes"),
+                g(r, "rows"),
             )
             for r in state.values()
         ],
@@ -2605,7 +2606,7 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
         " ts long, op string, metrics string,"
         " min_key long, max_key long, part_col string, stats_col string,"
         " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long",
+        " stats_json string, bytes long, rows long",
     ).write.mode("overwrite").parquet(ckpt_dir)
     for i in range(version + 1):
         f = os.path.join(log_dir, f"{i:05d}.json")
@@ -5122,6 +5123,94 @@ ORACLES["sink_txlog_datasource_write_stats_multi"] = """
            MAX(o_orderdate) AS max_date
     FROM orders CROSS JOIN bounds
     WHERE o_custkey BETWEEN lo AND hi
+"""
+
+
+def q_sink_txlog_datasource_write_stats_nulls(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NULL-COUNT data skipping + string-prefix proofs (Delta's
+    nullCount / startsWith skipping, r12 second pass): adds record
+    per-column null counts and row counts in ``stats_json``, so
+    ``IS NOT NULL`` prunes an all-null file and ``LIKE 'p%'`` prunes
+    files whose string bounds exclude the prefix window
+    [p, p[:-1]+succ(p[-1])). Layout: Hive-partitioned by
+    o_orderstatus with a derived column that is NULL exactly on the
+    'P' partition — the in-function probes assert the 'P' dir is
+    pruned by IS NOT NULL (from null counts alone) and that a
+    priority-prefix probe prunes further. The hashed result is the
+    filtered aggregate the oracle restates from the defining
+    predicates; pruning is a superset guarantee, so any correct
+    metadata must reproduce it.
+
+    Scale: null counts fold per Arrow batch inside the write task
+    (pyarrow column.null_count — zero extra passes); IS NOT NULL
+    pruning is the workhorse of sparse-column scans at 100 TB (a
+    mostly-null enrichment column skips nearly every file)."""
+    from pyspark.sql.datasource import IsNotNull, StringStartsWith
+
+    from aind_data_transformation_spark.io import txlog_source
+
+    base = _scratch(sf_dir, "txlog_ds_stats_nulls")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("x"),
+    )
+    (
+        orders.write.format("txlog")
+        .mode("append")
+        .option("partition_col", "o_orderstatus")
+        .option("stats_col", "x, o_orderpriority")
+        .save(log_dir)
+    )
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "x"]
+    n_all = len(
+        txlog_source.TxlogBatchReader({"path": log_dir}, cols).partitions()
+    )
+    notnull = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    notnull.pushFilters([IsNotNull(("x",))])
+    n_notnull = len(notnull.partitions())
+    assert n_notnull < n_all, "IS NOT NULL must prune the all-null dir"
+    both = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+    both.pushFilters(
+        [IsNotNull(("x",)), StringStartsWith(("o_orderpriority",), "9")]
+    )
+    assert len(both.partitions()) == 0, (
+        "an impossible prefix must prune everything"
+    )
+    snap = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .where(
+            F.col("x").isNotNull()
+            & F.col("o_orderpriority").startswith("3")
+        )
+    )
+    return snap.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+    )
+
+
+QUERIES["sink_txlog_datasource_write_stats_nulls"] = (
+    q_sink_txlog_datasource_write_stats_nulls
+)
+ORACLES["sink_txlog_datasource_write_stats_nulls"] = """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(o_custkey)::BIGINT AS sum_x,
+           SUM(o_orderkey)::BIGINT AS sum_keys
+    FROM orders
+    WHERE o_orderstatus <> 'P' AND o_orderpriority LIKE '3%'
 """
 
 

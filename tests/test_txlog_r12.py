@@ -311,7 +311,10 @@ def test_stage_partitioned_bounds_open_writers(monkeypatch):
         # per-value stats/bloom ride the first tuple, folded over BOTH
         # files' rows (two passes × two rows each)
         stats = [e[2] for e in entries if e[2] is not None]
-        assert stats == [{"k": (i * 10, i * 10 + 1)}]
+        assert stats == [{"k": [i * 10, i * 10 + 1, 0]}]
+        # per-value ROWS also ride the first tuple only (the commit's
+        # add records them; duplicates would double-count)
+        assert sorted(e[1] for e in entries) == [0, 4]
         blooms = [e[3] for e in entries if e[3] is not None]
         assert len(blooms) == 1
         add = {"bloom": blooms[0], "bloom_bits": 1 << 12, "bloom_col": "k"}
@@ -877,3 +880,81 @@ def test_describe_surfaces_match_engine_and_inventory(spark):
         spark.range(3).write.format("txlog").mode("append").option(
             "describe", "history"
         ).save(log_dir)
+
+
+def test_nullcount_and_prefix_pruning(spark):
+    """Delta-parity data skipping, r12 second pass: stats_json records
+    per-column NULL COUNTS (nullCount) and adds record ROW counts, so
+    IS NULL / IS NOT NULL prune all-valued / all-null files; string
+    bounds additionally prove StringStartsWith windows
+    ([p, p[:-1]+succ(p[-1]))). Superset guarantee end-to-end: row
+    results stay exact under every probe."""
+    from pyspark.sql.datasource import (
+        IsNotNull,
+        IsNull,
+        StringStartsWith,
+    )
+
+    base = _scratch("txlog_r12_nullprefix")
+    shutil.rmtree(base, ignore_errors=True)
+    log_dir = os.path.join(base, "_log")
+    txlog_source.register(spark)
+    df = spark.range(300).select(
+        F.col("id").alias("grp"),
+        F.when(F.col("id") < 100, F.lit(None))
+        .when(
+            (F.col("id") >= 200) & (F.col("id") % 2 == 0), F.lit(None)
+        )
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("x"),
+        F.format_string("pre%03d", F.col("id")).alias("name"),
+    )
+    (
+        df.repartitionByRange(3, "grp")
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "x, name, grp")
+        .save(log_dir)
+    )
+    import json as _json
+
+    adds = [
+        r for r in txlog_source._log_rows(log_dir) if r["action"] == "add"
+    ]
+    assert len(adds) == 3
+    for a in adds:
+        b = _json.loads(a["stats_json"])
+        assert set(b) == {"x", "name", "grp"} and a["rows"] == 100
+        assert "nulls" in b["x"]
+    # one file is all-null in x (nulls == rows, and NO bounds), one is
+    # fully valued (nulls == 0)
+    nullish = sorted(
+        _json.loads(a["stats_json"])["x"].get("nulls") for a in adds
+    )
+    assert nullish == [0, 50, 100]
+    allnull = [
+        a
+        for a in adds
+        if _json.loads(a["stats_json"])["x"]["nulls"] == 100
+    ]
+    assert "min" not in _json.loads(allnull[0]["stats_json"])["x"]
+    cols = ["grp", "x", "name"]
+
+    def n_parts(*filters):
+        r = txlog_source.TxlogBatchReader({"path": log_dir}, cols)
+        r.pushFilters(list(filters))
+        return len(r.partitions())
+
+    assert n_parts() == 3
+    assert n_parts(IsNull(("x",))) == 2  # the no-null file pruned
+    assert n_parts(IsNotNull(("x",))) == 2  # the all-null file pruned
+    # prefix proofs against the string bounds
+    assert n_parts(StringStartsWith(("name",), "pre2")) == 1
+    assert n_parts(StringStartsWith(("name",), "pre")) == 3
+    assert n_parts(StringStartsWith(("name",), "zzz")) == 0
+    # rows stay exact end to end under each probe (residual re-apply)
+    snap = spark.read.format("txlog").option("path", log_dir).load()
+    assert snap.where("x IS NULL").count() == 150
+    assert snap.where("x IS NOT NULL").count() == 150
+    assert snap.where("name LIKE 'pre2%'").count() == 100
