@@ -97,8 +97,16 @@ def _run_side(root: str, sf_dir: str, cpus: str, keys: list) -> dict:
         "--cpus", cpus,
         "--keys", ",".join(keys),
     ]
+    # PYTHONPATH (not just driver sys.path) so Spark's executor python
+    # workers — which spawn with the child's env, not its sys.path —
+    # resolve the package at `root` too; without it every key that runs
+    # package code ON the executors (Python DataSource, Arrow UDF
+    # modules) dies with ModuleNotFoundError while pure-SQL keys pass
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     res = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=tempfile.gettempdir()
+        cmd, capture_output=True, text=True, cwd=tempfile.gettempdir(),
+        env=env,
     )
     if res.returncode != 0:
         raise RuntimeError(
@@ -135,6 +143,13 @@ def main() -> None:
         "--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
     ap.add_argument("--keys", default="")
+    ap.add_argument(
+        "--out",
+        default=os.path.join(ROOT, "bench_interleave.json"),
+        help="output JSON path (default bench_interleave.json; point a "
+        "partial/recheck run elsewhere so it cannot clobber the full "
+        "artifact)",
+    )
     ap.add_argument("--child-root", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -195,8 +210,7 @@ def main() -> None:
         ),
         "regressions": regressions,
     }
-    out = os.path.join(ROOT, "bench_interleave.json")
-    with open(out, "w") as fh:
+    with open(args.out, "w") as fh:
         fh.write(json.dumps(payload, separators=(",", ":")) + "\n")
     print(json.dumps({
         "median_ratio": payload["median_ratio"],
