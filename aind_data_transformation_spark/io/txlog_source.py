@@ -413,6 +413,195 @@ def _bloom_any_contains(add: dict, values) -> bool:
     return bool(maybe.any())
 
 
+# ---------------------------------------------------------------------
+# Protocol versioning + table features (Delta's protocol action /
+# reader-writer table features, delta.io PROTOCOL.md): a table can
+# require capabilities of its clients, so a client that does NOT
+# understand e.g. deletion vectors fails LOUDLY instead of silently
+# resurrecting deleted rows. Tables without a protocol action are
+# implicit version 1 (the pre-protocol format) and readable/writable
+# by everyone.
+
+#: format versions this code understands. Version 1 = the bare
+#: add/remove log; version 2 = feature-gated (this tier). A table
+#: demanding min_reader/min_writer above these is refused.
+PROTOCOL_READER_VERSION = 2
+PROTOCOL_WRITER_VERSION = 2
+
+#: capabilities this module's READ paths actually implement — each name
+#: corresponds to a shipped, tested behavior of the reader tier
+SUPPORTED_READER_FEATURES = frozenset({
+    "deletion_vectors",     # dv sidecar tombstones applied at read
+    "column_mapping",       # metaData mapping: physical->logical names
+    "partition_evolution",  # per-generation partition specs
+    "checkpoint",           # compacted checkpoint + tail replay
+    "stats_json",           # typed min/max/nullCount data skipping
+    "bloom_index",          # per-add bloom membership pruning
+    "time_travel",          # version/timestamp_as_of snapshot reads
+    "cdf",                  # change-data-feed reconstruction
+    "row_group_split",      # row-group-granular input partitions
+})
+
+#: capabilities the CONNECTOR write path implements. "constraints" is
+#: deliberately ABSENT: the connector writer does not evaluate CHECK
+#: constraints, so a table whose protocol demands the constraints
+#: writer feature refuses `df.write.format("txlog")` appends loudly —
+#: without the protocol gate such an append would silently bypass the
+#: constraint (the engine's `txlog_constrained_append` declares the
+#: feature via extra_writer_features and remains the supported path).
+SUPPORTED_WRITER_FEATURES = SUPPORTED_READER_FEATURES | frozenset({
+    "append_only",          # enforced below: commits with remove/dv
+                            # actions are rejected at the primitive
+})
+
+
+class TxlogProtocolError(RuntimeError):
+    """The table's protocol demands a version or feature this client
+    does not implement (Delta's InvalidProtocolVersionException /
+    unsupported-table-feature analogue)."""
+
+
+def _row_get(r, k, default=None):
+    """Tolerant field access across the two row shapes log replay
+    yields: stdlib dicts (connector `_log_rows`) and pyspark Rows
+    (the engine's `_txlog_log_rows`), which have no ``.get``."""
+    try:
+        v = r[k]
+    except (KeyError, IndexError, ValueError, TypeError):
+        return default
+    return default if v is None else v
+
+
+def _latest_protocol(rows: list, as_of=None):
+    """Latest protocol payload at/before ``as_of`` (None = table head),
+    decoded from the newest ``protocol`` action's JSON column. Protocol
+    is snapshot-scoped: a time-travel read before an upgrade is
+    governed by the protocol that was in force at that version."""
+    best = None
+    best_commit = -1
+    for r in rows:
+        if _row_get(r, "action") != "protocol":
+            continue
+        c = _row_get(r, "commit", 0)
+        if as_of is not None and c > as_of:
+            continue
+        if c >= best_commit:
+            best_commit = c
+            best = _row_get(r, "protocol")
+    if best is None:
+        return None
+    return json.loads(best)
+
+
+def check_protocol(
+    rows: list,
+    mode: str,
+    as_of=None,
+    extra_writer_features=(),
+    actions=None,
+):
+    """Refuse to proceed if the table's protocol demands more than this
+    client implements. ``mode`` is "read" or "write"; writing implies
+    reading (a writer must reconstruct the snapshot it mutates), so the
+    write check includes the read check — Delta's rule.
+
+    ``extra_writer_features``: capabilities the CALLER implements
+    beyond this module's own write path (the engine's constrained
+    append declares "constraints").
+
+    ``actions`` (write mode): the actions about to be committed —
+    needed for features with behavioral teeth: a table whose protocol
+    carries ``append_only`` rejects any commit containing remove or dv
+    actions (Delta's delta.appendOnly), making the guarantee hold for
+    EVERY writer that reaches the one commit primitive."""
+    proto = _latest_protocol(rows, as_of)
+    if proto is None:
+        return
+    min_r = int(proto.get("min_reader", 1))
+    if min_r > PROTOCOL_READER_VERSION:
+        raise TxlogProtocolError(
+            f"table requires reader version {min_r}; this client "
+            f"implements {PROTOCOL_READER_VERSION}"
+        )
+    unknown_r = (
+        set(proto.get("reader_features") or []) - SUPPORTED_READER_FEATURES
+    )
+    if unknown_r:
+        raise TxlogProtocolError(
+            "table requires reader feature(s) this client does not "
+            f"implement: {sorted(unknown_r)}"
+        )
+    if mode != "write":
+        return
+    min_w = int(proto.get("min_writer", 1))
+    if min_w > PROTOCOL_WRITER_VERSION:
+        raise TxlogProtocolError(
+            f"table requires writer version {min_w}; this client "
+            f"implements {PROTOCOL_WRITER_VERSION}"
+        )
+    supported_w = SUPPORTED_WRITER_FEATURES | set(extra_writer_features)
+    declared_w = set(proto.get("writer_features") or [])
+    unknown_w = declared_w - supported_w
+    if unknown_w:
+        raise TxlogProtocolError(
+            "table requires writer feature(s) this client does not "
+            f"implement: {sorted(unknown_w)}"
+        )
+    if "append_only" in declared_w and actions is not None:
+        bad = sorted({
+            a.get("action")
+            for a in actions
+            if a.get("action") in ("remove", "dv")
+        })
+        if bad:
+            raise TxlogProtocolError(
+                "table is append-only (protocol writer feature "
+                f"'append_only'): commit carries forbidden {bad} "
+                "action(s)"
+            )
+
+
+def set_protocol(
+    log_dir: str,
+    min_reader: int = 1,
+    min_writer: int = 1,
+    reader_features=(),
+    writer_features=(),
+    max_retries: int = 20,
+) -> int:
+    """Commit a ``protocol`` action (Delta's upgradeTableProtocol).
+    Validated against the PRE-upgrade snapshot like any transaction —
+    so a table whose current protocol this client cannot write stays
+    immutable to it, but any reachable table can be upgraded to demand
+    features the upgrader itself does not implement (how the
+    enforcement tests build their fixtures, and how a table is fenced
+    to newer clients). Returns the committed version."""
+    payload = json.dumps(
+        {
+            "min_reader": int(min_reader),
+            "min_writer": int(min_writer),
+            "reader_features": sorted(reader_features),
+            "writer_features": sorted(writer_features),
+        },
+        sort_keys=True,
+    )
+    for _ in range(max_retries):
+        rows = _log_rows(log_dir)
+        version = max((r.get("commit", 0) for r in rows), default=-1) + 1
+        act = {
+            "commit": version,
+            "action": "protocol",
+            "protocol": payload,
+        }
+        if attempt_commit(
+            log_dir, version, [act], op="SET PROTOCOL", rows=rows
+        ):
+            return version
+    raise RuntimeError(
+        f"set_protocol lost the commit race {max_retries} times"
+    )
+
+
 def _dir_bytes(path: str) -> int:
     """On-disk bytes behind one logged add path (a data dir or a
     single part file) — recorded on add actions at write time so
@@ -489,7 +678,13 @@ def _infer_ddl(log_dir: str, options=None) -> str:
 
 
 def attempt_commit(
-    log_dir: str, version: int, actions, op: str = "WRITE", metrics=None
+    log_dir: str,
+    version: int,
+    actions,
+    op: str = "WRITE",
+    metrics=None,
+    rows=None,
+    extra_writer_features=(),
 ):
     """ONE optimistic-concurrency commit attempt: atomically create
     ``{version:05d}.json`` (O_CREAT|O_EXCL — the put-if-absent primitive
@@ -509,15 +704,36 @@ def attempt_commit(
     This is the ONE commit primitive of the format — the engine's
     mutators (`queries/sinks._txlog_attempt_commit`) delegate here, so
     the connector and the query tier can never drift on log semantics.
+    Being the one primitive also makes it the write-side protocol
+    gate: the table's protocol (version + writer features, validated
+    against the pre-commit snapshot) is enforced HERE, so no writer —
+    engine mutator, connector batch/stream writer, or a direct caller
+    — can mutate a table it does not implement, and `append_only`
+    tables reject remove/dv-carrying commits at the primitive.
+    ``rows``: the caller's already-replayed log snapshot (avoids a
+    second replay); ``extra_writer_features``: capabilities the caller
+    implements beyond this module's write path.
     """
     acts = list(actions)
+    if rows is None:
+        rows = [
+            r
+            for r in _log_rows(log_dir)
+            if r.get("action") in ("commitInfo", "protocol")
+        ]
+    check_protocol(
+        rows,
+        "write",
+        extra_writer_features=extra_writer_features,
+        actions=acts,
+    )
     if not any(a.get("action") == "commitInfo" for a in acts):
         import time
 
         prev = max(
             (
                 r.get("ts") or 0
-                for r in _log_rows(log_dir)
+                for r in rows
                 if r.get("action") == "commitInfo"
             ),
             default=0,
@@ -1034,6 +1250,9 @@ class TxlogBatchReader(DataSourceReader):
     def partitions(self):
         rows = _log_rows(self.log_dir)
         as_of = _resolve_as_of(rows, self._as_of_opts())
+        # protocol gate, snapshot-scoped: a time-travel read before an
+        # upgrade is governed by the protocol in force at that version
+        check_protocol(rows, "read", as_of=as_of)
         mapping = _mapping_as_of(rows, as_of)
         live = _live_files(rows, as_of=as_of)
         if self._pushed:
@@ -1198,6 +1417,11 @@ class TxlogStreamReader(DataSourceStreamReader):
     def partitions(self, start, end):
         self._cursor = int(end["version"])
         rows = _log_rows(self.log_dir)
+        # protocol gate at the window end (the snapshot this batch is
+        # planned against) — a mid-stream upgrade to an unsupported
+        # feature fails the NEXT micro-batch loudly instead of
+        # silently misreading the upgraded table
+        check_protocol(rows, "read", as_of=int(end["version"]))
         if not self.ignore_deletes and any(
             r.get("action") == "dv" and r["commit"] <= int(end["version"])
             for r in rows
@@ -1400,6 +1624,11 @@ def checkpoint_log(log_dir: str, version: int) -> str:
             state[("meta", r["commit"])] = r
         elif r["action"] == "commitInfo":
             state[("ci", r["commit"])] = r
+        elif r["action"] == "protocol":
+            # per-commit retention (like metaData): protocol is
+            # snapshot-scoped, so enforcement under time travel uses
+            # the protocol in force at the travelled-to version
+            state[("protocol", r["commit"])] = r
     cols = [
         ("commit", pa.int64()),
         ("action", pa.string()),
@@ -1421,6 +1650,7 @@ def checkpoint_log(log_dir: str, version: int) -> str:
         ("stats_json", pa.string()),
         ("bytes", pa.int64()),
         ("rows", pa.int64()),
+        ("protocol", pa.string()),
     ]
     vals = list(state.values())
     table = pa.table(
@@ -2222,11 +2452,18 @@ class TxlogBatchWriter(DataSourceArrowWriter):
             if not actions:
                 return None  # empty append: nothing to commit
             _attach_bytes(actions)
+            # rows= hands attempt_commit this attempt's snapshot: the
+            # protocol write-gate (unknown writer features, append_only
+            # vs the overwrite's removes) validates against the same
+            # state the schema decision used, and a protocol rejection
+            # raises out through commit()'s cleanup guard, so the
+            # published-but-unreferenced final_dir is removed
             if attempt_commit(
                 self.log_dir,
                 version,
                 actions,
                 op="OVERWRITE" if self.overwrite else "APPEND",
+                rows=rows,
             ):
                 return version
         raise RuntimeError(
@@ -2330,10 +2567,30 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             )
         elif msgs:
             _publish(msgs, final_dir)
+        try:
+            version = self._commit_epoch(msgs, part_adds, final_dir, txn)
+        except BaseException:
+            # a commit-time rejection (protocol gate, lost race budget)
+            # leaves final_dir published but unreferenced — remove it.
+            # _commit_epoch raises only BEFORE a successful
+            # attempt_commit, so the removal can never touch data the
+            # log references
+            shutil.rmtree(final_dir, ignore_errors=True)
+            raise
+        # checkpointing runs OUTSIDE the cleanup guard: once committed,
+        # a checkpoint failure must never delete referenced data
+        if (
+            version is not None
+            and self.ckpt_interval > 0
+            and (version + 1) % self.ckpt_interval == 0
+        ):
+            checkpoint_log(self.log_dir, version)
+
+    def _commit_epoch(self, msgs, part_adds, final_dir, txn):
         for _ in range(_WRITE_MAX_RETRIES):
             rows = _log_rows(self.log_dir)
             if self._txn_done(rows, txn):
-                return  # a concurrent replayer committed this epoch
+                return None  # a concurrent replayer committed this epoch
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
             for pdir, v, nrows, st, bloom in part_adds:
@@ -2382,17 +2639,13 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
             )
             _attach_bytes(actions)
             if attempt_commit(
-                self.log_dir, version, actions, op="STREAMING UPDATE"
+                self.log_dir, version, actions, op="STREAMING UPDATE",
+                rows=rows,
             ):
-                if (
-                    self.ckpt_interval > 0
-                    and (version + 1) % self.ckpt_interval == 0
-                ):
-                    checkpoint_log(self.log_dir, version)
-                return
+                return version
         raise RuntimeError(
             f"txlog stream write lost the commit race "
-            f"{_WRITE_MAX_RETRIES} times (epoch {batchId})"
+            f"{_WRITE_MAX_RETRIES} times (txn {txn})"
         )
 
     def abort(self, messages, batchId) -> None:

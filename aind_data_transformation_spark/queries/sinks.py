@@ -878,16 +878,18 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
         " ts long, op string, metrics string,"
         " min_key long, max_key long, part_col string, stats_col string,"
         " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long, rows long"
+        " stats_json string, bytes long, rows long, protocol string"
     )
     ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
     tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
     if not ckpts:
-        return (
+        rows = (
             spark.read.schema(sch)
             .json(os.path.join(log_dir, "*.json"))
             .collect()
         )
+        _check_read_protocol(rows)
+        return rows
     # checkpointed table: reconciled checkpoint state + JSON tail — the
     # ONE replay entry point every mutator/reader shares, so merge txn
     # idempotence markers, constraints, partitionValues and dv state
@@ -904,7 +906,25 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
             .collect()
             if r["commit"] > ckpt_version
         ]
+    _check_read_protocol(rows)
     return rows
+
+
+def _check_read_protocol(rows: list) -> None:
+    """Protocol read-gate at the engine's ONE replay entry point: a
+    table whose protocol demands a reader version or feature this
+    code does not implement fails loudly here, covering every engine
+    read AND (since mutators replay before committing) every engine
+    mutation. Write-side feature checks live in the commit primitive
+    (`io/txlog_source.attempt_commit`). Tables without a protocol
+    action pass untouched. Checked at the table HEAD (fail-closed even
+    for time-travel reads — the as_of resolves after replay here); the
+    connector reader scopes the check to the travelled-to snapshot."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        check_protocol,
+    )
+
+    check_protocol(rows, "read")
 
 
 def _txlog_live_from_rows(rows: list, as_of=None) -> list:
@@ -957,7 +977,12 @@ class TxlogConflictError(RuntimeError):
 
 
 def _txlog_attempt_commit(
-    log_dir: str, version: int, actions, op: str = "WRITE", metrics=None
+    log_dir: str,
+    version: int,
+    actions,
+    op: str = "WRITE",
+    metrics=None,
+    extra_writer_features=(),
 ) -> bool:
     """ONE optimistic-concurrency commit attempt (put-if-absent on the
     version file). Delegates to the connector's `attempt_commit`
@@ -970,7 +995,14 @@ def _txlog_attempt_commit(
         attempt_commit,
     )
 
-    return attempt_commit(log_dir, version, actions, op=op, metrics=metrics)
+    return attempt_commit(
+        log_dir,
+        version,
+        actions,
+        op=op,
+        metrics=metrics,
+        extra_writer_features=extra_writer_features,
+    )
 
 
 #: commit-race retry budget for the mutating txlog operations
@@ -1056,12 +1088,9 @@ def txlog_merge(
         matched_keys = changes.where(F.col("op").isin("D", "U")).select(
             key_col
         )
-        src_dir = F.regexp_replace(
-            F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-            "/[^/]+$",
-            "",
+        snap = spark.read.parquet(*live).withColumn(
+            "_src", _src_logged_col(live)
         )
-        snap = spark.read.parquet(*live).withColumn("_src", src_dir)
         touched = sorted(
             r["_src"]
             for r in snap.join(
@@ -1944,14 +1973,23 @@ def _txlog_live_dvs(rows: list, live: list, as_of=None) -> list:
     )
 
 
-def _src_dir_col():
-    """input_file_name() normalized to the plain directory path the log
-    records (strip the file:// scheme and the part-file name)."""
-    return F.regexp_replace(
-        F.regexp_replace(F.input_file_name(), "^file:/+", "/"),
-        "/[^/]+$",
-        "",
-    )
+def _src_logged_col(live: list):
+    """input_file_name() mapped to the LOGGED add path that owns the
+    part file: its parent directory when that parent is itself a live
+    logged path (the engine's dir-per-add layout), else the part file
+    itself (the connector's Delta-style file-granular adds, one add
+    per ``part-*.parquet``). Exact by construction — a parent can only
+    collide with a live path if that path IS the dir add — and the
+    membership list is the already-driver-resident live set (the same
+    list the snapshot scan enumerates), compiled to an InSet probe.
+
+    The old dir-only normalization silently broke every mutator on
+    file-granular tables: a remove/dv targeting the parent DIR matches
+    no logged add, so deleted rows resurrected and DVs went inert
+    (caught by tests/test_concurrency.py's merge-race test, r12)."""
+    norm = F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    parent = F.regexp_replace(norm, "/[^/]+$", "")
+    return F.when(parent.isin(list(live)), parent).otherwise(norm)
 
 
 def txlog_delete_with_dv(
@@ -1978,7 +2016,9 @@ def txlog_delete_with_dv(
         log_rows = _txlog_log_rows(spark, log_dir)
         live = _txlog_live_from_rows(log_rows)
         version = max(r["commit"] for r in log_rows) + 1
-        snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+        snap = spark.read.parquet(*live).withColumn(
+        "_src", _src_logged_col(live)
+    )
         dv_rows = snap.join(
             F.broadcast(delete_keys.select(key_col)), key_col, "left_semi"
         ).select(
@@ -2039,7 +2079,9 @@ def txlog_read_with_dvs(
     rows = _txlog_log_rows(spark, log_dir)
     live = _txlog_live_from_rows(rows, as_of)
     dvs = _txlog_live_dvs(rows, live, as_of)
-    snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+    snap = spark.read.parquet(*live).withColumn(
+        "_src", _src_logged_col(live)
+    )
     if not dvs:
         return snap.drop("_src")
     dv = (
@@ -2083,7 +2125,7 @@ def txlog_dv_materialize(
         if not targets:
             return {"version": None, "rewritten": [], "attempts": attempt}
         snap = spark.read.parquet(*targets).withColumn(
-            "_src", _src_dir_col()
+            "_src", _src_logged_col(targets)
         )
         dvk = dv.withColumnRenamed("key", key_col)
         survivors = snap.join(
@@ -2331,7 +2373,7 @@ def txlog_table_changes(
                 F.broadcast(prev), ["target", key_col], "left_anti"
             )
         tsnap = spark.read.parquet(*targets).withColumn(
-            "_src", _src_dir_col()
+            "_src", _src_logged_col(targets)
         )
         data = [c for c in tsnap.columns if c not in (key_col, "_src")]
         dv_leg = (
@@ -2388,7 +2430,9 @@ def txlog_update_with_dv(
         log_rows = _txlog_log_rows(spark, log_dir)
         live = _txlog_live_from_rows(log_rows)
         version = max(r["commit"] for r in log_rows) + 1
-        snap = spark.read.parquet(*live).withColumn("_src", _src_dir_col())
+        snap = spark.read.parquet(*live).withColumn(
+        "_src", _src_logged_col(live)
+    )
         matched = updates.select(key_col)
         dv_rows = snap.join(
             F.broadcast(matched), key_col, "left_semi"
@@ -2562,6 +2606,12 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
             # compacted tables too — dropping them (as Delta does)
             # would force timestamp resolution onto file mtimes
             state[("ci", r["commit"])] = r
+        elif r["action"] == "protocol":
+            # per-commit retention (like metaData): protocol is
+            # snapshot-scoped, and a checkpoint that dropped it would
+            # silently LIFT the table's feature requirements for every
+            # post-compaction reader
+            state[("protocol", r["commit"])] = r
     ckpt_dir = os.path.join(log_dir, f"_checkpoint_{version:05d}")
 
     def g(r, k):
@@ -2593,6 +2643,7 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
                 g(r, "stats_json"),
                 g(r, "bytes"),
                 g(r, "rows"),
+                g(r, "protocol"),
             )
             for r in state.values()
         ],
@@ -2606,7 +2657,7 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
         " ts long, op string, metrics string,"
         " min_key long, max_key long, part_col string, stats_col string,"
         " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long, rows long",
+        " stats_json string, bytes long, rows long, protocol string",
     ).write.mode("overwrite").parquet(ckpt_dir)
     for i in range(version + 1):
         f = os.path.join(log_dir, f"{i:05d}.json")
@@ -3785,7 +3836,14 @@ def txlog_constrained_append(
     while attempts < _TXLOG_MAX_RETRIES:
         attempts += 1
         actions = [{"commit": version, "action": "add", "path": path}]
-        if _txlog_attempt_commit(log_dir, version, actions, op="APPEND"):
+        # this path DOES evaluate the table's CHECK constraint, so it
+        # declares the writer feature a constraints-gated protocol
+        # demands — the plain connector append (which doesn't) is
+        # refused by the same gate
+        if _txlog_attempt_commit(
+            log_dir, version, actions, op="APPEND",
+            extra_writer_features=("constraints",),
+        ):
             return {
                 "committed": True,
                 "n_rejected": 0,
@@ -6123,4 +6181,183 @@ ORACLES["sink_txlog_partition_evolution"] = """
            (SELECT SUM(CAST(round(o_totalprice * 100) AS BIGINT))
             FROM orders WHERE o_orderkey % 4 = 1)::BIGINT
     FROM live
+"""
+
+
+def q_sink_txlog_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol versioning + table features (Delta's protocol action
+    and reader/writer table features, delta.io PROTOCOL.md), enforced
+    at the format's two choke points — every reader's snapshot replay
+    and the ONE commit primitive (`io/txlog_source.attempt_commit`) —
+    so no client can silently misread or corrupt a table demanding
+    capabilities it lacks. Four behaviors, each probed live:
+
+    1. upgrading a table to every feature this code SUPPORTS changes
+       nothing: engine replay and connector reads keep working, and a
+       blind append still commits (the aggregated snapshot below);
+    2. ``append_only`` (writer feature with teeth): a remove-carrying
+       commit is rejected AT THE PRIMITIVE — no writer path can
+       delete from an append-only table;
+    3. an UNKNOWN reader feature fences the table: the connector head
+       read fails loudly, while a time-travel read BEFORE the upgrade
+       still serves (protocol is snapshot-scoped, like Delta);
+    4. ``constraints`` gating closes a real hole: the plain commit
+       path (which does not evaluate CHECK constraints) is refused on
+       a constraints-gated table, while the engine's constrained
+       append — declaring the feature via extra_writer_features —
+       commits.
+
+    The final frame is the post-append snapshot aggregate plus the
+    probe counters, all restated by the oracle."""
+    import json as _json
+
+    from aind_data_transformation_spark.io.txlog_source import (
+        SUPPORTED_READER_FEATURES,
+        TxlogProtocolError,
+        register,
+        set_protocol,
+    )
+
+    # --- table A: full fixture, upgraded to everything we support ---
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_proto")
+    set_protocol(
+        log_dir,
+        min_reader=2,
+        min_writer=2,
+        reader_features=sorted(SUPPORTED_READER_FEATURES),
+        writer_features=["append_only"],
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    # blind append still commits on an append-only table
+    extra_path = os.path.join(
+        os.path.dirname(log_dir), "data", "append-proto"
+    )
+    orders.where(F.col("o_orderkey") % 5 == 0).write.parquet(extra_path)
+    assert _txlog_attempt_commit(
+        log_dir,
+        4,
+        [{"commit": 4, "action": "add", "path": extra_path}],
+        op="APPEND",
+    ), "blind append must commit on an append_only table"
+    # ...but a remove-carrying commit is rejected at the primitive
+    n_blocked_remove = 0
+    try:
+        _txlog_attempt_commit(
+            log_dir,
+            5,
+            [{"commit": 5, "action": "remove", "path": extra_path}],
+            op="DELETE",
+        )
+    except TxlogProtocolError:
+        n_blocked_remove = 1
+    assert n_blocked_remove == 1, "append_only table accepted a remove"
+
+    # --- table B: fenced by an unknown reader feature ---
+    base_b = _scratch(sf_dir, "txlog_table_proto_fenced")
+    log_b = os.path.join(base_b, "_log")
+    shutil.rmtree(base_b, ignore_errors=True)
+    os.makedirs(log_b)
+    batch0 = os.path.join(os.path.dirname(log_dir), "data", "batch-0")
+    with open(os.path.join(log_b, "00000.json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"commit": 0, "action": "add", "path": batch0}
+            )
+            + "\n"
+        )
+    set_protocol(log_b, 2, 2, ["from_the_future"], [])
+    register(spark)
+    n_blocked_read = 0
+    try:
+        spark.read.format("txlog").option("path", log_b).load().count()
+    except Exception as exc:  # surfaces through the DS planning worker
+        assert "reader feature" in str(exc), exc
+        n_blocked_read = 1
+    assert n_blocked_read == 1, "fenced table served a head read"
+    # snapshot-scoped: travelling to BEFORE the upgrade still serves
+    travel_rows = (
+        spark.read.format("txlog")
+        .option("path", log_b)
+        .option("version_as_of", "0")
+        .load()
+        .count()
+    )
+
+    # --- table C: constraints-gated commit paths ---
+    base_c = _scratch(sf_dir, "txlog_table_proto_check")
+    log_c = os.path.join(base_c, "_log")
+    shutil.rmtree(base_c, ignore_errors=True)
+    os.makedirs(log_c)
+    set_protocol(log_c, 1, 2, [], ["constraints"])
+    n_blocked_plain = 0
+    try:
+        _txlog_attempt_commit(
+            log_c,
+            1,
+            [{"commit": 1, "action": "add", "path": batch0}],
+            op="APPEND",
+        )
+    except TxlogProtocolError:
+        n_blocked_plain = 1
+    n_engine_commits = int(
+        _txlog_attempt_commit(
+            log_c,
+            1,
+            [{"commit": 1, "action": "add", "path": batch0}],
+            op="APPEND",
+            extra_writer_features=("constraints",),
+        )
+    )
+    assert n_blocked_plain == 1 and n_engine_commits == 1
+
+    # --- result: table A's post-append snapshot + probe counters ---
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+        .select(
+            "*",
+            F.lit(travel_rows).cast("long").alias("travel_rows"),
+            F.lit(n_blocked_remove).cast("long").alias("n_blocked_remove"),
+            F.lit(n_blocked_read).cast("long").alias("n_blocked_read"),
+            F.lit(n_blocked_plain).cast("long").alias("n_blocked_plain"),
+            F.lit(n_engine_commits).cast("long").alias("n_engine_commits"),
+        )
+    )
+
+
+QUERIES["sink_txlog_protocol"] = q_sink_txlog_protocol
+ORACLES["sink_txlog_protocol"] = """
+    WITH final AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 4 != 1
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 5 = 0
+    ), consts AS (
+        SELECT (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0)
+                   AS travel_rows,
+               1 AS n_blocked_remove,
+               1 AS n_blocked_read,
+               1 AS n_blocked_plain,
+               1 AS n_engine_commits
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(travel_rows AS BIGINT) AS travel_rows,
+           CAST(n_blocked_remove AS BIGINT) AS n_blocked_remove,
+           CAST(n_blocked_read AS BIGINT) AS n_blocked_read,
+           CAST(n_blocked_plain AS BIGINT) AS n_blocked_plain,
+           CAST(n_engine_commits AS BIGINT) AS n_engine_commits
+    FROM final, consts
+    GROUP BY o_orderstatus, travel_rows, n_blocked_remove,
+             n_blocked_read, n_blocked_plain, n_engine_commits
 """

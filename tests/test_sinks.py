@@ -3561,3 +3561,130 @@ def test_txlog_review_regressions_r11(spark, tmp_path):
     assert (
         spark.read.format("txlog").option("path", log5).load().count() == 2
     )
+
+
+def test_txlog_protocol_gates_and_checkpoint_survival(spark, tmp_path):
+    """Protocol tier mechanics beyond the registry key: (a) the
+    connector WRITE path refuses a table fenced by an unknown writer
+    feature and leaks no published ds-write dir; (b) append_only
+    allows connector appends but the primitive rejects engine removes;
+    (c) protocol survives BOTH checkpoint compaction paths with
+    enforcement intact; (d) the engine replay gate refuses unknown
+    reader features while pre-upgrade connector time travel still
+    serves."""
+    import shutil as _shutil
+
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source as tx
+    from aind_data_transformation_spark.queries import sinks
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    tx.register(spark)
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+
+    # (a) unknown WRITER feature: connector append refused, no orphans
+    base_a = str(tmp_path / "proto_wfence")
+    log_a = os.path.join(base_a, "_log")
+    os.makedirs(log_a)
+    nation.write.format("txlog").mode("append").save(log_a)
+    tx.set_protocol(log_a, 1, 2, [], ["wf_from_the_future"])
+    with pytest.raises(Exception, match="writer feature"):
+        nation.write.format("txlog").mode("append").save(log_a)
+    orphans = [
+        d
+        for d in os.listdir(base_a)
+        if d.startswith("ds-write-") and d not in {
+            os.path.basename(r["path"])
+            for r in tx._log_rows(log_a)
+            if r.get("action") == "add"
+        }
+    ]
+    assert not orphans, f"rejected write leaked {orphans}"
+    # the refused write must not have committed anything
+    assert max(r["commit"] for r in tx._log_rows(log_a)) == 1
+
+    # (b) append_only: connector append fine, remove rejected
+    base_b = str(tmp_path / "proto_appendonly")
+    log_b = os.path.join(base_b, "_log")
+    os.makedirs(log_b)
+    nation.write.format("txlog").mode("append").save(log_b)
+    tx.set_protocol(log_b, 2, 2, [], ["append_only"])
+    nation.where("n_nationkey < 5").write.format("txlog").mode(
+        "append"
+    ).save(log_b)
+    n_before = (
+        spark.read.format("txlog").option("path", log_b).load().count()
+    )
+    assert n_before == 30
+    with pytest.raises(tx.TxlogProtocolError, match="append-only"):
+        tx.attempt_commit(
+            log_b,
+            99,
+            [{"commit": 99, "action": "remove", "path": "whatever"}],
+        )
+    # overwrite mode = removes: refused through the full connector path
+    with pytest.raises(Exception, match="append-only"):
+        nation.write.format("txlog").mode("overwrite").save(log_b)
+
+    # (c) checkpoint survival, BOTH paths
+    #   engine path
+    head = max(r["commit"] for r in tx._log_rows(log_b))
+    sinks.txlog_checkpoint(spark, log_b, head)
+    assert not [
+        f for f in os.listdir(log_b)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+        and int(f.split(".")[0]) <= head
+    ]
+    with pytest.raises(tx.TxlogProtocolError, match="append-only"):
+        tx.attempt_commit(
+            log_b,
+            99,
+            [{"commit": 99, "action": "remove", "path": "w"}],
+        )
+    assert (
+        spark.read.format("txlog").option("path", log_b).load().count()
+        == 30
+    )
+    #   connector path
+    base_c = str(tmp_path / "proto_ckpt_conn")
+    log_c = os.path.join(base_c, "_log")
+    os.makedirs(log_c)
+    nation.write.format("txlog").mode("append").save(log_c)
+    tx.set_protocol(log_c, 2, 2, [], ["append_only"])
+    tx.checkpoint_log(log_c, 1)
+    with pytest.raises(tx.TxlogProtocolError, match="append-only"):
+        tx.attempt_commit(
+            log_c,
+            99,
+            [{"commit": 99, "action": "remove", "path": "w"}],
+        )
+
+    # (d) unknown READER feature: engine replay gate + scoped travel
+    base_d = str(tmp_path / "proto_rfence")
+    log_d = os.path.join(base_d, "_log")
+    os.makedirs(log_d)
+    nation.write.format("txlog").mode("append").save(log_d)
+    tx.set_protocol(log_d, 2, 2, ["rf_from_the_future"], [])
+    with pytest.raises(tx.TxlogProtocolError, match="reader feature"):
+        sinks._txlog_log_rows(spark, log_d)
+    with pytest.raises(Exception, match="reader feature"):
+        spark.read.format("txlog").option("path", log_d).load().count()
+    assert (
+        spark.read.format("txlog")
+        .option("path", log_d)
+        .option("version_as_of", "0")
+        .load()
+        .count()
+        == 25
+    )
+    # describe stays exempt (Delta: you can always inspect provenance)
+    hist = (
+        spark.read.format("txlog")
+        .option("path", log_d)
+        .option("describe", "history")
+        .load()
+        .collect()
+    )
+    assert len(hist) == 2
+    _shutil.rmtree(str(tmp_path), ignore_errors=True)
