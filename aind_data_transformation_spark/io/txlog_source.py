@@ -414,6 +414,100 @@ def _bloom_any_contains(add: dict, values) -> bool:
 
 
 # ---------------------------------------------------------------------
+# Text (character n-gram) bloom index: per-file membership of every
+# 4-byte substring window of a string column, the pg_trgm / Google
+# Code Search trigram-index idea folded into the write. Soundness for
+# ``contains`` pruning: if any single value CONTAINS the needle, every
+# 4-byte window of the needle occurs contiguously inside that value's
+# utf-8 bytes, hence inside this file's indexed window set — so a
+# needle window the bloom PROVES absent proves no value contains the
+# needle, and the file is safely skipped. Values are indexed from the
+# Arrow data buffer directly (already the concatenation of all string
+# bytes): windows that straddle two values add only noise bits, which
+# can never un-prune a match. Both index and probe are ASCII-lowercased
+# (byte-level, locale-free), a pure superset widening.
+
+#: window width in BYTES. 4 packs into one int64 code and reuses the
+#: integer bloom hashing unchanged; needles shorter than 4 bytes are
+#: simply not prunable (kept files, exact residual re-filter).
+_TEXT_NGRAM = 4
+#: default text-bloom width: distinct 4-gram counts run far above
+#: distinct key counts (~10^5-10^6 per file of prose), so the default
+#: is 2 MiB of bits (256 KiB raw; zlib+base64 in the log)
+_TEXT_BLOOM_DEFAULT_BITS = 1 << 21
+
+
+def _ngram_codes_from_bytes(data):
+    """uint8 byte array -> unique int64 codes of every 4-byte window,
+    ASCII-lowercased, fully vectorized."""
+    import numpy as np
+
+    if data.size < _TEXT_NGRAM:
+        return np.empty(0, dtype=np.int64)
+    low = np.where(
+        (data >= 65) & (data <= 90), data + 32, data
+    ).astype(np.int64)
+    codes = (
+        (low[:-3] << 24) | (low[1:-2] << 16) | (low[2:-1] << 8) | low[3:]
+    )
+    return np.unique(codes)
+
+
+def _text_ngram_codes(arr):
+    """Unique window codes of a pyarrow string column chunk: nulls
+    dropped, then the underlying utf-8 DATA BUFFER is windowed in one
+    numpy pass — no per-row Python, no copies beyond the offsets
+    slice."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.drop_null(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int64)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0] : off[-1]]
+    return _ngram_codes_from_bytes(data)
+
+
+def _needle_ngram_codes(s: str):
+    """Window codes of a pushed needle, or None when the needle is too
+    short to prune on (< 4 utf-8 bytes)."""
+    import numpy as np
+
+    b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+    if b.size < _TEXT_NGRAM:
+        return None
+    return _ngram_codes_from_bytes(b)
+
+
+def _text_bloom_prunes(add: dict, needle: str) -> bool:
+    """True iff the add's text bloom PROVES no value in the file
+    contains ``needle``: some window of the needle has an unset probe
+    bit. ALL windows maybe-present keeps the file (false positives
+    only ever keep)."""
+    import numpy as np
+
+    codes = _needle_ngram_codes(needle)
+    if codes is None:
+        return False
+    m = int(add["tbloom_bits"])
+    bits = _bloom_decode(add["tbloom"])
+    present = np.ones(len(codes), dtype=bool)
+    for pos in _bloom_hashes(codes, m):
+        present &= (
+            (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).astype(bool)
+    return not bool(present.all())
+
+
+# ---------------------------------------------------------------------
 # Protocol versioning + table features (Delta's protocol action /
 # reader-writer table features, delta.io PROTOCOL.md): a table can
 # require capabilities of its clients, so a client that does NOT
@@ -440,6 +534,7 @@ SUPPORTED_READER_FEATURES = frozenset({
     "time_travel",          # version/timestamp_as_of snapshot reads
     "cdf",                  # change-data-feed reconstruction
     "row_group_split",      # row-group-granular input partitions
+    "text_bloom_index",     # substring (4-gram) bloom pruning
 })
 
 #: capabilities the CONNECTOR write path implements. "constraints" is
@@ -1121,6 +1216,34 @@ def _prunes_file(f, add: dict) -> bool:
                 return not _bloom_any_contains(add, f.value)
         except Exception:
             return False  # undecodable filter metadata: keep the file
+    if add.get("tbloom_col") == col and add.get("tbloom"):
+        # substring bloom: a needle window the filter proves absent
+        # proves no value CONTAINS the needle. Prefix/suffix/equality
+        # matches are substrings too, so the same proof applies.
+        from pyspark.sql.datasource import (
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        try:
+            if isinstance(
+                f, (StringContains, StringStartsWith, StringEndsWith)
+            ) and isinstance(f.value, str):
+                return _text_bloom_prunes(add, f.value)
+            if isinstance(f, EqualTo) and isinstance(f.value, str):
+                return _text_bloom_prunes(add, f.value)
+            if (
+                isinstance(f, In)
+                and f.value
+                and all(isinstance(v, str) for v in f.value)
+            ):
+                # prune only if EVERY candidate value is proven absent
+                return all(
+                    _text_bloom_prunes(add, v) for v in f.value
+                )
+        except Exception:
+            return False
     return False
 
 
@@ -1651,6 +1774,9 @@ def checkpoint_log(log_dir: str, version: int) -> str:
         ("bytes", pa.int64()),
         ("rows", pa.int64()),
         ("protocol", pa.string()),
+        ("tbloom", pa.string()),
+        ("tbloom_col", pa.string()),
+        ("tbloom_bits", pa.int64()),
     ]
     vals = list(state.values())
     table = pa.table(
@@ -1693,6 +1819,9 @@ class _TxlogWriteCommit(WriterCommitMessage):
         #: bloom-indexed writes: encoded filter over this file's
         #: ``bloom_col`` values
         self.bloom = None
+        #: text-bloom-indexed writes: encoded filter over every 4-byte
+        #: substring window of this file's ``text_bloom_col`` values
+        self.tbloom = None
 
 
 def _writer_dirs(options) -> tuple:
@@ -1733,6 +1862,7 @@ def _fold_batch_stats(stats: dict, batch, stats_cols) -> None:
 def _stage_batches(
     data_root: str, iterator, stats_cols=(),
     bloom_col: str = "", bloom_bits: int = 0,
+    text_bloom_col: str = "", text_bloom_bits: int = 0,
 ) -> _TxlogWriteCommit:
     """Task-side staging: stream Arrow RecordBatches into ONE temp
     parquet file (columnar hand-off from Spark, columnar write via
@@ -1761,6 +1891,11 @@ def _stage_batches(
         import numpy as np
 
         bloom_arr = np.zeros(bloom_bits >> 3, dtype=np.uint8)
+    tbloom_arr = None
+    if text_bloom_col:
+        import numpy as np
+
+        tbloom_arr = np.zeros(text_bloom_bits >> 3, dtype=np.uint8)
     with pq.ParquetWriter(tmp, first.schema) as w:
         for b in _chain(first, it):
             w.write_batch(b)
@@ -1786,9 +1921,25 @@ def _stage_batches(
                                 np.uint8(1), (pos & 7).astype(np.uint8)
                             ),
                         )
+            if text_bloom_col and b.num_rows:
+                import numpy as np
+
+                # one vectorized pass over the batch's utf-8 data
+                # buffer (window codes are O(bytes), no per-row python)
+                codes = _text_ngram_codes(b.column(text_bloom_col))
+                if len(codes):
+                    for pos in _bloom_hashes(codes, text_bloom_bits):
+                        np.bitwise_or.at(
+                            tbloom_arr, pos >> 3,
+                            np.left_shift(
+                                np.uint8(1), (pos & 7).astype(np.uint8)
+                            ),
+                        )
     msg = _TxlogWriteCommit(tmp, n, stats or None)
     if bloom_col:
         msg.bloom = _bloom_encode(bloom_arr)
+    if text_bloom_col:
+        msg.tbloom = _bloom_encode(tbloom_arr)
     return msg
 
 
@@ -2190,6 +2341,39 @@ def _validate_stats_col(
         )
 
 
+def _parse_text_bloom_option(options, schema, names, partition_col):
+    """Parse ``text_bloom_col``/``text_bloom_bits``: the substring
+    (character 4-gram) bloom index over ONE string column. Validated
+    loudly at writer construction — a wrong column type or a
+    non-power-of-two width must fail the job, not a task."""
+    col = options.get("text_bloom_col", "")
+    bits = int(
+        options.get("text_bloom_bits", str(_TEXT_BLOOM_DEFAULT_BITS))
+    )
+    if not col:
+        return "", bits
+    if col not in names:
+        raise ValueError(
+            f"text_bloom_col {col!r} not in write schema"
+        )
+    from pyspark.sql.types import StringType
+
+    if not isinstance(schema[col].dataType, StringType):
+        raise ValueError(
+            f"text_bloom_col {col!r} must be a string column; got"
+            f" {schema[col].dataType.simpleString()}"
+        )
+    if bits & (bits - 1):
+        raise ValueError("text_bloom_bits must be a power of two")
+    if partition_col:
+        raise ValueError(
+            "text_bloom_col with partition_col is not supported yet:"
+            " write unpartitioned (the per-file index carries the"
+            " pruning) or drop the text bloom"
+        )
+    return col, bits
+
+
 def _parse_stats_option(options, schema, names) -> tuple:
     """Parse the ``stats_col`` option — a single column or a comma
     list (Delta's dataSkippingNumIndexedCols shape: one write serves
@@ -2277,6 +2461,14 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         )
         if self.bloom_col and self.bloom_bits & (self.bloom_bits - 1):
             raise ValueError("bloom_bits must be a power of two")
+        #: substring (character 4-gram) bloom index over a string
+        #: column — ``contains``/``LIKE '%needle%'`` reads prune whole
+        #: files from log metadata (see `_text_ngram_codes`)
+        self.text_bloom_col, self.text_bloom_bits = (
+            _parse_text_bloom_option(
+                options, schema, self.names, self.partition_col
+            )
+        )
         #: Delta's checkpointInterval on the batch path: after every Nth
         #: commit, compact the log (stdlib `checkpoint_log`) so a
         #: long-lived batch-appended table's replay stays O(live + tail)
@@ -2292,6 +2484,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         return _stage_batches(
             self.data_root, iterator, self.stats_cols,
             self.bloom_col, self.bloom_bits,
+            self.text_bloom_col, self.text_bloom_bits,
         )
 
     def _overwrite_ddl(self, rows):
@@ -2416,7 +2609,9 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                         add["bloom_col"] = self.bloom_col
                         add["bloom_bits"] = self.bloom_bits
                     actions.append(add)
-            elif msgs and (self.stats_cols or self.bloom_col):
+            elif msgs and (
+                self.stats_cols or self.bloom_col or self.text_bloom_col
+            ):
                 # Delta's shape: one add PER FILE, each carrying that
                 # task's exact stats and/or bloom filter — a single
                 # write of a single job yields per-file metadata the
@@ -2439,6 +2634,10 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                         add["bloom"] = m.bloom
                         add["bloom_col"] = self.bloom_col
                         add["bloom_bits"] = self.bloom_bits
+                    if self.text_bloom_col and m.tbloom is not None:
+                        add["tbloom"] = m.tbloom
+                        add["tbloom_col"] = self.text_bloom_col
+                        add["tbloom_bits"] = self.text_bloom_bits
                     actions.append(add)
             elif msgs:
                 actions.append(
@@ -2504,6 +2703,15 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         )
         if self.bloom_col and self.bloom_bits & (self.bloom_bits - 1):
             raise ValueError("bloom_bits must be a power of two")
+        #: per-epoch substring (4-gram) bloom, same fold as the batch
+        #: writer — a continuously-ingested text table stays
+        #: contains-prunable epoch by epoch
+        self.text_bloom_col, self.text_bloom_bits = (
+            _parse_text_bloom_option(
+                options, schema, self.names,
+                options.get("partition_col", ""),
+            )
+        )
         #: Hive/Delta-style partitioned epochs (same layout + metadata
         #: as the batch writer — `_publish_partitioned` is shared):
         #: each epoch commits one ``part``-valued add per partition
@@ -2537,6 +2745,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         return _stage_batches(
             self.data_root, iterator, self.stats_cols,
             self.bloom_col, self.bloom_bits,
+            self.text_bloom_col, self.text_bloom_bits,
         )
 
     def _txn_done(self, rows, txn: str) -> bool:
@@ -2631,6 +2840,14 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                         add["bloom"] = _bloom_merge(encs)
                         add["bloom_col"] = self.bloom_col
                         add["bloom_bits"] = self.bloom_bits
+                if self.text_bloom_col:
+                    tencs = [
+                        m.tbloom for m in msgs if m.tbloom is not None
+                    ]
+                    if tencs:
+                        add["tbloom"] = _bloom_merge(tencs)
+                        add["tbloom_col"] = self.text_bloom_col
+                        add["tbloom_bits"] = self.text_bloom_bits
                 actions.append(add)
             # the marker commits even for an empty epoch, so replay
             # detection never depends on the epoch having had rows

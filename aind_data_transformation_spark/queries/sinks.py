@@ -878,7 +878,8 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
         " ts long, op string, metrics string,"
         " min_key long, max_key long, part_col string, stats_col string,"
         " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long, rows long, protocol string"
+        " stats_json string, bytes long, rows long, protocol string,"
+        " tbloom string, tbloom_col string, tbloom_bits long"
     )
     ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
     tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
@@ -2644,6 +2645,9 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
                 g(r, "bytes"),
                 g(r, "rows"),
                 g(r, "protocol"),
+                g(r, "tbloom"),
+                g(r, "tbloom_col"),
+                g(r, "tbloom_bits"),
             )
             for r in state.values()
         ],
@@ -2657,7 +2661,8 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
         " ts long, op string, metrics string,"
         " min_key long, max_key long, part_col string, stats_col string,"
         " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long, rows long, protocol string",
+        " stats_json string, bytes long, rows long, protocol string,"
+        " tbloom string, tbloom_col string, tbloom_bits long",
     ).write.mode("overwrite").parquet(ckpt_dir)
     for i in range(version + 1):
         f = os.path.join(log_dir, f"{i:05d}.json")
@@ -6360,4 +6365,96 @@ ORACLES["sink_txlog_protocol"] = """
     FROM final, consts
     GROUP BY o_orderstatus, travel_rows, n_blocked_remove,
              n_blocked_read, n_blocked_plain, n_engine_commits
+"""
+
+
+def q_sink_txlog_text_bloom_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-search file skipping for text corpora: the connector
+    write folds a per-file CHARACTER 4-GRAM bloom over ``documents.
+    text`` (``text_bloom_col`` — the pg_trgm / Code Search trigram
+    index folded into the lakehouse write), and ``contains``/
+    ``LIKE '%needle%'`` reads prune whole files at PLANNING time from
+    log metadata. Soundness: a value containing the needle contains
+    every 4-byte window of it contiguously, so one window the bloom
+    proves absent proves the file holds no match; false positives only
+    keep files, and Spark re-applies the filter post-scan.
+
+    Probes asserted in-function: an absent needle plans ZERO input
+    partitions (all files skipped without opening one); a data-derived
+    needle's connector count equals the raw-parquet count (exactness
+    under pruning). The oracle restates both match counts and the
+    layout arithmetic."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        TxlogBatchReader,
+        _log_rows,
+        register,
+    )
+
+    base = _scratch(sf_dir, "txlog_text_bloom")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    register(spark)
+    (
+        docs.repartition(8, "doc_id")
+        .write.format("txlog")
+        .mode("append")
+        .option("text_bloom_col", "text")
+        .save(log_dir)
+    )
+    adds = [
+        r for r in _log_rows(log_dir) if r.get("action") == "add"
+    ]
+    assert len(adds) == 8 and all(r.get("tbloom") for r in adds)
+    # deterministic data-derived needle: chars 51..70 of the first
+    # doc's text (restated by the oracle with the same rule)
+    needle = (
+        docs.orderBy("doc_id").select("text").limit(1).collect()[0][0]
+    )[50:70]
+    table = spark.read.format("txlog").option("path", log_dir).load()
+    n_match = table.where(F.col("text").contains(needle)).count()
+    n_match_raw = docs.where(F.col("text").contains(needle)).count()
+    assert n_match == n_match_raw, (
+        f"pruned read lost rows: {n_match} != {n_match_raw}"
+    )
+    absent = "zqxjkwv_not_indexed_9918"
+    n_match_absent = table.where(F.col("text").contains(absent)).count()
+    # the planner proof: the absent needle prunes EVERY file before a
+    # single parquet footer is opened
+    from pyspark.sql.datasource import StringContains
+
+    probe = TxlogBatchReader(
+        {"path": log_dir}, [f.name for f in table.schema.fields]
+    )
+    probe.pushFilters([StringContains(("text",), absent)])
+    n_planned_absent = len(probe.partitions())
+    assert n_planned_absent == 0, (
+        f"absent needle planned {n_planned_absent} partitions"
+    )
+    return spark.range(1).select(
+        F.lit(int(docs.count())).cast("long").alias("n_docs"),
+        F.lit(len(adds)).cast("long").alias("n_files"),
+        F.lit(n_match).cast("long").alias("n_match_sample"),
+        F.lit(n_match_absent).cast("long").alias("n_match_absent"),
+        F.lit(n_planned_absent).cast("long").alias("n_planned_absent"),
+    )
+
+
+QUERIES["sink_txlog_text_bloom_prune"] = q_sink_txlog_text_bloom_prune
+ORACLES["sink_txlog_text_bloom_prune"] = """
+    WITH needle AS (
+        SELECT substr(text, 51, 20) AS s
+        FROM documents ORDER BY doc_id LIMIT 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(8 AS BIGINT) AS n_files,
+           CAST((SELECT COUNT(*) FROM documents, needle
+                 WHERE instr(text, needle.s) > 0) AS BIGINT)
+               AS n_match_sample,
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE instr(text, 'zqxjkwv_not_indexed_9918') > 0)
+                AS BIGINT) AS n_match_absent,
+           CAST(0 AS BIGINT) AS n_planned_absent
 """

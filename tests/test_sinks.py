@@ -3688,3 +3688,105 @@ def test_txlog_protocol_gates_and_checkpoint_survival(spark, tmp_path):
     )
     assert len(hist) == 2
     _shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_txlog_text_bloom_mechanics(spark, tmp_path):
+    """Text (4-gram) bloom beyond the registry key: per-epoch folds on
+    the STREAM writer, survival through checkpoint compaction, the
+    prefix/equality/In filter classes, short-needle no-op, and the
+    loud partitioned-write reject."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.datasource import (
+        EqualTo,
+        In,
+        StringContains,
+        StringStartsWith,
+    )
+
+    from aind_data_transformation_spark.io import txlog_source as tx
+
+    tx.register(spark)
+    base = str(tmp_path / "tbloom")
+    log_dir = os.path.join(base, "_log")
+    df = spark.createDataFrame(
+        [(i, f"row number {i} carries marker_{i % 3}") for i in range(30)],
+        "id long, text string",
+    )
+    (
+        df.repartition(4)
+        .write.format("txlog")
+        .mode("append")
+        .option("text_bloom_col", "text")
+        .option("text_bloom_bits", str(1 << 16))
+        .save(log_dir)
+    )
+    adds = [r for r in tx._log_rows(log_dir) if r["action"] == "add"]
+    assert len(adds) == 4 and all(a.get("tbloom") for a in adds)
+    assert all(a["tbloom_bits"] == 1 << 16 for a in adds)
+
+    names = ["id", "text"]
+
+    def planned(filters):
+        rd = tx.TxlogBatchReader({"path": log_dir}, names)
+        rd.pushFilters(filters)
+        return len(rd.partitions())
+
+    # every filter class prunes on an absent needle...
+    assert planned([StringContains(("text",), "absent_needle")]) == 0
+    assert planned([StringStartsWith(("text",), "absent_needle")]) == 0
+    assert planned([EqualTo(("text",), "absent_needle_value")]) == 0
+    assert planned(
+        [In(("text",), ("absent_one_111", "absent_two_222"))]
+    ) == 0
+    # ...mixed In (one maybe-present value) keeps files
+    assert planned(
+        [In(("text",), ("absent_one_111", "row number 7 carries marker_1"))]
+    ) > 0
+    # short needles prove nothing (kept, exact residual applies)
+    assert planned([StringContains(("text",), "xq")]) == 4
+    # exactness under pruning, case-insensitive index is superset-only
+    table = spark.read.format("txlog").option("path", log_dir).load()
+    assert table.where(F.col("text").contains("marker_2")).count() == 10
+    assert table.where(F.col("text").contains("MARKER_2")).count() == 0
+
+    # checkpoint survival (connector compaction path)
+    head = max(r["commit"] for r in tx._log_rows(log_dir))
+    tx.checkpoint_log(log_dir, head)
+    assert planned([StringContains(("text",), "absent_needle")]) == 0
+    assert table.where(F.col("text").contains("marker_1")).count() == 10
+
+    # stream writer: per-epoch merged fold
+    sbase = str(tmp_path / "tbloom_stream")
+    slog = os.path.join(sbase, "_log")
+    src = str(tmp_path / "src")
+    df.coalesce(2).write.parquet(src)
+    q = (
+        spark.readStream.schema("id long, text string")
+        .parquet(src)
+        .writeStream.format("txlog")
+        .option("path", slog)
+        .option("text_bloom_col", "text")
+        .option("text_bloom_bits", str(1 << 16))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sadds = [r for r in tx._log_rows(slog) if r["action"] == "add"]
+    assert sadds and all(a.get("tbloom") for a in sadds)
+    rd = tx.TxlogBatchReader({"path": slog}, names)
+    rd.pushFilters([StringContains(("text",), "absent_needle")])
+    assert len(rd.partitions()) == 0
+
+    # partitioned write: loud reject, not silent no-index
+    with pytest.raises(Exception, match="not supported"):
+        (
+            df.withColumn("p", F.col("id") % 2)
+            .write.format("txlog")
+            .mode("append")
+            .option("text_bloom_col", "text")
+            .option("partition_col", "p")
+            .save(os.path.join(str(tmp_path), "rej", "_log"))
+        )
