@@ -697,6 +697,26 @@ def set_protocol(
     )
 
 
+def text_candidate_files(log_dir: str, needles) -> tuple:
+    """Metadata-only candidate pull for substring search over a
+    text-bloom-indexed table: the live files that MAY contain any of
+    ``needles`` (per-file 4-gram bloom probes — see
+    `_text_ngram_codes`), plus the total live count. Unindexed files
+    are always candidates (soundness). The 100-TB decontamination
+    shape: |needles| x |files| bloom probes on the driver replace a
+    full corpus scan; only candidates are read."""
+    rows = _log_rows(log_dir)
+    live = _live_adds(rows)
+    cands = []
+    for p, add in sorted(live.items()):
+        if add.get("tbloom"):
+            if any(not _text_bloom_prunes(add, n) for n in needles):
+                cands.append(p)
+        else:
+            cands.append(p)
+    return cands, len(live)
+
+
 def _dir_bytes(path: str) -> int:
     """On-disk bytes behind one logged add path (a data dir or a
     single part file) — recorded on add actions at write time so
@@ -1611,6 +1631,13 @@ _DESCRIBE_SCHEMAS = {
         "path string, commit bigint, part string, part_col string,"
         " bytes bigint, rows bigint, n_files bigint"
     ),
+    "detail": (
+        "format string, num_files bigint, size_bytes bigint,"
+        " num_rows bigint, partition_cols string, num_commits bigint,"
+        " checkpoint_version bigint, min_reader bigint,"
+        " min_writer bigint, reader_features string,"
+        " writer_features string, table_schema string"
+    ),
 }
 
 
@@ -1653,6 +1680,63 @@ class TxlogDescribeReader(DataSourceReader):
 
     def partitions(self):
         rows = _log_rows(self.log_dir)
+        if self.what == "detail":
+            # ONE metadata-sized row (Delta's DESCRIBE DETAIL): the
+            # live inventory rollup, the commit/checkpoint positions,
+            # and the protocol in force — all from log replay; row
+            # counts fall back to parquet FOOTER counts only for adds
+            # that predate row recording (still metadata, no data scan)
+            live = _live_adds(rows)
+            n_bytes = 0
+            n_rows = 0
+            for p, r in live.items():
+                b = r.get("bytes")
+                if b is None:
+                    try:
+                        b = _dir_bytes(p)
+                    except OSError:
+                        b = 0
+                n_bytes += b or 0
+                rr = r.get("rows")
+                if rr is None:
+                    import pyarrow.parquet as pq
+
+                    rr = sum(
+                        pq.ParquetFile(f).metadata.num_rows
+                        for f in _part_files([p])
+                    )
+                n_rows += rr
+            pcols = sorted(
+                {
+                    r["part_col"]
+                    for r in live.values()
+                    if r.get("part_col")
+                }
+            )
+            ckpts = sorted(
+                glob.glob(os.path.join(self.log_dir, "_checkpoint_*"))
+            )
+            proto = _latest_protocol(rows) or {}
+            return [
+                _FilesPartition(
+                    (
+                        "txlog",
+                        len(live),
+                        n_bytes,
+                        n_rows,
+                        ",".join(pcols),
+                        max((r["commit"] for r in rows), default=-1) + 1,
+                        int(ckpts[-1].rsplit("_", 1)[-1])
+                        if ckpts
+                        else -1,
+                        int(proto.get("min_reader", 1)),
+                        int(proto.get("min_writer", 1)),
+                        ",".join(proto.get("reader_features") or []),
+                        ",".join(proto.get("writer_features") or []),
+                        _infer_ddl(self.log_dir),
+                    )
+                )
+            ]
         if self.what == "files":
             out = []
             for p, r in sorted(_live_adds(rows).items()):

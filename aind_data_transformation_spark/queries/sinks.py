@@ -6458,3 +6458,172 @@ ORACLES["sink_txlog_text_bloom_prune"] = """
                 AS BIGINT) AS n_match_absent,
            CAST(0 AS BIGINT) AS n_planned_absent
 """
+
+
+def q_sink_txlog_datasource_describe_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE DETAIL through the connector (Delta's one-row table
+    rollup): live-inventory counts, commit/checkpoint positions, and
+    the protocol in force, all served from log replay with row counts
+    recorded at write time — no data scan. The table is built through
+    the connector write path and protocol-upgraded, so every reported
+    field is deterministic and the oracle restates it; the on-disk
+    byte total is machine-dependent and reported only as a positivity
+    flag."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        register,
+        set_protocol,
+    )
+
+    base = _scratch(sf_dir, "txlog_describe_detail")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    register(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .repartition(4)
+        .write.format("txlog")
+        .mode("append")
+        .option("stats_col", "o_orderkey")
+        .save(log_dir)
+    )
+    set_protocol(
+        log_dir, 2, 2, ["stats_json"], ["append_only", "stats_json"]
+    )
+    detail = (
+        spark.read.format("txlog")
+        .option("path", log_dir)
+        .option("describe", "detail")
+        .load()
+    )
+    return detail.select(
+        "format",
+        "num_files",
+        "num_rows",
+        "partition_cols",
+        "num_commits",
+        "checkpoint_version",
+        "min_reader",
+        "min_writer",
+        "reader_features",
+        "writer_features",
+        (F.col("size_bytes") > 0).alias("has_bytes"),
+    )
+
+
+QUERIES["sink_txlog_datasource_describe_detail"] = (
+    q_sink_txlog_datasource_describe_detail
+)
+ORACLES["sink_txlog_datasource_describe_detail"] = """
+    SELECT 'txlog' AS format,
+           CAST(4 AS BIGINT) AS num_files,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+                AS BIGINT) AS num_rows,
+           '' AS partition_cols,
+           CAST(2 AS BIGINT) AS num_commits,
+           CAST(-1 AS BIGINT) AS checkpoint_version,
+           CAST(2 AS BIGINT) AS min_reader,
+           CAST(2 AS BIGINT) AS min_writer,
+           'stats_json' AS reader_features,
+           'append_only,stats_json' AS writer_features,
+           TRUE AS has_bytes
+"""
+
+
+def q_corpus_decontaminate_indexed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark-leakage scrub against a text-bloom-indexed corpus —
+    the 100-TB decontamination shape: instead of scanning every
+    document for every contamination string, the per-file 4-gram
+    blooms (written free with the corpus, `text_bloom_col`) are probed
+    |probes| x |files| times ON THE DRIVER (pure log metadata), and
+    only candidate files are read. Soundness is the substring-window
+    argument of `io/txlog_source._text_ngram_codes`: a probe the bloom
+    proves absent from a file cannot occur in any of its documents.
+
+    In-function proofs: the candidate-set scan finds EXACTLY the
+    documents the full scan finds (no row lost to pruning), and the
+    absent probe alone selects zero candidate files. The contaminated
+    count and corpus arithmetic are oracle-restated."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        register,
+        text_candidate_files,
+    )
+
+    base = _scratch(sf_dir, "txlog_decontam_idx")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    register(spark)
+    (
+        docs.repartition(8, "doc_id")
+        .write.format("txlog")
+        .mode("append")
+        .option("text_bloom_col", "text")
+        .save(log_dir)
+    )
+    # contamination list: 40-char windows of the two lowest-id docs
+    # (deterministic, oracle-restatable) + one absent probe
+    probes = [
+        r[0][100:140]
+        for r in docs.orderBy("doc_id")
+        .select("text")
+        .limit(2)
+        .collect()
+    ]
+    absent = "zq_benchmark_passage_never_written_4417"
+    cands, n_files = text_candidate_files(log_dir, probes + [absent])
+    assert n_files == 8, n_files
+    none_cands, _ = text_candidate_files(log_dir, [absent])
+    assert none_cands == [], (
+        f"absent probe selected files: {none_cands}"
+    )
+    cond = (
+        F.col("text").contains(probes[0])
+        | F.col("text").contains(probes[1])
+        | F.col("text").contains(absent)
+    )
+    n_contaminated = (
+        (
+            spark.read.parquet(*cands)
+            .where(cond)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        if cands
+        else 0
+    )
+    n_full = docs.where(cond).select("doc_id").distinct().count()
+    assert n_contaminated == n_full, (
+        f"candidate scan lost docs: {n_contaminated} != {n_full}"
+    )
+    return spark.range(1).select(
+        F.lit(int(docs.count())).cast("long").alias("n_docs"),
+        F.lit(n_files).cast("long").alias("n_files"),
+        F.lit(n_contaminated).cast("long").alias("n_contaminated"),
+        F.lit(len(none_cands)).cast("long").alias(
+            "n_candidates_absent_probe"
+        ),
+    )
+
+
+QUERIES["corpus_decontaminate_indexed"] = q_corpus_decontaminate_indexed
+ORACLES["corpus_decontaminate_indexed"] = """
+    WITH probes AS (
+        SELECT substr(text, 101, 40) AS s
+        FROM documents ORDER BY doc_id LIMIT 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST(8 AS BIGINT) AS n_files,
+           CAST((SELECT COUNT(DISTINCT d.doc_id) FROM documents d
+                 WHERE EXISTS (SELECT 1 FROM probes p
+                               WHERE instr(d.text, p.s) > 0)
+                    OR instr(d.text,
+                             'zq_benchmark_passage_never_written_4417')
+                       > 0) AS BIGINT) AS n_contaminated,
+           CAST(0 AS BIGINT) AS n_candidates_absent_probe
+"""
