@@ -77,13 +77,26 @@ def _local_path(p):
     return p
 
 
+def _checkpoint_dirs(log_dir: str) -> list:
+    """Committed checkpoint dirs, sorted by version. The name filter
+    is load-bearing: a crashed compaction can leave a partial
+    ``_checkpoint_NNNNN.tmp`` next to the real one, and it SORTS AFTER
+    the committed name — an unfiltered glob would replay the partial
+    state (or crash parsing its version) on every subsequent read."""
+    return sorted(
+        p
+        for p in glob.glob(os.path.join(log_dir, "_checkpoint_*"))
+        if p.rsplit("_", 1)[-1].isdigit()
+    )
+
+
 def _log_rows(log_dir: str) -> list:
     """Driver-side log replay input: every action line of every commit
     file (metadata-sized), via stdlib json — no Spark needed, so the
     reader classes stay picklable and executor-safe. Checkpoint-aware:
     a compacted table replays latest checkpoint parquet + JSON tail,
     matching queries/sinks._txlog_log_rows."""
-    ckpts = sorted(glob.glob(os.path.join(log_dir, "_checkpoint_*")))
+    ckpts = _checkpoint_dirs(log_dir)
     rows = []
     ckpt_version = -1
     if ckpts:
@@ -1678,6 +1691,12 @@ class TxlogDescribeReader(DataSourceReader):
         if not self.log_dir:
             raise ValueError("txlog describe requires a path option")
 
+    def _schema_or_empty(self) -> str:
+        try:
+            return _infer_ddl(self.log_dir)
+        except ValueError:
+            return ""
+
     def partitions(self):
         rows = _log_rows(self.log_dir)
         if self.what == "detail":
@@ -1713,9 +1732,7 @@ class TxlogDescribeReader(DataSourceReader):
                     if r.get("part_col")
                 }
             )
-            ckpts = sorted(
-                glob.glob(os.path.join(self.log_dir, "_checkpoint_*"))
-            )
+            ckpts = _checkpoint_dirs(self.log_dir)
             proto = _latest_protocol(rows) or {}
             return [
                 _FilesPartition(
@@ -1733,7 +1750,10 @@ class TxlogDescribeReader(DataSourceReader):
                         int(proto.get("min_writer", 1)),
                         ",".join(proto.get("reader_features") or []),
                         ",".join(proto.get("writer_features") or []),
-                        _infer_ddl(self.log_dir),
+                        # an EMPTY footer-served table has no schema
+                        # to infer; detail must still serve (Delta's
+                        # DESCRIBE DETAIL works on empty tables)
+                        self._schema_or_empty(),
                     )
                 )
             ]

@@ -881,7 +881,14 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
         " stats_json string, bytes long, rows long, protocol string,"
         " tbloom string, tbloom_col string, tbloom_bits long"
     )
-    ckpts = sorted(_glob.glob(os.path.join(log_dir, "_checkpoint_*")))
+    # digit filter matches the connector's _checkpoint_dirs: a crashed
+    # connector compaction's _checkpoint_NNNNN.tmp sorts after the
+    # committed name and must never be replayed
+    ckpts = sorted(
+        p
+        for p in _glob.glob(os.path.join(log_dir, "_checkpoint_*"))
+        if p.rsplit("_", 1)[-1].isdigit()
+    )
     tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
     if not ckpts:
         rows = (

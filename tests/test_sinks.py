@@ -3790,3 +3790,35 @@ def test_txlog_text_bloom_mechanics(spark, tmp_path):
             .option("partition_col", "p")
             .save(os.path.join(str(tmp_path), "rej", "_log"))
         )
+
+
+def test_crashed_checkpoint_tmp_never_replayed(spark, tmp_path):
+    """Regression (r12 review): a compaction that crashed between
+    staging and rename leaves ``_checkpoint_NNNNN.tmp``, which sorts
+    AFTER the committed checkpoint name — the unfiltered glob replayed
+    the partial state (or died parsing its version) on every read of
+    the table, both replay twins."""
+    from aind_data_transformation_spark.io import txlog_source as tx
+    from aind_data_transformation_spark.queries import sinks
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    tx.register(spark)
+    base = str(tmp_path / "ckpt_tmp")
+    log_dir = os.path.join(base, "_log")
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    nation.write.format("txlog").mode("append").save(log_dir)
+    nation.write.format("txlog").mode("append").save(log_dir)
+    tx.checkpoint_log(log_dir, 1)
+    # simulate the crashed NEXT compaction: staged dir, never renamed
+    crashed = os.path.join(log_dir, "_checkpoint_00099.tmp")
+    os.makedirs(crashed)
+    with open(os.path.join(crashed, "part-00000.parquet"), "w") as fh:
+        fh.write("partial garbage, not parquet")
+    # connector replay, engine replay, and a real read all still serve
+    rows = tx._log_rows(log_dir)
+    assert max(r["commit"] for r in rows) == 1
+    assert len(sinks._txlog_log_rows(spark, log_dir)) == len(rows)
+    assert (
+        spark.read.format("txlog").option("path", log_dir).load().count()
+        == 50
+    )
