@@ -3822,3 +3822,33 @@ def test_crashed_checkpoint_tmp_never_replayed(spark, tmp_path):
         spark.read.format("txlog").option("path", log_dir).load().count()
         == 50
     )
+
+
+def test_stream_reader_protocol_gate(spark, tmp_path):
+    """The txlog STREAM source refuses a table fenced by an unknown
+    reader feature — the micro-batch fails loudly instead of silently
+    misreading the upgraded table."""
+    import pytest
+
+    from aind_data_transformation_spark.io import txlog_source as tx
+    from aind_data_transformation_spark.queries.relational import load_table
+
+    tx.register(spark)
+    log_dir = os.path.join(str(tmp_path), "fenced_stream", "_log")
+    nation = load_table(spark, TEST_SF_DIR, "nation")
+    nation.write.format("txlog").mode("append").save(log_dir)
+    tx.set_protocol(log_dir, 2, 2, ["rf_future_stream"], [])
+    q = (
+        spark.readStream.format("txlog")
+        .option("path", log_dir)
+        .load()
+        .writeStream.format("memory")
+        .queryName("fenced_stream_q")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="reader feature"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise Exception(str(q.exception()))
