@@ -6634,3 +6634,114 @@ ORACLES["corpus_decontaminate_indexed"] = """
                        > 0) AS BIGINT) AS n_contaminated,
            CAST(0 AS BIGINT) AS n_candidates_absent_probe
 """
+
+
+def txlog_upsert(
+    spark: SparkSession,
+    log_dir: str,
+    rows: DataFrame,
+    key_col: str,
+    txn_id: str | None = None,
+) -> dict:
+    """UPSERT convenience over the copy-on-write MERGE (Delta's
+    ``whenMatched.updateAll / whenNotMatched.insertAll``): classify the
+    batch U (key live in the table) / I (new key) with ONE key-column
+    scan — the batch side broadcast into the table scan, the bounded
+    hit set broadcast back — then delegate to `txlog_merge`, which
+    carries the conflict detection, rebase-vs-recompute race handling,
+    and txn idempotence. A key deleted between classification and the
+    merge's own snapshot degrades U to an unmatched update, which the
+    merge inserts — upsert semantics hold under the race. Returns the
+    merge result plus ``n_updated``/``n_inserted``."""
+    live = _txlog_live_files(spark, log_dir, None)
+    batch_keys = rows.select(key_col).distinct()
+    hits = (
+        spark.read.parquet(*live)
+        .select(key_col)
+        .join(F.broadcast(batch_keys), key_col, "leftsemi")
+        .distinct()
+    )
+    tagged = (
+        rows.join(
+            F.broadcast(hits.withColumn("_hit", F.lit(1))),
+            key_col,
+            "left",
+        )
+        .withColumn(
+            "op",
+            F.when(F.col("_hit").isNotNull(), F.lit("U")).otherwise(
+                F.lit("I")
+            ),
+        )
+        .drop("_hit")
+    )
+    counts = {
+        r["op"]: r["n"]
+        for r in tagged.groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    res = txlog_merge(spark, log_dir, tagged, key_col, txn_id)
+    res["n_updated"] = int(counts.get("U", 0))
+    res["n_inserted"] = int(counts.get("I", 0))
+    return res
+
+
+def q_sink_txlog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert against the txlog table: a batch of re-priced orders
+    (every 10th key) lands as updates where the key is live and
+    inserts where it is not (the fixture's live set excludes the
+    ``%4 == 1`` bucket, so the batch splits naturally). The final
+    snapshot and the U/I split are both oracle-restated — a lost
+    update, a duplicated insert, or a misclassified row breaks the
+    hash."""
+    log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_upsert")
+    orders = load_table(spark, sf_dir, "orders")
+    batch = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 5
+    )
+    res = txlog_upsert(spark, log_dir, batch, "o_orderkey")
+    assert res["version"] is not None
+    live = _txlog_live_files(spark, log_dir, as_of=None)
+    snap = spark.read.parquet(*live)
+    return (
+        snap.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            ).cast("long").alias("sum_price_cents"),
+        )
+        .select(
+            "*",
+            F.lit(res["n_updated"]).cast("long").alias("n_updated"),
+            F.lit(res["n_inserted"]).cast("long").alias("n_inserted"),
+        )
+    )
+
+
+QUERIES["sink_txlog_upsert"] = q_sink_txlog_upsert
+ORACLES["sink_txlog_upsert"] = """
+    WITH final AS (
+        SELECT o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 4 != 1 AND o_orderkey % 10 != 0
+        UNION ALL
+        SELECT o_orderstatus, o_totalprice + 5 FROM orders
+        WHERE o_orderkey % 10 = 0
+    ), consts AS (
+        SELECT (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 10 = 0 AND o_orderkey % 4 != 1)
+                   AS n_updated,
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 10 = 0 AND o_orderkey % 4 = 1)
+                   AS n_inserted
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_cents,
+           CAST(n_updated AS BIGINT) AS n_updated,
+           CAST(n_inserted AS BIGINT) AS n_inserted
+    FROM final, consts
+    GROUP BY o_orderstatus, n_updated, n_inserted
+"""
