@@ -335,3 +335,81 @@ def test_dv_delete_applies_on_file_granular_tables(tmp_path, spark):
     assert got == [k for k in range(25) if k not in (0, 7, 19)], (
         "DV delete did not apply on a file-granular table"
     )
+
+
+def test_upsert_classify_delete_race_degrades_to_insert(tmp_path, spark):
+    """A key classified U (live) that a concurrent delete removes
+    before the merge's own snapshot must still land — the unmatched
+    update degrades to an insert (Delta's whenNotMatched fallback),
+    never a lost row or a resurrected old image."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aind_data_transformation_spark.io.txlog_source import (
+        _live_files, _log_rows, attempt_commit,
+    )
+    from aind_data_transformation_spark.queries import sinks
+
+    base = tmp_path / "upsert_race"
+    log_dir, data_dir = str(base / "_log"), str(base / "data")
+    os.makedirs(log_dir)
+    os.makedirs(data_dir)
+    pq.write_table(
+        pa.table({
+            "k": pa.array(range(5), pa.int64()),
+            "v": pa.array([1] * 5, pa.int64()),
+        }),
+        os.path.join(data_dir, "f0.parquet"),
+    )
+    attempt_commit(
+        log_dir, 0,
+        [{"commit": 0, "action": "add",
+          "path": os.path.join(data_dir, "f0.parquet")}],
+    )
+
+    fired = {"done": False}
+    orig = sinks._txlog_attempt_commit
+
+    def racing(log_dir_, version, actions, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # interloper: compaction drops key 2 entirely
+            pq.write_table(
+                pa.table({
+                    "k": pa.array([0, 1, 3, 4], pa.int64()),
+                    "v": pa.array([1] * 4, pa.int64()),
+                }),
+                os.path.join(data_dir, "f0b.parquet"),
+            )
+            assert orig(
+                log_dir_, version,
+                [
+                    {"commit": version, "action": "remove",
+                     "path": os.path.join(data_dir, "f0.parquet")},
+                    {"commit": version, "action": "add",
+                     "path": os.path.join(data_dir, "f0b.parquet")},
+                ],
+                op="DELETE",
+            )
+        return orig(log_dir_, version, actions, **kw)
+
+    batch = spark.createDataFrame([(2, 99), (7, 50)], "k long, v long")
+    sinks.txlog_merge.__globals__["_txlog_attempt_commit"] = racing
+    try:
+        res = sinks.txlog_upsert(spark, log_dir, batch, "k")
+    finally:
+        sinks.txlog_merge.__globals__["_txlog_attempt_commit"] = orig
+    # classification saw key 2 live -> U; key 7 new -> I
+    assert (res["n_updated"], res["n_inserted"]) == (1, 1)
+    assert fired["done"]
+    final = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(
+            *_live_files(_log_rows(log_dir))
+        ).collect()
+    }
+    # delete-then-upsert serial order: key 2 re-lands with the NEW
+    # image, key 7 inserted, others untouched
+    assert final == {(0, 1), (1, 1), (3, 1), (4, 1), (2, 99), (7, 50)}, (
+        final
+    )
