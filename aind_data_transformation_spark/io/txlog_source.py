@@ -2067,6 +2067,7 @@ def _stage_partitioned(
     data_root: str, iterator, partition_col: str, stats_cols=(),
     bloom_col: str = "", bloom_bits: int = 0,
     max_open: int = _MAX_OPEN_PART_WRITERS,
+    text_bloom_col: str = "", text_bloom_bits: int = 0,
 ) -> _TxlogWriteCommit:
     """Task-side staging for a PARTITIONED write: each Arrow batch is
     split by the partition column's values (pyarrow compute — columnar
@@ -2087,7 +2088,7 @@ def _stage_partitioned(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    if bloom_col:
+    if bloom_col or text_bloom_col:
         import numpy as np
 
     writers: dict = {}
@@ -2096,6 +2097,12 @@ def _stage_partitioned(
     paths: dict = {}  # value -> [every temp file staged for it]
     stats: dict = {}
     blooms: dict = {}
+    #: per-value text-bloom folds. NOTE the memory shape (same as
+    #: ``blooms``): one filter per DISTINCT partition value seen by
+    #: the task, NOT bounded by max_open — per-partition indexing is
+    #: for low-cardinality partition columns (dates, categories);
+    #: size text_bloom_bits down for wide layouts
+    tblooms: dict = {}
     n_total = 0
 
     def _open_writer(v, schema):
@@ -2156,6 +2163,26 @@ def _stage_partitioned(
                                     np.uint8(1), (pos & 7).astype(np.uint8)
                                 ),
                             )
+                if text_bloom_col and sub.num_rows:
+                    tarr = tblooms.get(v)
+                    if tarr is None:
+                        tarr = tblooms[v] = np.zeros(
+                            text_bloom_bits >> 3, dtype=np.uint8
+                        )
+                    codes = _text_ngram_codes(
+                        sub.column(text_bloom_col)
+                    )
+                    if len(codes):
+                        for pos in _bloom_hashes(
+                            codes, text_bloom_bits
+                        ):
+                            np.bitwise_or.at(
+                                tarr, pos >> 3,
+                                np.left_shift(
+                                    np.uint8(1),
+                                    (pos & 7).astype(np.uint8),
+                                ),
+                            )
     finally:
         for w in writers.values():
             w.close()
@@ -2173,6 +2200,11 @@ def _stage_partitioned(
             (
                 _bloom_encode(blooms[v])
                 if i == 0 and v in blooms
+                else None
+            ),
+            (
+                _bloom_encode(tblooms[v])
+                if i == 0 and v in tblooms
                 else None
             ),
         )
@@ -2206,8 +2238,11 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
     prows: dict = {}
     pstats: dict = {}
     pblooms: dict = {}
+    ptblooms: dict = {}
     for m in messages:
-        for tmp, v, rows, stats, bloom in (m.parts or []) if m else []:
+        for tmp, v, rows, stats, bloom, tbloom in (
+            (m.parts or []) if m else []
+        ):
             groups.setdefault(v, []).append(tmp)
             # per-value rows ride each message's FIRST tuple for the
             # value (like stats/bloom); later tuples carry 0
@@ -2216,7 +2251,10 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
                 pstats[v] = _fold_stats([pstats.get(v), stats])
             if bloom is not None:
                 pblooms.setdefault(v, []).append(bloom)
+            if tbloom is not None:
+                ptblooms.setdefault(v, []).append(tbloom)
     merged = {v: _bloom_merge(encs) for v, encs in pblooms.items()}
+    tmerged = {v: _bloom_merge(encs) for v, encs in ptblooms.items()}
     out = []
     for v in sorted(groups):
         pdir = os.path.join(
@@ -2225,7 +2263,16 @@ def _publish_partitioned(messages, final_dir: str, partition_col: str):
         os.makedirs(pdir, exist_ok=True)
         for k, tmp in enumerate(groups[v]):
             os.replace(tmp, os.path.join(pdir, f"part-{k:05d}.parquet"))
-        out.append((pdir, v, prows.get(v, 0), pstats.get(v), merged.get(v)))
+        out.append(
+            (
+                pdir,
+                v,
+                prows.get(v, 0),
+                pstats.get(v),
+                merged.get(v),
+                tmerged.get(v),
+            )
+        )
     return out
 
 
@@ -2445,7 +2492,7 @@ def _validate_stats_col(
         )
 
 
-def _parse_text_bloom_option(options, schema, names, partition_col):
+def _parse_text_bloom_option(options, schema, names):
     """Parse ``text_bloom_col``/``text_bloom_bits``: the substring
     (character 4-gram) bloom index over ONE string column. Validated
     loudly at writer construction — a wrong column type or a
@@ -2469,12 +2516,6 @@ def _parse_text_bloom_option(options, schema, names, partition_col):
         )
     if bits & (bits - 1):
         raise ValueError("text_bloom_bits must be a power of two")
-    if partition_col:
-        raise ValueError(
-            "text_bloom_col with partition_col is not supported yet:"
-            " write unpartitioned (the per-file index carries the"
-            " pruning) or drop the text bloom"
-        )
     return col, bits
 
 
@@ -2569,9 +2610,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
         #: column — ``contains``/``LIKE '%needle%'`` reads prune whole
         #: files from log metadata (see `_text_ngram_codes`)
         self.text_bloom_col, self.text_bloom_bits = (
-            _parse_text_bloom_option(
-                options, schema, self.names, self.partition_col
-            )
+            _parse_text_bloom_option(options, schema, self.names)
         )
         #: Delta's checkpointInterval on the batch path: after every Nth
         #: commit, compact the log (stdlib `checkpoint_log`) so a
@@ -2584,6 +2623,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                 self.data_root, iterator, self.partition_col,
                 self.stats_cols, self.bloom_col, self.bloom_bits,
                 self.max_open,
+                self.text_bloom_col, self.text_bloom_bits,
             )
         return _stage_batches(
             self.data_root, iterator, self.stats_cols,
@@ -2695,7 +2735,7 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                     for p in _live_files(rows)
                 ]
             if part_adds:
-                for pdir, v, nrows, st, bloom in part_adds:
+                for pdir, v, nrows, st, bloom, tbloom in part_adds:
                     add = {
                         "commit": version,
                         "action": "add",
@@ -2712,6 +2752,10 @@ class TxlogBatchWriter(DataSourceArrowWriter):
                         add["bloom"] = bloom
                         add["bloom_col"] = self.bloom_col
                         add["bloom_bits"] = self.bloom_bits
+                    if tbloom is not None:
+                        add["tbloom"] = tbloom
+                        add["tbloom_col"] = self.text_bloom_col
+                        add["tbloom_bits"] = self.text_bloom_bits
                     actions.append(add)
             elif msgs and (
                 self.stats_cols or self.bloom_col or self.text_bloom_col
@@ -2811,10 +2855,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
         #: writer — a continuously-ingested text table stays
         #: contains-prunable epoch by epoch
         self.text_bloom_col, self.text_bloom_bits = (
-            _parse_text_bloom_option(
-                options, schema, self.names,
-                options.get("partition_col", ""),
-            )
+            _parse_text_bloom_option(options, schema, self.names)
         )
         #: Hive/Delta-style partitioned epochs (same layout + metadata
         #: as the batch writer — `_publish_partitioned` is shared):
@@ -2845,6 +2886,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 self.data_root, iterator, self.partition_col,
                 self.stats_cols, self.bloom_col, self.bloom_bits,
                 self.max_open,
+                self.text_bloom_col, self.text_bloom_bits,
             )
         return _stage_batches(
             self.data_root, iterator, self.stats_cols,
@@ -2906,7 +2948,7 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                 return None  # a concurrent replayer committed this epoch
             version = max((r["commit"] for r in rows), default=-1) + 1
             actions = []
-            for pdir, v, nrows, st, bloom in part_adds:
+            for pdir, v, nrows, st, bloom, tbloom in part_adds:
                 add = {
                     "commit": version,
                     "action": "add",
@@ -2923,6 +2965,10 @@ class TxlogStreamWriter(DataSourceStreamArrowWriter):
                     add["bloom"] = bloom
                     add["bloom_col"] = self.bloom_col
                     add["bloom_bits"] = self.bloom_bits
+                if tbloom is not None:
+                    add["tbloom"] = tbloom
+                    add["tbloom_col"] = self.text_bloom_col
+                    add["tbloom_bits"] = self.text_bloom_bits
                 actions.append(add)
             if msgs and not self.partition_col:
                 add = {

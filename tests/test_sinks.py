@@ -3780,16 +3780,41 @@ def test_txlog_text_bloom_mechanics(spark, tmp_path):
     rd.pushFilters([StringContains(("text",), "absent_needle")])
     assert len(rd.partitions()) == 0
 
-    # partitioned write: loud reject, not silent no-index
-    with pytest.raises(Exception, match="not supported"):
-        (
-            df.withColumn("p", F.col("id") % 2)
-            .write.format("txlog")
-            .mode("append")
-            .option("text_bloom_col", "text")
-            .option("partition_col", "p")
-            .save(os.path.join(str(tmp_path), "rej", "_log"))
-        )
+    # partitioned write: per-VALUE folds, merged across tasks — each
+    # partition's add carries its own substring index, so contains
+    # pruning composes with partition pruning from one commit
+    plog = os.path.join(str(tmp_path), "tbloom_part", "_log")
+    (
+        df.withColumn("p", (F.col("id") % 2).cast("string"))
+        .repartition(4)
+        .write.format("txlog")
+        .mode("append")
+        .option("text_bloom_col", "text")
+        .option("text_bloom_bits", str(1 << 16))
+        .option("partition_col", "p")
+        .save(plog)
+    )
+    padds = [r for r in tx._log_rows(plog) if r["action"] == "add"]
+    assert sorted(r["part"] for r in padds) == ["0", "1"]
+    assert all(r.get("tbloom") for r in padds)
+    # marker_1 occurs only in odd ids (1, 4, 7, ... have id%3==1 ->
+    # markers mix across partitions; use an id-unique needle instead):
+    # "row number 13 " lives ONLY in partition p=1
+    pnames = ["id", "text", "p"]
+    rdp = tx.TxlogBatchReader({"path": plog}, pnames)
+    rdp.pushFilters([StringContains(("text",), "row number 13 ")])
+    kept = rdp.partitions()
+    assert 1 <= len(kept) < len(
+        tx._part_files([r["path"] for r in padds])
+    )
+    rdp2 = tx.TxlogBatchReader({"path": plog}, pnames)
+    rdp2.pushFilters([StringContains(("text",), "absent_needle")])
+    assert len(rdp2.partitions()) == 0
+    ptable = spark.read.format("txlog").option("path", plog).load()
+    assert (
+        ptable.where(F.col("text").contains("row number 13 ")).count()
+        == 1
+    )
 
 
 def test_crashed_checkpoint_tmp_never_replayed(spark, tmp_path):
