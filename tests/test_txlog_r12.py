@@ -302,7 +302,7 @@ def test_stage_partitioned_bounds_open_writers(monkeypatch):
     assert gauge["max"] <= 8, f"held {gauge['max']} writers open"
     assert gauge["cur"] == 0, "writers left open after staging"
     by_val: dict = {}
-    for tmp, v, rows, stats, bloom in msg.parts:
+    for tmp, v, rows, stats, bloom, _tbloom in msg.parts:
         by_val.setdefault(v, []).append((tmp, rows, stats, bloom))
     assert len(by_val) == n_vals
     for v, entries in by_val.items():
