@@ -532,75 +532,91 @@ def q_anomaly_esd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the per-round argmax is on |n·c − s1| — an exact BIGINT
     (n ≤ corpus, c in cents; the squared/normalized forms are monotone
     in it for fixed round statistics), ties to the smallest event_id via
-    min-struct; z is computed from exact integer moments and rounded
-    once. Each round is one aggregate over the survivors + a 1-row
-    broadcast attach — rounds are bounded, never data-dependent."""
+    the (c, event_id) candidate order; z is computed from exact integer
+    moments and rounded once, in the same double expression as before.
+
+    Shape (r12 optimization): for fixed round statistics, |c − mean| is
+    maximized at an ENDPOINT of the remaining value set, so the R
+    removals are guaranteed to come from the R largest or R smallest
+    values. One exact-moments aggregate plus two TakeOrdered top-R
+    scans replace the R-round chain of (aggregate + broadcast-attach +
+    argmax + anti-join) over the survivors — 3 bounded jobs instead of
+    ~3R full-table passes, and the removal recursion runs driver-side
+    on 2R candidate rows with the identical integer arithmetic
+    (n·c − s1 on exact ints; moments updated by subtracting the removed
+    value). The studentized z stays a Spark double expression over the
+    per-round (dev_u, n, s1d, s2d) so the float sequence is unchanged
+    bit-for-bit."""
     e = load_table(spark, sf_dir, "events").where(
         F.col("event_type") == "purchase"
     ).select(
         "event_id", F.round(F.col("value") * 100).cast("long").alias("c")
     )
     d38 = "decimal(38,0)"
-    out_rows = []
-    remaining = e
+    moments = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("c").cast(d38)).alias("s1x"),
+        F.sum((F.col("c") * F.col("c")).cast(d38)).alias("s2x"),
+    ).collect()[0]
+    n = int(moments["n"])
+    s1 = int(moments["s1x"]) if moments["s1x"] is not None else 0
+    s2 = int(moments["s2x"]) if moments["s2x"] is not None else 0
+    r_hi = e.orderBy(F.col("c").desc(), F.col("event_id")).limit(
+        _ESD_ROUNDS
+    ).collect()
+    r_lo = e.orderBy(F.col("c").asc(), F.col("event_id")).limit(
+        _ESD_ROUNDS
+    ).collect()
+    hi = [(int(r["c"]), int(r["event_id"])) for r in r_hi]
+    lo = [(int(r["c"]), int(r["event_id"])) for r in r_lo]
+    removed: set = set()
+    picked_rows = []
     for rnd in range(1, _ESD_ROUNDS + 1):
-        stats = remaining.agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum(F.col("c").cast(d38)).cast("double").alias("s1d"),
-            F.sum((F.col("c") * F.col("c")).cast(d38)).cast("double").alias(
-                "s2d"
-            ),
-            F.sum("c").cast("long").alias("s1"),
+        # heads of the two candidate lists are the remaining extremes;
+        # argmax |n*c - s1| with ties to the smallest event_id is the
+        # min over (-dev, event_id) across both heads — identical to
+        # the min-struct argmax over the full survivor set
+        best = None
+        for lst in (hi, lo):
+            while lst and lst[0][1] in removed:
+                lst.pop(0)
+            if lst:
+                c, eid = lst[0]
+                dev = abs(n * c - s1)
+                key = (-dev, eid)
+                if best is None or key < best[0]:
+                    best = (key, c, eid)
+        if best is None:
+            break
+        _, c, eid = best
+        dev = abs(n * c - s1)
+        # the round's statistics are the survivors' BEFORE this removal:
+        # doubles via exact-decimal-to-double, as the old cast("double")
+        picked_rows.append((rnd, eid, dev, n, float(s1), float(s2)))
+        removed.add(eid)
+        n -= 1
+        s1 -= c
+        s2 -= c * c
+    pick = spark.createDataFrame(
+        picked_rows,
+        "round long, event_id long, dev_u long, n long, s1d double, s2d double",
+    )
+    # z = |c - mean| / std = (dev/n) / sqrt(s2/n - (s1/n)^2)
+    z = (
+        F.col("dev_u").cast("double")
+        / F.col("n").cast("double")
+        / F.sqrt(
+            F.col("s2d") / F.col("n").cast("double")
+            - (F.col("s1d") / F.col("n").cast("double"))
+            * (F.col("s1d") / F.col("n").cast("double"))
         )
-        scored = attach_broadcast(remaining, stats).withColumn(
-            "dev", F.abs(F.col("n") * F.col("c") - F.col("s1"))
-        )
-        pick = scored.agg(
-            F.min(
-                F.struct(
-                    (-F.col("dev")).alias("negdev"),
-                    F.col("event_id").alias("event_id"),
-                )
-            ).alias("m"),
-            F.max("n").alias("n"),
-            F.max("s1d").alias("s1d"),
-            F.max("s2d").alias("s2d"),
-        ).select(
-            F.lit(rnd).cast("long").alias("round"),
-            F.col("m.event_id").alias("event_id"),
-            (-F.col("m.negdev")).cast("long").alias("dev_u"),
-            "n",
-            "s1d",
-            "s2d",
-        )
-        # z = |c - mean| / std = (dev/n) / sqrt(s2/n - (s1/n)^2)
-        z = (
-            F.col("dev_u").cast("double")
-            / F.col("n").cast("double")
-            / F.sqrt(
-                F.col("s2d") / F.col("n").cast("double")
-                - (F.col("s1d") / F.col("n").cast("double"))
-                * (F.col("s1d") / F.col("n").cast("double"))
-            )
-        )
-        out_rows.append(
-            pick.select(
-                "round",
-                "event_id",
-                "dev_u",
-                F.round(z * 1e6).cast("long").alias("z_u6"),
-            )
-        )
-        picked = pick.select(F.col("event_id").alias("rm_id"))
-        remaining = remaining.join(
-            F.broadcast(picked),
-            remaining["event_id"] == picked["rm_id"],
-            "left_anti",
-        )
-    out = out_rows[0]
-    for r in out_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
+    return pick.select(
+        "round",
+        "event_id",
+        "dev_u",
+        F.round(z * 1e6).cast("long").alias("z_u6"),
+    )
 
 
 #: value-iteration rounds for the Markov absorption probabilities. The
@@ -684,54 +700,44 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cur", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    tot = t.groupBy("cur").agg(F.sum("n").alias("tot"))
-    chan = (
-        t.select(F.col("cur").alias("removed"))
-        .where(F.col("removed") != "START")
-        .distinct()
-        .unionByName(spark.createDataFrame([("__none__",)], "removed string"))
-    )
-    # transition probability on the 1e-6 grid BEFORE the iteration:
-    # q_u6 <= 1e6 and p_u6 <= 1e6, so each round's product-sum is bounded
-    # by |type domain| * 1e12 — corpus-size-independent int64 headroom
-    # (the raw SUM(n * p) form dies at ~1e10 events)
-    tv = mat(
-        attach_broadcast(t.join(tot, "cur"), chan)
-        .where(
-            (F.col("cur") != F.col("removed"))
-            & (F.col("dst") != F.col("removed"))
-        )
-        .withColumn("q_u6", F.expr("CAST((n * 1000000) DIV tot AS BIGINT)")),
-        "markov_tv",
-    )
-    absorbing = mat(
-        attach_broadcast(
-            spark.createDataFrame(
-                [("CONV", 10**6), ("NULL", 0)], "dst string, p_u6 long"
-            ),
-            chan,
-        ).select("removed", "dst", "p_u6"),
-        "markov_p0",
-    )
-    pv = absorbing
-    for rnd in range(_MARKOV_ROUNDS):
-        upd = (
-            tv.join(pv, ["removed", "dst"])
-            .groupBy("removed", "cur")
-            .agg(F.expr("SUM(q_u6 * p_u6) DIV 1000000").alias("p_new"))
-            .select(
-                "removed",
-                F.col("cur").alias("dst"),
-                F.col("p_new").cast("long").alias("p_u6"),
-            )
-        )
-        # truncate the per-round lineage: the state frame is ~|variants|
-        # × |states| rows, but an unmaterialized 6-round join chain costs
-        # a full Catalyst compile per round (measured 7.5 s -> ~2 s)
-        pv = mat(absorbing.unionByName(upd), f"markov_p{rnd + 1}")
-    fin = pv.where(F.col("dst") == "START").select(
-        "removed", F.col("p_u6").alias("p_start")
-    )
+    # The chain model is |types|²-bounded METADATA (SURVEY.md §4's
+    # bounded-model-frame doctrine): one collect of the transition
+    # counts, then the per-channel × per-round value iteration runs
+    # driver-side on exact ints — q_u6 = (n·1e6) DIV tot and
+    # p' = Σ q·p DIV 1e6 are non-negative integer ops, so Python's //
+    # reproduces Spark's DIV bit-for-bit (r12 optimization: the
+    # iteration previously ran as 6 localCheckpointed join rounds over
+    # the ~100-row state frame — ~8 Spark jobs and a Catalyst compile
+    # per round spent on metadata-sized arithmetic; now ONE job builds
+    # the counts and the model math costs microseconds. At 100 TB the
+    # collected frame is still |types|²-bounded — corpus-independent).
+    trows = [
+        (r["cur"], r["dst"], int(r["n"])) for r in t.collect()
+    ]
+    tot_by_cur: dict = {}
+    for cur, _dst, cnt in trows:
+        tot_by_cur[cur] = tot_by_cur.get(cur, 0) + cnt
+    chans = sorted({cur for cur, _d, _n in trows if cur != "START"})
+    fin_rows = []
+    for removed_ch in chans + ["__none__"]:
+        edges_by_cur: dict = {}
+        for cur, dst, cnt in trows:
+            if cur != removed_ch and dst != removed_ch:
+                q_u6 = (cnt * 1000000) // tot_by_cur[cur]
+                edges_by_cur.setdefault(cur, []).append((dst, q_u6))
+        p = {"CONV": 10**6, "NULL": 0}
+        for _rnd in range(_MARKOV_ROUNDS):
+            upd = {}
+            for cur, edges in edges_by_cur.items():
+                terms = [q * p[dst] for dst, q in edges if dst in p]
+                # the per-round join keeps only matched (removed, cur)
+                # groups: no terms -> no state entry this round
+                if terms:
+                    upd[cur] = sum(terms) // 10**6
+            p = {"CONV": 10**6, "NULL": 0, **upd}
+        if "START" in p:
+            fin_rows.append((removed_ch, p["START"]))
+    fin = spark.createDataFrame(fin_rows, "removed string, p_start long")
     base = fin.where(F.col("removed") == "__none__").select(
         F.col("p_start").alias("p_base_u6")
     )

@@ -230,22 +230,41 @@ def q_corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcast bucket offsets; the score's integer part is the monotone
     coarse bucket) with the tile closed arithmetically as
     ((rn-1)·3) DIV n + 1 — exactly ntile's tie-free semantics, but
-    parallelism ∝ score buckets instead of the language count."""
+    parallelism ∝ score buckets instead of the language count.
+
+    The tokenized frame and the bigram stream are STAGE-MATERIALIZED
+    (r12 optimization, guide §8's decide-on-a-proxy discipline): the
+    plan referenced ``toks`` four times and ``big`` three times, and
+    since each consumer shuffles on a different key no exchange is
+    shared — every reference re-ran scan → lower → split → explode
+    over the whole corpus (12 Generates / 15 scans in the before
+    plan). Tokenizing once and re-deriving the three aggregations from
+    the materialized stream scans the text exactly once; on a cluster
+    the materializer is the parquet stage writer (ops doctrine), the
+    same tokenize-once layout every LM data pipeline uses."""
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        "lang",
-        F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+    toks = mat(
+        d.select(
+            "doc_id",
+            "lang",
+            F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
+        ),
+        "perplexity_toks",
     )
-    big = toks.where(F.size("w") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
-                " (a, b) -> struct(a AS w1, b AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    big = mat(
+        toks.where(F.size("w") >= 2).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2"),
+        "perplexity_bigrams",
+    )
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = toks.select(F.explode("w").alias("t")).agg(

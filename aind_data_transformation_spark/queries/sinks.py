@@ -870,52 +870,38 @@ def _txlog_log_rows(spark: SparkSession, log_dir: str) -> list:
     snapshot: two separate log reads can straddle a concurrent commit,
     in which case the retry loop would commit at max+1 without having
     revalidated against that commit's changes (a lost update)."""
-    import glob as _glob
+    # Driver-side replay through the connector's `_log_rows` (stdlib
+    # json + pyarrow for checkpoint parquet) — the log is metadata by
+    # design, and Delta computes snapshots on the driver for the same
+    # reason. Each call previously launched 1-2 distributed Spark jobs
+    # (spark.read.json(...).collect()) just to fetch a few KB of
+    # actions; with ~45 engine call sites, several per mutating key,
+    # that fixed job cost dominated the txlog family's bench profile.
+    # Rows are normalized to the full action schema (missing field ->
+    # None) so callers keep unconditional r["field"] access, exactly
+    # as the schema'd Spark read returned them. Checkpoint replay
+    # (reconciled state + JSON tail) and the crashed-compaction digit
+    # filter live in `_log_rows` itself — one implementation shared
+    # with the connector, no drift.
+    from aind_data_transformation_spark.io.txlog_source import _log_rows
 
-    sch = (
-        "commit long, action string, path string, target string,"
-        " constraint string, part string, schema string,"
-        " ts long, op string, metrics string,"
-        " min_key long, max_key long, part_col string, stats_col string,"
-        " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long, rows long, protocol string,"
-        " tbloom string, tbloom_col string, tbloom_bits long"
-    )
-    # digit filter matches the connector's _checkpoint_dirs: a crashed
-    # connector compaction's _checkpoint_NNNNN.tmp sorts after the
-    # committed name and must never be replayed
-    ckpts = sorted(
-        p
-        for p in _glob.glob(os.path.join(log_dir, "_checkpoint_*"))
-        if p.rsplit("_", 1)[-1].isdigit()
-    )
-    tail_files = _glob.glob(os.path.join(log_dir, "*.json"))
-    if not ckpts:
-        rows = (
-            spark.read.schema(sch)
-            .json(os.path.join(log_dir, "*.json"))
-            .collect()
-        )
-        _check_read_protocol(rows)
-        return rows
-    # checkpointed table: reconciled checkpoint state + JSON tail — the
-    # ONE replay entry point every mutator/reader shares, so merge txn
-    # idempotence markers, constraints, partitionValues and dv state
-    # all survive compaction for every consumer, not just the
-    # checkpoint-demo keys.
-    latest = ckpts[-1]
-    ckpt_version = int(latest.rsplit("_", 1)[-1])
-    rows = spark.read.schema(sch).parquet(latest).collect()
-    if tail_files:
-        rows += [
-            r
-            for r in spark.read.schema(sch)
-            .json(os.path.join(log_dir, "*.json"))
-            .collect()
-            if r["commit"] > ckpt_version
-        ]
+    rows = [
+        {f: r.get(f) for f in _TXLOG_ACTION_FIELDS}
+        for r in _log_rows(log_dir)
+    ]
     _check_read_protocol(rows)
     return rows
+
+
+#: every field of the action-log schema (the engine's historical
+#: schema'd-read column set): replayed rows carry all of them, None
+#: when absent from the JSON line / checkpoint column set.
+_TXLOG_ACTION_FIELDS = (
+    "commit", "action", "path", "target", "constraint", "part", "schema",
+    "ts", "op", "metrics", "min_key", "max_key", "part_col", "stats_col",
+    "bloom", "bloom_col", "bloom_bits", "stats_json", "bytes", "rows",
+    "protocol", "tbloom", "tbloom_col", "tbloom_bits",
+)
 
 
 def _check_read_protocol(rows: list) -> None:
@@ -2683,16 +2669,17 @@ def _txlog_rows_checkpointed(
 ) -> list:
     """The action rows a reader sees on a checkpointed table: the
     reconciled checkpoint state plus the JSON tail (> ckpt_version) —
-    same shape as `_txlog_log_rows`, O(checkpoint + tail) cost."""
+    same shape as `_txlog_log_rows`, O(checkpoint + tail) cost.
+    Driver-side pyarrow read of the checkpoint parquet — metadata, no
+    Spark job."""
     import glob as _glob
 
-    ckpt = (
-        spark.read.schema(
-            "commit long, action string, path string, target string"
-        )
-        .parquet(ckpt_dir)
-        .collect()
-    )
+    import pyarrow.parquet as _pq
+
+    ckpt = [
+        {f: r.get(f) for f in ("commit", "action", "path", "target")}
+        for r in _pq.read_table(ckpt_dir).to_pylist()
+    ]
     # a checkpoint at the head leaves no JSON tail at all — an empty
     # glob is a valid (fully compacted) state, not an error
     if not _glob.glob(os.path.join(log_dir, "*.json")):
@@ -3430,12 +3417,14 @@ def _build_txlog_part_table(spark: SparkSession, sf_dir: str, name: str):
 def _txlog_part_log_rows(spark: SparkSession, log_dir: str) -> list:
     """One driver-side snapshot of a partition-valued action log (the
     single-read discipline of `_txlog_log_rows`, with ``part`` carried
-    so pruning and conflict checks run on pure metadata)."""
-    return (
-        spark.read.schema("commit long, action string, path string, part string")
-        .json(os.path.join(log_dir, "*.json"))
-        .collect()
-    )
+    so pruning and conflict checks run on pure metadata). Driver-side
+    stdlib-json replay — no Spark job for a metadata read."""
+    from aind_data_transformation_spark.io.txlog_source import _log_rows
+
+    return [
+        {f: r.get(f) for f in ("commit", "action", "path", "part")}
+        for r in _log_rows(log_dir)
+    ]
 
 
 def _txlog_part_live(rows: list) -> list:
