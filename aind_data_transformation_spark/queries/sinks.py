@@ -797,36 +797,82 @@ def _txlog_read_checkpointed(
     )
 
 
-def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
-    """Shared commit fixture for the txlog keys (one definition — r6
-    advice): four hash-split orders files committed through the
-    add/remove log described in `q_sink_txlog_snapshot`. Returns the
-    log directory for `_txlog_read`."""
-    import json as _json
+#: session-staged txlog base-fixture batches: (applicationId, sf_dir) ->
+#: staged dir holding batch-0..batch-3. The four hash-split orders files
+#: are deterministic and IDENTICAL for every txlog key, so the Spark
+#: write job runs once per (session, sf_dir) (the copurchase/ANN-index
+#: staging doctrine) and each key's private table is populated by
+#: hardlinking the immutable parquet files into its own data dir.
+#: Safe because no txlog mutation ever modifies file CONTENTS — merges/
+#: optimizes write new GUID-named files, removes are logical, vacuum
+#: unlinks the key's own link (the staged inode survives).
+_TXLOG_FIXTURE_STAGE: dict = {}
 
-    base = _scratch(sf_dir, name)
-    data_dir = os.path.join(base, "data")
-    log_dir = os.path.join(base, "_log")
-    shutil.rmtree(base, ignore_errors=True)
+
+def _txlog_fixture_batches(spark: SparkSession, sf_dir: str) -> str:
+    ck = (spark.sparkContext.applicationId, sf_dir)
+    hit = _TXLOG_FIXTURE_STAGE.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    staged = _scratch(sf_dir, "_txlog_fixture_stage")
+    shutil.rmtree(staged, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders")
     # ONE write job for all four batch files (partitionBy on the hash
-    # bucket, then rename the partition dirs into place) — the previous
-    # four sequential filtered writes scanned orders four times, and
-    # this fixture fronts every txlog key's bench entry.
-    staging = os.path.join(base, "staging")
+    # bucket, then rename the partition dirs into place — r6 advice:
+    # four sequential filtered writes scanned orders four times).
+    staging = staged + ".tmp"
     (
         orders.withColumn("__b", F.pmod("o_orderkey", F.lit(4)))
         .repartition(4, "__b")
         .write.partitionBy("__b")
         .parquet(staging)
     )
+    os.makedirs(staged, exist_ok=True)
+    for b in range(4):
+        os.rename(
+            os.path.join(staging, f"__b={b}"),
+            os.path.join(staged, f"batch-{b}"),
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    for stale in [k for k in _TXLOG_FIXTURE_STAGE if k[0] != ck[0]]:
+        shutil.rmtree(_TXLOG_FIXTURE_STAGE[stale], ignore_errors=True)
+        del _TXLOG_FIXTURE_STAGE[stale]
+    _TXLOG_FIXTURE_STAGE[ck] = staged
+    return staged
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Populate ``dst`` with hardlinks to every file under ``src``
+    (copy fallback for cross-device tmp layouts)."""
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        s, t = os.path.join(src, f), os.path.join(dst, f)
+        try:
+            os.link(s, t)
+        except OSError:
+            shutil.copy2(s, t)
+
+
+def _build_txlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Shared commit fixture for the txlog keys (one definition — r6
+    advice): four hash-split orders files committed through the
+    add/remove log described in `q_sink_txlog_snapshot`. Returns the
+    log directory for `_txlog_read`. The batch files come from the
+    session-staged build (`_txlog_fixture_batches`) via hardlinks —
+    each key keeps a PRIVATE data dir it can mutate/vacuum freely."""
+    import json as _json
+
+    base = _scratch(sf_dir, name)
+    data_dir = os.path.join(base, "data")
+    log_dir = os.path.join(base, "_log")
+    shutil.rmtree(base, ignore_errors=True)
+    staged = _txlog_fixture_batches(spark, sf_dir)
     os.makedirs(data_dir, exist_ok=True)
     paths = {}
     for b in range(4):
         p = os.path.join(data_dir, f"batch-{b}")
-        os.rename(os.path.join(staging, f"__b={b}"), p)
+        _link_tree(os.path.join(staged, f"batch-{b}"), p)
         paths[b] = p
-    shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(log_dir, exist_ok=True)
     commits = [
         [(0, "add", paths[0]), (0, "add", paths[1])],

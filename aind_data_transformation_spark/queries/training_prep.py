@@ -257,10 +257,21 @@ def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign-dup window count; the rebuild is a per-doc sorted
     collect_list — all equi-joins and hash aggregations, no cross
     product."""
-    d = (
+    # tokenize ONCE (r12 optimization): the tokenized frame feeds four
+    # differently-keyed consumers (gram stream twice — ownership agg +
+    # foreign probe —, the token-position stream, and the final rebuild
+    # join whose n_tokens needs size(toks)), so nothing shares an
+    # exchange and the split previously re-ran per reference. Stage-
+    # materialized via ops.local_materializer (cluster swap: the
+    # parquet stage writer) — one text scan + split, explodes run over
+    # the stored arrays.
+    from aind_data_transformation_spark.ops import local_materializer as mat
+
+    d = mat(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text", F.expr(_TOKS_SPARK).alias("toks"))
-        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .withColumn("n_tokens", F.size("toks").cast("long")),
+        "substring_scrub_toks",
     )
     big = d.where(F.col("n_tokens") >= 8)
     g = big.select(
