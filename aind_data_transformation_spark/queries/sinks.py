@@ -745,49 +745,17 @@ def q_sink_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant of log checkpointing."""
     log_dir = _build_txlog_table(spark, sf_dir, "txlog_table_ckpt")
     ckpt_version = 1
-    # compact: reconcile all actions at commits <= ckpt_version into the
-    # per-path last-action state and write it as the parquet checkpoint
-    log = spark.read.schema("commit long, action string, path string").json(
-        os.path.join(log_dir, "*.json")
-    )
-    state = (
-        log.where(F.col("commit") <= ckpt_version)
-        .groupBy("path")
-        .agg(F.max(F.struct("commit", "action")).alias("m"))
-        .select("path", F.col("m.commit").alias("commit"),
-                F.col("m.action").alias("action"))
-    )
-    ckpt_dir = os.path.join(log_dir, f"_checkpoint_{ckpt_version:05d}")
-    state.write.mode("overwrite").parquet(ckpt_dir)
-    # the compacted JSON commits are gone — the reader CANNOT fall back
-    # to full-log replay
-    for i in range(ckpt_version + 1):
-        os.remove(os.path.join(log_dir, f"{i:05d}.json"))
-    return _txlog_read_checkpointed(spark, log_dir, ckpt_dir, ckpt_version)
-
-
-def _txlog_read_checkpointed(
-    spark: SparkSession, log_dir: str, ckpt_dir: str, ckpt_version: int
-) -> DataFrame:
-    """Snapshot read from checkpoint + JSON tail: union the reconciled
-    checkpoint state with the actions after the checkpoint version, take
-    the last action per path, read the live files. Identical result to
-    full-log replay, O(checkpoint + tail) metadata cost."""
-    ckpt = spark.read.schema("path string, commit long, action string").parquet(
-        ckpt_dir
-    )
-    tail = spark.read.schema("commit long, action string, path string").json(
-        os.path.join(log_dir, "*.json")
-    ).where(F.col("commit") > ckpt_version)
-    actions = ckpt.select("commit", "action", "path").unionByName(
-        tail.select("commit", "action", "path")
-    )
-    last = actions.groupBy("path").agg(
-        F.max(F.struct("commit", "action")).alias("m")
-    )
-    live = sorted(
-        r["path"] for r in last.where(F.col("m.action") == "add").collect()
-    )
+    # compact through the one checkpoint implementation (action-complete
+    # reconciled state, driver-side — the checkpoint is metadata); the
+    # compacted JSON commits are DELETED, so the reader below CANNOT
+    # fall back to full-log replay
+    txlog_checkpoint(spark, log_dir, ckpt_version)
+    # snapshot read from checkpoint + JSON tail: `_txlog_log_rows` is
+    # checkpoint-aware (reconciled checkpoint state unioned with the
+    # post-checkpoint tail), so the live set falls out of the standard
+    # last-action-per-path replay — identical result to full-log
+    # replay, O(checkpoint + tail) metadata cost
+    live = _txlog_live_from_rows(_txlog_log_rows(spark, log_dir))
     snap = spark.read.parquet(*live)
     return snap.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1545,26 +1513,19 @@ def txlog_evo_read(spark: SparkSession, log_dir: str):
     replay; the scan reads every live file UNDER THE CURRENT SCHEMA, so
     pre-evolution files surface the added column as NULL — no file
     rewrite on ALTER TABLE ADD COLUMN, the lakehouse schema-evolution
-    guarantee. Returns (snapshot DataFrame, current schema DDL)."""
-    log = spark.read.schema(
-        "commit long, action string, path string, `schema` string"
-    ).json(os.path.join(log_dir, "*.json"))
-    schema_row = (
-        log.where(F.col("action") == "metaData")
-        .orderBy(F.col("commit").desc())
-        .select("schema")
-        .first()
-    )
-    last = (
-        log.where(F.col("action").isin("add", "remove"))
-        .groupBy("path")
-        .agg(F.max(F.struct("commit", "action")).alias("m"))
-    )
-    live = sorted(
-        r["path"] for r in last.where(F.col("m.action") == "add").collect()
-    )
-    snap = spark.read.schema(schema_row["schema"]).parquet(*live)
-    return snap, schema_row["schema"]
+    guarantee. Returns (snapshot DataFrame, current schema DDL).
+
+    Driver-side log replay (metadata-sized — previously two distributed
+    Spark jobs per read just to pick the latest metaData DDL and the
+    live file list out of a few KB of JSON)."""
+    rows = _txlog_log_rows(spark, log_dir)
+    schema = max(
+        (r for r in rows if r["action"] == "metaData"),
+        key=lambda r: r["commit"],
+    )["schema"]
+    live = _txlog_live_from_rows(rows)
+    snap = spark.read.schema(schema).parquet(*live)
+    return snap, schema
 
 
 def q_sink_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1733,21 +1694,24 @@ def txlog_incremental_files(
     `from_version` processes only these files and advances its
     checkpoint to `to_version` — per-batch cost ∝ newly added bytes,
     never table size, which is what makes log-backed incremental ETL
-    viable on a 100-TB table that grows by 0.1% a day."""
-    log = spark.read.schema("commit long, action string, path string").json(
-        os.path.join(log_dir, "*.json")
-    )
-    if to_version is not None:
-        log = log.where(F.col("commit") <= to_version)
-    last = log.groupBy("path").agg(
-        F.max(F.struct("commit", "action")).alias("m")
-    )
+    viable on a 100-TB table that grows by 0.1% a day.
+
+    Driver-side log replay (the log is metadata-sized; previously this
+    launched a distributed JSON read + shuffle per consumer poll just
+    to diff a few KB of actions): last action per path wins with the
+    (commit, action) tie-break of max(struct(commit, action)) — the
+    sorted-iteration last-assignment below is exactly that order."""
+    rows = _txlog_log_rows(spark, log_dir)
+    last: dict = {}
+    for r in sorted(rows, key=lambda r: (r["commit"], r["action"] or "")):
+        if to_version is not None and r["commit"] > to_version:
+            continue
+        if r["path"] is not None:
+            last[r["path"]] = (r["commit"], r["action"])
     return sorted(
-        r["path"]
-        for r in last.where(
-            (F.col("m.action") == "add")
-            & (F.col("m.commit") > from_version)
-        ).collect()
+        p
+        for p, (c, a) in last.items()
+        if a == "add" and c > from_version
     )
 
 
@@ -1886,32 +1850,45 @@ def txlog_stats2_read(
     Scale: the prune runs on one metadata row per file; at 100 TB the
     difference between the two layouts this key's fixture commits is
     whether a predicate on the SECOND column opens a few quadrant
-    directories or every file in the table."""
-    log = spark.read.schema(
-        "commit long, action string, path string, min_key long,"
-        " max_key long, min_cust long, max_cust long"
-    ).json(os.path.join(log_dir, "*.json"))
-    if as_of is not None:
-        log = log.where(F.col("commit") <= as_of)
-    last = log.groupBy("path").agg(
-        F.max(
-            F.struct(
-                "commit", "action", "min_key", "max_key", "min_cust",
-                "max_cust",
-            )
-        ).alias("m")
+    directories or every file in the table.
+
+    Driver-side log replay via the connector's `_log_rows` (the raw
+    action dicts — this fixture's adds carry the two-column
+    min_cust/max_cust stats beyond the engine's normalized field set);
+    previously each of the FOUR (layout × predicate) reads per key
+    launched its own distributed JSON read + shuffle over ~35 metadata
+    rows. Last action per path wins with the same (commit, action)
+    tie-break as max(struct(commit, action, ...))."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        _log_rows,
+        check_protocol,
     )
+
+    rows = _log_rows(log_dir)
+    check_protocol(rows, "read")
     mn, mx = (
-        ("m.min_key", "m.max_key")
+        ("min_key", "max_key")
         if column == "o_orderkey"
-        else ("m.min_cust", "m.max_cust")
+        else ("min_cust", "max_cust")
     )
-    live = (
-        last.where(F.col("m.action") == "add")
-        .select("path", F.col(mn).alias("mn"), F.col(mx).alias("mx"))
-        .collect()
+    last: dict = {}
+    for r in sorted(
+        rows, key=lambda r: (r["commit"], r["action"] or "")
+    ):
+        if as_of is not None and r["commit"] > as_of:
+            continue
+        if r.get("path") is not None:
+            last[r["path"]] = r
+    live = [
+        (r.get(mn), r.get(mx))
+        for r in last.values()
+        if r["action"] == "add"
+    ]
+    pruned = sorted(
+        p
+        for p, r in last.items()
+        if r["action"] == "add" and r.get(mx) >= lo and r.get(mn) <= hi
     )
-    pruned = sorted(r["path"] for r in live if r["mx"] >= lo and r["mn"] <= hi)
     snap = spark.read.parquet(*pruned).where(F.col(column).between(lo, hi))
     return snap, len(live), len(pruned)
 
@@ -2624,90 +2601,27 @@ def txlog_checkpoint(spark: SparkSession, log_dir: str, version: int) -> str:
 
     Writes the reconciled state as a parquet checkpoint and DELETES the
     compacted JSON commits (readers provably reconstruct from
-    checkpoint + tail). Returns the checkpoint dir."""
-    rows = _txlog_log_rows(spark, log_dir)
-    state: dict = {}
-    for r in sorted(
-        (r for r in rows if r["commit"] <= version),
-        key=lambda r: (r["commit"], r["action"] or ""),
-    ):
-        if r["action"] in ("add", "remove"):
-            state[("file", r["path"])] = r
-        elif r["action"] == "dv":
-            state[("dv", r["path"], r["target"])] = r
-        elif r["action"] == "txn":
-            state[("txn", r["path"])] = r
-        elif r["action"] == "metaData":
-            # every metaData row survives (schema history, constraint)
-            state[("meta", r["commit"])] = r
-        elif r["action"] == "commitInfo":
-            # one provenance row per commit (metadata-sized) survives,
-            # so AS OF TIMESTAMP resolution and history audit work on
-            # compacted tables too — dropping them (as Delta does)
-            # would force timestamp resolution onto file mtimes
-            state[("ci", r["commit"])] = r
-        elif r["action"] == "protocol":
-            # per-commit retention (like metaData): protocol is
-            # snapshot-scoped, and a checkpoint that dropped it would
-            # silently LIFT the table's feature requirements for every
-            # post-compaction reader
-            state[("protocol", r["commit"])] = r
-    ckpt_dir = os.path.join(log_dir, f"_checkpoint_{version:05d}")
+    checkpoint + tail). Returns the checkpoint dir.
 
-    def g(r, k):
-        try:
-            return r[k]
-        except Exception:
-            return None
+    Delegates to the connector's `checkpoint_log` — ONE implementation
+    of the reconciliation (add/remove last-wins, dv per (sidecar,
+    target), txn/metaData/commitInfo/protocol retained) writing the
+    ONE checkpoint action schema, driver-side via pyarrow. The engine
+    form previously launched a Spark `createDataFrame(...).write` job
+    for ~10 metadata rows per call; the checkpoint is metadata by
+    design, and Delta writes checkpoints from the driver's reconciled
+    snapshot for the same reason. The engine path keeps its read-gate:
+    a table whose protocol demands unimplemented reader features fails
+    here before compaction rather than committing a checkpoint its own
+    readers cannot replay."""
+    from aind_data_transformation_spark.io.txlog_source import (
+        _log_rows,
+        check_protocol,
+        checkpoint_log,
+    )
 
-    spark.createDataFrame(
-        [
-            (
-                r["commit"],
-                r["action"],
-                r["path"],
-                g(r, "target"),
-                g(r, "constraint"),
-                g(r, "part"),
-                g(r, "schema"),
-                g(r, "ts"),
-                g(r, "op"),
-                g(r, "metrics"),
-                g(r, "min_key"),
-                g(r, "max_key"),
-                g(r, "part_col"),
-                g(r, "stats_col"),
-                g(r, "bloom"),
-                g(r, "bloom_col"),
-                g(r, "bloom_bits"),
-                g(r, "stats_json"),
-                g(r, "bytes"),
-                g(r, "rows"),
-                g(r, "protocol"),
-                g(r, "tbloom"),
-                g(r, "tbloom_col"),
-                g(r, "tbloom_bits"),
-            )
-            for r in state.values()
-        ],
-        # ONE checkpoint action schema for the whole format — identical
-        # to the connector's `checkpoint_log` (io/txlog_source.py), so
-        # compacting a connector-written stats/partitioned/bloom table
-        # through the engine path preserves its data-skipping and
-        # partition-column metadata (and vice versa)
-        "commit long, action string, path string, target string,"
-        " constraint string, part string, schema string,"
-        " ts long, op string, metrics string,"
-        " min_key long, max_key long, part_col string, stats_col string,"
-        " bloom string, bloom_col string, bloom_bits long,"
-        " stats_json string, bytes long, rows long, protocol string,"
-        " tbloom string, tbloom_col string, tbloom_bits long",
-    ).write.mode("overwrite").parquet(ckpt_dir)
-    for i in range(version + 1):
-        f = os.path.join(log_dir, f"{i:05d}.json")
-        if os.path.exists(f):
-            os.remove(f)
-    return ckpt_dir
+    check_protocol(_log_rows(log_dir), "read")
+    return checkpoint_log(log_dir, version)
 
 
 def _txlog_rows_checkpointed(
