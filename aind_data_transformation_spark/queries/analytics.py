@@ -530,16 +530,21 @@ def q_audience_overlap_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equi-join, never user×user); per-segment sizes ride the same
     bitmaps. Output: overlap count + Jaccard per segment pair."""
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    words = (
+    # the segment bitmaps feed sizes + both join sides (4 events scans
+    # before); staged once — |segments|·|users|/64 words, exactly the
+    # bitmap index an audience system keeps resident.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    words = local_materializer(
         e.groupBy(
             "event_type",
             F.expr("user_id div 64").alias("w_idx"),
-        )
-        .agg(
+        ).agg(
             F.expr(
                 "bit_or(shiftleft(1L, CAST(user_id % 64 AS INT)))"
             ).alias("bits")
-        )
+        ),
+        "audience_bitmaps",
     )
     sizes = words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).alias("n_users")

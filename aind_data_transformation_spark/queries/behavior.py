@@ -34,18 +34,27 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three per-user conditional aggregations; each reduces events to one row
     per user before the next join, so the joins move user-cardinality data,
     not event-cardinality."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    t_view = (
+    # each step's per-user entry frame feeds BOTH the next step's join
+    # and its own count; un-staged, the chained lazy plan re-derived
+    # step 1 three times and step 2 twice (6 events scans before).
+    # Staged, the fact table is scanned exactly once per funnel step —
+    # the per-step user-state frames are what a funnel engine persists.
+    t_view = local_materializer(
         e.where(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
+        .agg(F.min("ts").alias("t_view")),
+        "funnel_t_view",
     )
-    t_click = (
+    t_click = local_materializer(
         e.where(F.col("event_type") == "click")
         .join(t_view, "user_id")
         .where(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+        .agg(F.min("ts").alias("t_click")),
+        "funnel_t_click",
     )
     t_purchase = (
         e.where(F.col("event_type") == "purchase")
@@ -147,10 +156,17 @@ def q_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-size, then one shuffle each; never a per-day rescan of the
     event log. Report days are clamped to the observed [min, max] day
     span."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day")
     )
-    ud = e.distinct()
+    # the distinct (user, day) activity table feeds FOUR consumers
+    # (bounds, DAU, and both rolling explodes) — staged once instead of
+    # re-running the events distinct per branch (5 scans before). This
+    # frame is the persisted daily-activity table of any analytics
+    # warehouse.
+    ud = local_materializer(e.distinct(), "activity_user_day")
     bounds = ud.agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
@@ -416,8 +432,16 @@ def q_seq_markov_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     trans = e.withColumn("nxt", F.lead("event_type").over(w)).where(
         F.col("nxt").isNotNull()
     )
-    cells = trans.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
-        F.count(F.lit(1)).alias("n")
+    # the |types|²-row cell table is referenced twice (cells + its
+    # per-cur rollup inside the model join); staged once so the
+    # user-window pass over events backing it runs once, not twice.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    cells = local_materializer(
+        trans.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "markov_cells",
     )
     model = cells.join(
         F.broadcast(cells.groupBy("cur").agg(F.sum("n").alias("tot"))),
@@ -465,7 +489,11 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     delay DOMAIN (≤ 1801 rows after the tolerance cap): distribution
     groupBy + one bounded cumulative window + threshold probes — never
     a global sort of raw delays (the stats_levene discipline)."""
-    from aind_data_transformation_spark.ops import attach_broadcast, asof_join
+    from aind_data_transformation_spark.ops import (
+        asof_join,
+        attach_broadcast,
+        local_materializer,
+    )
 
     e = load_table(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
@@ -488,7 +516,13 @@ def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     delays = matched.select(
         F.expr("(p_us - c_us) DIV 1000000").alias("delay_s")
     )
-    dist = delays.groupBy("delay_s").agg(F.count(F.lit(1)).alias("c"))
+    # the ≤1801-row delay domain feeds both the cumulative CDF and the
+    # total; staged once so the as-of join over events runs once, not
+    # twice (4 events scans in the before plan).
+    dist = local_materializer(
+        delays.groupBy("delay_s").agg(F.count(F.lit(1)).alias("c")),
+        "funnel_delay_domain",
+    )
     w = Window.orderBy("delay_s").rowsBetween(Window.unboundedPreceding, 0)
     cum = dist.select(
         "delay_s", F.sum("c").over(w).alias("cum")

@@ -295,7 +295,14 @@ def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — no shuffle of the fact table at any scale."""
     alpha = 0.3
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    # the |sources|-row count table feeds both the scalar min and the
+    # rate table; staged once so the corpus aggregation runs once.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    counts = local_materializer(
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s")),
+        "temp_source_counts",
+    )
     n_min = counts.agg(F.min("n_s").alias("n_min"))
     rates = attach_broadcast(counts, n_min).select(
         "source",
@@ -483,28 +490,43 @@ def q_corpus_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     size and broadcasts to the probe side; only the maybe-dup fraction
     ever reaches the exact (shuffle) check. That cost model — broadcast
     sketch probe gating an exact join — is the point of the operator."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("dig")
+    from aind_data_transformation_spark.ops import local_materializer
+
+    # the digest projection (md5 over the full text) fed SEVEN plan
+    # branches (3 bitmap-position unions + 3 probe-position unions + the
+    # exact check), each re-hashing the corpus. Stage the 2-column
+    # digest frame once — at 100 TB this is the content-digest pass an
+    # ingest system persists anyway — and fan the 3 hash positions out
+    # with ONE posexplode instead of 3 unions (same multiset, 1 pass).
+    d = local_materializer(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("dig")
+        ),
+        "bloom_digests",
     )
     seen = d.where(F.col("doc_id") % 2 == 0)
     incoming = d.where(F.col("doc_id") % 2 == 1)
 
     def positions(frame):
-        rows = []
-        for r in range(3):
-            pos = F.pmod(
-                F.conv(F.substring("dig", 1 + 7 * r, 7), 16, 10).cast("long"),
-                F.lit(4096),
-            )
-            rows.append(
-                frame.select(
-                    "doc_id",
-                    "dig",
-                    (pos / 32).cast("long").alias("word"),
-                    F.pmod(pos, F.lit(32)).cast("int").alias("bit"),
+        pos3 = F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring("dig", 1 + 7 * r, 7), 16, 10
+                    ).cast("long"),
+                    F.lit(4096),
                 )
-            )
-        return rows[0].unionAll(rows[1]).unionAll(rows[2])
+                for r in range(3)
+            ]
+        )
+        return frame.select(
+            "doc_id", "dig", F.explode(pos3).alias("pos")
+        ).select(
+            "doc_id",
+            "dig",
+            (F.col("pos") / 32).cast("long").alias("word"),
+            F.pmod("pos", F.lit(32)).cast("int").alias("bit"),
+        )
 
     bitmap = (
         positions(seen)
@@ -683,6 +705,9 @@ def q_corpus_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = toks.withColumn(
         "bucket", F.expr(f"({tokval('tok')}) % {_DSIR_BUCKETS}")
     )
+    # r12 measured note: staging the 64-row bucket table (the totals
+    # re-run the counting explode) was REJECTED on paired evidence
+    # (1.16×) — barrier > saved pass at bench scale.
     cnt = bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("src_n"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))

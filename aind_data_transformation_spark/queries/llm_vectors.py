@@ -1481,37 +1481,47 @@ def _encode_wav(batches):
     """Synthesize REAL RIFF/WAVE files, stdlib-only: canonical 44-byte
     header (RIFF size, fmt chunk with PCM/mono/16-bit/8 kHz, data chunk
     size) followed by little-endian s16 PCM of the deterministic _WAV_X
-    waveform. Every field a WAV parser checks is genuine."""
+    waveform. Every field a WAV parser checks is genuine.
+
+    Vectorized per batch (guide §4.2): the sample length takes only 4
+    values (doc_id % 4), so the PCM matrix of each length-group is one
+    broadcasted numpy expression and its 44-byte header is one shared
+    struct.pack — bytes identical to the former per-row synthesis."""
     import struct
 
     import numpy as np
     import pandas as pd
 
-    def wav(doc_id: int) -> bytes:
-        ns = 256 + 64 * (doc_id % 4)
-        n = np.arange(ns, dtype=np.int64)
-        x = ((n * 7 + doc_id * 13) % 512) - 256
-        pcm = x.astype("<i2").tobytes()
+    def hdr(ns: int) -> bytes:
         sr, ch, bits = 8000, 1, 16
         block = ch * bits // 8
-        hdr = (
+        npcm = ns * block
+        return (
             b"RIFF"
-            + struct.pack("<I", 36 + len(pcm))
+            + struct.pack("<I", 36 + npcm)
             + b"WAVE"
             + b"fmt "
             + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * block, block, bits)
             + b"data"
-            + struct.pack("<I", len(pcm))
+            + struct.pack("<I", npcm)
         )
-        return hdr + pcm
 
     for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload": [wav(int(d)) for d in pdf["doc_id"]],
-            }
-        )
+        ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        payload = np.empty(len(ids), dtype=object)
+        for m in range(4):
+            sel = np.nonzero(ids % 4 == m)[0]
+            if sel.size == 0:
+                continue
+            ns = 256 + 64 * m
+            n = np.arange(ns, dtype=np.int64)  # (ns,)
+            # (docs, ns) sawtooth — the same _WAV_X integer formula
+            x = (n[None, :] * 7 + ids[sel, None] * 13) % 512 - 256
+            pcm = x.astype("<i2").tobytes()  # row-major: doc-contiguous
+            h, stride = hdr(ns), ns * 2
+            for j, k in enumerate(sel):
+                payload[k] = h + pcm[j * stride : (j + 1) * stride]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payload})
 
 
 def _decode_wav_features(batches):
@@ -1528,10 +1538,12 @@ def _decode_wav_features(batches):
     import numpy as np
     import pandas as pd
 
-    def feats(doc_id, b):
+    def pcm(b):
+        """RIFF chunk walk (genuine container parse, per file): returns
+        the validated PCM data chunk bytes or None."""
         b = bytes(b)
         if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-            return []
+            return None
         pos, fmt_ok, data = 12, False, None
         while pos + 8 <= len(b):
             cid = b[pos : pos + 4]
@@ -1545,31 +1557,57 @@ def _decode_wav_features(batches):
             elif cid == b"data":
                 data = body
             pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
-        if not fmt_ok or data is None:
-            return []
-        x = np.frombuffer(data, "<i2").astype(np.int64)
-        out = []
-        for w0 in range(0, len(x) - _WAV_WIN + 1, _WAV_WIN):
-            win = x[w0 : w0 + _WAV_WIN]
-            energy = int((win * win).sum())
-            zc = int(((win[:-1] * win[1:]) < 0).sum())
-            out.append((doc_id, w0 // _WAV_WIN, energy, zc))
-        return out
+        return data if fmt_ok and data is not None else None
 
     for pdf in batches:
-        rows = [
-            r
-            for d, p in zip(pdf["doc_id"], pdf["payload"])
-            for r in feats(int(d), p)
-        ]
+        # chunk-walk each file (cheap, genuine parse), then compute the
+        # window features for the WHOLE batch in a handful of numpy
+        # kernels (guide §4.2): all full windows of every doc stacked
+        # into one (n_windows, _WAV_WIN) matrix. Trailing samples short
+        # of a full window are dropped exactly as the per-row
+        # range(0, len - W + 1, W) loop dropped them.
+        ids, chunks, nwins = [], [], []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            data = pcm(p)
+            if data is None:
+                continue
+            x = np.frombuffer(data, "<i2")
+            nw = len(x) // _WAV_WIN
+            if nw == 0:
+                continue
+            ids.append(int(d))
+            chunks.append(x[: nw * _WAV_WIN])
+            nwins.append(nw)
+        if not ids:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "window_idx": pd.Series([], dtype="int64"),
+                    "energy": pd.Series([], dtype="int64"),
+                    "zero_crossings": pd.Series([], dtype="int64"),
+                }
+            )
+            continue
+        nwins = np.asarray(nwins, dtype=np.int64)
+        win = (
+            np.concatenate(chunks)
+            .astype(np.int64)
+            .reshape(-1, _WAV_WIN)
+        )
+        energy = (win * win).sum(axis=1)
+        zc = ((win[:, :-1] * win[:, 1:]) < 0).sum(axis=1).astype(np.int64)
+        doc = np.repeat(np.asarray(ids, dtype=np.int64), nwins)
+        # per-doc window index: global arange minus each doc's start
+        starts = np.concatenate(([0], np.cumsum(nwins)[:-1]))
+        widx = np.arange(int(nwins.sum()), dtype=np.int64) - np.repeat(
+            starts, nwins
+        )
         yield pd.DataFrame(
             {
-                "doc_id": pd.Series([r[0] for r in rows], dtype="int64"),
-                "window_idx": pd.Series([r[1] for r in rows], dtype="int64"),
-                "energy": pd.Series([r[2] for r in rows], dtype="int64"),
-                "zero_crossings": pd.Series(
-                    [r[3] for r in rows], dtype="int64"
-                ),
+                "doc_id": doc,
+                "window_idx": widx,
+                "energy": energy,
+                "zero_crossings": zc,
             }
         )
 
@@ -2258,6 +2296,11 @@ def q_train_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("anchor_id", "is_pos").orderBy(
         F.col("cos_r9").desc(), F.col("cand_id").asc()
     )
+    # r12 measured note: staging the per-(anchor, polarity) winners so
+    # the corpus-scoring pass runs once (instead of once per branch)
+    # was REJECTED on paired evidence (1.20× / 2.27×): the extra job
+    # barrier costs more than the second 2000-row scoring pass here.
+    # At cluster scale, stage `ranked` (ops.parquet_materializer).
     ranked = (
         scored.withColumn(
             "is_pos", (F.col("c_label") == F.col("a_label")).cast("int")

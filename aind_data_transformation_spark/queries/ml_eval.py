@@ -225,7 +225,14 @@ def q_ml_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(19), (cents / F.lit(3000000)).cast("long")).alias("bin"),
         (F.col("o_orderkey") % 2).cast("long").alias("half"),
     )
-    counts = binned.groupBy("bin", "half").agg(F.count(F.lit(1)).alias("n"))
+    # the ≤40-row (bin, half) table feeds both halves AND the totals;
+    # staged once so the orders scan runs once, not three times.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    counts = local_materializer(
+        binned.groupBy("bin", "half").agg(F.count(F.lit(1)).alias("n")),
+        "psi_bins",
+    )
     a = counts.where(F.col("half") == 0).select("bin", F.col("n").alias("na"))
     b = counts.where(F.col("half") == 1).select(
         F.col("bin").alias("bin_b"), F.col("n").alias("nb")
@@ -285,6 +292,12 @@ def q_ml_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("is_pos")).alias("c0"),
         )
     )
+    # the distinct-score histogram feeds both the positives total and
+    # the cumulative curve; staged once so the quality-score text pass
+    # runs once, not twice (4 documents scans in the before plan).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    per = local_materializer(per, "pr_score_hist")
     w = Window.orderBy(F.col("s").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -339,10 +352,17 @@ def q_ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("quality") * 1.0e6).cast("long").alias("s"),
         (F.col("lang") == "en").cast("long").alias("is_pos"),
     )
-    per = rows.groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("s").alias("s_sum"),
-        F.sum("is_pos").alias("n_pos"),
+    # the ≤10-row bin table feeds both the grand total and the report;
+    # staged once so the quality-score text pass runs once, not twice.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    per = local_materializer(
+        rows.groupBy("bin").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").alias("s_sum"),
+            F.sum("is_pos").alias("n_pos"),
+        ),
+        "calib_bins",
     )
     tot = per.agg(F.sum("n").alias("n_total"))
     conf = F.col("s_sum").cast("double") / F.col("n").cast("double") / 1.0e6
@@ -417,6 +437,11 @@ def q_ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"ok_{pct}"
             ),
         ]
+    # r12 measured note: staging this 1-row aggregate (the 3-way union
+    # re-runs the langid-join subtree per fraction — 6 documents scans)
+    # was REJECTED on paired evidence (1.25× median): the barrier costs
+    # more than two langid re-passes at bench scale. At cluster scale,
+    # collect the one row or stage it.
     one = rows.agg(*aggs)
     parts = [
         one.select(
@@ -442,14 +467,22 @@ def q_ml_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: every input is a k×queries-row frame by construction; each
     overlap is a tiny semi-join + one aggregation."""
+    from aind_data_transformation_spark.ops import local_materializer
     from aind_data_transformation_spark.queries.llm_vectors import (
         q_ann_ivf_topk,
         q_ann_ivfpq_topk,
         q_sim_search_topk,
     )
 
-    exact = q_sim_search_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id"
+    # the exact top-k feeds THREE plan consumers (per_q + one semi-join
+    # per tier); without materialization each consumer re-runs the full
+    # brute-force corpus-scoring pass. The frame is k·|queries| rows
+    # (~25), so staging it is metadata-sized; the documented cluster
+    # swap is ops.parquet_materializer (guide §8 / materialize-once-at-
+    # ≥3-derivations doctrine).
+    exact = local_materializer(
+        q_sim_search_topk(spark, sf_dir).select("query_id", "neighbor_id"),
+        "ann_recall_exact",
     )
     tiers = {
         "ivf": q_ann_ivf_topk(spark, sf_dir),
@@ -507,6 +540,9 @@ def q_ml_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.alias("fold"),
         (F.col("lang") == F.col("predicted_lang")).cast("long").alias("ok"),
     )
+    # r12 measured note: staging the 5-row fold table (the total
+    # re-runs the langid pass) was REJECTED on paired evidence
+    # (1.35× / 1.11×) — barrier > saved pass at bench scale.
     per = rows.groupBy("fold").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("ok").alias("n_ok")
     )
@@ -684,8 +720,16 @@ def q_ml_gini_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "n_chars", (F.col("lang") == "en").cast("long").alias("pos")
     )
-    per_v = d.groupBy(F.col("n_chars").alias("v")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    # the value domain feeds the cumulative window AND two total
+    # attaches; staged once so the corpus aggregation runs once, not
+    # three times (3 documents scans in the before plan).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    per_v = local_materializer(
+        d.groupBy(F.col("n_chars").alias("v")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+        ),
+        "gini_value_domain",
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = per_v.select(
@@ -747,7 +791,16 @@ def q_ml_adaboost_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("v"),
         (F.col("lang") == "en").cast("long").alias("pos"),
     )
-    per_vy = d.groupBy("v", "pos").agg(F.count(F.lit(1)).alias("n_vy"))
+    # the aggregated (value, label) domain is the ONLY corpus-sized
+    # reduction; every boosting-round branch re-derived it through the
+    # nested round-1/round-2 plan (8 documents scans before). Stage it
+    # once — all downstream work is domain-sized (distinct values × 2).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    per_vy = local_materializer(
+        d.groupBy("v", "pos").agg(F.count(F.lit(1)).alias("n_vy")),
+        "ada_value_domain",
+    )
 
     def best_stump(per_v: DataFrame, tag: str) -> DataFrame:
         """per_v: (v, n, p) weighted counts -> 1-row best stump with
@@ -1595,9 +1648,17 @@ def q_ml_hist_binned_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mn",
         "mx",
     )
-    hist = binned.groupBy("bin", "mn", "mx").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").alias("sy"),
+    # the 64-row histogram feeds both the totals and the cumulative
+    # gain window; staged once so the lineitem scan + min/max prepass
+    # run once, not twice (4 lineitem scans in the before plan).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    hist = local_materializer(
+        binned.groupBy("bin", "mn", "mx").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").alias("sy"),
+        ),
+        "gbdt_hist",
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     tot = hist.agg(

@@ -371,15 +371,27 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
     )
-    big = toks.where(F.size("w") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
-                " (a, b) -> struct(a AS w1, b AS w2))"
-            )
-        ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    from aind_data_transformation_spark.ops import local_materializer
+
+    # the exploded bigram stream feeds THREE derivations (bigram counts,
+    # left-context counts, and the scoring join); staged once so the
+    # corpus tokenize+explode runs once, not three times — the same
+    # tokenize-once doctrine as corpus_perplexity_buckets (guide §8).
+    big = local_materializer(
+        toks.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1),"
+                    " slice(w, 2, size(w) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2"),
+        "bigram_stream",
+    )
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = toks.select(F.explode("w").alias("t")).agg(
@@ -783,7 +795,17 @@ def q_ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries), and updated weights round to 6 decimals so each
     round's inputs are bit-identical in both engines — same fixed-point
     discipline as PageRank/k-means. Returns the trained weights plus
-    in-sample accuracy counts."""
+    in-sample accuracy counts.
+
+    Plan-shape note (r12, measured): a staged-training-frame +
+    driver-side-weight-update rewrite (1 linear job per round instead
+    of the lazily-nested weight chain whose ONE plan re-derives the
+    projection 15× for 3 rounds) was built, oracle-verified, and
+    REJECTED on paired-interleave evidence (median 1.67×, two of three
+    runs slower): at bench scale the 5 extra job barriers cost more
+    than the fused re-derivations save. On a real cluster, persist the
+    training projection and iterate driver-side — the MLlib GD shape —
+    because 2^rounds corpus passes do not amortize there."""
     em = load_table(spark, sf_dir, "embeddings")
     feats = em.select(
         *[
@@ -958,9 +980,19 @@ def q_pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the merges, the per-doc counts, and the packing
     in one CTE chain, so a drifted token count anywhere shifts every
     later seq_id and breaks the hash."""
-    from aind_data_transformation_spark.ops import pack_sequences
+    from aind_data_transformation_spark.ops import (
+        local_materializer,
+        pack_sequences,
+    )
 
-    tok = q_bpe_encode_apply(spark, sf_dir).select("doc_id", "n_tokens")
+    # pack_sequences' two-phase cumsum references its input twice; the
+    # input here is the full BPE encode chain, so stage the tiny
+    # (doc_id, n_tokens) projection once instead of tokenizing the
+    # corpus twice (6 documents scans in the before plan).
+    tok = local_materializer(
+        q_bpe_encode_apply(spark, sf_dir).select("doc_id", "n_tokens"),
+        "bpe_token_counts",
+    )
     return pack_sequences(tok, "doc_id", "n_tokens", budget=512, coarse=256)
 
 

@@ -340,9 +340,21 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("filter(split(lower(text), ' '), x -> x <> '')")
         ).alias("term"),
     )
-    class_term = toks.groupBy(
-        F.col("source").alias("cls"), "term"
-    ).agg(F.count(F.lit(1)).alias("cnt"))
+    # the sparse (class, term) count table feeds THREE derivations
+    # (class totals, vocabulary, the scored model) and the (doc, term)
+    # frequency table two (doc totals, the scoring join); un-staged,
+    # each derivation re-ran the corpus explode (11 documents scans in
+    # the before plan — the r12 attempts that regressed materialized
+    # corpus-sized frames or re-keyed the shuffle; these two are the
+    # COMPACT aggregates, staged with the shuffles unchanged).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    class_term = local_materializer(
+        toks.groupBy(F.col("source").alias("cls"), "term").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        "nb_class_term",
+    )
     class_tot = class_term.groupBy("cls").agg(F.sum("cnt").alias("tot"))
     # vocabulary size from the (already aggregated) sparse model rather
     # than a third pass over the token explode — identical value: every
@@ -384,8 +396,9 @@ def q_ml_naive_bayes_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000.0D) AS BIGINT)"
         ).alias("lp_u"),
     )
-    doc_term = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    doc_term = local_materializer(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        "nb_doc_term",
     )
     doc_tot = doc_term.groupBy("doc_id").agg(
         F.sum("tf").alias("tf_total")
@@ -455,18 +468,27 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lower(F.substring("text", 1, _SIM_HEAD)).alias("head"),
     )
-    rn = series_row_number(
-        d,
-        [],
-        [F.col("head").asc(), F.col("doc_id").asc()],
-        # second code clamped to 255: ascii() returns full codepoints,
-        # and an unclamped second char >= 256 (e.g. 'a€') would jump
-        # past the next first-char bucket, breaking the monotone-bucket
-        # precondition on non-Latin-1 text; the clamp stays monotone
-        # (ties collapse INTO the same bucket, never cross one) because
-        # cp1*256 + 255 < cp2*256 whenever cp1 < cp2
-        "ascii(substr(head, 1, 1)) * 256"
-        " + least(ascii(substr(head, 2, 1)), 255)",
+    from aind_data_transformation_spark.ops import local_materializer
+
+    # the row-numbered frame feeds both neighbor-join sides; staged once
+    # so the two-phase global numbering (two window passes) runs once,
+    # not once per side (4 documents scans in the before plan).
+    rn = local_materializer(
+        series_row_number(
+            d,
+            [],
+            [F.col("head").asc(), F.col("doc_id").asc()],
+            # second code clamped to 255: ascii() returns full
+            # codepoints, and an unclamped second char >= 256 (e.g.
+            # 'a€') would jump past the next first-char bucket, breaking
+            # the monotone-bucket precondition on non-Latin-1 text; the
+            # clamp stays monotone (ties collapse INTO the same bucket,
+            # never cross one) because cp1*256 + 255 < cp2*256 whenever
+            # cp1 < cp2
+            "ascii(substr(head, 1, 1)) * 256"
+            " + least(ascii(substr(head, 2, 1)), 255)",
+        ),
+        "sn_numbered",
     )
     left = rn.select(
         F.col("doc_id").alias("id_a"),
@@ -568,6 +590,14 @@ def q_join_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    # the pruned TF-IDF index feeds FOUR plan branches (prefix a/b +
+    # vector a/b); un-materialized, each branch re-runs the corpus
+    # explode + two shuffles (12 documents scans in the before plan).
+    # Stage it once — at 100 TB this frame IS the inverted index a
+    # similarity-join system persists (ops.parquet_materializer there).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    w = local_materializer(w, "tfidf_index")
     # decimal operands: worst-case w ≈ tf_max·ln(N) · 1e3 can reach 1e8,
     # so w² sums can pass int64 — the registry-wide product-sum audit
     # demands the decimal(38,0) accumulator (exact, reads back as double)

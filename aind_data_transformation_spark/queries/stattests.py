@@ -369,6 +369,10 @@ def q_survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("last_d", "first_d").cast("long").alias("dur"),
         (F.datediff("end_d", "last_d") > 90).cast("long").alias("event"),
     )
+    # r12 measured note: staging the duration domain (the total re-runs
+    # the per-customer lifetime aggregation — 4 orders scans) was
+    # REJECTED on paired evidence (1.38× / 1.15×) — barrier > saved
+    # pass at bench scale.
     per_t = per_cust.groupBy("dur").agg(
         F.sum("event").alias("d"),
         F.count(F.lit(1)).alias("m"),
@@ -461,40 +465,39 @@ def q_sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the sketch is a 2k-cell aggregate (fixed size regardless of
     corpus size) built in one shuffle — exactly how a heavy-hitter pass
     over 100 TB avoids a full vocabulary materialization."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split("text", " ")).alias("term")).where(
         F.col("term") != ""
     )
-    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    # the term-frequency table fed EIGHT plan branches (4 sketch-row
+    # unions + 4 probe unions through the top-20 window), each
+    # re-running the corpus explode+groupBy. Stage it once and fan the
+    # 4 hash rows out with ONE posexplode over a 4-slot array instead
+    # of 4 unions — same (h, b, cnt) multiset, 1 pass.
+    freq = local_materializer(
+        toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")),
+        "cms_term_freq",
+    )
 
     def bucket(row: int):
         # 7 hex chars (28 bits) from md5 offset 1+7*row, mod 512
         sub = F.substring(F.md5("term"), 1 + 7 * row, 7)
         return F.pmod(F.conv(sub, 16, 10).cast("long"), F.lit(512))
 
-    rows = []
-    for r in range(4):
-        rows.append(
-            freq.select(
-                F.lit(r).alias("h"), bucket(r).alias("b"), "cnt"
-            )
-        )
-    hashed = rows[0].unionAll(rows[1]).unionAll(rows[2]).unionAll(rows[3])
+    rows4 = F.array(*[bucket(r) for r in range(4)])
+    hashed = freq.select(
+        F.posexplode(rows4).alias("h", "b"), "cnt"
+    ).select(F.col("h").cast("int").alias("h"), "b", "cnt")
     sketch = hashed.groupBy("h", "b").agg(F.sum("cnt").alias("cell"))
     wtop = Window.orderBy(F.col("cnt").desc(), F.col("term").asc())
     top = freq.select(
         "term", "cnt", F.row_number().over(wtop).alias("rk")
     ).where(F.col("rk") <= 20)
-    probes = []
-    for r in range(4):
-        probes.append(
-            top.select(
-                "term", "cnt", F.lit(r).alias("h"), bucket(r).alias("b")
-            )
-        )
-    probe = probes[0].unionAll(probes[1]).unionAll(probes[2]).unionAll(
-        probes[3]
-    )
+    probe = top.select(
+        "term", "cnt", F.posexplode(rows4).alias("h", "b")
+    ).select("term", "cnt", F.col("h").cast("int").alias("h"), "b")
     est = (
         probe.join(F.broadcast(sketch), ["h", "b"])
         .groupBy("term", "cnt")

@@ -97,24 +97,34 @@ def q_ngram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the two c_x/c_y joins are plain equi-joins AQE will broadcast when
     they fit (same reasoning as tfidf_keywords); totals are one broadcast
     row."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.expr(_TOKENS).alias("toks")).where(F.size("toks") >= 2)
-    uni = (
+    # the unigram table feeds THREE consumers (totals + the c_x and c_y
+    # joins) and the bigram table two (totals + scoring); without
+    # staging, every consumer re-ran the corpus tokenize+explode+groupBy
+    # (5 documents scans in the before plan). Both frames are
+    # vocabulary-sized — the natural persisted artifacts of a
+    # collocation pass.
+    uni = local_materializer(
         toks.select(F.explode("toks").alias("t"))
         .where(F.col("t") != "")
         .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c")),
+        "pmi_unigrams",
     )
     pairs_expr = (
         "transform(sequence(1, size(toks) - 1),"
         " i -> struct(element_at(toks, i) AS x, element_at(toks, i + 1) AS y))"
     )
-    bi = (
+    bi = local_materializer(
         toks.select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.x", "p.y")
         .where((F.col("x") != "") & (F.col("y") != ""))
         .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy")),
+        "pmi_bigrams",
     )
     totals = attach_broadcast(
         uni.agg(F.sum("c").cast("long").alias("n_uni")),
@@ -271,7 +281,15 @@ def q_ml_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " x -> x <> ''))")
         ).alias("term"),
     )
-    tl = dt.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("n11"))
+    # the (term, lang) presence table feeds both the term-df rollup and
+    # the contingency join; staged once so the distinct-term explode
+    # runs once, not twice (4 documents scans in the before plan).
+    from aind_data_transformation_spark.ops import local_materializer
+
+    tl = local_materializer(
+        dt.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("n11")),
+        "chi2_term_lang",
+    )
     tdf = tl.groupBy("term").agg(F.sum("n11").alias("n1x"))
     ldf = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nx1"))
     ntot = d.agg(F.count(F.lit(1)).alias("n"))

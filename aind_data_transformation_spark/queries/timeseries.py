@@ -219,7 +219,16 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("x"),
         F.round(F.col("value") * 100).cast("long").alias("yc"),
     )
-    pts = e.groupBy("event_type", "x").agg(F.max("yc").alias("yc"))
+    # the deduped point set feeds counts + both series_row_number
+    # phases, and the bucketed frame fans into the averages and the
+    # final join (6 events scans before). Stage the points once — the
+    # deduped series is the natural persisted input of a downsampler.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    pts = local_materializer(
+        e.groupBy("event_type", "x").agg(F.max("yc").alias("yc")),
+        "lttb_points",
+    )
     counts = pts.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     numbered = series_row_number(
         pts, ["event_type"], ["x"], "x div 3600000000"
@@ -1145,10 +1154,20 @@ def q_ts_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per type over that bounded pair set. The banded self-join is an
     equi-join on event_type."""
     e = load_table(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"),
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+    # the (type, day) domain feeds both self-join sides AND the pair
+    # branch twice (count + rank) — un-staged the events aggregation ran
+    # 4×. The frame is |types|·|days| rows; staged once.
+    from aind_data_transformation_spark.ops import local_materializer
+
+    daily = local_materializer(
+        e.groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("d"),
+        ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")),
+        "theil_sen_daily",
+    )
     a, b = daily.alias("a"), daily.alias("b")
     pairs = a.join(
         b,

@@ -88,10 +88,18 @@ def q_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     at (matching docs × |query terms|); df is |query terms| rows and the
     corpus stats are one row — both broadcast. The only corpus-sized pass
     is the token explode feeding tf/dl."""
+    from aind_data_transformation_spark.ops import local_materializer
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_TOKS_SPARK).alias("toks")
     )
-    dl = d.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    # the per-doc length frame feeds the corpus stats AND the scoring
+    # join; staged once so the corpus tokenize runs for it once, not
+    # once per consumer (4 documents scans in the before plan).
+    dl = local_materializer(
+        d.select("doc_id", F.size("toks").cast("long").alias("dl")),
+        "bm25_doclens",
+    )
     stats = dl.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -175,6 +183,9 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = d.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # r12 measured note: staging the vocabulary (the total re-runs the
+    # corpus explode) was REJECTED on paired evidence (1.21×) — barrier
+    # > saved pass at bench scale.
     vocab = d.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("long").alias("t_total"))
     per_term = (

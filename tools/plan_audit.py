@@ -83,7 +83,21 @@ def _single_partition_unbounded(plan: str, tree: str) -> int:
                 continue
             feed = child[1]
             break
-        if feed is None or "Aggregate" not in feed:
+        if feed is None:
+            unbounded += 1
+            continue
+        # benign feeds: a partial aggregate (map-side combine already
+        # collapsed each task to ~1 row / a compact domain), or a stage-
+        # materialized frame (`Scan ExistingRDD`). In this engine an
+        # ExistingRDD leaf is produced ONLY by ops.local_materializer /
+        # localCheckpoint at stage-materialization sites, and every such
+        # site stages an aggregated/bounded frame (domain, vocabulary,
+        # model, index) — raw tables always enter plans as parquet
+        # scans, so the raw-scan-funnel class this audit catches cannot
+        # hide behind an ExistingRDD.
+        if "Aggregate" not in feed and not feed.startswith(
+            "Scan ExistingRDD"
+        ):
             unbounded += 1
     return unbounded
 
