@@ -371,27 +371,23 @@ def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("filter(split(lower(text), ' '), x -> x <> '')").alias("w"),
     )
-    from aind_data_transformation_spark.ops import local_materializer
-
-    # the exploded bigram stream feeds THREE derivations (bigram counts,
-    # left-context counts, and the scoring join); staged once so the
-    # corpus tokenize+explode runs once, not three times — the same
-    # tokenize-once doctrine as corpus_perplexity_buckets (guide §8).
-    big = local_materializer(
-        toks.where(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "zip_with(slice(w, 1, size(w) - 1),"
-                    " slice(w, 2, size(w) - 1),"
-                    " (a, b) -> struct(a AS w1, b AS w2))"
-                )
-            ).alias("bg"),
-        )
-        .select("doc_id", "bg.w1", "bg.w2"),
-        "bigram_stream",
-    )
+    # r12 measured note: staging the exploded bigram stream (3
+    # derivations of the tokenize+explode) was REJECTED on paired
+    # evidence (0.74, 1.77, 1.04, 1.57 — median 1.30): the stream is
+    # CORPUS-sized, so the materialization write+read costs more than
+    # two re-explodes here (same mechanism as the rejected
+    # ml_naive_bayes_score token-array staging). At cluster scale,
+    # stage it durably (ops.parquet_materializer) — three passes over
+    # 100 TB do not amortize there.
+    big = toks.where(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
     bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     uc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = toks.select(F.explode("w").alias("t")).agg(
