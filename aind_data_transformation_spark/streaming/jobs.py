@@ -672,8 +672,6 @@ def minhash_dedup_apply_batch(
     from aind_data_transformation_spark.texthash import minhash_signatures
 
     spark = batch_df.sparkSession
-    if len(batch_df.take(1)) == 0:
-        return
     banded = (
         minhash_signatures(batch_df, "doc_id", "text")
         .select(
@@ -683,6 +681,13 @@ def minhash_dedup_apply_batch(
         )
         .localCheckpoint()
     )
+    # emptiness guard AFTER the signature stage: the take probes the
+    # already-checkpointed blocks instead of launching a separate scan
+    # job over the delivery file (r13: one fewer job per micro-batch;
+    # band keys of an empty batch would also be an empty frame, so the
+    # guard's semantics are unchanged)
+    if len(banded.take(1)) == 0:
+        return
     try:
         store = (
             spark.read.parquet(sig_dir)
@@ -692,24 +697,31 @@ def minhash_dedup_apply_batch(
     except Exception:
         store = None
     all_b = banded if store is None else store.unionByName(banded)
-    pairs = None
-    for band in ("band1", "band2"):
-        a = banded.select(
-            F.col("doc_id").alias("id_x"), F.col(band).alias("bk")
+    # ONE equi-join on (band_no, band_key) instead of two per-band joins
+    # unioned (r13, guide §2.4: the two joins carried identical inputs
+    # under different keys — stacking the two bands as rows keys both
+    # probes through a single exchange/broadcast; cross-band collisions
+    # stay excluded by the band_no equality, and the distinct() collapse
+    # of pairs found by both bands is unchanged)
+    stack = "stack(2, 1, band1, 2, band2) AS (bno, bk)"
+    a = banded.selectExpr("doc_id AS id_x", stack)
+    b = all_b.selectExpr("doc_id AS id_y", stack)
+    pairs = (
+        a.join(b, ["bno", "bk"])
+        .where(F.col("id_x") != F.col("id_y"))
+        .select(
+            F.least("id_x", "id_y").alias("doc_a"),
+            F.greatest("id_x", "id_y").alias("doc_b"),
         )
-        b = all_b.select(
-            F.col("doc_id").alias("id_y"), F.col(band).alias("bk")
-        )
-        p = (
-            a.join(b, "bk")
-            .where(F.col("id_x") != F.col("id_y"))
-            .select(
-                F.least("id_x", "id_y").alias("doc_a"),
-                F.greatest("id_x", "id_y").alias("doc_b"),
-            )
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs.distinct().write.mode("overwrite").parquet(
+    )
+    # candidates land WITHOUT a per-batch distinct (r13, guide §2.4):
+    # `read_stream_dedup_pairs` is already a distinct over all batch
+    # partitions (it must be — the same pair can surface in several
+    # batches), so the per-batch shuffle only trimmed ≤4 bounded
+    # within-batch copies (two bands × two join directions) at the cost
+    # of one exchange + one AQE stage job per micro-batch. The store
+    # stays pair-bounded; the accumulated SET is unchanged.
+    pairs.write.mode("overwrite").parquet(
         os.path.join(pairs_dir, f"batch_id={batch_id}")
     )
     banded.write.mode("overwrite").parquet(

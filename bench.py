@@ -115,6 +115,69 @@ def main() -> None:
         phash_stage_build_s = round(time.monotonic() - t0, 3)
     except Exception as exc:
         print(f"# phash stage warmup failed: {exc}", file=sys.stderr)
+    # Session-staged fixtures shared across key families (r12 verdict
+    # item #2): each is built ONCE per (session, sf_dir) by design and
+    # was previously absorbed by whichever family key ran first in sort
+    # order, misreading one-time staging as that key's serving cost.
+    # Stage them here (same builders the keys call — the keys themselves
+    # are unchanged and still self-stage when run standalone) and report
+    # each build's one-time cost as its own JSON field, exactly like
+    # ann_index_build_s above. Additions-only: the queries dict keeps
+    # every key, the one-line contract and env handling are untouched.
+    stage_builds: dict[str, float | None] = {
+        # the deterministic 4-batch orders fixture behind the ~25 engine
+        # txlog keys (absorbed by the first scan_txlog_* key before)
+        "txlog_fixture_build_s": None,
+        # the 4-chunk streaming source dirs (stream_txlog_* / CDC /
+        # minhash deliveries)
+        "txlog_stream_stage_build_s": None,
+        "cdc_stage_build_s": None,
+        "minhash_stage_build_s": None,
+        # the co-purchase support table shared by the 11 graph keys
+        # (absorbed by basket_assoc_rules before)
+        "copurchase_build_s": None,
+        # the learned BPE merge table (absorbed by bpe_encode_apply)
+        "bpe_merges_build_s": None,
+    }
+
+    def _stage(field: str, fn) -> None:
+        try:
+            t0 = time.monotonic()
+            fn()
+            stage_builds[field] = round(time.monotonic() - t0, 3)
+        except Exception as exc:
+            print(f"# stage build {field} failed: {exc}", file=sys.stderr)
+
+    try:
+        from aind_data_transformation_spark.queries import (
+            graph as _graph,
+            ml_prep as _ml_prep,
+            sinks as _sinks,
+            streaming_batch as _sb,
+        )
+
+        _stage(
+            "txlog_fixture_build_s",
+            lambda: _sinks._txlog_fixture_batches(spark, sf_dir),
+        )
+        _stage(
+            "txlog_stream_stage_build_s",
+            lambda: _sb._txlog_sink_stage(spark, sf_dir),
+        )
+        _stage("cdc_stage_build_s", lambda: _sb._cdc_stage(spark, sf_dir))
+        _stage(
+            "minhash_stage_build_s", lambda: _sb._minhash_stage(spark, sf_dir)
+        )
+        _stage(
+            "copurchase_build_s",
+            lambda: _graph._copurchase_support(spark, sf_dir),
+        )
+        _stage(
+            "bpe_merges_build_s",
+            lambda: _ml_prep._bpe_learned_merges(spark, sf_dir),
+        )
+    except Exception as exc:
+        print(f"# stage-build warmup failed: {exc}", file=sys.stderr)
     # The Python DataSource path runs its own worker kind (plain Python
     # workers with the datasource serializer, not the Arrow-UDF pool
     # warmed above) — one tiny single-partition read spins it up so the
@@ -191,6 +254,10 @@ def main() -> None:
             # one-time image-hash stage (PNG encode+decode+dHash),
             # shared by the phash keys — staged in warmup likewise
             "phash_stage_build_s": phash_stage_build_s,
+            # per-family session-stage builds (r12 verdict item #2) —
+            # one-time costs, reported separately so family keys
+            # measure serving; see the stage warmup above
+            **stage_builds,
         }
     )
 

@@ -1,7 +1,8 @@
 """Dump `.explain("formatted")` for registry keys to plans/<out>/<key>_<tag>.txt.
 
 Usage: python tools/dump_plan.py <tag> key1 key2 ...
-(tag is usually "before" or "after"; files land in plans/r12/)
+(tag is usually "before" or "after"; files land in $PLANS_OUT_DIR,
+default plans/r13/)
 """
 import io
 import os
@@ -13,8 +14,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from aind_data_transformation_spark.queries import registry
 from aind_data_transformation_spark.session import build_session
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r12")
+OUT = os.environ.get(
+    "PLANS_OUT_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "plans", "r13"),
+)
 
 
 def main() -> None:
