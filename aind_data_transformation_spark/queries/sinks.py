@@ -2328,35 +2328,57 @@ def txlog_table_changes(
         j = img.withColumn(
             "post", F.lit(None).cast(img.schema["pre"].dataType)
         )
-    legs = [] if j is None else [
-        j.where(F.col("pre").isNull()).select(
-            F.lit("insert").alias("_change_type"), key_col, "post.*"
-        ),
-        j.where(F.col("post").isNull()).select(
-            F.lit("delete").alias("_change_type"), key_col, "pre.*"
-        ),
-        j.where(
-            F.col("pre").isNotNull()
-            & F.col("post").isNotNull()
-            & (F.col("pre") != F.col("post"))
-        ).select(
-            F.lit("update_preimage").alias("_change_type"),
-            key_col,
-            "pre.*",
-        ),
-        j.where(
-            F.col("pre").isNotNull()
-            & F.col("post").isNotNull()
-            & (F.col("pre") != F.col("post"))
-        ).select(
-            F.lit("update_postimage").alias("_change_type"),
-            key_col,
-            "post.*",
-        ),
-    ]
-    out = None
-    for leg in legs:
-        out = leg if out is None else out.unionByName(leg)
+    if j is None:
+        out = None
+    else:
+        # ONE pass classifies every joined row (r13, guide §1.2 "don't
+        # recompute"): the previous 4-leg union referenced `j` four
+        # times, and each lazy reference re-derived the full-outer join
+        # and its input scans (4 SortMergeJoins / 8 delta-file scans per
+        # window in the before plan). Each row now explodes into its 0-2
+        # change images directly: insert/delete emit one image, an
+        # update emits pre+post, an unchanged CoW rewrite (pre == post,
+        # or an incomparable pair — exactly the rows no leg matched)
+        # explodes a NULL array and vanishes. Same rows, same columns.
+        from pyspark.sql import types as T
+
+        img_t = j.schema["pre"].dataType
+        arr_t = T.ArrayType(
+            T.StructType(
+                [
+                    T.StructField("_change_type", T.StringType()),
+                    T.StructField("img", img_t),
+                ]
+            )
+        )
+
+        def _tag(ct: str, col: str):
+            return F.struct(
+                F.lit(ct).alias("_change_type"), F.col(col).alias("img")
+            )
+
+        out = (
+            j.select(
+                F.col(key_col),
+                F.explode(
+                    F.when(
+                        F.col("pre").isNull(), F.array(_tag("insert", "post"))
+                    )
+                    .when(
+                        F.col("post").isNull(), F.array(_tag("delete", "pre"))
+                    )
+                    .when(
+                        F.col("pre") != F.col("post"),
+                        F.array(
+                            _tag("update_preimage", "pre"),
+                            _tag("update_postimage", "post"),
+                        ),
+                    )
+                    .otherwise(F.lit(None).cast(arr_t))
+                ).alias("c"),
+            )
+            .select("c._change_type", key_col, "c.img.*")
+        )
     if dv_pairs:
         sidecars = sorted({p for p, _t in dv_pairs})
         targets = sorted({t for _p, t in dv_pairs})
